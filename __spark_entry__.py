@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator/query from SURVEY.md §2 (plus
+the north-star extension operators); ``oracle_sql()`` holds the DuckDB
+equivalent run side-by-side at sf=0.01. Non-SQL-expressible operators
+(MinHash-LSH, SimHash — approximate candidate generation) have no
+oracle entry and get the rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +12,541 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+    multimodal,
+    text as text_fn,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+    dedup,
+    merge,
+    similarity,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+    marketing,
+    relational,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+    pipeline as streaming_pipeline,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+    load_table,
+    table_path,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (KPI view 1) on /root/testdata/sf0.001."""
+    return marketing.view_count_by_period(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Query callables (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _merge_slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic target/source slices of ``orders`` with overlapping
+    keys: target = keys not divisible by 3; source = even keys with a
+    bumped price (the SCD-1 'attribute changed' case, FIXTURES.md §5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    return target, source
+
+
+def q_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_slices(spark, sf_dir)
+    return merge.merge_ignore(target, source, ["o_orderkey"])
+
+
+def q_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_slices(spark, sf_dir)
+    return merge.merge_update(target, source, ["o_orderkey"])
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fn.profile_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dups(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
+
+
+def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_pipeline.run_stream_to_memory(
+        spark, table_path(sf_dir, "events")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- star-schema builds (SURVEY §2.2, P1-P9 + S-layer) ---
+        "event_raw": marketing.build_event_raw,
+        "dim_event": marketing.build_d_event,
+        "dim_user": marketing.build_d_user,
+        "dim_parameter": marketing.build_d_parameter,
+        "dim_item": marketing.build_d_item,
+        "fact_events": marketing.build_f_events,
+        # --- KPI views (SURVEY §2.3, Q1-Q13) ---
+        "kpi_view_count_by_period": marketing.view_count_by_period,
+        "kpi_item_view_rank_by_period": marketing.item_view_rank_by_period,
+        "kpi_most_viewed_item_latest_period": marketing.most_viewed_item_latest_period,
+        "kpi_top_event_type_by_period": marketing.top_event_type_by_period,
+        # --- merge layer (SURVEY §2.1 S6/S7) ---
+        "merge_ignore_orders": q_merge_ignore,
+        "merge_update_orders": q_merge_update,
+        # --- relational coverage (SURVEY §2.5 gaps made first-class) ---
+        "pricing_summary": relational.pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "top_customers_per_segment": relational.top_customers_per_segment,
+        "customers_without_orders": relational.customers_without_orders,
+        "high_value_order_customers": relational.high_value_order_customers,
+        "order_priority_rollup": relational.order_priority_rollup,
+        "order_set_ops": relational.order_set_ops,
+        "user_sessions": relational.user_sessions,
+        "running_daily_revenue": relational.running_daily_revenue,
+        # --- training-data extensions (north star) ---
+        "text_profile": q_text_profile,
+        "exact_dup_groups": q_exact_dup_groups,
+        "dedup_exact_docs": q_dedup_exact,
+        "ngram_jaccard_dups": q_ngram_jaccard,
+        "minhash_lsh_dups": q_minhash_dups,
+        "simhash_near_dups": q_simhash_dups,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "media_features": q_media_features,
+        # --- streaming (green-field) ---
+        "streaming_event_counts": q_streaming_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_FILTERED_FACT = """
+    SELECT e.*, CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS item_key
+    FROM events e WHERE e.event_type = 'view'
+"""
+
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_SHINGLES = """
+    SELECT doc_id AS id,
+           list_distinct(
+             list_transform(
+               range(0, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+               i -> array_to_string(
+                      list_slice(string_split_regex(lower(trim(text)), '\\s+'), i + 1, i + 3),
+                      ' ')
+             )
+           ) AS shingles
+    FROM documents
+"""
+
+
+def _lang_hits_sql(col: str = "text") -> dict[str, str]:
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions.text import (
+        LANG_MARKERS,
+    )
+
+    return {
+        lang: (
+            f"len(regexp_extract_all(lower({col}), "
+            f"'\\b({'|'.join(words)})\\b'))"
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+
+
+def _language_id_sql(col: str = "text") -> str:
+    hits = _lang_hits_sql(col)
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {expr} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang, expr in hits.items()
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop_re = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+    bpe_re = "[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]"
+    punct_re = "[!-/:-@\\[-`{-~]"
+    tokcount = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    stop_hits = f"len(regexp_extract_all(lower(text), '{stop_re}'))"
+    punct_ratio = (
+        f"CASE WHEN length(text) = 0 THEN 0.0 "
+        f"ELSE len(regexp_extract_all(text, '{punct_re}')) * 1.0 / length(text) END"
+    )
+    stop_ratio = (
+        f"CASE WHEN ({tokcount}) = 0 THEN 0.0 "
+        f"ELSE {stop_hits} * 1.0 / ({tokcount}) END"
+    )
+    quality = (
+        f"floor((least(length(text) * 1.0 / 500.0, 1.0) * 0.4 "
+        f"+ least(({stop_ratio}) * 5.0, 1.0) * 0.3 "
+        f"+ greatest(0.0, 1.0 - ({punct_ratio}) * 5.0) * 0.3) * 1000000.0) "
+        f"/ 1000000.0"
+    )
+
+    return {
+        "event_raw": """
+            SELECT event_id, ts, user_id, event_type, value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_key,
+                   ROW_NUMBER() OVER (ORDER BY event_id) AS guid_event_raw
+            FROM events
+        """,
+        "dim_event": """
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY event_id) AS guid_event
+            FROM (SELECT DISTINCT event_id FROM events)
+        """,
+        "dim_user": """
+            SELECT user_id,
+                   ROW_NUMBER() OVER (ORDER BY user_id) AS guid_user
+            FROM (SELECT DISTINCT user_id FROM events)
+        """,
+        "dim_parameter": """
+            SELECT parameter_name,
+                   ROW_NUMBER() OVER (ORDER BY parameter_name) AS guid_parameter
+            FROM (SELECT DISTINCT event_type AS parameter_name FROM events)
+        """,
+        "dim_item": """
+            SELECT CAST(p_partkey AS BIGINT) AS item_id,
+                   p_name AS item_name, p_brand AS item_brand,
+                   p_type AS item_type, CAST(p_size AS INTEGER) AS item_size,
+                   p_retailprice AS item_price
+            FROM part
+        """,
+        "fact_events": """
+            SELECT event_id, ts AS event_time, user_id AS event_user_id,
+                   event_type AS event_name, value AS event_value,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS event_parameter_value,
+                   ROW_NUMBER() OVER (ORDER BY ts DESC, event_id) AS guid_event
+            FROM events
+        """,
+        "kpi_view_count_by_period": f"""
+            WITH f AS ({_FILTERED_FACT})
+            SELECT date_trunc('day', f.ts) AS period, COUNT(f.ts) AS item_view
+            FROM f JOIN part p ON f.item_key = p.p_partkey
+            GROUP BY 1 ORDER BY period DESC
+        """,
+        "kpi_item_view_rank_by_period": f"""
+            WITH f AS ({_FILTERED_FACT}),
+            c AS (
+              SELECT date_trunc('day', f.ts) AS period, p.p_name AS item_name,
+                     COUNT(f.ts) AS item_view
+              FROM f JOIN part p ON f.item_key = p.p_partkey
+              GROUP BY 1, 2
+            )
+            SELECT period, item_name, item_view,
+                   DENSE_RANK() OVER (PARTITION BY period
+                                      ORDER BY item_view DESC) AS item_view_rank
+            FROM c ORDER BY period, item_view_rank, item_name
+        """,
+        "kpi_most_viewed_item_latest_period": f"""
+            WITH f AS ({_FILTERED_FACT}),
+            j AS (
+              SELECT date_trunc('day', f.ts) AS period, p.p_name AS item_name, f.ts
+              FROM f JOIN part p ON f.item_key = p.p_partkey
+            )
+            SELECT period, item_name, COUNT(ts) AS item_view
+            FROM j WHERE period = (SELECT MAX(period) FROM j)
+            GROUP BY 1, 2
+            ORDER BY item_view DESC, item_name
+            LIMIT 1
+        """,
+        "kpi_top_event_type_by_period": """
+            WITH c AS (
+              SELECT date_trunc('day', ts) AS period, event_type,
+                     COUNT(ts) AS type_count
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT *, DENSE_RANK() OVER (PARTITION BY period
+                        ORDER BY type_count DESC, event_type) AS type_rank
+              FROM c
+            )
+            SELECT period, event_type, type_count, type_rank
+            FROM r WHERE type_rank = 1 ORDER BY period, event_type
+        """,
+        "merge_ignore_orders": """
+            WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            src AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 0
+            )
+            SELECT * FROM tgt
+            UNION ALL
+            SELECT * FROM src
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+        """,
+        "merge_update_orders": """
+            WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            src AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 0
+            )
+            SELECT * FROM tgt
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            UNION ALL
+            SELECT * FROM src
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                     AS sum_charge,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT r.r_name AS region_name, n.n_name AS nation_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_customers_per_segment": """
+            WITH spend AS (
+              SELECT c.c_mktsegment, c.c_custkey, c.c_name,
+                     ROUND(SUM(o.o_totalprice), 2) AS total_spend
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2, 3
+            )
+            SELECT c_mktsegment, c_custkey, c_name, total_spend,
+                   spend_rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                        ORDER BY total_spend DESC, c_custkey) AS spend_rank
+              FROM spend
+            )
+            WHERE spend_rank <= 3
+            ORDER BY c_mktsegment, spend_rank
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "high_value_order_customers": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey IN (
+              SELECT o_custkey FROM orders
+              WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+            )
+            ORDER BY c_custkey
+        """,
+        "order_priority_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+                   COALESCE(o_orderpriority, 'ALL') AS order_priority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2
+        """,
+        "order_set_ops": """
+            WITH oc AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+            fc AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+            uc AS (SELECT o_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+            cc AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_totalprice < 1000),
+            ii AS (SELECT * FROM oc INTERSECT SELECT * FROM fc),
+            uu AS (SELECT * FROM ii UNION SELECT * FROM uc)
+            SELECT o_custkey AS custkey FROM uu
+            EXCEPT
+            SELECT o_custkey AS custkey FROM cc
+            ORDER BY custkey
+        """,
+        "user_sessions": """
+            WITH g AS (
+              SELECT *,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "running_daily_revenue": """
+            WITH d AS (
+              SELECT date_trunc('day', o_orderdate) AS order_day,
+                     ROUND(SUM(o_totalprice), 2) AS day_revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT order_day, day_revenue,
+                   ROUND(SUM(day_revenue) OVER (ORDER BY order_day
+                         ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+            FROM d ORDER BY order_day
+        """,
+        "text_profile": f"""
+            SELECT doc_id,
+                   {_language_id_sql("text")} AS lang_pred,
+                   CAST({tokcount} AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{bpe_re}')) AS BIGINT)
+                     AS n_bpe_tokens,
+                   floor(({punct_ratio}) * 1000000.0) / 1000000.0 AS punct_ratio,
+                   floor(({stop_ratio}) * 1000000.0) / 1000000.0 AS stopword_ratio,
+                   {quality} AS quality,
+                   md5({_NORM_TEXT}) AS fingerprint
+            FROM documents
+        """,
+        "exact_dup_groups": f"""
+            SELECT md5({_NORM_TEXT}) AS fingerprint,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "dedup_exact_docs": f"""
+            SELECT doc_id, text, lang, source, n_chars
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5({_NORM_TEXT}) ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH sh AS ({_SHINGLES}),
+            ex AS (
+              SELECT id, len(shingles) AS set_size,
+                     unnest(shingles) AS shingle
+              FROM sh
+            ),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.set_size AS size_a, b.set_size AS size_b,
+                     COUNT(*) AS n_common
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   floor(n_common / (size_a + size_b - n_common) * 1000000.0)
+                     / 1000000.0 AS jaccard
+            FROM common
+            WHERE floor(n_common / (size_a + size_b - n_common) * 1000000.0)
+                    / 1000000.0 >= 0.5
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+                  FROM embeddings),
+            s AS (
+              SELECT query_id, neighbor_id,
+                floor(
+                  list_sum(list_transform(range(1, len(q_vec) + 1),
+                    i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1, len(q_vec) + 1),
+                       i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(c_vec) + 1),
+                       i -> CAST(c_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))))
+                  * 1000000.0) / 1000000.0 AS cosine_sim
+              FROM q, c WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, neighbor_id, cosine_sim, rank
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id) AS rank
+              FROM s
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   'image/fake' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS payload_hash,
+                   CAST(octet_length(encode(text)) % 1024 + 1 AS INTEGER)
+                     AS decoded_width,
+                   CAST((octet_length(encode(text)) // 7) % 1024 + 1 AS INTEGER)
+                     AS decoded_height
+            FROM documents ORDER BY media_id
+        """,
+        "streaming_event_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,118 @@
+"""Text-analysis functions for training-data pipelines.
+
+All column expressions built from pyspark.sql.functions — JVM-side,
+codegen'd, no Python in the row path. Each has a matching ANSI-SQL
+formulation (used as the DuckDB oracle) because the logic is plain
+regex/arithmetic, deliberately: heuristics that need per-row Python are
+the slow path at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Marker hits are counted with regexp_count over word
+# boundaries; the argmax wins. Deterministic and SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-romanized corpus
+}
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+# BPE-ish token pattern: runs of word chars, or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def marker_hits(col: Column, words: list[str]) -> Column:
+    """Count of whole-word marker occurrences in lowercased text."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pattern))
+
+
+def language_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts; 'und'
+    when nothing matches. Ties break by language code order (stable)."""
+    markers = markers or LANG_MARKERS
+    langs = sorted(markers)
+    hits = {lang: marker_hits(col, markers[lang]) for lang in langs}
+    best = F.greatest(*[hits[lang] for lang in langs])
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: word-char runs + individual symbols."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n = F.length(col)
+    p = F.regexp_count(col, F.lit(r"[!-/:-@\[-`{-~]"))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / total tokens (0 for empty)."""
+    sw = stopwords or STOPWORDS
+    hits = marker_hits(col, sw)
+    toks = token_count(col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
+
+
+def trunc6(col: Column) -> Column:
+    """Truncate to 6 decimals via floor — unlike half-up/half-even
+    ``round``, floor of the same IEEE double is bit-identical across
+    engines, so oracle comparisons never flake on .5 boundaries."""
+    return F.floor(col * 1000000.0) / 1000000.0
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards mid-length docs and
+    healthy stopword presence, penalizes punctuation soup. Weights are
+    arbitrary-but-fixed; the point is the operator shape (pure column
+    arithmetic, one pass)."""
+    length_term = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5.0)
+    return trunc6(length_term * 0.4 + sw_term * 0.3 + punct_term * 0.3)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-
+    normalized, lowercased text. Stable across engines (md5 is
+    bit-identical everywhere), used as the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: language, token counts, ratios, quality,
+    fingerprint. Single projection — no shuffle at all."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        language_id(c).alias("lang_pred"),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        trunc6(punct_ratio(c)).alias("punct_ratio"),
+        trunc6(stopword_ratio(c)).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

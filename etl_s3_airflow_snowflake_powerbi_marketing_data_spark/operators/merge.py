@@ -1,0 +1,108 @@
+"""MERGE / upsert semantics (reference ops S6/S7, SURVEY.md §2.1).
+
+The reference delegates MERGE INTO to Snowflake with two conflict modes:
+
+- ``if_conflicts="ignore"`` — insert source rows whose key is absent in
+  the target; never touch matched rows (append-only dims:
+  `etl_s3_snowflake_d_event.py:69-76`, `..._d_user.py:71-78`,
+  `..._d_parameter.py:72-79`).
+- ``if_conflicts="update"`` — SCD-1 upsert: matched keys take the source
+  row, new keys are inserted (`etl_s3_snowflake_d_item.py:71-79`;
+  composite key `event_id,event_parameter_name,event_parameter_value`
+  on the fact, `etl_s3_snowflake_f_events.py:87-95`).
+
+Spark-first implementation: pure join algebra (anti-join + union), which
+Catalyst executes as one shuffle on the merge keys for both legs (or a
+broadcast when the delta side is small — the common daily-load case at
+scale: broadcast the day's delta against the 100 TB target, zero shuffle
+of the big side). Without a transactional table format the caller owns
+atomicity of the rewrite; ``merge_write`` documents the honest fallback
+(full overwrite to a staging path then swap). If delta-spark is on the
+classpath, ``delta_merge`` uses real ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .transforms import dedup_keep_first
+
+
+def _dedup_source(source: DataFrame, keys: Sequence[str], order_by=None) -> DataFrame:
+    """MERGE requires a unique key on the source side (Snowflake errors on
+    duplicate-key sources; we keep the deterministic first per key)."""
+    return dedup_keep_first(source, keys, order_by=order_by)
+
+
+def merge_ignore(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    source_order_by=None,
+) -> DataFrame:
+    """Insert-if-absent: target rows win, unmatched source rows append.
+
+    Plan shape: ``source LEFT ANTI JOIN target ON keys`` then
+    ``UNION ALL`` — the anti-join broadcasts whichever side is small.
+    """
+    src = _dedup_source(source, keys, source_order_by)
+    new_rows = src.join(target.select(*keys), on=list(keys), how="left_anti")
+    return target.unionByName(new_rows.select(*target.columns))
+
+
+def merge_update(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    source_order_by=None,
+) -> DataFrame:
+    """SCD-1 upsert: matched keys take the source row, new keys insert.
+
+    Plan shape: ``target LEFT ANTI JOIN source`` (surviving old rows)
+    ``UNION ALL source`` — one shuffle (or broadcast) on the keys.
+    """
+    src = _dedup_source(source, keys, source_order_by)
+    kept_old = target.join(src.select(*keys), on=list(keys), how="left_anti")
+    return kept_old.unionByName(src.select(*target.columns))
+
+
+def merge_write(
+    result: DataFrame, path: str, partition_by: Sequence[str] | None = None
+) -> None:
+    """Persist a merge result.
+
+    Plain-parquet fallback: full rewrite. At scale, partition the target
+    by a stable key (e.g. date) and rewrite only partitions present in
+    the delta (``spark.sql.sources.partitionOverwriteMode=dynamic``);
+    with Delta/Iceberg on the classpath use ``delta_merge`` instead for a
+    transactional row-level MERGE.
+    """
+    writer = result.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def delta_merge(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    update: bool,
+) -> bool:
+    """Transactional MERGE via delta-spark, if available. Returns False
+    when the Delta classpath is absent (plain-parquet envs)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError:
+        return False
+    tgt = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    builder = tgt.alias("t").merge(source.alias("s"), cond)
+    if update:
+        builder = builder.whenMatchedUpdateAll()
+    builder.whenNotMatchedInsertAll().execute()
+    return True

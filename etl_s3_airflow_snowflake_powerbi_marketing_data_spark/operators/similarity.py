@@ -1,0 +1,246 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Green-field scale operators (SURVEY.md §2.5 / BASELINE.json north star):
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query set,
+  compute dot products with ``zip_with``/``aggregate`` (JVM-side, no
+  Python in the row loop), rank per query with a bounded window. Exact
+  baseline; cost O(N·Q) — fine when Q is small even at huge N because
+  the scan is embarrassingly parallel and shuffle-free until the final
+  per-query top-k (tiny).
+- ``lsh_topk`` — random-hyperplane (signed random projection) LSH: each
+  vector gets a b-bit signature from deterministic pseudo-random
+  hyperplanes; candidates = rows sharing a signature band with the
+  query; exact cosine re-rank within candidates. The scale path: the
+  bucket join shuffles only band-collision pairs.
+- ``ivf_topk`` — IVF-style coarse quantization without a training step:
+  deterministic sampled centroids, assign every vector to its nearest
+  centroid (broadcast centroids), probe the closest ``n_probe`` cells
+  per query. Mirrors FAISS IVF-Flat's structure in pure DataFrame ops.
+
+All cosine math uses double precision and built-in higher-order
+functions; embeddings normalize once up front so cosine = dot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import trunc6
+
+
+def _norm(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_unit_vector(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec"
+) -> DataFrame:
+    """L2-normalize once so every later cosine is a plain dot product."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank). Excludes
+    self-matches. The query side is broadcast — at 100 TB the corpus
+    scan is the only big stage and it's shuffle-free; the window runs
+    per query id over pre-filtered candidates.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", trunc6(cosine(F.col("q_vec"), F.col("c_vec"))))
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (hash-derived,
+    reproducible across runs/partitions without RNG state)."""
+    import hashlib  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    out: list[float] = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        (u,) = struct.unpack("<Q", h[:8])
+        out.append((u / 2**64) * 2.0 - 1.0)
+    return out
+
+
+def signed_projection_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """b-bit signature: bit i = sign(vec · plane_i). Returns bigint."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec, plane_col) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH with banding.
+
+    Candidates share at least one signature band with the query, then
+    get exact cosine re-ranking. Recall is tunable (more bands / fewer
+    bits per band → more candidates). The join key is (band, band_bits):
+    shuffle ∝ collisions, never O(N·Q).
+    """
+    planes = [_hyperplane(s, dim) for s in range(bits)]
+    bits_per_band = bits // bands
+
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = signed_projection_signature(F.col(vec_col), planes)
+        out = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            sig.alias("sig"),
+        )
+        band_exprs = [
+            F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+        return out.select(
+            f"{role}_id",
+            f"{role}_vec",
+            F.posexplode(F.array(*band_exprs)).alias("band", "band_bits"),
+        )
+
+    c = banded(corpus, "neighbor")
+    q = banded(queries, "query")
+    candidates = (
+        c.join(F.broadcast(q), ["band", "band_bits"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    scored = candidates.withColumn(
+        "cosine_sim", trunc6(cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    ).select("query_id", "neighbor_id", "cosine_sim")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-Flat-style ANN: deterministic sampled centroids → cell
+    assignment → probe the n_probe nearest cells per query → exact
+    re-rank inside probed cells.
+
+    Centroid "training" is a deterministic sample (every row whose id
+    hashes into the first n_cells buckets of a fixed modulus) — no
+    iterative k-means, which keeps the operator a two-pass DataFrame
+    plan. At scale the cell assignment is a broadcast map-side op and
+    the probe join shuffles only (query, cell) pairs.
+    """
+    centroids = (
+        corpus.withColumn("__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)))
+        .filter(F.col("__b") < n_cells)
+        .select(
+            F.col("__b").alias("cell"),
+            F.col(vec_col).alias("centroid"),
+        )
+        .groupBy("cell")
+        .agg(F.min_by("centroid", "cell").alias("centroid"))
+    )
+
+    def assign(df: DataFrame, role: str, probes: int) -> DataFrame:
+        joined = df.crossJoin(F.broadcast(centroids)).withColumn(
+            "c_sim", cosine(F.col(vec_col), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cell"))
+        return (
+            joined.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= probes)
+            .select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"{role}_vec"),
+                "cell",
+            )
+        )
+
+    c = assign(corpus, "neighbor", 1)
+    q = assign(queries, "query", n_probe)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim", trunc6(cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

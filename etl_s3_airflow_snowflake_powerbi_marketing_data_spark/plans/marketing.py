@@ -1,0 +1,230 @@
+"""The reference pipeline re-expressed on the driver's synthetic tables.
+
+Mapping (FIXTURES.md §4): the synthetic ``events`` table plays
+``event_raw`` (``event_type`` ↔ payload.event_name/platform, ``props``
+↔ the JSON payload, ``props.k`` ↔ parameter_value/item id) and ``part``
+plays ``items``/``d_item`` (``p_partkey`` ↔ item_id). The synthetic data
+spans one month, so the reference's ``YEAR(event_time)`` becomes
+``to_date(ts)`` — same date-part-extraction + groupBy operator class
+(Q4), non-degenerate grouping.
+
+Star-schema builds mirror SURVEY.md §2.2 (P1-P9) and the four KPI views
+mirror `etl_s3_snowflake_aggregated_views.py` (Q1-Q13):
+
+1. ``view_count_by_period``      ↔ yearly_item_view_count        (:22-35)
+2. ``item_view_rank_by_period``  ↔ item_view_based_on_particular_year (:37-52)
+3. ``most_viewed_item_latest_period`` ↔ most_viewed_item_based_on_most_recent_year (:55-72)
+4. ``top_event_type_by_period``  ↔ most_used_platform_in_particular_year (:75-92)
+
+Scale notes: the fact→dim join broadcasts the dim (2K rows); the
+period aggregations are map-side-combinable counts; the dense_rank
+windows partition by period (bounded cardinality, no single-partition
+stage). Only surrogate-key assignment has a global-order stage, and the
+scale path for that is ``keys.zip_with_index``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.keys import with_surrogate_key
+from ..operators.transforms import PROPS_SCHEMA, parse_json_column
+from ..tables import load_table
+
+VIEW_EVENT = "view"  # plays the reference's WHERE event_name = 'view_item'
+
+
+# ---------------------------------------------------------------------------
+# Star-schema builds (dims + fact)
+# ---------------------------------------------------------------------------
+
+def build_event_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ingest: parse payload JSON, assign raw surrogate key.
+
+    ↔ `etl_s3_snowflake_raw_event_ingest.py:25-33` (rename → json.loads →
+    1-based index), minus the pandas detour: one lazy chain, payload
+    parsed by ``from_json`` inside codegen.
+    """
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_json_column(events, "props", PROPS_SCHEMA, "props_parsed")
+    flat = parsed.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.col("props_parsed.k").alias("item_key"),
+    )
+    return with_surrogate_key(flat, "guid_event_raw", order_by=["event_id"])
+
+
+def build_d_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event dim: distinct event ids + contiguous guid.
+
+    ↔ `etl_s3_snowflake_d_event.py:24-30` (drop_duplicates on event_id →
+    range index). Deterministic survivor: keys are already unique per
+    row; ordering by the key itself pins guid assignment.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id").distinct()
+    return with_surrogate_key(events, "guid_event", order_by=["event_id"])
+
+
+def build_d_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User dim ↔ `etl_s3_snowflake_d_user.py:28-34`."""
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    return with_surrogate_key(users, "guid_user", order_by=["user_id"])
+
+
+def build_d_parameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameter dim (event_type plays parameter_name)
+    ↔ `etl_s3_snowflake_d_parameter.py:24-36`."""
+    params = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("parameter_name")
+    ).distinct()
+    return with_surrogate_key(params, "guid_parameter", order_by=["parameter_name"])
+
+
+def build_d_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item dim: prefixed renames of the item source table
+    ↔ `etl_s3_snowflake_d_item.py:24-29` (column-prefix renames; the
+    float-text id is normalized to long at build time per SURVEY §1.2 —
+    here the synthetic key is already numeric)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").cast("long").alias("item_id"),
+        F.col("p_name").alias("item_name"),
+        F.col("p_brand").alias("item_brand"),
+        F.col("p_type").alias("item_type"),
+        F.col("p_size").cast("int").alias("item_size"),
+        F.col("p_retailprice").alias("item_price"),
+    )
+
+
+def build_f_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact build: payload flatten + item-key normalization + sort + guid.
+
+    ↔ `etl_s3_snowflake_f_events.py:22-44`. The reference's positional
+    zip-join (P8) disappears — ``from_json`` keeps the flattened payload
+    columns aligned with the row. Sorted newest-first, then guid over
+    that order (single-partition stage; the 100 TB path swaps in
+    ``keys.zip_with_index`` after the range-partitioned sort).
+    """
+    raw = build_event_raw(spark, sf_dir)
+    fact = raw.select(
+        "event_id",
+        F.col("ts").alias("event_time"),
+        F.col("user_id").alias("event_user_id"),
+        F.col("event_type").alias("event_name"),
+        F.col("value").alias("event_value"),
+        F.col("item_key").cast("long").alias("event_parameter_value"),
+    )
+    return with_surrogate_key(
+        fact, "guid_event", order_by=[F.col("event_time").desc(), "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# KPI views (the golden queries)
+# ---------------------------------------------------------------------------
+
+def _filtered_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared CTE: FILTERED_EVENTS AS (SELECT * FROM f_events WHERE
+    event_name = 'view_item') ↔ `etl_s3_snowflake_aggregated_views.py:27-28`."""
+    return build_f_events(spark, sf_dir).filter(F.col("event_name") == VIEW_EVENT)
+
+
+def view_count_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI view 1 ↔ yearly_item_view_count (:22-35): filter → join dim →
+    date-part → count → order desc. The dim join broadcasts."""
+    fact = _filtered_fact(spark, sf_dir)
+    dim = build_d_item(spark, sf_dir)
+    return (
+        fact.join(
+            F.broadcast(dim),
+            fact.event_parameter_value == dim.item_id,
+            "inner",
+        )
+        .groupBy(F.date_trunc("day", "event_time").alias("period"))
+        .agg(F.count("event_time").alias("item_view"))
+        .orderBy(F.col("period").desc())
+    )
+
+
+def item_view_rank_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI view 2 ↔ item_view_based_on_particular_year (:37-52):
+    two-key groupBy + dense_rank over the aggregate within period."""
+    fact = _filtered_fact(spark, sf_dir)
+    dim = build_d_item(spark, sf_dir)
+    counts = (
+        fact.join(F.broadcast(dim), fact.event_parameter_value == dim.item_id, "inner")
+        .groupBy(F.date_trunc("day", "event_time").alias("period"), F.col("item_name"))
+        .agg(F.count("event_time").alias("item_view"))
+    )
+    w = Window.partitionBy("period").orderBy(F.col("item_view").desc())
+    return counts.withColumn(
+        "item_view_rank", F.dense_rank().over(w).cast("long")
+    ).orderBy("period", "item_view_rank", "item_name")
+
+
+def most_viewed_item_latest_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI view 3 ↔ most_viewed_item_based_on_most_recent_year (:55-72):
+    scalar-subquery max period + top-1 (TakeOrderedAndProject).
+
+    Deviation from the reference, documented: ties on the top view count
+    are broken by item_name so the result is deterministic (the
+    reference's bare ``ORDER BY ITEM_VIEW DESC LIMIT 1`` is not).
+    """
+    fact = _filtered_fact(spark, sf_dir)
+    dim = build_d_item(spark, sf_dir)
+    joined = fact.join(
+        F.broadcast(dim), fact.event_parameter_value == dim.item_id, "inner"
+    ).withColumn("period", F.date_trunc("day", "event_time"))
+    max_period = joined.agg(F.max("period").alias("mx"))
+    return (
+        joined.join(F.broadcast(max_period), F.col("period") == F.col("mx"))
+        .groupBy("period", "item_name")
+        .agg(F.count("event_time").alias("item_view"))
+        .orderBy(F.col("item_view").desc(), F.col("item_name"))
+        .limit(1)
+    )
+
+
+def top_event_type_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI view 4 ↔ most_used_platform_in_particular_year (:75-92):
+    nested CTE → two-key count → dense_rank → keep rank 1.
+
+    ``event_type`` plays the platform column (the synthetic schema folds
+    event_name and platform into one field); no event filter so the
+    ranking is non-degenerate across all five types.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(
+            F.date_trunc("day", "ts").alias("period"), F.col("event_type")
+        ).agg(F.count("ts").alias("type_count"))
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.col("type_count").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("type_rank", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("type_rank") == 1)
+        .orderBy("period", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# View registration (S5/Q13: the catalog-facing contract)
+# ---------------------------------------------------------------------------
+
+KPI_BUILDERS = {
+    "view_count_by_period": view_count_by_period,
+    "item_view_rank_by_period": item_view_rank_by_period,
+    "most_viewed_item_latest_period": most_viewed_item_latest_period,
+    "top_event_type_by_period": top_event_type_by_period,
+}
+
+
+def register_kpi_views(spark: SparkSession, sf_dir: str) -> None:
+    """CREATE OR REPLACE (temp) VIEW for each KPI query ↔ Q13
+    (`etl_s3_snowflake_aggregated_views.py:26,41,59,79`). Views stay
+    virtual (recomputed on read) exactly like the reference's."""
+    for name, builder in KPI_BUILDERS.items():
+        builder(spark, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,208 @@
+"""General relational query plans — the operator classes the reference
+never exercises (SURVEY.md §2.5) made first-class: multi-agg groupBy,
+semi/anti joins, set operators, rollup, scalar subqueries, sessionization
+and window frames. Each function is a (spark, sf_dir) -> DataFrame plan
+over the synthetic TPC-H-ish tables, with a DuckDB oracle registered in
+``__spark_entry__``.
+
+Scale notes are per-plan; the common rules: aggregations are
+map-side-combinable, dim joins broadcast, windows partition on bounded
+keys, and sorts only appear at final output (TakeOrderedAndProject where
+a limit exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → 2-key groupBy → 8 aggregates.
+
+    Whole plan is one map-side-combinable hash aggregate; the shipdate
+    filter pushes down into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region) + groupBy. Dims broadcast; the only real shuffle is
+    lineitem⋈orders on orderkey, then the agg is map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue within each market segment:
+    join → groupBy → window row_number ≤ k (the canonical top-k-per-group
+    plan: one shuffle on custkey for the agg, one on segment for the
+    bounded window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), F.col("c_custkey")
+    )
+    return (
+        spend.withColumn("spend_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("spend_rank") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "total_spend", "spend_rank")
+        .orderBy("c_mktsegment", "spend_rank")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS): customers with no orders. Broadcast anti
+    when the key list is small; shuffle-anti otherwise (AQE decides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def high_value_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) + uncorrelated scalar subquery: customers with
+    at least one order above the global average order price."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    big_orders = orders.join(
+        F.broadcast(avg_price), F.col("o_totalprice") > F.col("avg_price")
+    )
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: (status, priority) → status → grand total.
+
+    Spark expands rollup into a single expand+aggregate — still one
+    shuffle. Null grouping cells are labeled 'ALL' so the oracle can
+    match deterministic strings instead of NULL-vs-NULL semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("order_status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("order_status", "order_priority")
+    )
+
+
+def order_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers with open orders INTERSECT customers with
+    finished orders, UNION customers with high-priority orders, EXCEPT
+    the bottom spenders. Exercises INTERSECT/UNION/EXCEPT distinct
+    semantics in one plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    finished_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    urgent_c = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    cheap_c = orders.filter(F.col("o_totalprice") < 1000).select("o_custkey")
+    return (
+        open_c.intersect(finished_c)
+        .union(urgent_c)
+        .distinct()
+        .exceptAll(cheap_c.distinct())
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum session ids, per-user
+    session stats. Windows partition by user_id (bounded, no global
+    sort); at 100 TB this is the classic one-shuffle sessionize."""
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (ROWS UNBOUNDED PRECEDING): daily order revenue and
+    its running cumulative sum — the frame class the reference lacks."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("order_day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    )
+    w = Window.orderBy("order_day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("cum_revenue", F.round(F.sum("day_revenue").over(w), 2))
+        .orderBy("order_day")
+    )

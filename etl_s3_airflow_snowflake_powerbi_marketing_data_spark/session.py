@@ -1,0 +1,66 @@
+"""SparkSession construction tuned for both local testing and cluster scale.
+
+Local test posture: ``local[N]`` single-JVM. Cluster posture (the real
+target, ~100 TB): every knob here is either harmless locally or a direct
+scale win — AQE re-plans skewed shuffles, partition coalescing keeps the
+shuffle fan-in sane, Arrow keeps any pandas interchange columnar, UTC
+session timezone keeps timestamps oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "marketing_spark_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    - AQE on: runtime coalescing of shuffle partitions, skew-join
+      splitting — the knobs that keep a 1000-executor job from dying on
+      one hot key.
+    - ``spark.sql.shuffle.partitions`` sized to the local core count for
+      tests; on a real cluster this is the *initial* number only, AQE
+      coalesces/splits from there.
+    - Arrow enabled so any ``mapInPandas``/``applyInPandas`` operator
+      (similarity search, multimodal decode) moves data in columnar
+      batches, not pickled rows.
+    - UTC + ANSI-off match the semantics DuckDB oracles compute with.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # The driver's testdata stores events.ts as TIMESTAMP(NANOS), which
+        # Spark's parquet reader refuses; read as long and convert in
+        # tables.load_table (sub-microsecond parts are zero, so lossless).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,61 @@
+"""Source readers (reference ops S1/S2, SURVEY.md §2.1).
+
+The reference pulls CSVs from S3 over HTTP into pandas then bulk-loads a
+warehouse staging table; here a reader is just a lazy scan node — the
+same code reads ``file://`` fixtures locally and ``s3a://`` prefixes on
+a cluster (Hadoop S3A committer, distributed range reads), because the
+path scheme, not the code, decides the transport.
+
+Schema posture mirrors the reference (SURVEY.md §1.3): *inferred* at the
+raw/staging layer, *explicit StructType* for curated tables. Inference
+costs an extra pass — acceptable for daily raw loads, wrong for curated
+reads, so curated readers require a schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv_inferred(
+    spark: SparkSession, path: str, rename: dict[str, str] | None = None
+) -> DataFrame:
+    """S1 raw-layer CSV load: header + schema inference (the reference's
+    ``aql.load_file`` behavior, `etl_s3_snowflake_raw_event_ingest.py:46`),
+    plus the dotted-column rename (`:28`) applied at read time."""
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    if rename:
+        df = df.withColumnsRenamed(rename)
+    return df
+
+
+def read_csv_typed(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Curated CSV read: explicit schema, no inference pass, malformed
+    rows fail fast (``FAILFAST`` — silent null-filling hides upstream
+    contract breaks at scale)."""
+    return (
+        spark.read.option("header", True)
+        .option("mode", "FAILFAST")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan with predicate pushdown + column pruning (the
+    default at-rest format for every curated table)."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines read with explicit schema (inference over JSON at
+    100 TB means a full extra pass — always pass the schema)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """S2 — read a registered table/view by name."""
+    return spark.table(name)

@@ -1,0 +1,42 @@
+"""Sinks (reference ops S3/S4/S5/S8, SURVEY.md §2.1).
+
+The reference materializes every intermediate to a warehouse table; in
+Spark only *named outputs* materialize — intermediates stay lazy plan
+nodes (the laziness IS the pipeline fusion). Writers here cover the
+named-output cases: full replace, anonymous staging (temp view), and
+partitioned curated output for partition-pruned downstream reads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_full_replace(df: DataFrame, path: str) -> None:
+    """S3 — daily full-replace persist (`etl_s3_snowflake_raw_event_ingest.py:51-54`)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: Sequence[str]
+) -> None:
+    """Curated write partitioned by a pruning key (e.g. event date):
+    downstream daily queries read one partition, not the table — the
+    single biggest scan win at 100 TB."""
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def stage_temp_view(df: DataFrame, name: str) -> None:
+    """S4 — anonymous/named staging without materialization
+    (`etl_s3_snowflake_d_event.py:64-66` writes a real temp table; a
+    Spark temp view is the zero-copy equivalent)."""
+    df.createOrReplaceTempView(name)
+
+
+def drop_temp_views(spark: SparkSession, names: Sequence[str]) -> None:
+    """S8 — cleanup (`aql.cleanup()`); temp views are session-scoped so
+    this is bookkeeping, not storage reclamation."""
+    for name in names:
+        spark.catalog.dropTempView(name)

@@ -1,0 +1,100 @@
+"""Structured Streaming variant of the event-ingest pipeline.
+
+The reference is daily batch (SURVEY.md §2.5 — no streaming at all);
+this is the green-field continuous path: the same parse/flatten logic
+as ``plans.marketing.build_event_raw`` applied to a stream, with
+watermarked tumbling-window aggregation for late data.
+
+Local tests drive it with the parquet file source +
+``Trigger.AvailableNow`` semantics (``processAllAvailable`` on a memory
+sink); on a cluster the source swaps to Kafka/object-store listing and
+the sink to a partitioned table — the plan in between is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.transforms import PROPS_SCHEMA
+
+# ts arrives as TIMESTAMP(NANOS) in the testdata parquet → read as long
+# (see session.py nanosAsLong) and convert to a microsecond timestamp.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet prefix (one file per
+    micro-batch locally; an S3 prefix with notification-based listing at
+    scale)."""
+    import os  # noqa: PLC0415
+
+    base_dir, file_name = os.path.split(path.rstrip("/"))
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", file_name or "*")
+        .parquet(base_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.
+
+    Watermark bounds state: windows older than (max event time −
+    watermark) are finalized and evicted, so state size is O(active
+    windows × types), flat over an unbounded stream.
+    """
+    parsed = events.withColumn(
+        "item_key", F.from_json("props", PROPS_SCHEMA)["k"]
+    )
+    return (
+        parsed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, source_path: str, query_name: str = "stream_counts"
+) -> DataFrame:
+    """Drive the streaming plan to completion over the current contents
+    of ``source_path`` (Trigger.AvailableNow-style) and return the
+    result as a batch DataFrame from the memory sink."""
+    stream = read_event_stream(spark, source_path)
+    agg = streaming_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

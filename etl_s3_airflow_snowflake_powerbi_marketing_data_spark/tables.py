@@ -1,0 +1,72 @@
+"""Test-table loading and catalog registration.
+
+The driver's synthetic tables (see /root/repo/TESTDATA.md) are one
+parquet file per table under ``{sf_dir}/{name}.parquet``. Loading stays
+lazy — a registered view is just a logical plan over the parquet scan,
+so Catalyst still gets full predicate pushdown and column pruning per
+query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet; Spark reads
+# them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
+# microsecond timestamps here (sub-microsecond parts are zero — verified
+# lossless; DuckDB likewise surfaces them at microsecond precision).
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # Integer div: epoch-nanos exceeds double's 53-bit mantissa, so
+            # float division would corrupt the microsecond digit.
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Register each parquet table as a temp view; returns the DataFrames.
+
+    Views are session-scoped logical plans (no materialization), mirroring
+    the reference's named staging tables (SURVEY.md §1.1, S2) without the
+    warehouse round-trips.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry at a given SF and compare to ``oracle_sql()`` via
+DuckDB — row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import TABLE_NAMES
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def value_repr(df: pd.DataFrame) -> list[tuple]:
+    out = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(round(v, 6))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{name}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({took:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {exc}")
+            continue
+        s, o = canon(sdf), canon(odf)
+        if list(s.columns) != list(o.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(s)} vs {len(o)}")
+            continue
+        sv, ov = value_repr(s), value_repr(o)
+        if sv != ov:
+            failures.append(name)
+            diffs = [i for i, (a, b) in enumerate(zip(sv, ov)) if a != b][:3]
+            print(f"FAIL  {name}: values differ at rows {diffs}")
+            for i in diffs:
+                print(f"    spark:  {sv[i]}")
+                print(f"    oracle: {ov[i]}")
+            continue
+        print(f"OK    {name}: {len(s)} rows  ({took:.1f}s)")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
