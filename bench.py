@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full plan execution,
+no driver-side collect bottleneck in the timing). One warm-up query runs
+first so JVM/codegen startup isn't charged to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
+
+HEADLINE = [
+    "kpi_view_count_by_period",
+    "kpi_item_view_rank_by_period",
+    "kpi_most_viewed_item_latest_period",
+    "kpi_top_event_type_by_period",
+    "fact_events",
+    "merge_update_orders",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_segment",
+    "user_sessions",
+    "running_daily_revenue",
+    "text_profile",
+    "dedup_exact_docs",
+    "ngram_jaccard_dups",
+    "simhash_near_dups",
+    "embedding_topk",
+    "media_features",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # Warm-up: JVM + parquet footer caches, not charged to any query.
+    force(qs["pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

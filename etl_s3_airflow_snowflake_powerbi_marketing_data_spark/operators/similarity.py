@@ -199,15 +199,18 @@ def ivf_topk(
     plan. At scale the cell assignment is a broadcast map-side op and
     the probe join shuffles only (query, cell) pairs.
     """
+    # Deterministic pseudo-random sample: the n_cells rows with the
+    # smallest id-hash. Planned as a top-k (TakeOrdered), so the "train"
+    # pass is one cheap scan even on a huge corpus.
     centroids = (
-        corpus.withColumn("__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)))
-        .filter(F.col("__b") < n_cells)
-        .select(
-            F.col("__b").alias("cell"),
+        corpus.select(
+            F.xxhash64(F.col(id_col)).alias("__h"),
             F.col(vec_col).alias("centroid"),
         )
-        .groupBy("cell")
-        .agg(F.min_by("centroid", "cell").alias("centroid"))
+        .orderBy("__h")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(Window.orderBy("__h")))
+        .select("cell", "centroid")
     )
 
     def assign(df: DataFrame, role: str, probes: int) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Dedup + similarity operators: hand-computed micro-fixtures with known
+duplicate structure, plus recall checks of the approximate paths against
+the exact ones."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+    dedup,
+    similarity,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "The  Quick Brown   Fox jumps over the lazy dog"),  # ws/case dup of 1
+    (4, "the quick brown fox jumps over the sleepy dog"),  # near dup (1 word)
+    (5, "completely different content about spark engines"),
+    (6, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 1
+    assert groups[0]["n_docs"] == 3  # 1, 2, 3 normalize identically
+
+
+def test_dedup_exact_survivors(docs):
+    out = dedup.dedup_exact(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5, 6]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups have jaccard 1.0; the one-word-changed doc overlaps 4/10-ish
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert (2, 3) in got
+    assert (1, 4) in got
+    assert all(p[0] < p[1] for p in got)
+
+
+def test_minhash_candidates_cover_exact_dups(docs):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) in cands
+
+
+def test_minhash_dedup_pairs_subset_of_exact(docs):
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.4).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert mh <= exact
+    assert (1, 2) in mh
+
+
+def test_simhash_identical_texts_same_hash(docs):
+    out = docs.select("doc_id", dedup.simhash("text").alias("sh")).collect()
+    sh = {r["doc_id"]: r["sh"] for r in out}
+    assert sh[1] == sh[2] == sh[3]
+    assert sh[1] != sh[5]
+
+
+def test_simhash_near_dups_finds_exact_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (2, 3) in pairs
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [0.7, 0.7, 0.0, 0.0]),   # diagonal
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = similarity.brute_force_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=4
+    ).collect()
+    order = [r["neighbor_id"] for r in out]
+    assert order == [1, 3, 2, 4]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    assert out[0]["cosine_sim"] > 0.99
+
+
+def test_ivf_topk_returns_neighbors(spark):
+    import math
+
+    # ring of 2-d unit vectors: neighbors are adjacent angles
+    ring = [
+        (i, [math.cos(i / 16 * 2 * math.pi), math.sin(i / 16 * 2 * math.pi)])
+        for i in range(16)
+    ]
+    df = spark.createDataFrame(ring, "vec_id long, embedding array<float>")
+    out = similarity.ivf_topk(
+        df, df.filter(F.col("vec_id") == 0), k=2, n_cells=4, n_probe=4
+    ).collect()
+    assert len(out) == 2
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    import random
+
+    rnd = random.Random(7)
+    data = [
+        (i, [rnd.uniform(-1, 1) for _ in range(64)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(df, q, k=5, bands=8, bits=16).collect()
+    }
+    # banded LSH with 8 bands of 2 bits is permissive: expect decent recall
+    assert len(approx & exact) / len(exact) >= 0.5

@@ -1,0 +1,107 @@
+"""Text analysis, multimodal plumbing, and the streaming pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+    multimodal,
+    text as text_fn,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import pipeline
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import table_path
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rows = [
+        (1, "the cat and the dog went to the park and that is that"),
+        (2, "el gato de la casa que vive con los perros"),
+        (3, "der hund und die katze das ist gut und der rest"),
+        (4, ""),
+        (5, "!!! ??? ***"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_language_id(samples):
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in samples.select(
+            "doc_id", text_fn.language_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "de"
+    assert out[4] == "und"
+    assert out[5] == "und"
+
+
+def test_token_counts(samples):
+    out = {
+        r["doc_id"]: (r["n"], r["b"])
+        for r in samples.select(
+            "doc_id",
+            text_fn.token_count(F.col("text")).alias("n"),
+            text_fn.bpe_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert out[1][0] == 13
+    assert out[4] == (0, 0)
+    assert out[5][0] == 3  # whitespace tokens
+    assert out[5][1] == 9  # each symbol is its own BPE-ish token
+
+
+def test_quality_and_ratios(samples):
+    prof = {r["doc_id"]: r for r in text_fn.profile_documents(samples).collect()}
+    assert prof[5]["punct_ratio"] > 0.5
+    assert prof[1]["stopword_ratio"] > 0.3
+    assert 0.0 <= prof[1]["quality"] <= 1.0
+    assert prof[4]["n_tokens"] == 0
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world")], "id long, text string"
+    )
+    fps = [
+        r["fp"]
+        for r in df.select(text_fn.fingerprint(F.col("text")).alias("fp")).collect()
+    ]
+    assert fps[0] == fps[1]
+
+
+def test_media_features_schema_and_hash(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3)], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = multimodal.media_feature_table(docs).collect()[0]
+    assert out["n_bytes"] == 3
+    assert out["media_type"] == "image/fake"
+    assert out["payload_hash"] == "900150983cd24fb0d6963f7d28e17f72"  # md5("abc")
+    assert out["decoded_width"] == 3 % 1024 + 1
+
+
+def test_decode_stub_raises_on_none():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(None)
+
+
+def test_streaming_counts_match_batch(spark, sf_dir):
+    out = pipeline.run_stream_to_memory(
+        spark, table_path(sf_dir, "events"), query_name="t_stream"
+    )
+    batch = (
+        spark.read.parquet(table_path(sf_dir, "events"))
+        .groupBy(
+            F.date_trunc("hour", F.expr("timestamp_micros(ts div 1000)")).alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .count()
+    )
+    assert out.count() == batch.count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 1000

@@ -1,0 +1,80 @@
+"""Unit tests for the transform layer (SURVEY.md §2.2, P1-P9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+    keys,
+    transforms,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_rename_columns(spark):
+    df = _df(spark, [(1, "a")], "id int, `event.payload` string")
+    out = transforms.rename_columns(df, {"event.payload": "event_payload"})
+    assert out.columns == ["id", "event_payload"]
+
+
+def test_parse_and_flatten_json(spark):
+    schema = T.StructType(
+        [
+            T.StructField("event_name", T.StringType()),
+            T.StructField("platform", T.StringType()),
+        ]
+    )
+    df = _df(
+        spark,
+        [(1, '{"event_name": "view_item", "platform": "web"}'), (2, "not json")],
+        "id int, payload string",
+    )
+    parsed = transforms.parse_json_column(df, "payload", schema)
+    flat = transforms.flatten_struct(parsed, "payload")
+    rows = {r["id"]: r for r in flat.collect()}
+    assert rows[1]["event_name"] == "view_item"
+    assert rows[1]["platform"] == "web"
+    # malformed JSON -> nulls, row is kept (PERMISSIVE from_json)
+    assert rows[2]["event_name"] is None
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = _df(
+        spark,
+        [("k1", 3), ("k1", 1), ("k2", 5), ("k1", 2)],
+        "key string, v int",
+    )
+    out = transforms.dedup_keep_first(df, ["key"], order_by=[F.col("v")])
+    got = {r["key"]: r["v"] for r in out.collect()}
+    assert got == {"k1": 1, "k2": 5}
+
+
+def test_surrogate_key_contiguous(spark):
+    df = _df(spark, [("c",), ("a",), ("b",)], "k string")
+    out = keys.with_surrogate_key(df, "guid", order_by=["k"])
+    got = {r["k"]: r["guid"] for r in out.collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_surrogate_key_as_string(spark):
+    df = _df(spark, [("x",)], "k string")
+    out = keys.with_surrogate_key(df, "guid", order_by=["k"], as_string=True)
+    assert out.schema["guid"].dataType == T.StringType()
+    assert out.collect()[0]["guid"] == "1"
+
+
+def test_zip_with_index_contiguous_unique(spark):
+    df = spark.range(0, 1000).repartition(7)
+    out = keys.zip_with_index(df, "idx")
+    vals = sorted(r["idx"] for r in out.collect())
+    assert vals == list(range(1, 1001))
+
+
+def test_project_and_drop(spark):
+    df = _df(spark, [(1, 2, 3)], "a int, b int, c int")
+    assert transforms.project(df, ["a", "c"]).columns == ["a", "c"]
+    assert transforms.drop_columns(df, ["b"]).columns == ["a", "c"]
