@@ -11,7 +11,7 @@ only on the banded buckets, which is exactly the LSH scale story: at
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\s+"
@@ -84,6 +84,67 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(shingles)
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session's shuffle parallelism.
+
+    Compute-heavy per-row operators (shingling, minhash, simhash) are
+    CPU-bound, and a scan of a few large parquet files (or one
+    single-row-group file, as in the testdata) yields too few input
+    splits to use the cluster. One cheap shuffle up front spreads the
+    compute; at 100 TB this is also where you'd repartition away input
+    skew before the expensive stages."""
+    return df.repartition(F.col(key))
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, sh_set: array<bigint>, set_size) — hashed distinct shingles.
+
+    Hashing each shingle to 64 bits before any shuffle keeps the join
+    payload 8 bytes/shingle instead of the full n-gram string."""
+    return _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+        ).alias("sh_set"),
+    ).withColumn("set_size", F.size("sh_set"))
+
+
+# Deterministic 64-bit affine hash family for MinHash: h_i(x) = a_i·x + b_i
+# (mod 2^64, via native long wraparound). Odd multipliers from the
+# golden-ratio constant — pure integer ops, no per-seed string building.
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    mask = (1 << 64) - 1
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    out = []
+    for i in range(num_hashes):
+        a = ((0x9E3779B97F4A7C15 * (2 * i + 1)) & mask) | 1
+        b = (0xBF58476D1CE4E5B9 * (i + 1)) & mask
+        out.append((signed(a), signed(b)))
+    return out
+
+
+def _verified_jaccard(candidates: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via array
+    intersection of the full shingle sets — O(candidates), never
+    O(all pairs)."""
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    n_common = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_common / (F.size("set_a") + F.size("set_b") - n_common)
+    trunc = F.floor(jac * 1000000.0) / 1000000.0
+    return (
+        joined.withColumn("jaccard", trunc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -91,44 +152,57 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs above a threshold.
+    """Exact n-gram Jaccard similarity pairs above a threshold, via a
+    frequency-ordered prefix-filter join (AllPairs/PPJoin family).
 
-    Plan: explode shingles → self-join on shingle (pairs share ≥1
-    shingle) → count common shingles per pair → Jaccard from the
-    inclusion-exclusion sizes. The shuffle key is the shingle hash, so
-    cost is proportional to shared-shingle pairs, not all pairs —
-    still superlinear on hot shingles; MinHash (below) is the 100 TB
-    path, this is the exact oracle-checkable baseline.
+    Why not a naive explode-and-self-join: one hot shingle shared by m
+    documents creates m² candidate rows — quadratic blowup on exactly
+    the corpora (boilerplate, templates) where dedup matters most.
+
+    Prefix filter: order every document's shingles by ascending global
+    document-frequency (rarest first, hash as tiebreak — a consistent
+    total order across docs). For Jaccard ≥ t, two sets must share at
+    least one shingle among each one's first ``|S| - ceil(t·|S|) + 1``
+    shingles, so only those prefixes are exploded into the candidate
+    join — hot shingles sit at the *end* of the ordering and never
+    generate candidates. A size-ratio filter (t·|A| ≤ |B|) prunes
+    further. Candidates then get exact verification by array
+    intersection. Result is EXACT — the filters are lossless.
+
+    Scale: two shuffles (doc-frequency agg, prefix self-join) both keyed
+    by shingle hash, then one candidate-keyed verify join. No stage is
+    quadratic in corpus size for non-pathological thresholds.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
-    ).withColumn("set_size", F.size("shingles"))
-    exploded = shingled.select(
-        "id", "set_size", F.explode("shingles").alias("shingle")
-    ).withColumn("sh", F.xxhash64("shingle")).drop("shingle")
-
-    left = exploded.select(
+    sets = _shingle_sets(df, text_col, id_col, n).cache()
+    ex = sets.select(
+        "id", "set_size", F.explode("sh_set").alias("sh")
+    )
+    freq = ex.groupBy("sh").agg(F.count("*").alias("df_count"))
+    w = Window.partitionBy("id").orderBy("df_count", "sh")
+    prefix_len = F.col("set_size") - F.ceil(F.col("set_size") * threshold) + 1
+    prefixes = (
+        ex.join(freq, "sh")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select("id", "set_size", "sh")
+    )
+    left = prefixes.select(
         F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "sh"
     )
-    right = exploded.select(
+    right = prefixes.select(
         F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "sh"
     )
-    common = (
+    candidates = (
         left.join(right, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_common"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("size_b") * threshold <= F.col("size_a"))
+            & (F.col("size_a") * threshold <= F.col("size_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = F.col("n_common") / (
-        F.col("size_a") + F.col("size_b") - F.col("n_common")
-    )
-    trunc = F.floor(jac * 1000000.0) / 1000000.0
-    return (
-        common.withColumn("jaccard", trunc)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_jaccard(candidates, sets, threshold)
 
 
 def minhash_signatures(
@@ -219,17 +293,17 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
-    The candidate set (band collisions) is re-checked with exact n-gram
-    Jaccard, so output = exact pairs *that LSH surfaced* — the standard
-    scale/recall tradeoff, tunable via bands/num_hashes.
+    The candidate set (band collisions) is re-checked with exact Jaccard
+    *on the candidates only* (array intersection of the full shingle
+    sets), so output = exact pairs that LSH surfaced — the standard
+    scale/recall tradeoff, tunable via bands/num_hashes. Verification
+    cost is O(candidates), independent of corpus size.
     """
     candidates = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold)
-    return candidates.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard"
-    )
+    sets = _shingle_sets(df, text_col, id_col, shingle_n)
+    return _verified_jaccard(candidates, sets, threshold)
 
 
 def simhash(text_col: str, num_bits: int = 64) -> Column:
