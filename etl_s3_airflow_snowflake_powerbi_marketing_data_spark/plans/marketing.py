@@ -19,8 +19,9 @@ mirror `etl_s3_snowflake_aggregated_views.py` (Q1-Q13):
 Scale notes: the fact→dim join broadcasts the dim (2K rows); the
 period aggregations are map-side-combinable counts; the dense_rank
 windows partition by period (bounded cardinality, no single-partition
-stage). Only surrogate-key assignment has a global-order stage, and the
-scale path for that is ``keys.zip_with_index``.
+stage). Surrogate keys use ``keys.ordered_surrogate_key`` — exact
+global numbering with a range-partitioned shuffle plus per-partition
+offsets, never an all-rows-on-one-task window.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.keys import with_surrogate_key
+from ..operators.keys import ordered_surrogate_key
 from ..operators.transforms import PROPS_SCHEMA, parse_json_column
 from ..tables import load_table
 
@@ -39,6 +40,17 @@ VIEW_EVENT = "view"  # plays the reference's WHERE event_name = 'view_item'
 # Star-schema builds (dims + fact)
 # ---------------------------------------------------------------------------
 
+def _flat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared parse/flatten chain: payload JSON → typed columns, inside
+    codegen (``from_json``), no pandas detour."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = parse_json_column(events, "props", PROPS_SCHEMA, "props_parsed")
+    return parsed.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.col("props_parsed.k").alias("item_key"),
+    )
+
+
 def build_event_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw ingest: parse payload JSON, assign raw surrogate key.
 
@@ -46,13 +58,8 @@ def build_event_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based index), minus the pandas detour: one lazy chain, payload
     parsed by ``from_json`` inside codegen.
     """
-    events = load_table(spark, sf_dir, "events")
-    parsed = parse_json_column(events, "props", PROPS_SCHEMA, "props_parsed")
-    flat = parsed.select(
-        "event_id", "ts", "user_id", "event_type", "value",
-        F.col("props_parsed.k").alias("item_key"),
-    )
-    return with_surrogate_key(flat, "guid_event_raw", order_by=["event_id"])
+    flat = _flat_events(spark, sf_dir)
+    return ordered_surrogate_key(flat, "guid_event_raw", order_by=["event_id"])
 
 
 def build_d_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,13 +70,13 @@ def build_d_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     row; ordering by the key itself pins guid assignment.
     """
     events = load_table(spark, sf_dir, "events").select("event_id").distinct()
-    return with_surrogate_key(events, "guid_event", order_by=["event_id"])
+    return ordered_surrogate_key(events, "guid_event", order_by=["event_id"])
 
 
 def build_d_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User dim ↔ `etl_s3_snowflake_d_user.py:28-34`."""
     users = load_table(spark, sf_dir, "events").select("user_id").distinct()
-    return with_surrogate_key(users, "guid_user", order_by=["user_id"])
+    return ordered_surrogate_key(users, "guid_user", order_by=["user_id"])
 
 
 def build_d_parameter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,7 +85,7 @@ def build_d_parameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("parameter_name")
     ).distinct()
-    return with_surrogate_key(params, "guid_parameter", order_by=["parameter_name"])
+    return ordered_surrogate_key(params, "guid_parameter", order_by=["parameter_name"])
 
 
 def build_d_item(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,17 +104,10 @@ def build_d_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_f_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact build: payload flatten + item-key normalization + sort + guid.
-
-    ↔ `etl_s3_snowflake_f_events.py:22-44`. The reference's positional
-    zip-join (P8) disappears — ``from_json`` keeps the flattened payload
-    columns aligned with the row. Sorted newest-first, then guid over
-    that order (single-partition stage; the 100 TB path swaps in
-    ``keys.zip_with_index`` after the range-partitioned sort).
-    """
-    raw = build_event_raw(spark, sf_dir)
-    fact = raw.select(
+def _fact_columns(flat: DataFrame) -> DataFrame:
+    """Fact-table projection: renames + item-key normalization to long
+    (the VARCHAR-coercion fix, SURVEY.md §1.2)."""
+    return flat.select(
         "event_id",
         F.col("ts").alias("event_time"),
         F.col("user_id").alias("event_user_id"),
@@ -115,8 +115,20 @@ def build_f_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("event_value"),
         F.col("item_key").cast("long").alias("event_parameter_value"),
     )
-    return with_surrogate_key(
-        fact, "guid_event", order_by=[F.col("event_time").desc(), "event_id"]
+
+
+def build_f_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact build: payload flatten + item-key normalization + sort + guid.
+
+    ↔ `etl_s3_snowflake_f_events.py:22-44`. The reference's positional
+    zip-join (P8) disappears — ``from_json`` keeps the flattened payload
+    columns aligned with the row. Sorted newest-first, then guid over
+    that order via the range-partitioned two-pass numbering (no
+    single-partition stage even on the full fact).
+    """
+    fact = _fact_columns(_flat_events(spark, sf_dir))
+    return ordered_surrogate_key(
+        fact, "guid_event", order_by=["event_time", "event_id"], descending=True
     )
 
 
@@ -126,8 +138,15 @@ def build_f_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _filtered_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared CTE: FILTERED_EVENTS AS (SELECT * FROM f_events WHERE
-    event_name = 'view_item') ↔ `etl_s3_snowflake_aggregated_views.py:27-28`."""
-    return build_f_events(spark, sf_dir).filter(F.col("event_name") == VIEW_EVENT)
+    event_name = 'view_item') ↔ `etl_s3_snowflake_aggregated_views.py:27-28`.
+
+    Built from the flat parse, not ``build_f_events``: none of the KPI
+    views read ``guid_event``, so recomputing the numbering (its count
+    branch + bucket join) would be dead weight Catalyst cannot fully
+    prune. Against a materialized f_events table this is just a scan.
+    """
+    fact = _fact_columns(_flat_events(spark, sf_dir))
+    return fact.filter(F.col("event_name") == VIEW_EVENT)
 
 
 def view_count_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,3 +78,34 @@ def test_project_and_drop(spark):
     df = _df(spark, [(1, 2, 3)], "a int, b int, c int")
     assert transforms.project(df, ["a", "c"]).columns == ["a", "c"]
     assert transforms.drop_columns(df, ["b"]).columns == ["a", "c"]
+
+
+def test_ordered_surrogate_key_matches_global_row_number(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10**9), f"s{i}") for i in range(5000)]
+    df = _df(spark, rows, "k long, v string")
+    out = keys.ordered_surrogate_key(df, "guid", order_by=["k"]).collect()
+    by_key = sorted(rows)
+    expect = {k: i + 1 for i, (k, _) in enumerate(by_key)}
+    assert all(r["guid"] == expect[r["k"]] for r in out)
+
+
+def test_ordered_surrogate_key_descending_with_tiebreak(spark):
+    rows = [(d, i) for d in (3, 1, 2, 4) for i in range(3)]
+    df = _df(spark, rows, "k long, t long")
+    out = keys.ordered_surrogate_key(
+        df, "guid", order_by=["k", "t"], descending=True
+    ).collect()
+    ranked = sorted(rows, key=lambda r: (-r[0], r[1]))
+    expect = {kt: i + 1 for i, kt in enumerate(ranked)}
+    assert all(r["guid"] == expect[(r["k"], r["t"])] for r in out)
+
+
+def test_ordered_surrogate_key_string_key(spark):
+    words = ["pear", "apple", "a", "apples", "zebra", "Pear", "", "banana"]
+    df = _df(spark, [(w,) for w in words], "w string")
+    out = keys.ordered_surrogate_key(df, "guid", order_by=["w"]).collect()
+    expect = {w: i + 1 for i, w in enumerate(sorted(words))}
+    assert all(r["guid"] == expect[r["w"]] for r in out)
