@@ -92,8 +92,14 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     single-row-group file, as in the testdata) yields too few input
     splits to use the cluster. One cheap shuffle up front spreads the
     compute; at 100 TB this is also where you'd repartition away input
-    skew before the expensive stages."""
-    return df.repartition(F.col(key))
+    skew before the expensive stages.
+
+    The partition count is pinned explicitly: a column-only
+    ``repartition`` is fair game for AQE coalescing, which sees "few
+    bytes" (short texts), folds everything back to one partition, and
+    serializes the CPU-heavy stage it was meant to spread."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(key))
 
 
 def _shingle_sets(
@@ -109,23 +115,6 @@ def _shingle_sets(
             word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
         ).alias("sh_set"),
     ).withColumn("set_size", F.size("sh_set"))
-
-
-# Deterministic 64-bit affine hash family for MinHash: h_i(x) = a_i·x + b_i
-# (mod 2^64, via native long wraparound). Odd multipliers from the
-# golden-ratio constant — pure integer ops, no per-seed string building.
-def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
-    mask = (1 << 64) - 1
-
-    def signed(v: int) -> int:
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    out = []
-    for i in range(num_hashes):
-        a = ((0x9E3779B97F4A7C15 * (2 * i + 1)) & mask) | 1
-        b = (0xBF58476D1CE4E5B9 * (i + 1)) & mask
-        out.append((signed(a), signed(b)))
-    return out
 
 
 def _verified_jaccard(candidates: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
@@ -212,25 +201,34 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes`` seeded
-    hash functions, the min of ``xxhash64(seed-salted shingle)`` over the
-    document's shingle set. Entirely JVM-side (``transform`` +
-    ``array_min``); output column ``signature: array<bigint>``.
+    """MinHash signature per document, output ``signature: array<bigint>``.
+
+    Shape chosen for codegen, not elegance: explode the hashed shingle
+    set to (id, h) rows, then ``groupBy(id)`` with ``num_hashes``
+    independent ``min(xxhash64(seed_i, h))`` aggregates. Flat aggregate
+    expressions stay inside whole-stage codegen and combine map-side;
+    the "obvious" nested higher-order-function formulation
+    (``transform(seq, s -> array_min(transform(...)))``) is evaluated
+    interpreted, per element, and measured ~30× slower on the same data.
+    Each shingle is hashed to 64 bits once (``_shingle_sets``); the
+    per-seed family is integer-only ``xxhash64(seed, h)``.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    sets = _shingle_sets(df, text_col, id_col, shingle_n)
+    ex = sets.select("id", F.explode("sh_set").alias("h"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.xxhash64(F.concat(seed.cast("string"), F.lit("|"), s)),
-            )
-        ),
-    )
-    return shingled.select("id", sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -335,6 +333,45 @@ def simhash(text_col: str, num_bits: int = 64) -> Column:
     return F.expr(sql)
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 64,
+) -> DataFrame:
+    """(id, sh) — SimHash per document, computed in codegen.
+
+    Same function as :func:`simhash` (identical token hashing and vote
+    rule, so the two agree bit-for-bit) but shaped for throughput:
+    explode tokens → ``groupBy(id)`` with one ``sum((h>>i)&1)`` per bit
+    plus a count. Flat aggregates compile and combine map-side; the
+    per-row higher-order expression is interpreted and serializes on
+    large documents. Bit i of the result is set iff set-votes outnumber
+    unset-votes (2·c_i > n).
+    """
+    ex = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        )
+        .select("id", F.xxhash64("tok").alias("h"))
+    )
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"__c{i}")
+        for i in range(num_bits)
+    ] + [F.count("*").alias("__n")]
+    agged = ex.groupBy("id").agg(*aggs)
+    sh: Column | None = None
+    for i in range(num_bits):
+        bit = F.when(
+            F.col(f"__c{i}") * 2 > F.col("__n"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sh = bit if sh is None else sh.bitwiseOR(bit)
+    return agged.select("id", sh.alias("sh"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -350,9 +387,7 @@ def simhash_near_dups(
     """
     n_bands = max_hamming + 1
     bits_per_band = 64 // n_bands
-    hashed = df.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
-    )
+    hashed = simhash_table(df, text_col, id_col)
     mask = (1 << bits_per_band) - 1
     band_exprs = [
         F.shiftright(F.col("sh"), b * bits_per_band).bitwiseAND(F.lit(mask))
