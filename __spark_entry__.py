@@ -107,12 +107,43 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_last_order(spark, sf_dir)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
 
 
 def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.run_stream_to_memory(
+        spark, table_path(sf_dir, "events")
+    )
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+        sessions as streaming_sessions_mod,
+    )
+
+    return streaming_sessions_mod.run_streaming_sessions(
         spark, table_path(sf_dir, "events")
     )
 
@@ -144,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_set_ops": relational.order_set_ops,
         "user_sessions": relational.user_sessions,
         "running_daily_revenue": relational.running_daily_revenue,
+        "events_last_order": q_events_last_order,
         # --- training-data extensions (north star) ---
         "text_profile": q_text_profile,
         "exact_dup_groups": q_exact_dup_groups,
@@ -153,9 +185,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_cosine_dups": q_cosine_dups,
+        "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
         "media_features": q_media_features,
         # --- streaming (green-field) ---
         "streaming_event_counts": q_streaming_counts,
+        "streaming_user_sessions": q_streaming_sessions,
     }
 
 
@@ -533,6 +569,44 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
+        "events_last_order": """
+            WITH r AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     o_orderkey AS last_order_key,
+                     o_totalprice AS last_order_price,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                        ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+            ),
+            rd AS (
+              SELECT user_id, o_orderdate, last_order_key, last_order_price
+              FROM r WHERE rn = 1
+            )
+            SELECT e.event_id, e.ts, e.user_id, e.event_type,
+                   rd.last_order_key, rd.last_order_price
+            FROM events e ASOF LEFT JOIN rd
+              ON e.user_id = rd.user_id AND e.ts >= rd.o_orderdate
+            ORDER BY event_id
+        """,
+        "embedding_cosine_dups": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            s AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                floor(
+                  list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                       i -> CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(a.embedding[i] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                       i -> CAST(b.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)))))
+                  * 1000000.0) / 1000000.0 AS cosine_sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.4
+        """,
         "media_features": """
             SELECT doc_id AS media_id,
                    'image/fake' AS media_type,
@@ -548,5 +622,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        # Stateful streaming twin of user_sessions: identical result set
+        # once the upsert stream is collapsed (latest version per key).
+        "streaming_user_sessions": """
+            WITH g AS (
+              SELECT *,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
     }

@@ -1,0 +1,77 @@
+"""As-of (nearest-event) join — an operator class the reference lacks
+(SURVEY.md §2.5 lists joins beyond inner-equi as absent) but that event
+analytics constantly needs: "for each event, the most recent fact for
+the same key at or before the event time".
+
+Spark has no built-in as-of join, and the naive formulation (range join
++ per-row argmax) explodes into an O(N·M) BroadcastNestedLoop or a
+theta-join. This implementation is the union-merge pattern:
+
+1. Tag both inputs and ``unionByName`` them into one stream of
+   (key, time, side, payload) rows.
+2. One window per key, ordered by (time, side) with right rows sorting
+   before left rows at equal timestamps (so "at or before" includes
+   exact matches), carries the last non-null right payload forward
+   (``last(..., ignorenulls=True)`` over an unbounded-preceding frame).
+3. Keep the left rows.
+
+Cost: exactly ONE shuffle (hash on the join key for the window) over
+rows-left + rows-right — the same price as a regular sort-merge join,
+with no pair blowup. Skewed keys behave like any skewed window
+partition (salt or AQE-skew handles them upstream).
+
+Ties on the right side (same key, same timestamp) must be resolved by
+the caller (pre-dedupe to one row per (key, time)) — the window carries
+whichever sorts last otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach ``right_cols`` from the
+    right row with the same ``on`` key and the greatest ``right_time``
+    ≤ ``left_time`` (direction="backward") or the least ``right_time``
+    ≥ ``left_time`` (direction="forward"). Unmatched left rows keep
+    nulls — left-outer semantics, one output row per left row.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+
+    carried = [c for c in right_cols]
+    l_tag = (
+        left.withColumn("__t", F.col(left_time).cast("timestamp"))
+        .withColumn("__side", F.lit(1))
+    )
+    r_tag = (
+        right.select(
+            F.col(on),
+            F.col(right_time).cast("timestamp").alias("__t"),
+            *[F.col(c) for c in carried],
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    t_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(t_order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in carried:
+        merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return merged.filter(F.col("__side") == 1).drop("__t", "__side")

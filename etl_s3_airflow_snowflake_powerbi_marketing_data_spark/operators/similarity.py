@@ -247,3 +247,78 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ threshold.
+
+    This is the O(N²) correctness baseline — a block nested-loop with
+    exact cosine. It exists to oracle-check
+    :func:`cosine_dup_pairs_lsh`, which is the 100 TB path; run the
+    exact form only on bounded slices. Cosine is computed as
+    dot/(norm·norm) in one pass (not via pre-normalized vectors) so the
+    float rounding matches the oracle formula bit-for-bit.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", trunc6(cosine(F.col("v_a"), F.col("v_b"))))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane LSH banding
+    generates candidates (pairs sharing ≥1 signature band), then exact
+    cosine verifies. Shuffle is keyed on (band, band_bits) buckets —
+    never all pairs. Recall rises with more/narrower bands; the verify
+    step keeps precision exact.
+    """
+    planes = [_hyperplane(s, dim) for s in range(bits)]
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+
+    unit = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signed_projection_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    band_exprs = [
+        F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    banded = unit.select(
+        "id", "v", F.posexplode(F.array(*band_exprs)).alias("band", "band_bits")
+    )
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "band_bits"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "band_bits"
+    )
+    return (
+        left.join(right, ["band", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .distinct()
+        .withColumn("cosine_sim", trunc6(cosine(F.col("v_a"), F.col("v_b"))))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

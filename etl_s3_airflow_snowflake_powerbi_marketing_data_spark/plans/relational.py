@@ -206,3 +206,41 @@ def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("cum_revenue", F.round(F.sum("day_revenue").over(w), 2))
         .orderBy("order_day")
     )
+
+
+def events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the user's most recent
+    order at or before the event time (events.user_id ↔ orders.o_custkey).
+
+    Exercises ``operators.asof.asof_join`` — one hash shuffle on the
+    key, no pair blowup (see that module's docstring). The right side is
+    pre-deduplicated to one order per (custkey, date) — latest orderkey
+    wins — so the as-of pick is deterministic.
+    """
+    from ..operators.asof import asof_join  # noqa: PLC0415
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    right = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate"),
+            F.col("o_orderkey").alias("last_order_key"),
+            F.col("o_totalprice").alias("last_order_price"),
+        )
+    )
+    return asof_join(
+        events,
+        right,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["last_order_key", "last_order_price"],
+    ).orderBy("event_id")

@@ -1,0 +1,139 @@
+"""As-of join and stateful streaming sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.asof import (
+    asof_join,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+    sessions as ss,
+)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(30), "b"), (2, _ts(5), "c")],
+        "k long, t timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 100.0), (1, _ts(20), 200.0), (3, _ts(0), 999.0)],
+        "k long, rt timestamp, px double",
+    )
+    out = {
+        (r["k"], r["ev"]): r["px"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", right_cols=["px"]
+        ).collect()
+    }
+    assert out[(1, "a")] == 100.0
+    assert out[(1, "b")] == 200.0
+    assert out[(2, "c")] is None
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, _ts(20), "x")], "k long, t timestamp, ev string")
+    right = spark.createDataFrame([(1, _ts(20), 7.0)], "k long, rt timestamp, px double")
+    [row] = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", right_cols=["px"]
+    ).collect()
+    assert row["px"] == 7.0
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, _ts(10), "x")], "k long, t timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1.0), (1, _ts(15), 2.0), (1, _ts(25), 3.0)],
+        "k long, rt timestamp, px double",
+    )
+    [row] = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="rt",
+        right_cols=["px"],
+        direction="forward",
+    ).collect()
+    assert row["px"] == 2.0
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        [(eid, int(ts.timestamp() * 1e9), uid, "view", val, "{}")
+         for eid, ts, uid, val in rows],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_streaming_sessions_state_carries_across_batches(spark, tmp_path):
+    # Two files => two micro-batches (maxFilesPerTrigger=1). User 1's
+    # second-batch event continues the open session; user 2 starts a
+    # new session after a >30min gap.
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    f1 = str(tmp_path / "b1.parquet")
+    f2 = str(tmp_path / "b2.parquet")
+    _write_events(spark, f1, [
+        (1, base, 1, 1.0),
+        (2, base + dt.timedelta(minutes=10), 1, 2.0),
+        (3, base, 2, 5.0),
+    ])
+    _write_events(spark, f2, [
+        (4, base + dt.timedelta(minutes=20), 1, 3.0),
+        (5, base + dt.timedelta(minutes=60), 2, 7.0),
+    ])
+    import shutil
+    src = str(tmp_path / "stream")
+    import os
+    os.makedirs(src, exist_ok=True)
+    import time
+    now = time.time()
+    for i, f in enumerate([f1, f2]):
+        part = [p for p in os.listdir(f) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(f, part), dst)
+        # The file stream source orders batches by modification time;
+        # equal mtimes make batch order arbitrary.
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    out = ss.run_streaming_sessions(spark, src + "/*", query_name="t_sessions")
+    rows = {
+        (r["user_id"], r["session_seq"]): r
+        for r in out.collect()
+    }
+    assert rows[(1, 1)]["n_events"] == 3
+    assert rows[(1, 1)]["session_value"] == 6.0
+    assert rows[(2, 1)]["n_events"] == 1
+    assert rows[(2, 2)]["n_events"] == 1
+    assert rows[(2, 2)]["session_value"] == 7.0
+
+
+def test_cosine_dup_pairs_lsh_subset_of_exact(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        similarity,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
