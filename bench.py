@@ -32,11 +32,14 @@ HEADLINE = [
     "top_customers_per_segment",
     "user_sessions",
     "running_daily_revenue",
+    "events_last_order",
     "text_profile",
     "dedup_exact_docs",
     "ngram_jaccard_dups",
+    "minhash_lsh_dups",
     "simhash_near_dups",
     "embedding_topk",
+    "embedding_cosine_dups_lsh",
     "media_features",
 ]
 

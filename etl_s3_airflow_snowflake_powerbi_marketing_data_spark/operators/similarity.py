@@ -24,6 +24,7 @@ functions; embeddings normalize once up front so cosine = dot.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -276,6 +277,34 @@ def cosine_dup_pairs(
     )
 
 
+def _cosine_pandas(vec_a: Column, vec_b: Column) -> Column:
+    """Arrow-vectorized cosine for APPROXIMATE paths (LSH/IVF verify).
+
+    numpy does the 64-dim dot products in one matrix op per batch —
+    orders of magnitude faster than the interpreted higher-order
+    expression on millions of candidate pairs. Not used on
+    oracle-checked exact paths: numpy's pairwise summation rounds
+    differently than the sequential-sum oracle formula, which matters
+    at the floor-truncation boundary.
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        mat_a = np.vstack(a.to_numpy()).astype(np.float64)
+        mat_b = np.vstack(b.to_numpy()).astype(np.float64)
+        num = (mat_a * mat_b).sum(axis=1)
+        den = np.sqrt((mat_a * mat_a).sum(axis=1)) * np.sqrt(
+            (mat_b * mat_b).sum(axis=1)
+        )
+        sim = num / den
+        return pd.Series(np.floor(sim * 1e6) / 1e6)
+
+    return _cos(vec_a, vec_b)
+
+
 def cosine_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.4,
@@ -287,38 +316,47 @@ def cosine_dup_pairs_lsh(
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: random-hyperplane LSH banding
     generates candidates (pairs sharing ≥1 signature band), then exact
-    cosine verifies. Shuffle is keyed on (band, band_bits) buckets —
-    never all pairs. Recall rises with more/narrower bands; the verify
+    cosine verifies. Recall rises with more/narrower bands; the verify
     step keeps precision exact.
+
+    Scale shape: the banded self-join and the candidate ``distinct``
+    carry ONLY id pairs — vectors are re-joined afterwards by id, so the
+    wide array payload never rides the hot shuffle. Verification is the
+    Arrow/numpy path (:func:`_cosine_pandas`): one matrix multiply per
+    batch instead of per-pair interpreted expressions.
     """
     planes = [_hyperplane(s, dim) for s in range(bits)]
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
 
-    unit = df.select(
+    sigs = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         signed_projection_signature(F.col(vec_col), planes).alias("sig"),
     )
     band_exprs = [
         F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
         for b in range(bands)
     ]
-    banded = unit.select(
-        "id", "v", F.posexplode(F.array(*band_exprs)).alias("band", "band_bits")
+    banded = sigs.select(
+        "id", F.posexplode(F.array(*band_exprs)).alias("band", "band_bits")
     )
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "band", "band_bits"
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "band", "band_bits"
-    )
-    return (
-        left.join(right, ["band", "band_bits"])
+    candidates = (
+        banded.select(F.col("id").alias("id_a"), "band", "band_bits")
+        .join(
+            banded.select(F.col("id").alias("id_b"), "band", "band_bits"),
+            ["band", "band_bits"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "v_a", "v_b")
+        .select("id_a", "id_b")
         .distinct()
-        .withColumn("cosine_sim", trunc6(cosine(F.col("v_a"), F.col("v_b"))))
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine_sim", _cosine_pandas(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
