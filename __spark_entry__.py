@@ -85,6 +85,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_near_docs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
@@ -130,6 +136,21 @@ def q_events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_media_frames(media, n_frames=4)
+
+
+def q_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.embed_media(media, dim=16)
+
+
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_features(media)
 
 
 def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,6 +202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "dedup_exact_docs": q_dedup_exact,
         "ngram_jaccard_dups": q_ngram_jaccard,
+        "dedup_near_docs": q_dedup_near_docs,
         "minhash_lsh_dups": q_minhash_dups,
         "simhash_near_dups": q_simhash_dups,
         "embedding_topk": q_embedding_topk,
@@ -189,6 +211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_cosine_dups,
         "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
         "media_features": q_media_features,
+        "media_frame_sample": q_media_frames,
+        "media_embeddings": q_media_embeddings,
+        "media_audio_features": q_media_audio,
         # --- streaming (green-field) ---
         "streaming_event_counts": q_streaming_counts,
         "streaming_user_sessions": q_streaming_sessions,
@@ -545,6 +570,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE floor(n_common / (size_a + size_b - n_common) * 1000000.0)
                     / 1000000.0 >= 0.5
         """,
+        # Connected components over the exact Jaccard pair graph via a
+        # recursive CTE (min reachable id = component), keep min-id doc.
+        "dedup_near_docs": f"""
+            WITH RECURSIVE pairs AS (
+              WITH sh AS ({_SHINGLES}),
+              ex AS (
+                SELECT id, len(shingles) AS set_size,
+                       unnest(shingles) AS shingle
+                FROM sh
+              ),
+              common AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       a.set_size AS size_a, b.set_size AS size_b,
+                       COUNT(*) AS n_common
+                FROM ex a JOIN ex b
+                  ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY 1, 2, 3, 4
+              )
+              SELECT id_a, id_b FROM common
+              WHERE floor(n_common / (size_a + size_b - n_common) * 1000000.0)
+                      / 1000000.0 >= 0.5
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            cc AS (
+              SELECT src AS id, src AS label FROM sym
+              UNION
+              SELECT e.src, cc.label FROM sym e JOIN cc ON e.dst = cc.id
+            ),
+            minlab AS (SELECT id, MIN(label) AS component FROM cc GROUP BY id)
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+            FROM documents d LEFT JOIN minlab m ON d.doc_id = m.id
+            WHERE m.id IS NULL OR m.component = d.doc_id
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
                        FROM embeddings WHERE vec_id < 10),
@@ -622,6 +684,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "media_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(i AS INTEGER) AS frame_index,
+                   CAST(i * (((octet_length(encode(text)) % 120) + 1) * 1000)
+                        // 4 AS BIGINT) AS frame_ts_ms,
+                   md5(text || '#' || i) AS frame_hash
+            FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i)
         """,
         # Stateful streaming twin of user_sessions: identical result set
         # once the upsert stream is collapsed (latest version per key).

@@ -102,3 +102,124 @@ def media_feature_table(documents: DataFrame) -> DataFrame:
     """End-to-end multimodal pipeline on the documents table: adapt →
     batch feature-extract → stable ordering for comparison."""
     return extract_media_features(documents_as_media(documents)).orderBy("media_id")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def fake_duration_ms(payload: bytes) -> int:
+    """STUB duration probe — deterministic fake milliseconds from the
+    payload length (a real deployment uses ffprobe/container metadata)."""
+    return (len(payload) % 120 + 1) * 1000
+
+
+def sample_media_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling over video-like blobs, one output
+    row per sampled frame (``mapInPandas`` row-expanding batch shape —
+    the Arrow analogue of ``explode`` for UDF-computed rows).
+
+    The frame *decode* is stubbed (frame content is a deterministic
+    hash of payload + index); everything Spark-side — 1→N row fan-out,
+    schema contract, batch sizing, shuffle-free plan — is production
+    shape. A real decoder swaps the two marked lines for ffmpeg frame
+    extraction.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "frame_index": [], "frame_ts_ms": [],
+                "frame_hash": [],
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(payload)
+                duration = fake_duration_ms(blob)  # STUB: ffprobe here
+                for i in range(n_frames):
+                    out["media_id"].append(media_id)
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(i * duration // n_frames)
+                    # STUB: ffmpeg -ss <ts> frame grab + hash here
+                    frame = blob + f"#{i}".encode()
+                    out["frame_hash"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def embed_media(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic pseudo-embedding per blob (``array<float>``),
+    ready to chain into the similarity operators
+    (``operators.similarity``) — the multimodal → ANN pipeline shape.
+
+    STUB embedding: dim hash-derived floats in [-1, 1). A real model
+    swaps the hash loop for an ONNX/torch batch forward pass; the
+    Arrow batching, schema, and downstream compatibility stay as-is.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+        import struct  # noqa: PLC0415
+
+        for pdf in it:
+            embs = []
+            for payload in pdf["payload"]:
+                blob = bytes(payload)
+                vec = []
+                for j in range(dim):
+                    digest = hashlib.md5(blob + j.to_bytes(4, "big")).digest()
+                    (u,) = struct.unpack("<I", digest[:4])
+                    vec.append((u / 2**32) * 2.0 - 1.0)
+                embs.append(vec)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
+
+    return df.mapInPandas(batches, out_schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio-shaped feature extraction: duration, sample rate, RMS
+    energy. Decode STUBBED (deterministic fakes from the raw bytes — a
+    real build uses soundfile/torchaudio); the plan is a shuffle-free
+    Arrow-batched scan like every other media op here.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": [fake_duration_ms(b) for b in blobs],
+                    "sample_rate": [16000 for _ in blobs],
+                    # STUB decode: byte-mean stands in for PCM RMS.
+                    "rms": [
+                        (sum(b) / len(b)) / 255.0 if b else 0.0 for b in blobs
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)

@@ -102,9 +102,23 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition only when the scan yields fewer splits than the
+    session's parallelism (few/large row groups — the regex suite below
+    is CPU-bound and would serialize). When the input already has
+    enough splits — the normal case on a real table — this is a no-op,
+    keeping the profile a pure shuffle-free projection."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: language, token counts, ratios, quality,
-    fingerprint. Single projection — no shuffle at all."""
+    fingerprint. Single projection — shuffle-free unless the input is
+    split-starved (see ``_spread_if_narrow``)."""
+    df = _spread_if_narrow(df)
     c = F.col(text_col)
     return df.select(
         "doc_id",

@@ -412,3 +412,82 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges`` — component
+    is the minimum node id reachable through the edge set.
+
+    Min-label propagation: each iteration every node takes the min of
+    its own and its neighbors' labels (one join + one map-side-combined
+    min agg per iteration), with an eager ``localCheckpoint`` to cut
+    lineage growth. Converges in graph-diameter iterations; near-dup
+    graphs are overwhelmingly tiny cliques (diameter ≤ 2-3), so this
+    beats the constant factors of pointer-jumping (large-star/
+    small-star) variants until components get genuinely deep. The
+    driver-side work per iteration is a single changed-row count.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nc"))
+        )
+        proposed = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.col("component").alias("__old"),
+                F.least(
+                    F.col("component"), F.coalesce("__nc", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = proposed.filter(F.col("component") != F.col("__old")).count()
+        labels = proposed.select("id", "component")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate document dedup: connected components over the
+    exact n-gram Jaccard pair graph, keeping the min-id document of
+    each component (plus every unpaired document).
+
+    The full fuzzy-dedup pipeline in one call: prefix-filtered exact
+    pair generation (:func:`ngram_jaccard_pairs`) → component
+    clustering → survivor anti-join. Swap the edge generator for
+    :func:`minhash_dedup_pairs` when approximate recall is acceptable
+    and the corpus is too hot for the exact prefix join.
+    """
+    edges = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    comps = connected_components(edges)
+    losers = comps.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

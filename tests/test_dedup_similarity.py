@@ -148,3 +148,30 @@ def test_lsh_topk_recall_vs_exact(spark):
     }
     # banded LSH with 8 bands of 2 bits is permissive: expect decent recall
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_connected_components_multihop(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_near_docs_keeps_min_id(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tomorrow"),
+        (3, "completely different text about spark engines and scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_near_docs(df, threshold=0.5).collect()
+    )
+    assert kept == [1, 3]
