@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the order-sensitive and
+semantic-heavy operators: surrogate keys vs a reference row_number,
+merge semantics vs a dict model, connected components vs union-find."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+    dedup,
+    keys,
+    merge,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    ks=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    desc=st.booleans(),
+)
+@SETTINGS
+def test_ordered_surrogate_key_is_row_number(spark, ks, desc):
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    out = keys.ordered_surrogate_key(
+        df, "guid", order_by=["k"], descending=desc
+    ).collect()
+    ranked = sorted(ks, reverse=desc)
+    expect = {k: i + 1 for i, k in enumerate(ranked)}
+    assert {r["k"]: r["guid"] for r in out} == expect
+
+
+@given(
+    tgt=st.dictionaries(
+        st.integers(0, 40), st.integers(-100, 100), min_size=0, max_size=25
+    ),
+    src=st.dictionaries(
+        st.integers(0, 40), st.integers(-100, 100), min_size=0, max_size=25
+    ),
+)
+@SETTINGS
+def test_merge_semantics_match_dict_model(spark, tgt, src):
+    schema = "k long, v long"
+    target = spark.createDataFrame(list(tgt.items()) or [], schema)
+    source = spark.createDataFrame(list(src.items()) or [], schema)
+
+    ignore = {r["k"]: r["v"] for r in merge.merge_ignore(target, source, ["k"]).collect()}
+    update = {r["k"]: r["v"] for r in merge.merge_update(target, source, ["k"]).collect()}
+
+    model_ignore = {**src, **tgt}   # target wins on conflict
+    model_update = {**tgt, **src}   # source wins on conflict
+    assert ignore == model_ignore
+    assert update == model_update
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ).map(lambda es: [(a, b) for a, b in es if a != b])
+)
+@SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_jaccard_pairs_sound(spark, texts):
+    """Every emitted pair's jaccard must be ≥ threshold and the pair
+    ids must be ordered — soundness of the prefix-filter fast path."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["jaccard"] >= 0.5
