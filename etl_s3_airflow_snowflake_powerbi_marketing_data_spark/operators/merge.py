@@ -66,7 +66,12 @@ def merge_update(
     """
     src = _dedup_source(source, keys, source_order_by)
     kept_old = target.join(src.select(*keys), on=list(keys), how="left_anti")
-    return kept_old.unionByName(src.select(*target.columns))
+    # Re-assert the target's column order: the USING-join floats the key
+    # columns to the front, which would silently reorder the persisted
+    # schema on every merge cycle.
+    return kept_old.select(*target.columns).unionByName(
+        src.select(*target.columns)
+    )
 
 
 def merge_write(

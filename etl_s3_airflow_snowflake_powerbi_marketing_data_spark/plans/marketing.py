@@ -247,3 +247,90 @@ def register_kpi_views(spark: SparkSession, sf_dir: str) -> None:
     virtual (recomputed on read) exactly like the reference's."""
     for name, builder in KPI_BUILDERS.items():
         builder(spark, sf_dir).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Warehouse-facing SQL view layer (pipeline mode)
+# ---------------------------------------------------------------------------
+
+# The same four KPI views as SQL text over the *persisted* warehouse
+# tables (f_events / d_item registered in the catalog), mirroring the
+# reference's CREATE OR REPLACE VIEW statements one-to-one
+# (`etl_s3_snowflake_aggregated_views.py:22-92`): CTE pre-filter, inner
+# dim join, date-part groupBy, window-over-aggregate DENSE_RANK, scalar
+# subquery for the latest period, top-1 LIMIT, and rank=1 filter.
+WAREHOUSE_KPI_SQL: dict[str, str] = {
+    "view_count_by_period": """
+        CREATE OR REPLACE TEMPORARY VIEW view_count_by_period AS
+        WITH filtered_events AS (
+          SELECT * FROM f_events WHERE event_name = 'view'
+        )
+        SELECT date_trunc('day', f.event_time) AS period,
+               COUNT(f.event_time) AS item_view
+        FROM filtered_events f
+        INNER JOIN d_item d ON f.event_parameter_value = d.item_id
+        GROUP BY date_trunc('day', f.event_time)
+        ORDER BY period DESC
+    """,
+    "item_view_rank_by_period": """
+        CREATE OR REPLACE TEMPORARY VIEW item_view_rank_by_period AS
+        WITH filtered_events AS (
+          SELECT * FROM f_events WHERE event_name = 'view'
+        ),
+        counts AS (
+          SELECT date_trunc('day', f.event_time) AS period,
+                 d.item_name, COUNT(f.event_time) AS item_view
+          FROM filtered_events f
+          INNER JOIN d_item d ON f.event_parameter_value = d.item_id
+          GROUP BY 1, 2
+        )
+        SELECT period, item_name, item_view,
+               CAST(DENSE_RANK() OVER (PARTITION BY period
+                    ORDER BY item_view DESC) AS BIGINT) AS item_view_rank
+        FROM counts
+        ORDER BY period, item_view_rank, item_name
+    """,
+    "most_viewed_item_latest_period": """
+        CREATE OR REPLACE TEMPORARY VIEW most_viewed_item_latest_period AS
+        WITH filtered_events AS (
+          SELECT * FROM f_events WHERE event_name = 'view'
+        ),
+        joined AS (
+          SELECT date_trunc('day', f.event_time) AS period,
+                 d.item_name, f.event_time
+          FROM filtered_events f
+          INNER JOIN d_item d ON f.event_parameter_value = d.item_id
+        )
+        SELECT period, item_name, COUNT(event_time) AS item_view
+        FROM joined
+        WHERE period = (SELECT MAX(period) FROM joined)
+        GROUP BY period, item_name
+        ORDER BY item_view DESC, item_name
+        LIMIT 1
+    """,
+    "top_event_type_by_period": """
+        CREATE OR REPLACE TEMPORARY VIEW top_event_type_by_period AS
+        WITH counts AS (
+          SELECT date_trunc('day', event_time) AS period, event_name,
+                 COUNT(event_time) AS type_count
+          FROM f_events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, CAST(DENSE_RANK() OVER (PARTITION BY period
+                    ORDER BY type_count DESC, event_name) AS BIGINT)
+                    AS type_rank
+          FROM counts
+        )
+        SELECT period, event_name AS event_type, type_count, type_rank
+        FROM ranked WHERE type_rank = 1
+        ORDER BY period, event_type
+    """,
+}
+
+
+def register_warehouse_kpi_views(spark: SparkSession) -> None:
+    """Q13 over the persisted warehouse: plain ``spark.sql`` DDL —
+    Spark's ANTLR parse → Catalyst analyze/optimize replaces Snowflake
+    wholesale (SURVEY.md §3.3)."""
+    for sql in WAREHOUSE_KPI_SQL.values():
+        spark.sql(sql)

@@ -1,0 +1,142 @@
+"""End-to-end daily ETL driver — the reference's seven chained DAGs as
+one Spark job (SURVEY.md §0: raw ingest → d_event → d_item →
+d_parameter → d_user → f_events → aggregated views).
+
+The reference chains Airflow DAGs with ``TriggerDagRunOperator`` and
+materializes every hop into Snowflake; here the chain is plain call
+order (Spark laziness fuses each build into one plan) and only the
+named warehouse tables materialize. An external scheduler (Airflow)
+invokes :func:`run_daily_pipeline` once per day — the engine/scheduler
+split the north star prescribes.
+
+MERGE targets persist as parquet directories under ``warehouse_dir``.
+Each merge is write-to-staging-then-swap (the honest plain-parquet
+atomicity fallback — reads of the old target feed the merge plan, so
+in-place overwrite would corrupt; Delta/Iceberg replace the swap with a
+transactional commit, see ``operators.merge.delta_merge``).
+
+Reference semantics preserved deliberately (SURVEY.md §2.1 S6/S7):
+- dims merge with ``if_conflicts="ignore"`` on the natural key —
+  append-only; pre-existing rows never change (including their guids).
+- ``d_item`` and ``f_events`` merge with ``if_conflicts="update"``
+  (SCD-1), the fact on its composite key.
+- Re-running the same day is a no-op (idempotent); a new day's delta
+  appends/updates exactly its keys.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.merge import merge_ignore, merge_update
+from . import marketing
+
+FACT_KEYS = ("event_id", "event_name", "event_parameter_value")
+
+
+def _table_dir(warehouse_dir: str, name: str) -> str:
+    return os.path.join(warehouse_dir, name)
+
+
+def _swap_write(result: DataFrame, path: str) -> None:
+    """Materialize to a staging dir, then atomically-ish swap. Local-FS
+    rename; on HDFS/S3 this is the FileSystem rename / committer step,
+    and with a table format it disappears entirely."""
+    staging = path + "__staging"
+    result.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)
+
+
+def _merge_into(
+    spark: SparkSession,
+    result_path: str,
+    fresh: DataFrame,
+    keys: tuple[str, ...],
+    update: bool,
+) -> None:
+    """Bootstrap on first run; MERGE (ignore/update) afterwards."""
+    if not os.path.exists(result_path):
+        _swap_write(fresh, result_path)
+        return
+    target = spark.read.parquet(result_path)
+    merged = (
+        merge_update(target, fresh, list(keys))
+        if update
+        else merge_ignore(target, fresh, list(keys))
+    )
+    _swap_write(merged, result_path)
+
+
+def run_daily_pipeline(
+    spark: SparkSession, sf_dir: str, warehouse_dir: str
+) -> dict[str, int]:
+    """One daily cycle: ingest, build dims + fact, MERGE into the
+    warehouse, refresh KPI views. Returns per-table row counts."""
+    os.makedirs(warehouse_dir, exist_ok=True)
+
+    # Raw ingest: full replace, latest delta wins (S3 semantics,
+    # `etl_s3_snowflake_raw_event_ingest.py:49-54`).
+    _swap_write(
+        marketing.build_event_raw(spark, sf_dir),
+        _table_dir(warehouse_dir, "event_raw"),
+    )
+
+    # Dims: append-only merges on the natural key (S6).
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_event"),
+        marketing.build_d_event(spark, sf_dir),
+        ("event_id",),
+        update=False,
+    )
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_user"),
+        marketing.build_d_user(spark, sf_dir),
+        ("user_id",),
+        update=False,
+    )
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_parameter"),
+        marketing.build_d_parameter(spark, sf_dir),
+        ("parameter_name",),
+        update=False,
+    )
+    # SCD-1 upserts (S7): item dim on its key, fact on the composite.
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_item"),
+        marketing.build_d_item(spark, sf_dir),
+        ("item_id",),
+        update=True,
+    )
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "f_events"),
+        marketing.build_f_events(spark, sf_dir),
+        FACT_KEYS,
+        update=True,
+    )
+
+    # KPI views over the WAREHOUSE fact (not the day's source), exactly
+    # like the reference's CREATE OR REPLACE VIEW layer (Q13).
+    counts: dict[str, int] = {}
+    for name in (
+        "event_raw",
+        "d_event",
+        "d_user",
+        "d_parameter",
+        "d_item",
+        "f_events",
+    ):
+        df = spark.read.parquet(_table_dir(warehouse_dir, name))
+        df.createOrReplaceTempView(name)
+        counts[name] = df.count()
+    marketing.register_warehouse_kpi_views(spark)
+    return counts
