@@ -1,1 +1,1 @@
-from . import marketing, relational  # noqa: F401
+from . import marketing, pipeline, relational  # noqa: F401

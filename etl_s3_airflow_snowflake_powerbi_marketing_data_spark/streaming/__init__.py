@@ -1,1 +1,1 @@
-from . import pipeline  # noqa: F401
+from . import pipeline, sessions  # noqa: F401

@@ -109,3 +109,25 @@ def test_ordered_surrogate_key_string_key(spark):
     out = keys.ordered_surrogate_key(df, "guid", order_by=["w"]).collect()
     expect = {w: i + 1 for i, w in enumerate(sorted(words))}
     assert all(r["guid"] == expect[r["w"]] for r in out)
+
+
+def test_ordered_surrogate_key_empty_and_single(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    empty = spark.createDataFrame([], schema)
+    assert keys.ordered_surrogate_key(empty, "guid", order_by=["k"]).count() == 0
+    single = spark.createDataFrame([(42,)], "k long")
+    [row] = keys.ordered_surrogate_key(single, "guid", order_by=["k"]).collect()
+    assert row["guid"] == 1
+
+
+def test_ordered_surrogate_key_null_keys_first(spark):
+    rows = [(None,), (5,), (1,), (None,), (3,)]
+    df = _df(spark, rows, "k long")
+    out = keys.ordered_surrogate_key(df, "guid", order_by=["k"]).collect()
+    by_key = {r["k"]: r["guid"] for r in out if r["k"] is not None}
+    null_guids = sorted(r["guid"] for r in out if r["k"] is None)
+    # Spark sort semantics: nulls first ascending.
+    assert null_guids == [1, 2]
+    assert by_key == {1: 3, 3: 4, 5: 5}
