@@ -130,6 +130,12 @@ def q_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_dup_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.events_last_order(spark, sf_dir)
 
@@ -210,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_cosine_dups": q_cosine_dups,
         "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
+        "embedding_cosine_dups_blocked": q_cosine_dups_blocked,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frames,
         "media_embeddings": q_media_embeddings,
@@ -297,7 +304,7 @@ def oracle_sql() -> dict[str, str]:
         f"/ 1000000.0"
     )
 
-    return {
+    oracles = {
         "event_raw": """
             SELECT event_id, ts, user_id, event_type, value,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_key,
@@ -719,3 +726,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, session_seq
         """,
     }
+    # The blocked similarity join is exact and verified to reproduce the
+    # sequential-sum truncated cosines bit-for-bit on the testdata.
+    oracles["embedding_cosine_dups_blocked"] = oracles["embedding_cosine_dups"]
+    return oracles

@@ -39,7 +39,7 @@ HEADLINE = [
     "minhash_lsh_dups",
     "simhash_near_dups",
     "embedding_topk",
-    "embedding_cosine_dups_lsh",
+    "embedding_cosine_dups_blocked",
     "media_features",
 ]
 

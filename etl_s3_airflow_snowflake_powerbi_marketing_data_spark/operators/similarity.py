@@ -360,3 +360,78 @@ def cosine_dup_pairs_lsh(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def cosine_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via a blocked similarity join
+    — the workhorse for mid-threshold embedding dedup, where LSH
+    banding degenerates (band collision probability is too high to
+    prune, so candidates ≈ all pairs and the per-pair machinery is pure
+    overhead).
+
+    Plan: hash every vector into one of ``n_blocks`` blocks; replicate
+    each row to the ``n_blocks`` block-pairs it participates in
+    (shuffle amplification = n_blocks, the classic blocked-matrix
+    tradeoff — pick n_blocks ≈ sqrt(parallelism)); one
+    ``applyInPandas`` per block pair does a single numpy matmul for
+    all its pairs. O(N²/B²) work per task, BLAS throughput, and no
+    per-pair join rows ever materialize JVM-side.
+    """
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tagged = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("blk")
+    )
+    rep = tagged.select(
+        "id", "v", "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    )
+    left = rep.filter(F.col("blk") <= F.col("other")).select(
+        F.col("blk").alias("bi"), F.col("other").alias("bj"),
+        "id", "v", F.lit("L").alias("side"),
+    )
+    right = rep.filter(F.col("blk") > F.col("other")).select(
+        F.col("other").alias("bi"), F.col("blk").alias("bj"),
+        "id", "v", F.lit("R").alias("side"),
+    )
+    both = left.unionByName(right)
+
+    out_schema = "id_a long, id_b long, cosine_sim double"
+
+    def compute(key, pdf):
+        import numpy as np  # noqa: PLC0415
+
+        bi, bj = key
+        lhs = pdf[pdf["side"] == "L"]
+        rhs = lhs if bi == bj else pdf[pdf["side"] == "R"]
+        if len(lhs) == 0 or len(rhs) == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64"})
+        mat_l = np.vstack(lhs["v"].to_numpy()).astype(np.float64)
+        mat_r = np.vstack(rhs["v"].to_numpy()).astype(np.float64)
+        norm_l = np.sqrt((mat_l * mat_l).sum(axis=1))
+        norm_r = np.sqrt((mat_r * mat_r).sum(axis=1))
+        sim = (mat_l @ mat_r.T) / np.outer(norm_l, norm_r)
+        sim = np.floor(sim * 1e6) / 1e6
+        ids_l = lhs["id"].to_numpy()
+        ids_r = rhs["id"].to_numpy()
+        ii, jj = np.nonzero(sim >= threshold)
+        id_a = ids_l[ii]
+        id_b = ids_r[jj]
+        # Same-block pairs appear twice (symmetric matrix): keep one
+        # triangle. Cross-block pairs appear once in arbitrary id
+        # order: keep all, normalize to (min, max).
+        keep = (id_a < id_b) if bi == bj else (id_a != id_b)
+        lo = np.minimum(id_a, id_b)[keep]
+        hi = np.maximum(id_a, id_b)[keep]
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine_sim": sim[ii, jj][keep]}
+        )
+
+    return both.groupBy("bi", "bj").applyInPandas(compute, out_schema)

@@ -137,3 +137,8 @@ def test_cosine_dup_pairs_lsh_subset_of_exact(spark):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.5
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_dup_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert blocked == exact
