@@ -1,0 +1,70 @@
+"""Skew mitigation utilities.
+
+AQE's skew-join splitting handles joins; skewed AGGREGATIONS (one hot
+group key holding a large fraction of rows — the "null user", the
+default parameter, the boilerplate document) still funnel one reducer.
+The classic fix is two-phase salted aggregation, expressed here for any
+algebraic aggregate list.
+
+At 100 TB a hot key is the difference between a 10-minute job and one
+straggler task running for hours; salting bounds any task's share of a
+key at 1/n_salts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_by: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with a random-free deterministic salt.
+
+    ``aggs`` maps output column -> (input column, agg) where agg is one
+    of ``sum | count | min | max`` (the algebraic aggregates that
+    re-combine losslessly; avg = sum/count at the call site).
+
+    Phase 1 groups on (keys, salt) — the hot key splits across
+    ``n_salts`` reducers; phase 2 re-combines the ≤ n_salts partials
+    per key (sum/count partials re-sum, min/max re-min/max). The salt
+    is a hash of a unique-ish projection of the row (here:
+    ``spark_partition_id`` + a per-batch monotonic id), so it is cheap,
+    collision-tolerant, and needs no RNG state.
+    """
+    first: dict[str, Column] = {}
+    second: dict[str, Column] = {}
+    for out, (col, how) in aggs.items():
+        if how == "sum":
+            first[out] = F.sum(col)
+            second[out] = F.sum(out)
+        elif how == "count":
+            first[out] = F.count(col)
+            second[out] = F.sum(out)
+        elif how == "min":
+            first[out] = F.min(col)
+            second[out] = F.min(out)
+        elif how == "max":
+            first[out] = F.max(col)
+            second[out] = F.max(out)
+        else:
+            raise ValueError(f"unsupported agg {how!r} for {out!r}")
+
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_by, "__salt")
+        .agg(*[c.alias(name) for name, c in first.items()])
+    )
+    return phase1.groupBy(*group_by).agg(
+        *[c.alias(name) for name, c in second.items()]
+    )

@@ -73,10 +73,19 @@ def _merge_into(
 
 
 def run_daily_pipeline(
-    spark: SparkSession, sf_dir: str, warehouse_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_dir: str,
+    materialize_views: bool = False,
 ) -> dict[str, int]:
     """One daily cycle: ingest, build dims + fact, MERGE into the
-    warehouse, refresh KPI views. Returns per-table row counts."""
+    warehouse, refresh KPI views. Returns per-table row counts.
+
+    ``materialize_views=True`` additionally persists each KPI view as a
+    ``kpi_<name>`` parquet table — the "answers always available" BI
+    contract (SURVEY.md §3.3: the reference's views are recomputed on
+    every Power BI read; materializing trades daily write cost for
+    zero-latency reads)."""
     os.makedirs(warehouse_dir, exist_ok=True)
 
     # Raw ingest: full replace, latest delta wins (S3 semantics,
@@ -139,4 +148,10 @@ def run_daily_pipeline(
         df.createOrReplaceTempView(name)
         counts[name] = df.count()
     marketing.register_warehouse_kpi_views(spark)
+    if materialize_views:
+        for view_name in marketing.WAREHOUSE_KPI_SQL:
+            _swap_write(
+                spark.table(view_name),
+                _table_dir(warehouse_dir, f"kpi_{view_name}"),
+            )
     return counts

@@ -1,0 +1,69 @@
+"""Source readers and sinks (SURVEY.md §2.1 S1-S5, S8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+    readers,
+    writers,
+)
+
+
+@pytest.fixture(scope="module")
+def csv_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "event.csv"
+    p.write_text(
+        "event_id,event.payload,user_id\n"
+        "e1,\"{\"\"k\"\": 1}\",10\n"
+        "e2,\"{\"\"k\"\": 2}\",\n"
+    )
+    return str(p)
+
+
+def test_read_csv_inferred_with_rename(spark, csv_path):
+    df = readers.read_csv_inferred(
+        spark, csv_path, rename={"event.payload": "event_payload"}
+    )
+    assert df.columns == ["event_id", "event_payload", "user_id"]
+    # schema inference: user_id with a null becomes numeric, ids string
+    # (the reference's raw-layer typing quirk, SURVEY.md §1.2).
+    assert dict(df.dtypes)["event_id"] == "string"
+    assert df.count() == 2
+
+
+def test_read_csv_typed_failfast(spark, csv_path):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.StringType()),
+            T.StructField("event_payload", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    df = readers.read_csv_typed(spark, csv_path, schema)
+    assert df.schema == schema
+    bad_schema = T.StructType([T.StructField("only_one", T.LongType())])
+    with pytest.raises(Exception):
+        readers.read_csv_typed(spark, csv_path, bad_schema).collect()
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}") for i in range(30)], "id long, day string"
+    )
+    path = str(tmp_path / "part_table")
+    writers.write_partitioned(df, path, ["day"])
+    back = readers.read_parquet(spark, path).filter(F.col("day") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert back.count() == 10
+
+
+def test_stage_and_drop_temp_views(spark):
+    df = spark.range(3)
+    writers.stage_temp_view(df, "tmp_stage_x")
+    assert spark.table("tmp_stage_x").count() == 3
+    writers.drop_temp_views(spark, ["tmp_stage_x"])
+    assert "tmp_stage_x" not in [t.name for t in spark.catalog.listTables()]

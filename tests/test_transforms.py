@@ -131,3 +131,33 @@ def test_ordered_surrogate_key_null_keys_first(spark):
     # Spark sort semantics: nulls first ascending.
     assert null_guids == [1, 2]
     assert by_key == {1: 3, 3: 4, 5: 5}
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import skew
+
+    # One hot key (~90% of rows) plus a long tail.
+    rows = [("hot", float(i % 7)) for i in range(900)] + [
+        (f"k{i % 20}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in skew.salted_agg(
+            df,
+            ["k"],
+            {"total": ("v", "sum"), "n": ("v", "count"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+        ).collect()
+    }
+    expect = {
+        r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("total"), F.count("v").alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][1:] == expect[k][1:]
+        assert abs(got[k][0] - expect[k][0]) < 1e-6
