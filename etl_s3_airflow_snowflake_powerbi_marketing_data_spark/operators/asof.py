@@ -50,6 +50,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        # The union-merge would silently fuse same-named columns.
+        raise ValueError(
+            f"right_cols collide with left columns: {sorted(overlap)}; "
+            "rename the right side before joining"
+        )
 
     carried = [c for c in right_cols]
     l_tag = (
