@@ -40,3 +40,31 @@ def drop_temp_views(spark: SparkSession, names: Sequence[str]) -> None:
     this is bookkeeping, not storage reclamation."""
     for name in names:
         spark.catalog.dropTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    path: str,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``n_buckets``
+    hash buckets on the join/agg key at WRITE time, so every later join
+    or aggregation between tables bucketed the same way runs with NO
+    exchange — the single biggest repeated-join win at 100 TB (pay the
+    shuffle once, amortize it over every downstream query).
+
+    ``sort_by`` additionally sorts within buckets, upgrading co-located
+    joins to zero-sort sort-merge joins.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)

@@ -67,3 +67,32 @@ def test_stage_and_drop_temp_views(spark):
     assert spark.table("tmp_stage_x").count() == 3
     writers.drop_temp_views(spark, ["tmp_stage_x"])
     assert "tmp_stage_x" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    orders = spark.createDataFrame(
+        [(i, f"c{i % 5}") for i in range(100)], "o_orderkey long, cust string"
+    )
+    items = spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(200)], "o_orderkey long, amount double"
+    )
+    writers.write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 4, str(tmp_path / "b_orders"),
+        sort_by=["o_orderkey"],
+    )
+    writers.write_bucketed(
+        items, "b_items", ["o_orderkey"], 4, str(tmp_path / "b_items"),
+        sort_by=["o_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_items"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
