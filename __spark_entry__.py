@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": relational.customers_without_orders,
         "high_value_order_customers": relational.high_value_order_customers,
         "order_priority_rollup": relational.order_priority_rollup,
+        "order_status_priority_cube": relational.order_status_priority_cube,
         "order_set_ops": relational.order_set_ops,
         "user_sessions": relational.user_sessions,
         "running_daily_revenue": relational.running_daily_revenue,
@@ -480,6 +481,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY 1, 2
+        """,
+        "order_status_priority_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+                   COALESCE(o_orderpriority, 'ALL') AS order_priority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY 1, 2
         """,
         "order_set_ops": """

@@ -244,3 +244,24 @@ def events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="o_orderdate",
         right_cols=["last_order_key", "last_order_price"],
     ).orderBy("event_id")
+
+
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping combinations in
+    one pass — Spark expands the cube into a single map-side-combinable
+    aggregate (no N-pass union), same plan family as rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("order_status", "order_priority")
+    )
