@@ -69,6 +69,11 @@ def asof_join(
             F.col(right_time).cast("timestamp").alias("__t"),
             *[F.col(c) for c in carried],
         )
+        # A right row with a null time has no position on the axis and
+        # can never be a legitimate match; dropping it here also stops
+        # its payload from carrying into every row (null sorts first
+        # ascending, i.e. "before everything").
+        .filter(F.col("__t").isNotNull())
         .withColumn("__side", F.lit(0))
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
@@ -80,5 +85,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in carried:
-        merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+        carried_val = F.last(F.col(c), ignorenulls=True).over(w)
+        # A left row with a null time has no position either — it must
+        # stay unmatched rather than inherit whatever the window order
+        # happens to place before it.
+        merged = merged.withColumn(
+            c, F.when(F.col("__t").isNull(), F.lit(None)).otherwise(carried_val)
+        )
     return merged.filter(F.col("__side") == 1).drop("__t", "__side")

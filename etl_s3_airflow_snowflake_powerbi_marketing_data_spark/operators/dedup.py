@@ -161,14 +161,29 @@ def ngram_jaccard_pairs(
     Scale: two shuffles (doc-frequency agg, prefix self-join) both keyed
     by shingle hash, then one candidate-keyed verify join. No stage is
     quadratic in corpus size for non-pathological thresholds.
+
+    The shingle sets are ``cache()``d for the three reads inside this
+    plan and stay cached for the session (Spark offers no
+    consume-once cache); long-lived multi-corpus sessions should
+    ``spark.catalog.clearCache()`` between corpora.
     """
+    # The filter math runs on integers (threshold at 6-decimal
+    # precision, matching the trunc6 verification grid): float products
+    # like 30 * 0.1 -> 3.0000000000000004 over-ceil and silently drop a
+    # prefix element, making the "lossless" filter lossy at exactly the
+    # wrong moment. ceil(size*t6/1e6) == (size*t6 + 999999) div 1e6.
+    t6 = round(threshold * 1_000_000)
     sets = _shingle_sets(df, text_col, id_col, n).cache()
     ex = sets.select(
         "id", "set_size", F.explode("sh_set").alias("sh")
     )
     freq = ex.groupBy("sh").agg(F.count("*").alias("df_count"))
     w = Window.partitionBy("id").orderBy("df_count", "sh")
-    prefix_len = F.col("set_size") - F.ceil(F.col("set_size") * threshold) + 1
+    prefix_len = (
+        F.col("set_size")
+        - F.expr(f"(set_size * {t6} + 999999) div 1000000")
+        + 1
+    )
     prefixes = (
         ex.join(freq, "sh")
         .withColumn("__pos", F.row_number().over(w))
@@ -185,8 +200,9 @@ def ngram_jaccard_pairs(
         left.join(right, "sh")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("size_b") * threshold <= F.col("size_a"))
-            & (F.col("size_a") * threshold <= F.col("size_b"))
+            # Integer-exact size-ratio filter: t·|A| ≤ |B| and t·|B| ≤ |A|.
+            & (F.col("size_b") * t6 <= F.col("size_a") * 1_000_000)
+            & (F.col("size_a") * t6 <= F.col("size_b") * 1_000_000)
         )
         .select("id_a", "id_b")
         .distinct()
@@ -464,8 +480,12 @@ def connected_components(
         changed = proposed.filter(F.col("component") != F.col("__old")).count()
         labels = proposed.select("id", "component")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(component diameter exceeds max_iter); raise max_iter — silent "
+        "partial labels would split duplicate clusters"
+    )
 
 
 def dedup_near_docs(

@@ -122,7 +122,10 @@ def ordered_surrogate_key(
         F.min(proxy).alias("__gmin"), F.max(proxy).alias("__gmax")
     )
     span = F.greatest(F.col("__gmax") - F.col("__gmin"), F.lit(1e-12))
-    bucket = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(
+    # Null placement must mirror Spark's sort semantics: NULLS FIRST
+    # ascending (bucket before all), NULLS LAST descending (after all).
+    null_bucket = F.lit(n) if descending else F.lit(-1)
+    bucket = F.when(F.col(lead).isNull(), null_bucket).otherwise(
         F.least(
             F.floor((proxy - F.col("__gmin")) / span * n).cast("int"),
             F.lit(n - 1),

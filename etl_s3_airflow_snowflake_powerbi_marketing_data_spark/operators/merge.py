@@ -37,6 +37,22 @@ def _dedup_source(source: DataFrame, keys: Sequence[str], order_by=None) -> Data
     return dedup_keep_first(source, keys, order_by=order_by)
 
 
+def _key_cond(keys: Sequence[str]):
+    """Null-SAFE key equality for the merge joins.
+
+    SQL MERGE's ``ON t.k = s.k`` never matches null keys, so a null-key
+    row re-inserts on every cycle — unbounded duplicate growth for data
+    with nullable keys (e.g. a fact key parsed from an optional JSON
+    field). ``<=>`` treats null as a value, making merges idempotent;
+    a deliberate, documented divergence from warehouse MERGE.
+    """
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def merge_ignore(
     target: DataFrame,
     source: DataFrame,
@@ -49,7 +65,9 @@ def merge_ignore(
     ``UNION ALL`` — the anti-join broadcasts whichever side is small.
     """
     src = _dedup_source(source, keys, source_order_by)
-    new_rows = src.join(target.select(*keys), on=list(keys), how="left_anti")
+    new_rows = src.alias("s").join(
+        target.select(*keys).alias("t"), on=_key_cond(keys), how="left_anti"
+    )
     return target.unionByName(new_rows.select(*target.columns))
 
 
@@ -65,10 +83,12 @@ def merge_update(
     ``UNION ALL source`` — one shuffle (or broadcast) on the keys.
     """
     src = _dedup_source(source, keys, source_order_by)
-    kept_old = target.join(src.select(*keys), on=list(keys), how="left_anti")
-    # Re-assert the target's column order: the USING-join floats the key
-    # columns to the front, which would silently reorder the persisted
-    # schema on every merge cycle.
+    kept_old = target.alias("t").join(
+        src.select(*keys).alias("s"), on=_key_cond(keys), how="left_anti"
+    )
+    # Re-assert the target's column order: an anti-join on a condition
+    # keeps order, but stay explicit so schema order can never drift
+    # across merge cycles.
     return kept_old.select(*target.columns).unionByName(
         src.select(*target.columns)
     )

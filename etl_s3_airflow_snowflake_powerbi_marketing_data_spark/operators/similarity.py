@@ -383,6 +383,7 @@ def cosine_dup_pairs_blocked(
     all its pairs. O(N²/B²) work per task, BLAS throughput, and no
     per-pair join rows ever materialize JVM-side.
     """
+    id_type = df.schema[id_col].dataType.simpleString()
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tagged = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("blk")
@@ -401,7 +402,7 @@ def cosine_dup_pairs_blocked(
     )
     both = left.unionByName(right)
 
-    out_schema = "id_a long, id_b long, cosine_sim double"
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
 
     def compute(key, pdf):
         import numpy as np  # noqa: PLC0415
@@ -410,9 +411,7 @@ def cosine_dup_pairs_blocked(
         lhs = pdf[pdf["side"] == "L"]
         rhs = lhs if bi == bj else pdf[pdf["side"] == "R"]
         if len(lhs) == 0 or len(rhs) == 0:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cosine_sim": []}
-            ).astype({"id_a": "int64", "id_b": "int64"})
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
         mat_l = np.vstack(lhs["v"].to_numpy()).astype(np.float64)
         mat_r = np.vstack(rhs["v"].to_numpy()).astype(np.float64)
         norm_l = np.sqrt((mat_l * mat_l).sum(axis=1))
@@ -426,10 +425,12 @@ def cosine_dup_pairs_blocked(
         id_b = ids_r[jj]
         # Same-block pairs appear twice (symmetric matrix): keep one
         # triangle. Cross-block pairs appear once in arbitrary id
-        # order: keep all, normalize to (min, max).
+        # order: keep all, normalize to (min, max). np.where (not
+        # np.minimum) so non-numeric id dtypes (strings) work too.
         keep = (id_a < id_b) if bi == bj else (id_a != id_b)
-        lo = np.minimum(id_a, id_b)[keep]
-        hi = np.maximum(id_a, id_b)[keep]
+        a_first = id_a < id_b
+        lo = np.where(a_first, id_a, id_b)[keep]
+        hi = np.where(a_first, id_b, id_a)[keep]
         return pd.DataFrame(
             {"id_a": lo, "id_b": hi, "cosine_sim": sim[ii, jj][keep]}
         )

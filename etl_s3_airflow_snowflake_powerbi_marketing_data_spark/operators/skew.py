@@ -34,9 +34,12 @@ def salted_agg(
     Phase 1 groups on (keys, salt) — the hot key splits across
     ``n_salts`` reducers; phase 2 re-combines the ≤ n_salts partials
     per key (sum/count partials re-sum, min/max re-min/max). The salt
-    is a hash of a unique-ish projection of the row (here:
-    ``spark_partition_id`` + a per-batch monotonic id), so it is cheap,
-    collision-tolerant, and needs no RNG state.
+    is a content hash of the whole row, which matters for correctness:
+    a salt derived from ``spark_partition_id``/``rand()`` changes when
+    a failed stage recomputes, silently routing rows to already-fetched
+    (key, salt) groups (the SPARK-23207 class of bug). A content hash
+    is retry-stable; its only weakness is that *identical* rows share a
+    salt, which re-concentrates skew only for mass-duplicate-row data.
     """
     first: dict[str, Column] = {}
     second: dict[str, Column] = {}
@@ -56,10 +59,7 @@ def salted_agg(
         else:
             raise ValueError(f"unsupported agg {how!r} for {out!r}")
 
-    salt = F.pmod(
-        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-        F.lit(n_salts),
-    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     phase1 = (
         df.withColumn("__salt", salt)
         .groupBy(*group_by, "__salt")

@@ -15,11 +15,18 @@ atomicity fallback — reads of the old target feed the merge plan, so
 in-place overwrite would corrupt; Delta/Iceberg replace the swap with a
 transactional commit, see ``operators.merge.delta_merge``).
 
-Reference semantics preserved deliberately (SURVEY.md §2.1 S6/S7):
+Reference semantics preserved (SURVEY.md §2.1 S6/S7) with one
+deliberate, documented fix: the reference numbers each day's delta from
+1 and merges, so day-2 inserts REUSE guid values already in the
+warehouse (a latent reference bug — surrogate keys stop being keys).
+Here matched rows keep their stable guid and inserted rows continue
+contiguously from the warehouse max, so guids stay unique and existing
+rows never renumber:
 - dims merge with ``if_conflicts="ignore"`` on the natural key —
-  append-only; pre-existing rows never change (including their guids).
+  append-only; pre-existing rows never change.
 - ``d_item`` and ``f_events`` merge with ``if_conflicts="update"``
-  (SCD-1), the fact on its composite key.
+  (SCD-1), the fact on its composite key (attributes update, the
+  surrogate key is stable).
 - Re-running the same day is a no-op (idempotent); a new day's delta
   appends/updates exactly its keys.
 """
@@ -30,7 +37,9 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators.keys import ordered_surrogate_key
 from ..operators.merge import merge_ignore, merge_update
 from . import marketing
 
@@ -52,23 +61,74 @@ def _swap_write(result: DataFrame, path: str) -> None:
     os.replace(staging, path)
 
 
+def _null_safe_cond(keys: tuple[str, ...]):
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def _merge_into(
     spark: SparkSession,
     result_path: str,
     fresh: DataFrame,
     keys: tuple[str, ...],
     update: bool,
+    guid_col: str | None = None,
+    guid_order: tuple[str, ...] = (),
 ) -> None:
-    """Bootstrap on first run; MERGE (ignore/update) afterwards."""
+    """Bootstrap on first run; MERGE (ignore/update) afterwards.
+
+    When ``guid_col`` is given, surrogate keys stay globally unique
+    across daily loads: matched rows keep the target's guid, new rows
+    are renumbered contiguously after the warehouse max (ordered by
+    ``guid_order`` for determinism). Without this, each day's delta
+    would re-number from 1 and collide with existing guids."""
     if not os.path.exists(result_path):
         _swap_write(fresh, result_path)
         return
     target = spark.read.parquet(result_path)
-    merged = (
-        merge_update(target, fresh, list(keys))
-        if update
-        else merge_ignore(target, fresh, list(keys))
-    )
+    if guid_col is None:
+        merged = (
+            merge_update(target, fresh, list(keys))
+            if update
+            else merge_ignore(target, fresh, list(keys))
+        )
+        _swap_write(merged, result_path)
+        return
+
+    tgt_max = target.agg(F.max(guid_col)).first()[0] or 0
+    src = fresh.drop(guid_col)
+    cond = _null_safe_cond(keys)
+    new_src = src.alias("s").join(target.alias("t"), cond, "left_anti")
+    new_numbered = ordered_surrogate_key(
+        new_src, guid_col, order_by=list(guid_order), start=tgt_max + 1
+    ).select(*target.columns)
+    if update:
+        # Matched source rows take fresh attributes but keep the
+        # target's stable guid.
+        matched = (
+            src.alias("s")
+            .join(
+                target.select(*keys, guid_col).alias("t"),
+                cond,
+                "inner",
+            )
+            .select(
+                *[F.col(f"s.{c}") for c in src.columns],
+                F.col(f"t.{guid_col}").alias(guid_col),
+            )
+            .select(*target.columns)
+        )
+        kept_old = (
+            target.alias("t")
+            .join(src.alias("s"), cond, "left_anti")
+            .select(*target.columns)
+        )
+        merged = kept_old.unionByName(matched).unionByName(new_numbered)
+    else:
+        merged = target.unionByName(new_numbered)
     _swap_write(merged, result_path)
 
 
@@ -102,6 +162,8 @@ def run_daily_pipeline(
         marketing.build_d_event(spark, sf_dir),
         ("event_id",),
         update=False,
+        guid_col="guid_event",
+        guid_order=("event_id",),
     )
     _merge_into(
         spark,
@@ -109,6 +171,8 @@ def run_daily_pipeline(
         marketing.build_d_user(spark, sf_dir),
         ("user_id",),
         update=False,
+        guid_col="guid_user",
+        guid_order=("user_id",),
     )
     _merge_into(
         spark,
@@ -116,6 +180,8 @@ def run_daily_pipeline(
         marketing.build_d_parameter(spark, sf_dir),
         ("parameter_name",),
         update=False,
+        guid_col="guid_parameter",
+        guid_order=("parameter_name",),
     )
     # SCD-1 upserts (S7): item dim on its key, fact on the composite.
     _merge_into(
@@ -131,6 +197,8 @@ def run_daily_pipeline(
         marketing.build_f_events(spark, sf_dir),
         FACT_KEYS,
         update=True,
+        guid_col="guid_event",
+        guid_order=("event_id",),
     )
 
     # KPI views over the WAREHOUSE fact (not the day's source), exactly

@@ -142,3 +142,31 @@ def test_cosine_dup_pairs_lsh_subset_of_exact(spark):
         for r in similarity.cosine_dup_pairs_blocked(emb, threshold=0.4).collect()
     }
     assert blocked == exact
+
+
+def test_asof_null_timestamps_stay_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, None, "b")], "k long, t timestamp, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666.0), (1, _ts(5), 5.0)], "k long, rt timestamp, px double"
+    )
+    out = {
+        r["ev"]: r["px"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", right_cols=["px"]
+        ).collect()
+    }
+    # Null-time right row must never match; null-time left row must
+    # never inherit a carried value.
+    assert out == {"a": 5.0, "b": None}
+
+
+def test_asof_rejects_column_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, _ts(1), 9.0)], "k long, t timestamp, px double")
+    right = spark.createDataFrame([(1, _ts(0), 1.0)], "k long, rt timestamp, px double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  right_cols=["px"])

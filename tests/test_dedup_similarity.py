@@ -175,3 +175,30 @@ def test_dedup_near_docs_keeps_min_id(spark):
         for r in dedup.dedup_near_docs(df, threshold=0.5).collect()
     )
     assert kept == [1, 3]
+
+
+def test_jaccard_prefix_filter_exact_at_fractional_threshold(docs, spark):
+    """threshold=0.1 with |S|=30 exercises the float-ceil hazard
+    (30*0.1 -> 3.0000000000000004); the integer filter must keep the
+    prefix math lossless vs a brute-force pair computation."""
+    texts = [
+        (1, " ".join(f"w{i}" for i in range(32))),
+        (2, " ".join(f"w{i}" for i in range(8)) + " " +
+            " ".join(f"x{i}" for i in range(25))),
+        (3, " ".join(f"y{i}" for i in range(32))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    # brute force on shingle sets
+    from pyspark.sql import functions as F
+    sets = {r["id"]: set(r["sh_set"]) for r in
+            dedup._shingle_sets(df, "text", "doc_id", 3).collect()}
+    expect = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= 0.1:
+                expect.add((a, b))
+    assert got == expect and got

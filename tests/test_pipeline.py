@@ -69,6 +69,16 @@ def test_incremental_day2_upserts(spark, warehouse, tmp_path):
     changed_row = changed.first()
     got = fact.filter(F.col("event_id") == changed_row["event_id"]).first()
     assert got["event_value"] == pytest.approx(changed_row["value"])
+    # Surrogate keys stay unique across daily loads (the reference
+    # would have re-numbered day-2 inserts from 1): new rows continue
+    # after the warehouse max, existing rows keep their guid.
+    n_fact = fact.count()
+    assert fact.select("guid_event").distinct().count() == n_fact
+    assert (
+        fact.agg(F.max("guid_event")).first()[0] == first["f_events"] + 1
+    )
+    dim = spark.read.parquet(f"{wh}/d_event")
+    assert dim.select("guid_event").distinct().count() == dim.count()
 
 
 def test_warehouse_sql_views(spark, warehouse):
