@@ -1,1 +1,1 @@
-from . import asof, dedup, keys, merge, similarity, skew, transforms  # noqa: F401
+from . import asof, banding, dedup, keys, merge, similarity, skew, transforms  # noqa: F401

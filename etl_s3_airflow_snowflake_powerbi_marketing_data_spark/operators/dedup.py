@@ -401,30 +401,22 @@ def simhash_near_dups(
     so the join key is (band, band_bits), never all-pairs. Verification
     computes the true Hamming distance via ``bit_count(xor)``.
     """
+    from .banding import bit_band_exprs, explode_bands, self_candidate_pairs
+
     n_bands = max_hamming + 1
     bits_per_band = 64 // n_bands
     hashed = simhash_table(df, text_col, id_col)
-    mask = (1 << bits_per_band) - 1
-    band_exprs = [
-        F.shiftright(F.col("sh"), b * bits_per_band).bitwiseAND(F.lit(mask))
-        for b in range(n_bands)
-    ]
-    banded = hashed.select(
-        "id",
-        "sh",
-        F.posexplode(F.array(*band_exprs)).alias("band", "band_bits"),
+    banded = explode_bands(
+        hashed, bit_band_exprs(F.col("sh"), n_bands, bits_per_band)
     )
-    left = banded.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "band_bits")
-    right = banded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "band_bits")
-    pairs = (
-        left.join(right, ["band", "band_bits"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    pairs = self_candidate_pairs(banded)
+    a = hashed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = hashed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.withColumn("hamming", hamming)
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

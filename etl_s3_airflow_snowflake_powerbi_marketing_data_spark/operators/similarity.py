@@ -325,31 +325,20 @@ def cosine_dup_pairs_lsh(
     Arrow/numpy path (:func:`_cosine_pandas`): one matrix multiply per
     batch instead of per-pair interpreted expressions.
     """
+    from .banding import bit_band_exprs, explode_bands, self_candidate_pairs
+
     planes = [_hyperplane(s, dim) for s in range(bits)]
     bits_per_band = bits // bands
-    mask = (1 << bits_per_band) - 1
 
     sigs = df.select(
         F.col(id_col).alias("id"),
         signed_projection_signature(F.col(vec_col), planes).alias("sig"),
     )
-    band_exprs = [
-        F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "id", F.posexplode(F.array(*band_exprs)).alias("band", "band_bits")
+    banded = explode_bands(
+        sigs.select("id", "sig"),
+        bit_band_exprs(F.col("sig"), bands, bits_per_band),
     )
-    candidates = (
-        banded.select(F.col("id").alias("id_a"), "band", "band_bits")
-        .join(
-            banded.select(F.col("id").alias("id_b"), "band", "band_bits"),
-            ["band", "band_bits"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    candidates = self_candidate_pairs(banded)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
