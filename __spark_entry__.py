@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "high_value_order_customers": relational.high_value_order_customers,
         "order_priority_rollup": relational.order_priority_rollup,
         "order_status_priority_cube": relational.order_status_priority_cube,
+        "revenue_grouping_sets": relational.revenue_grouping_sets,
+        "event_type_pivot": relational.event_type_pivot,
+        "order_price_quantiles": relational.order_price_quantiles,
         "order_set_ops": relational.order_set_ops,
         "user_sessions": relational.user_sessions,
         "running_daily_revenue": relational.running_daily_revenue,
@@ -491,6 +494,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY 1, 2
+        """,
+        "revenue_grouping_sets": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+                   COALESCE(o_orderpriority, 'ALL') AS order_priority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+            ORDER BY order_status, order_priority
+        """,
+        "event_type_pivot": """
+            SELECT date_trunc('day', ts) AS period,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'error') AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1 ORDER BY period
+        """,
+        "order_price_quantiles": """
+            SELECT o_orderstatus,
+                   floor(quantile_cont(o_totalprice, 0.5) * 1000000.0)
+                     / 1000000.0 AS p50_price,
+                   floor(quantile_cont(o_totalprice, 0.9) * 1000000.0)
+                     / 1000000.0 AS p90_price,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY o_orderstatus
         """,
         "order_set_ops": """
             WITH oc AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),

@@ -265,3 +265,67 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_status", "order_priority")
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts, one column per event type.
+
+    The pivot value list is explicit — with it, Spark plans a single
+    aggregate pass (no extra distinct-values job) and the output schema
+    is stable, both of which matter for a scheduled 100 TB build.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("period"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("period")
+    )
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the spark.sql surface: (status, priority),
+    (status), () — a strict subset of cube's combinations in one pass
+    (rollup/cube are the degenerate cases; the explicit form prunes the
+    combinations the report doesn't need).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+               COALESCE(o_orderpriority, 'ALL') AS order_priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY order_status, order_priority
+        """
+    )
+
+
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order status (median / p90).
+
+    ``percentile`` (exact) rather than ``percentile_approx``: the
+    approx sketch is the right call at 100 TB, but its error bound is
+    engine-specific, so the oracle-checked form is the exact one; swap
+    in approx_percentile at scale and keep this as the verification
+    query.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    trunc = lambda c: (F.floor(c * 1e6) / 1e6)  # noqa: E731
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            trunc(F.expr("percentile(o_totalprice, 0.5)")).alias("p50_price"),
+            trunc(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
