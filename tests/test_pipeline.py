@@ -93,3 +93,72 @@ def test_warehouse_sql_views(spark, warehouse):
     dim = spark.table("d_item")
     joined = fact.join(dim, fact.event_parameter_value == dim.item_id).count()
     assert total_views == joined
+
+
+def test_partitioned_fact_merge_and_rollup(spark, tmp_path):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        marketing,
+    )
+
+    wh = str(tmp_path / "wh_part")
+    fresh = marketing.build_f_events(spark, SF)
+    path = pipeline.merge_fact_partitioned(spark, wh, fresh)
+    import os
+
+    # Physically partitioned by date.
+    assert any(
+        d.startswith("event_date=") for d in os.listdir(path)
+    )
+    n1 = spark.read.parquet(path).count()
+    assert n1 == fresh.count()
+
+    # Day 2: one changed row (same keys, new value) and one new row.
+    changed = fresh.orderBy("event_id").limit(1).withColumn(
+        "event_value", F.col("event_value") + 500.0
+    )
+    max_id = fresh.agg(F.max("event_id")).first()[0]
+    new = changed.withColumn("event_id", F.lit(max_id + 1))
+    delta = changed.unionByName(new)
+    before_dirs = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("event_date=")
+    }
+    pipeline.merge_fact_partitioned(spark, wh, delta)
+    after_dirs = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if d.startswith("event_date=")
+    }
+    fact = spark.read.parquet(path)
+    assert fact.count() == n1 + 1
+    # Only the touched date partitions were rewritten.
+    affected = {
+        f"event_date={r[0]}"
+        for r in delta.select(
+            F.to_date("event_time").cast("string")
+        ).distinct().collect()
+    }
+    untouched = set(before_dirs) - affected
+    assert untouched and all(
+        before_dirs[d] == after_dirs[d] for d in untouched
+    )
+    # Surrogate keys stay unique.
+    assert fact.select("guid_event").distinct().count() == fact.count()
+
+    # Continuous aggregate equals a full recompute of the fact.
+    rollup_path = pipeline.update_daily_rollup(spark, wh, path, fresh)
+    pipeline.update_daily_rollup(spark, wh, path, delta)
+    rollup = spark.read.parquet(rollup_path)
+    full = (
+        fact.groupBy(
+            F.col("event_date").alias("period"), F.col("event_name")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("event_value"), 2).alias("total_value"),
+        )
+    )
+    got = {tuple(r) for r in rollup.collect()}
+    expect = {tuple(r) for r in full.collect()}
+    assert got == expect
