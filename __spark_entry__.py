@@ -165,6 +165,12 @@ def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_pipeline.run_sliding_to_memory(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
         sessions as streaming_sessions_mod,
@@ -227,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": q_media_audio,
         # --- streaming (green-field) ---
         "streaming_event_counts": q_streaming_counts,
+        "streaming_sliding_counts": q_streaming_sliding,
         "streaming_user_sessions": q_streaming_sessions,
     }
 
@@ -740,6 +747,18 @@ def oracle_sql() -> dict[str, str]:
                         // 4 AS BIGINT) AS frame_ts_ms,
                    md5(text || '#' || i) AS frame_hash
             FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i)
+        """,
+        # Sliding windows: every event contributes to the 2 overlapping
+        # 2h windows whose start is within (ts-2h, ts] on the hourly grid.
+        "streaming_sliding_counts": """
+            WITH contrib AS (
+              SELECT date_trunc('hour', ts) AS w, event_type FROM events
+              UNION ALL
+              SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type
+              FROM events
+            )
+            SELECT w AS window_start, event_type, COUNT(*) AS n_events
+            FROM contrib GROUP BY 1, 2
         """,
         # Stateful streaming twin of user_sessions: identical result set
         # once the upsert stream is collapsed (latest version per key).

@@ -98,3 +98,44 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def streaming_sliding_counts(
+    events: DataFrame,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in duration/slide
+    overlapping windows (here 2). State per (window × type) is bounded
+    by the watermark exactly as in the tumbling case — overlap
+    multiplies state size by duration/slide, the price of smoothing.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_sliding_to_memory(
+    spark: SparkSession, source_path: str, query_name: str = "sliding_counts"
+) -> DataFrame:
+    stream = read_event_stream(spark, source_path)
+    agg = streaming_sliding_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

@@ -105,3 +105,69 @@ def test_streaming_counts_match_batch(spark, sf_dir):
     )
     assert out.count() == batch.count()
     assert out.agg(F.sum("n_events")).collect()[0][0] == 1000
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg: an event arriving in a later batch,
+    older than (max event time - watermark), must be excluded from the
+    finalized windows the sink emits."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    base = dt.datetime(2024, 5, 1, 0, 30, 0)
+
+    def write_one(path, rows):
+        df = spark.createDataFrame(
+            [(i, int(ts.timestamp() * 1e9), 1, "view", 1.0, "{}")
+             for i, ts in enumerate(rows)],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    f1 = str(tmp_path / "w1"); f2 = str(tmp_path / "w2")
+    f3 = str(tmp_path / "w3")
+    # Batch 1: events at t0 and t0+6h (advances the watermark to
+    # t0+4h — but watermark application lags one batch).
+    write_one(f1, [base, base + dt.timedelta(hours=6)])
+    # Batch 2: another on-time event; the t0 window (end t0+1h <
+    # watermark) is finalized and evicted at this batch.
+    write_one(f2, [base + dt.timedelta(hours=7)])
+    # Batch 3: a late event back at t0+1min — far beyond the 2h
+    # watermark, state already evicted: must be dropped.
+    write_one(f3, [base + dt.timedelta(minutes=1)])
+    src = str(tmp_path / "wstream"); os.makedirs(src)
+    now = time.time()
+    for i, f in enumerate([f1, f2, f3]):
+        part = [p for p in os.listdir(f) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(f, part), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+        pipeline as sp,
+    )
+
+    stream = sp.read_event_stream(spark, src + "/*")
+    agg = sp.streaming_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r["window_start"], r["n_events"])
+        for r in spark.table("wm_counts").collect()
+    ]
+    # The t0 window finalized with ONLY the on-time event; the late
+    # arrival was dropped — no double count, no spurious re-emission.
+    t0_window = base.replace(minute=0)
+    assert rows.count((t0_window, 1)) == 1
+    assert (t0_window, 2) not in rows
