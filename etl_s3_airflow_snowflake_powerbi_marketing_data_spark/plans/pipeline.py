@@ -341,3 +341,32 @@ def update_daily_rollup(
     merged = merge_update(target, recomputed, ["period", "event_name"])
     _swap_write(merged, rollup_path)
     return rollup_path
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit / Airflow entry point:
+
+    ``spark-submit -m etl_..._spark.plans.pipeline <source_dir> <warehouse_dir>``
+
+    The scheduler owns cadence and retries (the reference's Airflow
+    DAGs, SURVEY.md §2.4); the engine owns everything else.
+    """
+    import argparse  # noqa: PLC0415
+
+    from ..session import get_spark  # noqa: PLC0415
+
+    parser = argparse.ArgumentParser(description="daily marketing ETL cycle")
+    parser.add_argument("source_dir")
+    parser.add_argument("warehouse_dir")
+    parser.add_argument("--materialize-views", action="store_true")
+    args = parser.parse_args(argv)
+    spark = get_spark("daily_pipeline")
+    counts = run_daily_pipeline(
+        spark, args.source_dir, args.warehouse_dir, args.materialize_views
+    )
+    for name, n in counts.items():
+        print(f"{name}: {n}")
+
+
+if __name__ == "__main__":
+    main()
