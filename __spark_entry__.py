@@ -71,6 +71,10 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fn.profile_documents(load_table(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fn.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
@@ -215,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_order": q_events_last_order,
         # --- training-data extensions (north star) ---
         "text_profile": q_text_profile,
+        "doc_winnow_fingerprints": q_winnow_fingerprints,
         "exact_dup_groups": q_exact_dup_groups,
         "dedup_exact_docs": q_dedup_exact,
         "ngram_jaccard_dups": q_ngram_jaccard,
@@ -589,6 +594,29 @@ def oracle_sql() -> dict[str, str]:
                    {quality} AS quality,
                    md5({_NORM_TEXT}) AS fingerprint
             FROM documents
+        """,
+        "doc_winnow_fingerprints": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(length({_NORM_TEXT}) - 4, 1) + 1),
+                       i -> md5(substr({_NORM_TEXT}, i, 5))
+                     ) AS grams
+              FROM documents
+            ),
+            wn AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       list_transform(
+                         range(1, greatest(len(grams) - 3, 1) + 1),
+                         j -> list_min(list_slice(grams, j, j + 3))
+                       )
+                     )) AS fingerprints
+              FROM g
+            )
+            SELECT doc_id, fingerprints,
+                   CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
+            FROM wn
         """,
         "exact_dup_groups": f"""
             SELECT md5({_NORM_TEXT}) AS fingerprint,

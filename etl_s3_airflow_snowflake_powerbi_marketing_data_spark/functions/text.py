@@ -130,3 +130,47 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    char ``k``-gram of the normalized text, slide a window of ``w``
+    hashes, keep each window's minimum — the selected set is a compact,
+    position-robust fingerprint guaranteeing any shared substring of
+    length ≥ k+w-1 contributes at least one common fingerprint.
+
+    All higher-order expressions, no UDF; the "hash" is the md5 hex
+    string (lexicographic minima), which is engine-portable so the
+    DuckDB oracle can verify the exact selected values, not just
+    counts. Output: (doc_id, n_fingerprints, fingerprints sorted).
+    """
+    # Staged projections, not one expression tree: lambda bodies of
+    # higher-order functions are interpreted without common-subexpression
+    # elimination, so referencing `grams` inside the window lambda would
+    # recompute the full gram array per window — O(n^2) md5 calls. Each
+    # intermediate column materializes once per row instead.
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    staged = df.select(F.col(id_col), norm.alias("__norm"))
+    n_grams = F.greatest(F.length("__norm") - F.lit(k - 1), F.lit(1))
+    staged = staged.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.col("__norm").substr(i, F.lit(k))),
+        ).alias("__grams"),
+    )
+    n_windows = F.greatest(F.size("__grams") - F.lit(w - 1), F.lit(1))
+    winnowed = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(F.col("__grams"), j, w)),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_sort(F.array_distinct(winnowed)).alias("fingerprints"),
+    ).withColumn("n_fingerprints", F.size("fingerprints").cast("long"))

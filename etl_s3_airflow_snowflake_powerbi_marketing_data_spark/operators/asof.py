@@ -41,12 +41,19 @@ def asof_join(
     right_time: str,
     right_cols: Sequence[str],
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach ``right_cols`` from the
     right row with the same ``on`` key and the greatest ``right_time``
     ≤ ``left_time`` (direction="backward") or the least ``right_time``
     ≥ ``left_time`` (direction="forward"). Unmatched left rows keep
     nulls — left-outer semantics, one output row per left row.
+
+    ``tolerance`` (an interval string, e.g. ``"30 minutes"``) bounds
+    the staleness of a match: a carried row further than the tolerance
+    from the left timestamp reverts to null (pandas ``merge_asof``
+    semantics). Costs nothing extra — the matched time already rides
+    the window.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -69,6 +76,7 @@ def asof_join(
             F.col(right_time).cast("timestamp").alias("__t"),
             *[F.col(c) for c in carried],
         )
+        .withColumn("__rt", F.col("__t"))
         # A right row with a null time has no position on the axis and
         # can never be a legitimate match; dropping it here also stops
         # its payload from carrying into every row (null sorts first
@@ -84,7 +92,7 @@ def asof_join(
         .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in carried:
+    for c in [*carried, "__rt"]:
         carried_val = F.last(F.col(c), ignorenulls=True).over(w)
         # A left row with a null time has no position either — it must
         # stay unmatched rather than inherit whatever the window order
@@ -92,4 +100,17 @@ def asof_join(
         merged = merged.withColumn(
             c, F.when(F.col("__t").isNull(), F.lit(None)).otherwise(carried_val)
         )
-    return merged.filter(F.col("__side") == 1).drop("__t", "__side")
+    if tolerance is not None:
+        gap = (
+            (F.col("__t") - F.col("__rt"))
+            if direction == "backward"
+            else (F.col("__rt") - F.col("__t"))
+        )
+        too_far = F.col("__rt").isNull() | (
+            gap > F.expr(f"INTERVAL {tolerance}")
+        )
+        for c in carried:
+            merged = merged.withColumn(
+                c, F.when(too_far, F.lit(None)).otherwise(F.col(c))
+            )
+    return merged.filter(F.col("__side") == 1).drop("__t", "__rt", "__side")

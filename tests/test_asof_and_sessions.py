@@ -170,3 +170,21 @@ def test_asof_rejects_column_collision(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="k", left_time="t", right_time="rt",
                   right_cols=["px"])
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "near"), (1, _ts(59), "far")],
+        "k long, t timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 5.0)], "k long, rt timestamp, px double"
+    )
+    out = {
+        r["ev"]: r["px"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_cols=["px"], tolerance="30 minutes",
+        ).collect()
+    }
+    assert out == {"near": 5.0, "far": None}

@@ -171,3 +171,23 @@ def test_watermark_drops_late_events(spark, tmp_path):
     t0_window = base.replace(minute=0)
     assert rows.count((t0_window, 1)) == 1
     assert (t0_window, 2) not in rows
+
+
+def test_winnow_guarantee_and_robustness(spark):
+    # Two docs sharing a substring of length >= k+w-1 (=8 for k=5,w=4)
+    # must share at least one fingerprint; the shared set is invariant
+    # to where the substring sits in the document (position-robust).
+    shared = "quartzite"
+    rows = [
+        (1, f"aaaa {shared} bbbb"),
+        (2, f"cccc dddd eeee {shared}"),
+        (3, "nothing in common here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in text_fn.winnow_fingerprints(df).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must yield a common fingerprint"
+    assert all(fps.values()), "every non-empty doc gets fingerprints"
+    assert not (fps[1] & fps[3])
