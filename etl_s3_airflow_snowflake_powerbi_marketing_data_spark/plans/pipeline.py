@@ -132,6 +132,145 @@ def _merge_into(
     _swap_write(merged, result_path)
 
 
+def _stage_raw_ingest(spark: SparkSession, sf_dir: str, warehouse_dir: str) -> None:
+    # Full replace, latest delta wins (S3 semantics,
+    # `etl_s3_snowflake_raw_event_ingest.py:49-54`).
+    _swap_write(
+        marketing.build_event_raw(spark, sf_dir),
+        _table_dir(warehouse_dir, "event_raw"),
+    )
+
+
+def _stage_d_event(spark: SparkSession, sf_dir: str, warehouse_dir: str) -> None:
+    # Dims: append-only merges on the natural key (S6).
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_event"),
+        marketing.build_d_event(spark, sf_dir),
+        ("event_id",),
+        update=False,
+        guid_col="guid_event",
+        guid_order=("event_id",),
+    )
+
+
+def _stage_d_item(spark: SparkSession, sf_dir: str, warehouse_dir: str) -> None:
+    # SCD-1 upsert (S7) on the item key.
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_item"),
+        marketing.build_d_item(spark, sf_dir),
+        ("item_id",),
+        update=True,
+    )
+
+
+def _stage_d_parameter(spark: SparkSession, sf_dir: str, warehouse_dir: str) -> None:
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_parameter"),
+        marketing.build_d_parameter(spark, sf_dir),
+        ("parameter_name",),
+        update=False,
+        guid_col="guid_parameter",
+        guid_order=("parameter_name",),
+    )
+
+
+def _stage_d_user(spark: SparkSession, sf_dir: str, warehouse_dir: str) -> None:
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "d_user"),
+        marketing.build_d_user(spark, sf_dir),
+        ("user_id",),
+        update=False,
+        guid_col="guid_user",
+        guid_order=("user_id",),
+    )
+
+
+def _stage_f_events(spark: SparkSession, sf_dir: str, warehouse_dir: str) -> None:
+    # SCD-1 upsert on the composite fact key (S7).
+    _merge_into(
+        spark,
+        _table_dir(warehouse_dir, "f_events"),
+        marketing.build_f_events(spark, sf_dir),
+        FACT_KEYS,
+        update=True,
+        guid_col="guid_event",
+        guid_order=("event_id",),
+    )
+
+
+WAREHOUSE_TABLES = (
+    "event_raw",
+    "d_event",
+    "d_user",
+    "d_parameter",
+    "d_item",
+    "f_events",
+)
+
+
+def _stage_aggregated_views(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_dir: str,
+    materialize_views: bool = False,
+) -> None:
+    # KPI views over the WAREHOUSE fact (not the day's source), exactly
+    # like the reference's CREATE OR REPLACE VIEW layer (Q13). Reads
+    # from persisted parquet so the stage is self-contained — it works
+    # both in-process and as its own scheduler task / spark-submit.
+    for name in WAREHOUSE_TABLES:
+        spark.read.parquet(
+            _table_dir(warehouse_dir, name)
+        ).createOrReplaceTempView(name)
+    marketing.register_warehouse_kpi_views(spark)
+    if materialize_views:
+        for view_name in marketing.WAREHOUSE_KPI_SQL:
+            _swap_write(
+                spark.table(view_name),
+                _table_dir(warehouse_dir, f"kpi_{view_name}"),
+            )
+
+
+# One entry per DAG in the reference's daily chain, in chain order
+# (`etl_s3_snowflake_raw_event_ingest.py:57-62` →
+# `etl_s3_snowflake_f_events.py:98-104` → aggregated_views). Each stage
+# is independently runnable (``main --stage``), so an external
+# scheduler can map the chain 1:1 onto its own task graph — see
+# ``orchestration.build_dag`` for the Airflow factory.
+PIPELINE_STAGES = {
+    "raw_ingest": _stage_raw_ingest,
+    "d_event": _stage_d_event,
+    "d_item": _stage_d_item,
+    "d_parameter": _stage_d_parameter,
+    "d_user": _stage_d_user,
+    "f_events": _stage_f_events,
+    "aggregated_views": _stage_aggregated_views,
+}
+
+
+def run_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_dir: str,
+    stage: str,
+    materialize_views: bool = False,
+) -> None:
+    """Run a single named pipeline stage (one reference DAG's worth)."""
+    if stage not in PIPELINE_STAGES:
+        raise ValueError(
+            f"unknown stage {stage!r}; choose from {list(PIPELINE_STAGES)}"
+        )
+    os.makedirs(warehouse_dir, exist_ok=True)
+    if stage == "aggregated_views":
+        _stage_aggregated_views(spark, sf_dir, warehouse_dir, materialize_views)
+    else:
+        PIPELINE_STAGES[stage](spark, sf_dir, warehouse_dir)
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -146,83 +285,12 @@ def run_daily_pipeline(
     contract (SURVEY.md §3.3: the reference's views are recomputed on
     every Power BI read; materializing trades daily write cost for
     zero-latency reads)."""
-    os.makedirs(warehouse_dir, exist_ok=True)
-
-    # Raw ingest: full replace, latest delta wins (S3 semantics,
-    # `etl_s3_snowflake_raw_event_ingest.py:49-54`).
-    _swap_write(
-        marketing.build_event_raw(spark, sf_dir),
-        _table_dir(warehouse_dir, "event_raw"),
-    )
-
-    # Dims: append-only merges on the natural key (S6).
-    _merge_into(
-        spark,
-        _table_dir(warehouse_dir, "d_event"),
-        marketing.build_d_event(spark, sf_dir),
-        ("event_id",),
-        update=False,
-        guid_col="guid_event",
-        guid_order=("event_id",),
-    )
-    _merge_into(
-        spark,
-        _table_dir(warehouse_dir, "d_user"),
-        marketing.build_d_user(spark, sf_dir),
-        ("user_id",),
-        update=False,
-        guid_col="guid_user",
-        guid_order=("user_id",),
-    )
-    _merge_into(
-        spark,
-        _table_dir(warehouse_dir, "d_parameter"),
-        marketing.build_d_parameter(spark, sf_dir),
-        ("parameter_name",),
-        update=False,
-        guid_col="guid_parameter",
-        guid_order=("parameter_name",),
-    )
-    # SCD-1 upserts (S7): item dim on its key, fact on the composite.
-    _merge_into(
-        spark,
-        _table_dir(warehouse_dir, "d_item"),
-        marketing.build_d_item(spark, sf_dir),
-        ("item_id",),
-        update=True,
-    )
-    _merge_into(
-        spark,
-        _table_dir(warehouse_dir, "f_events"),
-        marketing.build_f_events(spark, sf_dir),
-        FACT_KEYS,
-        update=True,
-        guid_col="guid_event",
-        guid_order=("event_id",),
-    )
-
-    # KPI views over the WAREHOUSE fact (not the day's source), exactly
-    # like the reference's CREATE OR REPLACE VIEW layer (Q13).
-    counts: dict[str, int] = {}
-    for name in (
-        "event_raw",
-        "d_event",
-        "d_user",
-        "d_parameter",
-        "d_item",
-        "f_events",
-    ):
-        df = spark.read.parquet(_table_dir(warehouse_dir, name))
-        df.createOrReplaceTempView(name)
-        counts[name] = df.count()
-    marketing.register_warehouse_kpi_views(spark)
-    if materialize_views:
-        for view_name in marketing.WAREHOUSE_KPI_SQL:
-            _swap_write(
-                spark.table(view_name),
-                _table_dir(warehouse_dir, f"kpi_{view_name}"),
-            )
-    return counts
+    for stage in PIPELINE_STAGES:
+        run_stage(spark, sf_dir, warehouse_dir, stage, materialize_views)
+    return {
+        name: spark.read.parquet(_table_dir(warehouse_dir, name)).count()
+        for name in WAREHOUSE_TABLES
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -359,8 +427,24 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("source_dir")
     parser.add_argument("warehouse_dir")
     parser.add_argument("--materialize-views", action="store_true")
+    parser.add_argument(
+        "--stage",
+        choices=list(PIPELINE_STAGES),
+        help="run one stage only (one reference DAG's worth); "
+        "default runs the full daily cycle",
+    )
     args = parser.parse_args(argv)
     spark = get_spark("daily_pipeline")
+    if args.stage:
+        run_stage(
+            spark,
+            args.source_dir,
+            args.warehouse_dir,
+            args.stage,
+            args.materialize_views,
+        )
+        print(f"stage {args.stage}: done")
+        return
     counts = run_daily_pipeline(
         spark, args.source_dir, args.warehouse_dir, args.materialize_views
     )

@@ -162,3 +162,58 @@ def test_partitioned_fact_merge_and_rollup(spark, tmp_path):
     got = {tuple(r) for r in rollup.collect()}
     expect = {tuple(r) for r in full.collect()}
     assert got == expect
+
+
+def test_stagewise_run_matches_full_pipeline(spark, tmp_path):
+    # Running each stage as its own invocation (the scheduler-task
+    # shape) must produce the same warehouse as the one-shot pipeline.
+    # Fresh full run (the module fixture's warehouse has day-2 data
+    # merged in by other tests).
+    wh_full = str(tmp_path / "full")
+    pipeline.run_daily_pipeline(spark, SF, wh_full)
+    wh = str(tmp_path / "stagewise")
+    for stage in pipeline.PIPELINE_STAGES:
+        pipeline.run_stage(spark, SF, wh, stage)
+    for name in pipeline.WAREHOUSE_TABLES:
+        got = sorted(map(tuple, spark.read.parquet(f"{wh}/{name}").collect()))
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{wh_full}/{name}").collect())
+        )
+        assert got == want, name
+
+
+def test_run_stage_rejects_unknown(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown stage"):
+        pipeline.run_stage(spark, SF, str(tmp_path), "nope")
+
+
+def test_orchestration_surface():
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark import (
+        orchestration,
+    )
+
+    # Stage order mirrors the reference's DAG chain.
+    assert orchestration.STAGES == (
+        "raw_ingest", "d_event", "d_item", "d_parameter", "d_user",
+        "f_events", "aggregated_views",
+    )
+    cmd = orchestration.stage_command(
+        "f_events", "/src dir", "/wh", python="python3"
+    )
+    assert "--stage f_events" in cmd
+    assert "'/src dir'" in cmd  # shell-quoted
+    mat = orchestration.stage_command(
+        "aggregated_views", "/src", "/wh", materialize_views=True
+    )
+    assert "--materialize-views" in mat
+    assert "--materialize-views" not in orchestration.stage_command(
+        "raw_ingest", "/src", "/wh", materialize_views=True
+    )
+    with pytest.raises(ValueError):
+        orchestration.stage_command("nope", "/src", "/wh")
+    # Without airflow installed, build_dag fails loudly and helpfully.
+    try:
+        import airflow  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="apache-airflow"):
+            orchestration.build_dag("/src", "/wh")
