@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": relational.user_sessions,
         "running_daily_revenue": relational.running_daily_revenue,
         "events_last_order": q_events_last_order,
+        "purchases_in_browse_sessions": relational.purchases_in_browse_sessions,
+        "part_name_features": relational.part_name_features,
         # --- training-data extensions (north star) ---
         "text_profile": q_text_profile,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
@@ -732,6 +734,55 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN rd
               ON e.user_id = rd.user_id AND e.ts >= rd.o_orderdate
             ORDER BY event_id
+        """,
+        "purchases_in_browse_sessions": """
+            WITH b AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+            g AS (
+              SELECT *,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
+              FROM g
+            ),
+            win AS (
+              SELECT user_id, session_seq, MIN(ts) AS win_start,
+                     MAX(ts) + INTERVAL 30 MINUTE AS win_end
+              FROM s GROUP BY user_id, session_seq
+            )
+            SELECT w.user_id, w.session_seq,
+                   COUNT(*) AS n_purchases,
+                   ROUND(SUM(p.value), 2) AS purchase_value,
+                   MAX(p.ts) AS last_purchase_ts
+            FROM events p
+            JOIN win w
+              ON p.user_id = w.user_id
+             AND p.ts >= w.win_start AND p.ts < w.win_end
+            WHERE p.event_type = 'purchase'
+            GROUP BY w.user_id, w.session_seq
+            ORDER BY w.user_id, w.session_seq
+        """,
+        "part_name_features": r"""
+            SELECT p_partkey,
+                   upper(regexp_extract(p_name, '^(\w+)', 1)) AS first_word_upper,
+                   substr(p_name, 1, 3) AS name_prefix,
+                   concat_ws('/', p_brand, p_type) AS brand_type,
+                   lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+                   CAST(length(p_name) AS BIGINT) AS name_len,
+                   CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+                   abs(p_retailprice - 1000) AS price_dist_1000,
+                   CAST(floor(p_retailprice / 100) AS BIGINT) AS price_century,
+                   floor(pow(p_size, 2) * 1e6) / 1e6 AS size_sq,
+                   floor(ln(p_retailprice) * 1e6) / 1e6 AS ln_price
+            FROM part ORDER BY p_partkey
         """,
         "embedding_cosine_dups": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings),

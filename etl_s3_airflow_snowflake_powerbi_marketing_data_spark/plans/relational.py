@@ -329,3 +329,90 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def purchases_in_browse_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution via interval join: each *purchase* event
+    is matched to the browse-session window — ``[session_start,
+    session_end + 30min)`` over the user's NON-purchase events — that
+    contains it, then aggregated per session.
+
+    Exercises ``operators.interval.interval_join`` — the banded
+    equi-join shape (one shuffle per side on (user, hour-bucket), exact
+    containment filter after the hash join; see that module's docstring
+    for why the naive non-equi formulation is a nested-loop join).
+    Browse windows of one user never overlap (sessions split on >30min
+    gaps, windows extend exactly 30min), so each purchase attributes to
+    at most one session.
+    """
+    from ..operators.interval import interval_join  # noqa: PLC0415
+
+    events = load_table(spark, sf_dir, "events")
+    browse = events.filter(F.col("event_type") != "purchase")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    sid = (
+        browse.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    windows = sid.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("win_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("win_end"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    pairs = interval_join(
+        purchases,
+        windows,
+        left_time="ts",
+        right_start="win_start",
+        right_end="win_end",
+        on=["user_id"],
+        bucket_seconds=3600,
+    )
+    return (
+        pairs.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+            F.max("ts").alias("last_purchase_ts"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (SURVEY.md §2.5 notes the reference uses
+    only YEAR() + JSON parse): string ops (upper, substring, concat,
+    lpad, length, regexp_extract, split) and math ops (abs, round,
+    floor, power, ln) in one projection — all JVM-side built-ins inside
+    a single whole-stage-codegen span, no shuffle at all (orderBy on the
+    key is the only exchange, for deterministic output).
+    """
+    part = load_table(spark, sf_dir, "part")
+    first_word = F.regexp_extract(F.col("p_name"), r"^(\w+)", 1)
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(first_word).alias("first_word_upper"),
+            F.substring("p_name", 1, 3).alias("name_prefix"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+            F.abs(F.col("p_retailprice") - 1000).alias("price_dist_1000"),
+            F.floor(F.col("p_retailprice") / 100).alias("price_century"),
+            (F.floor(F.pow("p_size", 2) * 1e6) / 1e6).alias("size_sq"),
+            (F.floor(F.log(F.col("p_retailprice")) * 1e6) / 1e6).alias("ln_price"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.asof import (
@@ -188,3 +189,74 @@ def test_asof_tolerance(spark):
         ).collect()
     }
     assert out == {"near": 5.0, "far": None}
+
+
+def test_interval_join_semantics(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.interval import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts(10)),   # inside A
+            (2, 1, _ts(30)),   # == A end (half-open: excluded)
+            (3, 1, _ts(0)),    # == A start (included)
+            (4, 2, _ts(10)),   # right key, wrong user
+            (5, 1, None),      # null point never matches
+        ],
+        "event_id long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), _ts(30), "A"), (9, _ts(0), _ts(30), "B")],
+        "k long, s timestamp, e timestamp, label string",
+    )
+    out = interval_join(
+        left, right, left_time="t", right_start="s", right_end="e", on=["k"],
+        bucket_seconds=600,
+    )
+    got = {(r["event_id"], r["label"]) for r in out.collect()}
+    assert got == {(1, "A"), (3, "A")}
+    # Banding must produce a hash join, not a nested loop.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_interval_join_bucket_straddle(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.interval import (
+        interval_join,
+    )
+
+    # Interval spans many buckets; point in a middle bucket still
+    # matches exactly once.
+    left = spark.createDataFrame(
+        [(1, 1, _ts(35))], "event_id long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), _ts(59), "wide")],
+        "k long, s timestamp, e timestamp, label string",
+    )
+    out = interval_join(
+        left, right, left_time="t", right_start="s", right_end="e", on=["k"],
+        bucket_seconds=60,
+    ).collect()
+    assert [(r["event_id"], r["label"]) for r in out] == [(1, "wide")]
+
+
+def test_interval_join_validation(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.interval import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame([(1, _ts(1))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(0), _ts(9))], "k long, t timestamp, e timestamp"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, left_time="t", right_start="t",
+                      right_end="e", on=["k"])
+    right2 = spark.createDataFrame(
+        [(1, _ts(0), _ts(9))], "k long, s timestamp, e timestamp"
+    )
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_join(left, right2, left_time="t", right_start="s",
+                      right_end="e", on=["k"], bucket_seconds=0)
