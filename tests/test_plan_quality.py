@@ -1,0 +1,66 @@
+"""Physical-plan regression tests — the scale properties the code
+comments promise, asserted so a refactor can't silently lose them.
+
+These check the *executed* plan string (post-AQE re-planning where it
+applies): broadcast dim joins, parquet predicate pushdown + column
+pruning, and limit-as-top-k. On a 1000-executor cluster these are the
+difference between one shuffle and a full-fact exchange, and between
+scanning 3 columns or all of them.
+"""
+
+from __future__ import annotations
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+    marketing,
+    relational,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kpi_join_broadcasts_dim(spark):
+    # The fact⋈dim join (Q3) must broadcast the small item dim, never
+    # shuffle the fact on the join key.
+    plan = _plan(marketing.item_view_rank_by_period(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kpi_filter_pushdown_and_pruning(spark):
+    # Q2's event_type filter reaches the parquet scan, and the scan
+    # reads only the columns the query needs (events has 6 columns;
+    # the KPI needs ts/event_type/props).
+    plan = _plan(marketing.view_count_by_period(spark, SF))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]" in plan
+    assert "ReadSchema: struct<ts:bigint,event_type:string,props:string>" in plan
+    for unused in ("event_id", "user_id", "value"):
+        assert f"{unused}:" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_top1_plans_as_take_ordered(spark):
+    # ORDER BY … LIMIT 1 (Q11) must plan as TakeOrderedAndProject —
+    # a true distributed top-k, not a global sort.
+    plan = _plan(marketing.most_viewed_item_latest_period(spark, SF))
+    assert "TakeOrderedAndProject(limit=1" in plan
+
+
+def test_pricing_summary_scan_shape(spark):
+    # TPC-H Q1 shape: shipdate predicate pushed down, only the 7
+    # needed lineitem columns read (of 16), partial aggregation
+    # before the exchange (map-side combine).
+    plan = _plan(relational.pricing_summary(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_comment" not in read
+    assert plan.index("partial_sum") > -1  # HashAggregate(partial) present
+
+
+def test_interval_and_asof_avoid_nested_loop(spark):
+    plan = _plan(relational.purchases_in_browse_sessions(spark, SF))
+    assert "NestedLoop" not in plan
+    plan2 = _plan(relational.events_last_order(spark, SF))
+    assert "NestedLoop" not in plan2 and "CartesianProduct" not in plan2
