@@ -33,7 +33,10 @@ HEADLINE = [
     "user_sessions",
     "running_daily_revenue",
     "events_last_order",
+    "purchases_in_browse_sessions",
+    "part_name_features",
     "text_profile",
+    "doc_winnow_fingerprints",
     "dedup_exact_docs",
     "ngram_jaccard_dups",
     "minhash_lsh_dups",
