@@ -128,6 +128,12 @@ def q_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_semantic(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_cosine_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_dup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
@@ -231,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "dedup_semantic_embeddings": q_dedup_semantic,
         "embedding_cosine_dups": q_cosine_dups,
         "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
         "embedding_cosine_dups_blocked": q_cosine_dups_blocked,
@@ -783,6 +790,51 @@ def oracle_sql() -> dict[str, str]:
                    floor(pow(p_size, 2) * 1e6) / 1e6 AS size_sq,
                    floor(ln(p_retailprice) * 1e6) / 1e6 AS ln_price
             FROM part ORDER BY p_partkey
+        """,
+        # Semantic dedup: recursive-CTE connected components over the
+        # exact cosine pair graph, survivors = min-id per component with
+        # member count.
+        "dedup_semantic_embeddings": """
+            WITH RECURSIVE pairs AS (
+              WITH e AS (SELECT vec_id, embedding FROM embeddings),
+              s AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  floor(
+                    list_sum(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE)
+                         * CAST(b.embedding[i] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE)
+                            * CAST(a.embedding[i] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                         i -> CAST(b.embedding[i] AS DOUBLE)
+                            * CAST(b.embedding[i] AS DOUBLE)))))
+                    * 1000000.0) / 1000000.0 AS cosine_sim
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+              )
+              SELECT id_a, id_b FROM s WHERE cosine_sim >= 0.4
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            cc AS (
+              SELECT src AS id, src AS label FROM sym
+              UNION
+              SELECT e.src, cc.label FROM sym e JOIN cc ON e.dst = cc.id
+            ),
+            minlab AS (SELECT id, MIN(label) AS component FROM cc GROUP BY id),
+            sizes AS (
+              SELECT component AS vec_id, COUNT(*) AS n_merged
+              FROM minlab GROUP BY component
+            )
+            SELECT vec_id, n_merged FROM sizes
+            UNION ALL
+            SELECT emb.vec_id, CAST(1 AS BIGINT) AS n_merged
+            FROM embeddings emb LEFT JOIN minlab m ON emb.vec_id = m.id
+            WHERE m.id IS NULL
+            ORDER BY vec_id
         """,
         "embedding_cosine_dups": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings),

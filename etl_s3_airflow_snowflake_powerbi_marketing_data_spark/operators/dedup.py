@@ -503,3 +503,43 @@ def dedup_near_docs(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_semantic(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic (embedding-based) dedup: connected components over the
+    cosine near-duplicate pair graph, keeping the min-id member of each
+    component. Output: one row per SURVIVOR — ``(id, n_merged)`` where
+    ``n_merged`` counts the component's members (1 for docs with no
+    near-duplicate).
+
+    Default edge generator is the exact blocked cosine join
+    (:func:`similarity.cosine_dup_pairs_blocked` — numpy matmul per
+    block pair, still exhaustive); pass ``edges`` to swap in the LSH
+    candidate graph (``cosine_dup_pairs_lsh``) when the corpus is too
+    large for exact all-pairs and approximate recall is acceptable.
+    Clustering instead of pairwise keep-min matters for chains: A~B,
+    B~C, A≁C must still collapse to one survivor, which per-pair
+    filtering gets wrong.
+    """
+    from .similarity import cosine_dup_pairs_blocked  # noqa: PLC0415
+
+    if edges is None:
+        edges = cosine_dup_pairs_blocked(
+            df, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    comps = connected_components(edges)
+    survivors = comps.groupBy("component").agg(
+        F.count("*").alias("n_merged")
+    ).select(F.col("component").alias(id_col), "n_merged")
+    unpaired = (
+        df.select(id_col)
+        .join(comps.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        .withColumn("n_merged", F.lit(1).cast("long"))
+    )
+    return survivors.unionByName(unpaired).orderBy(id_col)

@@ -202,3 +202,23 @@ def test_jaccard_prefix_filter_exact_at_fractional_threshold(docs, spark):
             if inter and inter / len(sets[a] | sets[b]) >= 0.1:
                 expect.add((a, b))
     assert got == expect and got
+
+
+def test_dedup_semantic_chain_collapses(spark):
+    # A~B and B~C but A!~C: clustering must still collapse the chain to
+    # ONE survivor (per-pair keep-min would keep A and C). Vector d is
+    # orthogonal — survives alone.
+    # Unit vectors at 0deg/25deg/50deg: adjacent cosines ~0.906 >= 0.9,
+    # the 0-50 cosine ~0.643 < 0.9.
+    import math
+
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0]
+
+    rows = [(1, v(0)), (2, v(25)), (3, v(50)), (4, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["n_merged"]
+        for r in dedup.dedup_semantic(df, threshold=0.9).collect()
+    }
+    assert out == {1: 3, 4: 1}
