@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_order": q_events_last_order,
         "purchases_in_browse_sessions": relational.purchases_in_browse_sessions,
         "part_name_features": relational.part_name_features,
+        "numeric_column_profile": relational.numeric_column_profile,
         # --- training-data extensions (north star) ---
         "text_profile": q_text_profile,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
@@ -777,6 +778,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.user_id, w.session_seq
             ORDER BY w.user_id, w.session_seq
         """,
+        "numeric_column_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name,
+                   COUNT({c}) AS n_values,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   CAST(MIN({c}) AS DOUBLE) AS min_val,
+                   CAST(MAX({c}) AS DOUBLE) AS max_val,
+                   floor(AVG({c}) * 1000000.0) / 1000000.0 AS mean_val,
+                   floor(stddev_samp({c}) * 1000000.0) / 1000000.0 AS stddev_val
+            FROM lineitem
+            """
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        )
+        + " ORDER BY col_name",
         "part_name_features": r"""
             SELECT p_partkey,
                    upper(regexp_extract(p_name, '^(\w+)', 1)) AS first_word_upper,

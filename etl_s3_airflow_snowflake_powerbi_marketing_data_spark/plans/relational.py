@@ -416,3 +416,43 @@ def part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+def numeric_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of lineitem's numeric measures — one row per
+    column with count/null/distinct/min/max/mean/stddev.
+
+    ONE aggregation pass computes all columns' stats simultaneously
+    (7 aggregates x 4 columns in a single map-side-combinable
+    HashAggregate — not one scan per column, which at 100 TB is the
+    difference between reading the table once and four times); the
+    wide single row then unpivots to rows with ``stack``. Floats are
+    floor-truncated to 6dp for engine-portable comparison.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.count(c).alias(f"{c}__n"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
+                F.countDistinct(c).cast("long").alias(f"{c}__nd"),
+                F.min(c).cast("double").alias(f"{c}__mn"),
+                F.max(c).cast("double").alias(f"{c}__mx"),
+                t6(F.avg(c)).alias(f"{c}__avg"),
+                t6(F.stddev_samp(c)).alias(f"{c}__sd"),
+            ]
+        )
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__avg, {c}__sd"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_values, n_nulls, n_distinct, min_val, max_val, "
+        "mean_val, stddev_val)"
+    ).orderBy("col_name")
