@@ -75,6 +75,20 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fn.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    return (
+        sampling.deterministic_sample(
+            load_table(spark, sf_dir, "documents"), "doc_id", 0.10, salt="split1"
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
@@ -226,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchases_in_browse_sessions": relational.purchases_in_browse_sessions,
         "part_name_features": relational.part_name_features,
         "numeric_column_profile": relational.numeric_column_profile,
+        "doc_sample_10pct": q_doc_sample,
         # --- training-data extensions (north star) ---
         "text_profile": q_text_profile,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
@@ -777,6 +792,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase'
             GROUP BY w.user_id, w.session_seq
             ORDER BY w.user_id, w.session_seq
+        """,
+        "doc_sample_10pct": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE ('0x' || substr(
+                     md5(concat('split1', CAST(doc_id AS VARCHAR))), 1, 15
+                   ))::BIGINT % 10000 < 1000
+            ORDER BY doc_id
         """,
         "numeric_column_profile": " UNION ALL ".join(
             f"""

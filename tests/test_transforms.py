@@ -161,3 +161,32 @@ def test_salted_agg_matches_plain_groupby(spark):
     for k in expect:
         assert got[k][1:] == expect[k][1:]
         assert abs(got[k][0] - expect[k][0]) < 1e-6
+
+
+def test_deterministic_sample_stability(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.2, "s").collect()}
+    # Same rows regardless of partitioning.
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            df.repartition(7), "doc_id", 0.2, "s"
+        ).collect()
+    }
+    assert a == b
+    # Roughly the requested rate.
+    assert 0.15 < len(a) / 5000 < 0.25
+    # Nested rates: a 10% sample is a subset of the 20% sample.
+    c = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.1, "s").collect()}
+    assert c <= a
+    # Different salts give (near-)independent membership.
+    d = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.2, "t").collect()}
+    assert a != d
+    import pytest
+
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "doc_id", 0.0)
