@@ -72,7 +72,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_fn.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    # Scalar-only output for the harness: the sorted fingerprint array is
+    # joined to one comma-delimited string (array columns are not
+    # canonicalizable driver-side); the array-returning function stays
+    # available for composition.
+    return text_fn.winnow_fingerprints(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.array_join("fingerprints", ",").alias("fingerprints"),
+        "n_fingerprints",
+    )
 
 
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,13 +182,30 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exploded scalar form (media_id, dim_index, value): array<float>
+    # breaks the driver canonicalizer, and the long form is also what the
+    # similarity operators consume after a posexplode anyway. Values are
+    # floor-truncated at 6 decimals (portable float32 → double compare).
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
-    return multimodal.embed_media(media, dim=16)
+    emb = multimodal.embed_media(media, dim=16)
+    return emb.select(
+        "media_id", F.posexplode("embedding").alias("dim_index", "v")
+    ).select(
+        "media_id",
+        F.col("dim_index").cast("long").alias("dim_index"),
+        (F.floor(F.col("v").cast("double") * 1e6) / 1e6).alias("value"),
+    )
 
 
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
-    return multimodal.audio_features(media)
+    feats = multimodal.audio_features(media)
+    return feats.select(
+        "media_id",
+        "duration_ms",
+        "sample_rate",
+        (F.floor(F.col("rms") * 1e6) / 1e6).alias("rms"),
+    )
 
 
 def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- merge layer (SURVEY §2.1 S6/S7) ---
         "merge_ignore_orders": q_merge_ignore,
         "merge_update_orders": q_merge_update,
+        # --- streaming (green-field; kept mid-list so a harness-side
+        #     global time budget can't silently drop them off the tail,
+        #     which is what happened to the last two entries in r01) ---
+        "streaming_event_counts": q_streaming_counts,
+        "streaming_sliding_counts": q_streaming_sliding,
+        "streaming_user_sessions": q_streaming_sessions,
         # --- relational coverage (SURVEY §2.5 gaps made first-class) ---
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -261,10 +292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frames,
         "media_embeddings": q_media_embeddings,
         "media_audio_features": q_media_audio,
-        # --- streaming (green-field) ---
-        "streaming_event_counts": q_streaming_counts,
-        "streaming_sliding_counts": q_streaming_sliding,
-        "streaming_user_sessions": q_streaming_sessions,
     }
 
 
@@ -639,7 +666,8 @@ def oracle_sql() -> dict[str, str]:
                      )) AS fingerprints
               FROM g
             )
-            SELECT doc_id, fingerprints,
+            SELECT doc_id,
+                   array_to_string(fingerprints, ',') AS fingerprints,
                    CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
             FROM wn
         """,
@@ -905,6 +933,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST((octet_length(encode(text)) // 7) % 1024 + 1 AS INTEGER)
                      AS decoded_height
             FROM documents ORDER BY media_id
+        """,
+        # Embedding stub is md5(text || '#' || j): little-endian uint32 of
+        # the first 4 digest bytes, scaled to [-1, 1), rounded through
+        # float32 (Spark's ArrayType(FloatType)), floor-truncated at 6
+        # decimals on both sides. Documents are ASCII so VARCHAR md5 ==
+        # byte-level md5.
+        "media_embeddings": """
+            WITH e AS (
+              SELECT doc_id, j,
+                     md5(text || '#' || CAST(j AS VARCHAR)) AS h
+              FROM documents
+              CROSS JOIN (SELECT unnest(range(16)) AS j)
+            ),
+            b AS (
+              SELECT doc_id, j,
+                (strpos('0123456789abcdef', substr(h,1,1))-1)*16
+                  + strpos('0123456789abcdef', substr(h,2,1))-1 AS b0,
+                (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+                  + strpos('0123456789abcdef', substr(h,4,1))-1 AS b1,
+                (strpos('0123456789abcdef', substr(h,5,1))-1)*16
+                  + strpos('0123456789abcdef', substr(h,6,1))-1 AS b2,
+                (strpos('0123456789abcdef', substr(h,7,1))-1)*16
+                  + strpos('0123456789abcdef', substr(h,8,1))-1 AS b3
+              FROM e
+            )
+            SELECT doc_id AS media_id,
+                   CAST(j AS BIGINT) AS dim_index,
+                   floor(CAST(CAST(
+                     ((b0 + 256*b1 + 65536*b2 + 16777216*b3)
+                       / 4294967296.0) * 2.0 - 1.0
+                     AS FLOAT) AS DOUBLE) * 1e6) / 1e6 AS value
+            FROM b
+        """,
+        # Audio stub: duration from byte length, RMS = byte-mean / 255.
+        # Documents are ASCII (verified) so ord(char) == byte value.
+        "media_audio_features": """
+            SELECT doc_id AS media_id,
+                   CAST(((octet_length(encode(text)) % 120) + 1) * 1000
+                        AS BIGINT) AS duration_ms,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   floor((CAST(list_sum(list_transform(
+                            range(1, length(text) + 1),
+                            i -> ord(substr(text, CAST(i AS INT), 1))
+                          )) AS DOUBLE)
+                          / octet_length(encode(text)) / 255.0) * 1e6) / 1e6
+                     AS rms
+            FROM documents
         """,
         "streaming_event_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

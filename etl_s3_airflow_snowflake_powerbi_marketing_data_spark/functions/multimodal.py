@@ -160,7 +160,9 @@ def embed_media(df: DataFrame, dim: int = 16) -> DataFrame:
     ready to chain into the similarity operators
     (``operators.similarity``) — the multimodal → ANN pipeline shape.
 
-    STUB embedding: dim hash-derived floats in [-1, 1). A real model
+    STUB embedding: dim hash-derived floats in [-1, 1), dimension j
+    salted with the ASCII suffix ``#j`` (portable — any engine with
+    md5 can reproduce the exact values for verification). A real model
     swaps the hash loop for an ONNX/torch batch forward pass; the
     Arrow batching, schema, and downstream compatibility stay as-is.
     """
@@ -181,7 +183,7 @@ def embed_media(df: DataFrame, dim: int = 16) -> DataFrame:
                 blob = bytes(payload)
                 vec = []
                 for j in range(dim):
-                    digest = hashlib.md5(blob + j.to_bytes(4, "big")).digest()
+                    digest = hashlib.md5(blob + f"#{j}".encode()).digest()
                     (u,) = struct.unpack("<I", digest[:4])
                     vec.append((u / 2**32) * 2.0 - 1.0)
                 embs.append(vec)
