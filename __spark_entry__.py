@@ -743,6 +743,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN minlab m ON d.doc_id = m.id
             WHERE m.id IS NULL OR m.component = d.doc_id
         """,
+        # The xxhash64-based approximate operators cannot be re-derived in
+        # DuckDB SQL; their oracles read expected outputs precomputed by an
+        # INDEPENDENT implementation (tools/gen_expected.py: pure-Python
+        # XXH64 verified bit-for-bit against Spark + sequential-fold float
+        # math). Regenerate with `python tools/gen_expected.py` if the
+        # sf0.01 testdata ever changes.
+        "minhash_lsh_dups": """
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('/root/repo/expected/sf0.01/minhash_lsh_dups.parquet')
+        """,
+        "simhash_near_dups": """
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('/root/repo/expected/sf0.01/simhash_near_dups.parquet')
+        """,
+        "embedding_topk_lsh": """
+            SELECT query_id, neighbor_id, cosine_sim, rank
+            FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_lsh.parquet')
+        """,
+        "embedding_topk_ivf": """
+            SELECT query_id, neighbor_id, cosine_sim, rank
+            FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_ivf.parquet')
+        """,
+        "embedding_cosine_dups_lsh": """
+            SELECT id_a, id_b, cosine_sim
+            FROM read_parquet('/root/repo/expected/sf0.01/embedding_cosine_dups_lsh.parquet')
+        """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
                        FROM embeddings WHERE vec_id < 10),

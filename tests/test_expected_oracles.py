@@ -1,0 +1,97 @@
+"""Gates for the precomputed-expected oracles of the approximate ops.
+
+Two layers of independence:
+
+1. ``tools/pyxxh64`` must match Spark's ``xxhash64`` bit-for-bit across
+   type paths (long, int-seeded chain, strings spanning every tail-size
+   branch of the algorithm).
+2. ``tools/gen_expected``'s pure-Python generators must reproduce the
+   Spark operator outputs on a DIFFERENT dataset (sf0.001) than the one
+   the committed expected files were generated from (sf0.01) — so the
+   generator can't be accidentally fitted to one dataset's quirks.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+    dedup,
+    similarity,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import load_table
+from tools import gen_expected
+from tools.pyxxh64 import xxhash64
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else int(v)
+                for v in row
+            )
+        )
+    return sorted(rows)
+
+
+def test_pyxxh64_matches_spark(spark):
+    cases = [
+        ("", "a", "abcd", "abcdefg", "abcdefgh", "x" * 31, "y" * 32,
+         "z" * 33, "tok en-ized text with spaces " * 3),
+        (0, 1, -1, 2**62, -(2**62)),
+    ]
+    str_cols = [F.xxhash64(F.lit(s)) for s in cases[0]]
+    long_cols = [F.xxhash64(F.lit(v).cast("long")) for v in cases[1]]
+    chain = [
+        F.xxhash64(F.lit(7), F.lit(-12345).cast("long")),
+        F.xxhash64(F.lit("ab"), F.lit("cd")),
+    ]
+    got = spark.range(1).select(*str_cols, *long_cols, *chain).collect()[0]
+    want = (
+        [xxhash64(s) for s in cases[0]]
+        + [xxhash64(v) for v in cases[1]]
+        + [xxhash64(("int", 7), -12345), xxhash64("ab", "cd")]
+    )
+    assert list(got) == want
+
+
+def test_generators_match_spark_on_alternate_sf(spark, sf_dir):
+    docs_pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    vecs = gen_expected.load_embeddings(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    pairs = [
+        (
+            gen_expected.gen_minhash(docs_pdf),
+            dedup.minhash_dedup_pairs(docs, threshold=0.5),
+        ),
+        (
+            gen_expected.gen_simhash(docs_pdf),
+            dedup.simhash_near_dups(docs, max_hamming=3),
+        ),
+        (
+            gen_expected.gen_lsh_topk(vecs),
+            similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5),
+        ),
+        (
+            gen_expected.gen_ivf_topk(vecs),
+            similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5),
+        ),
+        (
+            gen_expected.gen_cosine_dups_lsh(vecs),
+            similarity.cosine_dup_pairs_lsh(emb, threshold=0.4),
+        ),
+    ]
+    for expected, spark_df in pairs:
+        got = spark_df.toPandas()
+        assert _canon(got) == _canon(expected)

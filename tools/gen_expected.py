@@ -1,0 +1,352 @@
+"""Generate independent expected outputs for the approximate operators.
+
+The LSH/IVF-family queries (`minhash_lsh_dups`, `simhash_near_dups`,
+`embedding_topk_lsh`, `embedding_topk_ivf`, `embedding_cosine_dups_lsh`)
+use Spark's ``xxhash64``, which DuckDB cannot reproduce in SQL — so
+their DuckDB oracle reads a precomputed expected parquet instead. This
+script computes those expected outputs with implementations INDEPENDENT
+of the Spark operators: pure-Python XXH64 (``tools/pyxxh64.py``, itself
+verified bit-for-bit against Spark), sequential-sum float math matching
+the SQL ``aggregate`` semantics, and numpy only where the Spark side is
+numpy too (the Arrow-vectorized verify of ``cosine_dup_pairs_lsh``).
+
+Usage: python tools/gen_expected.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.01 → /root/repo/expected/sf0.01
+
+The outputs are committed; ``oracle_sql()`` reads them via
+``read_parquet`` at the driver's comparison SF (0.01).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from tools.pyxxh64 import xxhash64
+
+SIGN = 1 << 63
+M64 = (1 << 64) - 1
+
+
+def to_signed(u: int) -> int:
+    return u - (1 << 64) if u >= SIGN else u
+
+
+def trunc6(x: float) -> float:
+    return math.floor(x * 1e6) / 1e6
+
+
+# --- text primitives (mirror operators/dedup.py semantics exactly) -----
+
+
+def tokens(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip().lower())
+
+
+def word_shingles(text: str, n: int = 3) -> list[str]:
+    toks = tokens(text)
+    k = len(toks) - (n - 1)
+    out = []
+    for i in range(max(k, 1)):
+        out.append(" ".join(toks[i : i + n]))
+    seen: dict[str, None] = {}
+    for s in out:
+        seen.setdefault(s)
+    return list(seen)
+
+
+def shingle_hash_sets(docs: pd.DataFrame, n: int = 3) -> dict[int, list[int]]:
+    return {
+        int(r.doc_id): [xxhash64(s) for s in word_shingles(r.text, n)]
+        for r in docs.itertuples()
+    }
+
+
+# --- minhash_lsh_dups --------------------------------------------------
+
+
+def gen_minhash(docs: pd.DataFrame) -> pd.DataFrame:
+    num_hashes, bands, threshold = 64, 16, 0.5
+    rows_per_band = num_hashes // bands
+    sets = shingle_hash_sets(docs, 3)
+    # per-seed chained prefix: xxhash64(int i, long h) re-seeds with the
+    # int hash first, so precompute that half once per i
+    sigs: dict[int, list[int]] = {}
+    for doc_id, hs in sets.items():
+        sig = [
+            min(xxhash64(("int", i), h) for h in hs)
+            for i in range(num_hashes)
+        ]
+        sigs[doc_id] = sig
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            band_hash = xxhash64(",".join(str(x) for x in chunk))
+            buckets.setdefault((b, band_hash), []).append(doc_id)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    out = {"id_a": [], "id_b": [], "jaccard": []}
+    for id_a, id_b in sorted(cands):
+        sa, sb = set(sets[id_a]), set(sets[id_b])
+        common = len(sa & sb)
+        jac = trunc6(common / (len(sa) + len(sb) - common))
+        if jac >= threshold:
+            out["id_a"].append(id_a)
+            out["id_b"].append(id_b)
+            out["jaccard"].append(jac)
+    return pd.DataFrame(out).astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+    )
+
+
+# --- simhash_near_dups -------------------------------------------------
+
+
+def gen_simhash(docs: pd.DataFrame) -> pd.DataFrame:
+    max_hamming = 3
+    n_bands = max_hamming + 1
+    bits_per_band = 64 // n_bands
+    mask = (1 << bits_per_band) - 1
+    sh_by_id: dict[int, int] = {}
+    for r in docs.itertuples():
+        hs = np.array(
+            [xxhash64(t) for t in tokens(r.text)], dtype=np.int64
+        ).astype(np.uint64)
+        n = len(hs)
+        sh_u = 0
+        for i in range(64):
+            c = int(((hs >> np.uint64(i)) & np.uint64(1)).sum())
+            if 2 * c > n:
+                sh_u |= 1 << i
+        sh_by_id[int(r.doc_id)] = to_signed(sh_u)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sh in sh_by_id.items():
+        for b in range(n_bands):
+            key = (sh >> (b * bits_per_band)) & mask
+            buckets.setdefault((b, key), []).append(doc_id)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    out = {"id_a": [], "id_b": [], "hamming": []}
+    for id_a, id_b in sorted(cands):
+        ham = bin((sh_by_id[id_a] ^ sh_by_id[id_b]) & M64).count("1")
+        if ham <= max_hamming:
+            out["id_a"].append(id_a)
+            out["id_b"].append(id_b)
+            out["hamming"].append(ham)
+    return pd.DataFrame(out).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int32"}
+    )
+
+
+# --- embedding ops -----------------------------------------------------
+
+
+def seq_dot(a, b) -> float:
+    """Sequential left-fold sum, matching SQL aggregate() rounding."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def seq_norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def seq_cosine(a, b) -> float:
+    return seq_dot(a, b) / (seq_norm(a) * seq_norm(b))
+
+
+def load_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    return [(int(r.vec_id), list(r.embedding)) for r in emb.itertuples()]
+
+
+def _hyperplanes(bits: int, dim: int) -> list[list[float]]:
+    # Same deterministic md5 derivation as similarity._hyperplane —
+    # setup constants, not Spark compute, so sharing the formula is fine.
+    import hashlib
+    import struct
+
+    planes = []
+    for seed in range(bits):
+        out = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            out.append((u / 2**64) * 2.0 - 1.0)
+        planes.append(out)
+    return planes
+
+
+def _signature(vec: list[float], planes: list[list[float]]) -> int:
+    sig = 0
+    for i, plane in enumerate(planes):
+        if seq_dot(vec, plane) > 0:
+            sig |= 1 << i
+    return sig  # bits=16 so never hits the sign bit
+
+
+def _rank_topk(
+    scored: dict[int, dict[int, float]], k: int
+) -> pd.DataFrame:
+    out = {"query_id": [], "neighbor_id": [], "cosine_sim": [], "rank": []}
+    for qid in sorted(scored):
+        ranked = sorted(scored[qid].items(), key=lambda t: (-t[1], t[0]))
+        for rank, (nid, sim) in enumerate(ranked[:k], start=1):
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(nid)
+            out["cosine_sim"].append(sim)
+            out["rank"].append(rank)
+    return pd.DataFrame(out).astype(
+        {
+            "query_id": "int64",
+            "neighbor_id": "int64",
+            "cosine_sim": "float64",
+            "rank": "int64",
+        }
+    )
+
+
+def gen_lsh_topk(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
+    k, bits, bands = 5, 16, 4
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    dim = len(vecs[0][1])
+    planes = _hyperplanes(bits, dim)
+    queries = [(i, v) for i, v in vecs if i < 10]
+    sig = {i: _signature(v, planes) for i, v in vecs}
+    corpus_buckets: dict[tuple[int, int], list[int]] = {}
+    for i, _ in vecs:
+        for b in range(bands):
+            key = (sig[i] >> (b * bits_per_band)) & mask
+            corpus_buckets.setdefault((b, key), []).append(i)
+    by_id = dict(vecs)
+    scored: dict[int, dict[int, float]] = {}
+    for qid, qvec in queries:
+        cand: set[int] = set()
+        for b in range(bands):
+            key = (sig[qid] >> (b * bits_per_band)) & mask
+            cand.update(corpus_buckets.get((b, key), []))
+        cand.discard(qid)
+        scored[qid] = {
+            nid: trunc6(seq_cosine(qvec, by_id[nid])) for nid in cand
+        }
+    return _rank_topk(scored, k)
+
+
+def gen_ivf_topk(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
+    k, n_cells, n_probe = 5, 16, 4
+    hashed = sorted((xxhash64(i), i) for i, _ in vecs)
+    by_id = dict(vecs)
+    centroids = [(cell + 1, by_id[i]) for cell, (_, i) in enumerate(hashed[:n_cells])]
+
+    def probe(vec: list[float], probes: int) -> list[int]:
+        sims = sorted(
+            ((cell, seq_cosine(vec, cv)) for cell, cv in centroids),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return [cell for cell, _ in sims[:probes]]
+
+    cell_members: dict[int, list[int]] = {}
+    for i, v in vecs:
+        cell_members.setdefault(probe(v, 1)[0], []).append(i)
+    scored: dict[int, dict[int, float]] = {}
+    for qid, qvec in ((i, v) for i, v in vecs if i < 10):
+        cand: set[int] = set()
+        for cell in probe(qvec, n_probe):
+            cand.update(cell_members.get(cell, []))
+        cand.discard(qid)
+        scored[qid] = {
+            nid: trunc6(seq_cosine(qvec, by_id[nid])) for nid in cand
+        }
+    return _rank_topk(scored, k)
+
+
+def gen_cosine_dups_lsh(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
+    threshold, bits, bands = 0.4, 16, 8
+    bits_per_band = bits // bands
+    mask = (1 << bits_per_band) - 1
+    dim = len(vecs[0][1])
+    planes = _hyperplanes(bits, dim)
+    sig = {i: _signature(v, planes) for i, v in vecs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, _ in vecs:
+        for b in range(bands):
+            key = (sig[i] >> (b * bits_per_band)) & mask
+            buckets.setdefault((b, key), []).append(i)
+    cands: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    by_id = dict(vecs)
+    pairs = sorted(cands)
+    # Verify step mirrors the Spark side's Arrow/numpy batch math
+    # (row-wise products + axis-1 pairwise sums), not sequential folds.
+    mat_a = np.vstack([by_id[a] for a, _ in pairs]).astype(np.float64)
+    mat_b = np.vstack([by_id[b] for _, b in pairs]).astype(np.float64)
+    num = (mat_a * mat_b).sum(axis=1)
+    den = np.sqrt((mat_a * mat_a).sum(axis=1)) * np.sqrt(
+        (mat_b * mat_b).sum(axis=1)
+    )
+    sim = np.floor(num / den * 1e6) / 1e6
+    keep = sim >= threshold
+    return pd.DataFrame(
+        {
+            "id_a": np.array([a for a, _ in pairs])[keep],
+            "id_b": np.array([b for _, b in pairs])[keep],
+            "cosine_sim": sim[keep],
+        }
+    ).astype({"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"})
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "expected",
+            os.path.basename(sf_dir.rstrip("/")),
+        )
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    vecs = load_embeddings(sf_dir)
+    for name, df in [
+        ("minhash_lsh_dups", gen_minhash(docs)),
+        ("simhash_near_dups", gen_simhash(docs)),
+        ("embedding_topk_lsh", gen_lsh_topk(vecs)),
+        ("embedding_topk_ivf", gen_ivf_topk(vecs)),
+        ("embedding_cosine_dups_lsh", gen_cosine_dups_lsh(vecs)),
+    ]:
+        path = os.path.join(out_dir, f"{name}.parquet")
+        df.to_parquet(path, index=False)
+        print(f"{name}: {len(df)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
