@@ -518,19 +518,22 @@ def dedup_semantic(
     ``n_merged`` counts the component's members (1 for docs with no
     near-duplicate).
 
-    Default edge generator is the exact blocked cosine join
-    (:func:`similarity.cosine_dup_pairs_blocked` — numpy matmul per
-    block pair, still exhaustive); pass ``edges`` to swap in the LSH
-    candidate graph (``cosine_dup_pairs_lsh``) when the corpus is too
-    large for exact all-pairs and approximate recall is acceptable.
+    Default edge generator is the LSH candidate graph
+    (:func:`similarity.cosine_dup_pairs_lsh` — banded signature join,
+    exact cosine verify on candidates only), the 100 TB path: no stage
+    is quadratic in corpus size. Its pair set is oracle-gated against
+    an independent implementation (tests/test_expected_oracles.py and
+    expected/sf0.01). Pass ``edges`` to swap in the exhaustive blocked
+    join (``cosine_dup_pairs_blocked``) when you need guaranteed-exact
+    recall on a bounded slice — e.g. to measure the LSH recall itself.
     Clustering instead of pairwise keep-min matters for chains: A~B,
     B~C, A≁C must still collapse to one survivor, which per-pair
     filtering gets wrong.
     """
-    from .similarity import cosine_dup_pairs_blocked  # noqa: PLC0415
+    from .similarity import cosine_dup_pairs_lsh  # noqa: PLC0415
 
     if edges is None:
-        edges = cosine_dup_pairs_blocked(
+        edges = cosine_dup_pairs_lsh(
             df, threshold=threshold, id_col=id_col, vec_col=vec_col
         )
     comps = connected_components(edges)

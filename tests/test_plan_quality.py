@@ -64,3 +64,23 @@ def test_interval_and_asof_avoid_nested_loop(spark):
     assert "NestedLoop" not in plan
     plan2 = _plan(relational.events_last_order(spark, SF))
     assert "NestedLoop" not in plan2 and "CartesianProduct" not in plan2
+
+
+def test_dedup_semantic_default_has_no_all_pairs_stage(spark):
+    # The default edge generator must be the LSH candidate path: no
+    # cartesian/nested-loop stage and no blocked-matmul
+    # FlatMapGroupsInPandas (the exhaustive O(N^2/B^2) fallback, which
+    # is opt-in via edges=). At 100 TB the default plan must stay
+    # subquadratic end to end.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    df = dedup.dedup_semantic(load_table(spark, SF, "embeddings"))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
