@@ -107,9 +107,30 @@ def _spread_if_narrow(df: DataFrame) -> DataFrame:
     session's parallelism (few/large row groups — the regex suite below
     is CPU-bound and would serialize). When the input already has
     enough splits — the normal case on a real table — this is a no-op,
-    keeping the profile a pure shuffle-free projection."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n:
+    keeping the profile a pure shuffle-free projection.
+
+    The narrowness estimate uses optimizer STATISTICS (plan-only, no
+    job) instead of ``df.rdd.getNumPartitions()``, which forces a
+    plan→RDD conversion on every call: a scan splits into
+    ``ceil(bytes / maxPartitionBytes)`` tasks, so when the stats say
+    the input spans fewer than ``shuffle.partitions`` such splits the
+    CPU-heavy profile would under-parallelize and we pay one cheap
+    shuffle to spread it. Big inputs (the 100 TB case) naturally
+    exceed the threshold and stay shuffle-free."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .removesuffix("b")
+        )
+        est_splits = max(1, -(-size_bytes // max_split))
+    except Exception:
+        est_splits = spark.sparkContext.defaultParallelism
+    if est_splits < n:
         return df.repartition(n)
     return df
 

@@ -11,8 +11,15 @@ theta-join. This implementation is the union-merge pattern:
    (key, time, side, payload) rows.
 2. One window per key, ordered by (time, side) with right rows sorting
    before left rows at equal timestamps (so "at or before" includes
-   exact matches), carries the last non-null right payload forward
-   (``last(..., ignorenulls=True)`` over an unbounded-preceding frame).
+   exact matches), carries the last right payload forward as ONE
+   struct (``last(struct, ignorenulls=True)`` over an
+   unbounded-preceding frame). The single-struct carry matters: with
+   independent per-column ``last(ignorenulls=True)`` calls, a NULL in
+   one payload column of the nearest right row would stitch that
+   column from an OLDER row — a composite no single right row
+   produced, diverging from pandas ``merge_asof``. The struct is
+   non-null for every right row, so all fields (and the matched
+   timestamp the tolerance check uses) come from the same row.
 3. Keep the left rows.
 
 Cost: exactly ONE shuffle (hash on the join key for the window) over
@@ -76,13 +83,23 @@ def asof_join(
             F.col(right_time).cast("timestamp").alias("__t"),
             *[F.col(c) for c in carried],
         )
-        .withColumn("__rt", F.col("__t"))
         # A right row with a null time has no position on the axis and
         # can never be a legitimate match; dropping it here also stops
         # its payload from carrying into every row (null sorts first
         # ascending, i.e. "before everything").
         .filter(F.col("__t").isNotNull())
         .withColumn("__side", F.lit(0))
+        # One struct per right row — never null (the row exists), so a
+        # single last(ignorenulls) carries ALL fields + the matched
+        # time from the SAME right row, even when some payload fields
+        # are null in it.
+        .withColumn(
+            "__payload",
+            F.struct(
+                F.col("__t").alias("__rt"), *[F.col(c) for c in carried]
+            ),
+        )
+        .drop(*carried)
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -92,25 +109,25 @@ def asof_join(
         .orderBy(t_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in [*carried, "__rt"]:
-        carried_val = F.last(F.col(c), ignorenulls=True).over(w)
-        # A left row with a null time has no position either — it must
-        # stay unmatched rather than inherit whatever the window order
-        # happens to place before it.
-        merged = merged.withColumn(
-            c, F.when(F.col("__t").isNull(), F.lit(None)).otherwise(carried_val)
-        )
+    # A left row with a null time has no position either — it must
+    # stay unmatched rather than inherit whatever the window order
+    # happens to place before it.
+    match = F.when(F.col("__t").isNull(), F.lit(None)).otherwise(
+        F.last(F.col("__payload"), ignorenulls=True).over(w)
+    )
+    merged = merged.withColumn("__match", match)
+    rt = F.col("__match.__rt")
     if tolerance is not None:
         gap = (
-            (F.col("__t") - F.col("__rt"))
+            (F.col("__t") - rt)
             if direction == "backward"
-            else (F.col("__rt") - F.col("__t"))
+            else (rt - F.col("__t"))
         )
-        too_far = F.col("__rt").isNull() | (
-            gap > F.expr(f"INTERVAL {tolerance}")
+        keep = rt.isNotNull() & (gap <= F.expr(f"INTERVAL {tolerance}"))
+        merged = merged.withColumn(
+            "__match", F.when(keep, F.col("__match")).otherwise(F.lit(None))
         )
-        for c in carried:
-            merged = merged.withColumn(
-                c, F.when(too_far, F.lit(None)).otherwise(F.col(c))
-            )
-    return merged.filter(F.col("__side") == 1).drop("__t", "__rt", "__side")
+    return merged.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__match.{c}").alias(c) for c in carried],
+    )

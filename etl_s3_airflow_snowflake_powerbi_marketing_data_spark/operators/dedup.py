@@ -163,9 +163,12 @@ def ngram_jaccard_pairs(
     quadratic in corpus size for non-pathological thresholds.
 
     The shingle sets are ``cache()``d for the three reads inside this
-    plan and stay cached for the session (Spark offers no
-    consume-once cache); long-lived multi-corpus sessions should
-    ``spark.catalog.clearCache()`` between corpora.
+    plan, the verified pairs are materialized eagerly (localCheckpoint
+    — the output is the post-threshold pair set, tiny next to the
+    corpus), and the cache is dropped before returning: repeated calls
+    in a long-lived session (bench loops, multi-corpus runs) leave no
+    storage residue. Callers get a sealed result, not a plan over
+    session-cached state.
     """
     # The filter math runs on integers (threshold at 6-decimal
     # precision, matching the trunc6 verification grid): float products
@@ -207,7 +210,11 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verified_jaccard(candidates, sets, threshold)
+    verified = _verified_jaccard(candidates, sets, threshold).localCheckpoint(
+        eager=True
+    )
+    sets.unpersist()
+    return verified
 
 
 def minhash_signatures(

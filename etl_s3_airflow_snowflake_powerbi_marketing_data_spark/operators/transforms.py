@@ -39,6 +39,26 @@ EVENT_PAYLOAD_SCHEMA = T.StructType(
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
 
 
+def normalize_id_to_long(col: Column | str, dtype: str = "string") -> Column:
+    """Snowflake-compatible id normalization (SURVEY.md §1.2): the
+    reference's item source carries float-FORMATTED text ids
+    (`item.csv:2` ``"2512.0"``) while events carry plain ints
+    (`event.csv:2` ``"3526"``), and its KPI join
+    (`etl_s3_snowflake_aggregated_views.py:31`) works only because
+    Snowflake implicitly coerces VARCHAR→NUMBER, so ``'2512.0' = 2512``.
+
+    Spark's direct ``CAST('2512.0' AS BIGINT)`` is NULL — silently
+    unjoining every float-formatted id. Route string ids through
+    DECIMAL first (exact, unlike DOUBLE, for 38-digit ids): text that
+    Snowflake would coerce lands on the same integer here. Non-string
+    inputs take a plain long cast — no decimal detour in the plan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if dtype == "string":
+        return c.cast("decimal(38,9)").cast("long")
+    return c.cast("long")
+
+
 def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     """P1 — bulk column rename (e.g. ``event.payload`` → ``event_payload``)."""
     return df.withColumnsRenamed(mapping)

@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.keys import ordered_surrogate_key
-from ..operators.transforms import PROPS_SCHEMA, parse_json_column
+from ..operators.transforms import (
+    PROPS_SCHEMA,
+    normalize_id_to_long,
+    parse_json_column,
+)
 from ..tables import load_table
 
 VIEW_EVENT = "view"  # plays the reference's WHERE event_name = 'view_item'
@@ -92,10 +96,14 @@ def build_d_item(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item dim: prefixed renames of the item source table
     ↔ `etl_s3_snowflake_d_item.py:24-29` (column-prefix renames; the
     float-text id is normalized to long at build time per SURVEY §1.2 —
-    here the synthetic key is already numeric)."""
+    ``normalize_id_to_long`` handles the ``"2512.0"``-style text ids the
+    reference relies on Snowflake to coerce; the synthetic key is
+    already numeric so it takes the plain-cast path)."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
-        F.col("p_partkey").cast("long").alias("item_id"),
+        normalize_id_to_long(
+            "p_partkey", part.schema["p_partkey"].dataType.simpleString()
+        ).alias("item_id"),
         F.col("p_name").alias("item_name"),
         F.col("p_brand").alias("item_brand"),
         F.col("p_type").alias("item_type"),
@@ -106,14 +114,17 @@ def build_d_item(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fact_columns(flat: DataFrame) -> DataFrame:
     """Fact-table projection: renames + item-key normalization to long
-    (the VARCHAR-coercion fix, SURVEY.md §1.2)."""
+    (the VARCHAR-coercion fix, SURVEY.md §1.2 — float-formatted text
+    ids parse via the decimal path instead of silently nulling)."""
     return flat.select(
         "event_id",
         F.col("ts").alias("event_time"),
         F.col("user_id").alias("event_user_id"),
         F.col("event_type").alias("event_name"),
         F.col("value").alias("event_value"),
-        F.col("item_key").cast("long").alias("event_parameter_value"),
+        normalize_id_to_long(
+            "item_key", flat.schema["item_key"].dataType.simpleString()
+        ).alias("event_parameter_value"),
     )
 
 

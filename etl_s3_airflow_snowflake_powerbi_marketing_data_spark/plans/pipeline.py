@@ -211,6 +211,68 @@ WAREHOUSE_TABLES = (
     "f_events",
 )
 
+# Declared warehouse contract — the reference's fixed CREATE OR REPLACE
+# TABLE schemas (`etl_s3_snowflake_d_event.py:33-42` and peers), stated
+# once here rather than re-inferred from files, so schema drift in a
+# build is an ERROR at publish time instead of a silent catalog change.
+WAREHOUSE_SCHEMAS: dict[str, str] = {
+    "event_raw": (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, item_key BIGINT, guid_event_raw BIGINT"
+    ),
+    "d_event": "event_id BIGINT, guid_event BIGINT",
+    "d_user": "user_id BIGINT, guid_user BIGINT",
+    "d_parameter": "parameter_name STRING, guid_parameter BIGINT",
+    "d_item": (
+        "item_id BIGINT, item_name STRING, item_brand STRING,"
+        " item_type STRING, item_size INT, item_price DOUBLE"
+    ),
+    "f_events": (
+        "event_id BIGINT, event_time TIMESTAMP, event_user_id BIGINT,"
+        " event_name STRING, event_value DOUBLE,"
+        " event_parameter_value BIGINT, guid_event BIGINT"
+    ),
+}
+
+
+def publish_catalog(
+    spark: SparkSession,
+    warehouse_dir: str,
+    tables: tuple[str, ...] = WAREHOUSE_TABLES,
+    prefix: str = "wh_",
+) -> None:
+    """S5 — register every persisted warehouse table in the session
+    CATALOG with its DECLARED schema (external over the parquet dirs,
+    no data copy), after validating the files actually match the
+    declaration.
+
+    This is the reference's observable catalog semantics: downstream
+    consumers address ``wh_f_events`` by name and the catalog answers
+    schema questions — the filesystem layout becomes an implementation
+    detail. Validation compares the parquet footer schema to
+    :data:`WAREHOUSE_SCHEMAS`, so a build that drifts from the contract
+    fails loudly here instead of poisoning every downstream query.
+    """
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    from ..sources.writers import create_table_ddl  # noqa: PLC0415
+
+    for name in tables:
+        declared = StructType.fromDDL(WAREHOUSE_SCHEMAS[name])
+        actual = spark.read.parquet(_table_dir(warehouse_dir, name)).schema
+        if actual != declared:
+            raise ValueError(
+                f"schema drift in warehouse table {name!r}: declared "
+                f"{declared.simpleString()} but files contain "
+                f"{actual.simpleString()}"
+            )
+        create_table_ddl(
+            spark,
+            f"{prefix}{name}",
+            WAREHOUSE_SCHEMAS[name],
+            location=_table_dir(warehouse_dir, name),
+        )
+
 
 def _stage_aggregated_views(
     spark: SparkSession,
@@ -287,6 +349,7 @@ def run_daily_pipeline(
     zero-latency reads)."""
     for stage in PIPELINE_STAGES:
         run_stage(spark, sf_dir, warehouse_dir, stage, materialize_views)
+    publish_catalog(spark, warehouse_dir)
     return {
         name: spark.read.parquet(_table_dir(warehouse_dir, name)).count()
         for name in WAREHOUSE_TABLES

@@ -42,6 +42,35 @@ def drop_temp_views(spark: SparkSession, names: Sequence[str]) -> None:
         spark.catalog.dropTempView(name)
 
 
+def create_table_ddl(
+    spark: SparkSession,
+    name: str,
+    schema_ddl: str,
+    location: str | None = None,
+) -> None:
+    """S5 — declared-schema table DDL, the reference's
+    ``CREATE OR REPLACE TABLE`` (`etl_s3_snowflake_d_event.py:33-42`):
+    the CATALOG carries the fixed schema, not just the files.
+
+    Spark's v1 session catalog has no ``CREATE OR REPLACE TABLE``, so
+    replace = drop + create (same observable semantics: the declared
+    schema wins, prior registration is gone). With ``location`` the
+    table is external over existing parquet — registration without a
+    data copy; without it, a managed table under the warehouse dir.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE TABLE {name} ({schema_ddl}) USING parquet{loc}")
+
+
+def write_managed_replace(df: DataFrame, name: str) -> None:
+    """S3/S5 — full replace of a MANAGED catalog table: schema and data
+    both live behind the table name (``INSERT OVERWRITE`` semantics of
+    the reference's full-replace loads, but catalog-addressed instead
+    of path-addressed)."""
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -260,3 +260,35 @@ def test_interval_join_validation(spark):
     with pytest.raises(ValueError, match="bucket_seconds"):
         interval_join(left, right2, left_time="t", right_start="s",
                       right_end="e", on=["k"], bucket_seconds=0)
+
+
+def test_asof_carries_composite_row_not_stitched_columns(spark):
+    # The nearest right row has price=NULL: pandas merge_asof carries
+    # that row AS-IS (price null), never a Frankenstein row mixing the
+    # newer row's qty with an older row's price. Regression for the
+    # per-column last(ignorenulls) formulation.
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    right = spark.createDataFrame(
+        [
+            ("k", t0, 100.0, 1),
+            ("k", t0 + dt.timedelta(minutes=5), None, 2),
+        ],
+        ["key", "rt", "price", "qty"],
+    )
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(minutes=10))], ["key", "lt"]
+    )
+    out = asof_join(
+        left, right, on="key", left_time="lt", right_time="rt",
+        right_cols=["price", "qty"],
+    ).first()
+    assert out["qty"] == 2
+    assert out["price"] is None  # from the SAME (nearest) row
+    # And the tolerance uses that same row's timestamp: the nearest
+    # row is 5 min away -> within 6 minutes, even though the only row
+    # with a non-null price is 10 min away.
+    out2 = asof_join(
+        left, right, on="key", left_time="lt", right_time="rt",
+        right_cols=["price", "qty"], tolerance="6 minutes",
+    ).first()
+    assert out2["qty"] == 2 and out2["price"] is None

@@ -95,6 +95,35 @@ def test_warehouse_sql_views(spark, warehouse):
     assert total_views == joined
 
 
+def test_catalog_publish_registers_declared_schemas(spark, warehouse):
+    # S5: the pipeline's final step registers every warehouse table in
+    # the session catalog under its DECLARED schema (reference
+    # CREATE OR REPLACE TABLE semantics) — addressable by name, schema
+    # answered by the catalog, validated against the files.
+    wh, _ = warehouse
+    for name in pipeline.WAREHOUSE_TABLES:
+        assert spark.catalog.tableExists(f"wh_{name}")
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromDDL(pipeline.WAREHOUSE_SCHEMAS[name])
+        assert spark.table(f"wh_{name}").schema == declared
+    # Catalog reads agree with path reads (external location, no copy).
+    assert (
+        spark.table("wh_f_events").count()
+        == spark.read.parquet(f"{wh}/f_events").count()
+    )
+    # Drift detection: a declaration mismatch must fail loudly.
+    import pytest as _pytest
+
+    orig = pipeline.WAREHOUSE_SCHEMAS["d_event"]
+    pipeline.WAREHOUSE_SCHEMAS["d_event"] = "event_id BIGINT"
+    try:
+        with _pytest.raises(ValueError, match="schema drift"):
+            pipeline.publish_catalog(spark, wh, tables=("d_event",))
+    finally:
+        pipeline.WAREHOUSE_SCHEMAS["d_event"] = orig
+
+
 def test_partitioned_fact_merge_and_rollup(spark, tmp_path):
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
         marketing,

@@ -190,3 +190,46 @@ def test_deterministic_sample_stability(spark):
 
     with pytest.raises(ValueError):
         deterministic_sample(df, "doc_id", 0.0)
+
+
+def test_float_string_id_coercion_joins_like_snowflake(spark):
+    # SURVEY §1.2: the reference's item source carries float-formatted
+    # TEXT ids ("2512.0", item.csv:2) while events carry plain ints
+    # ("3526"); its KPI join (etl_s3_snowflake_aggregated_views.py:31)
+    # only works because Snowflake coerces VARCHAR->NUMBER. The
+    # normalization must land both shapes on the same long — a naive
+    # CAST('2512.0' AS BIGINT) nulls and silently drops every join row.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.transforms import (
+        normalize_id_to_long,
+    )
+
+    items = spark.createDataFrame(
+        [("2512.0", "widget"), ("3526.0", "gadget"), ("77", "plain")],
+        ["item_id_text", "item_name"],
+    ).select(
+        normalize_id_to_long("item_id_text", "string").alias("item_id"),
+        "item_name",
+    )
+    events = spark.createDataFrame(
+        [("2512", 3), ("3526", 5), ("77", 7), ("9999", 1)],
+        ["item_key_text", "n"],
+    ).select(
+        normalize_id_to_long("item_key_text", "string").alias("item_key"), "n"
+    )
+    joined = events.join(items, events.item_key == items.item_id)
+    got = {(r["item_name"], r["n"]) for r in joined.collect()}
+    assert got == {("widget", 3), ("gadget", 5), ("plain", 7)}
+    # The naive cast really is lossy — under ANSI mode it throws
+    # outright, and try_cast nulls. Pin the failure mode the
+    # normalization exists to prevent.
+    from pyspark.sql import functions as F
+
+    naive = spark.createDataFrame([("2512.0",)], ["t"]).select(
+        F.col("t").try_cast("long").alias("v")
+    )
+    assert naive.first()["v"] is None
+    # Numeric inputs take the plain-cast path unchanged.
+    nums = spark.createDataFrame([(5,)], ["k"]).select(
+        normalize_id_to_long("k", "bigint").alias("v")
+    )
+    assert nums.first()["v"] == 5
