@@ -237,6 +237,13 @@ def minhash_signatures(
     per-seed family is integer-only ``xxhash64(seed, h)``.
     """
     sets = _shingle_sets(df, text_col, id_col, shingle_n)
+    return _signatures_from_sets(sets, num_hashes)
+
+
+def _signatures_from_sets(sets: DataFrame, num_hashes: int) -> DataFrame:
+    """Signatures from an already-built (possibly cached) shingle-set
+    frame — lets pipelines that also need the sets for verification
+    compute them once."""
     ex = sets.select("id", F.explode("sh_set").alias("h"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"__m{i}")
@@ -272,6 +279,12 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    return _banded_candidates(sigs, bands, rows_per_band)
+
+
+def _banded_candidates(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -319,12 +332,20 @@ def minhash_dedup_pairs(
     sets), so output = exact pairs that LSH surfaced — the standard
     scale/recall tradeoff, tunable via bands/num_hashes. Verification
     cost is O(candidates), independent of corpus size.
+
+    The shingle sets feed both the signature build and the verify join,
+    so they are cached for the duration of the call, the verified pairs
+    are materialized eagerly, and the cache is dropped before returning
+    (same hygiene as :func:`ngram_jaccard_pairs` — no storage residue).
     """
-    candidates = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+    sets = _shingle_sets(df, text_col, id_col, shingle_n).cache()
+    sigs = _signatures_from_sets(sets, num_hashes)
+    candidates = _banded_candidates(sigs, bands, num_hashes // bands)
+    verified = _verified_jaccard(candidates, sets, threshold).localCheckpoint(
+        eager=True
     )
-    sets = _shingle_sets(df, text_col, id_col, shingle_n)
-    return _verified_jaccard(candidates, sets, threshold)
+    sets.unpersist()
+    return verified
 
 
 def simhash(text_col: str, num_bits: int = 64) -> Column:
