@@ -57,6 +57,84 @@ def _merge_slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return target, source
 
 
+def q_csv_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 oracle coverage: round-trip a deterministic orders slice
+    through a header CSV (dotted source column names, like the
+    reference's ``event.payload``), re-read it with header + schema
+    inference + rename (`etl_s3_snowflake_raw_event_ingest.py:46,:28`),
+    and aggregate. The oracle computes the same aggregate straight from
+    the orders view, so equality proves the CSV write→infer→rename path
+    is lossless for this contract."""
+    import tempfile  # noqa: PLC0415
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+    )
+
+    path = f"{tempfile.gettempdir()}/spark_graft_csv_ingest"
+    load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order.key"),
+        F.col("o_orderpriority").alias("order.priority"),
+        F.col("o_totalprice").alias("order.totalprice"),
+    ).write.mode("overwrite").option("header", True).csv(path)
+    staged = readers.read_csv_inferred(
+        spark,
+        path,
+        rename={
+            "order.key": "order_key",
+            "order.priority": "order_priority",
+            "order.totalprice": "order_totalprice",
+        },
+    )
+    return (
+        staged.groupBy("order_priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("order_totalprice"), 2).alias("total_price"),
+            F.min("order_key").cast("long").alias("min_key"),
+            F.max("order_key").cast("long").alias("max_key"),
+        )
+        .orderBy("order_priority")
+    )
+
+
+def q_ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S3/S2 oracle coverage: persist a deterministic orders
+    projection (full-replace parquet write), register it in the session
+    catalog with DECLARED-schema DDL, read it back BY NAME, aggregate.
+    Equality against the orders-view oracle proves the catalog table
+    carries the same data + schema the declaration promises."""
+    import tempfile  # noqa: PLC0415
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+
+    path = f"{tempfile.gettempdir()}/spark_graft_ddl_roundtrip"
+    writers.write_full_replace(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+        path,
+    )
+    writers.create_table_ddl(
+        spark,
+        "ddl_orders_slim",
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+        location=path,
+    )
+    return (
+        readers.read_table(spark, "ddl_orders_slim")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     target, source = _merge_slices(spark, sf_dir)
     return merge.merge_ignore(target, source, ["o_orderkey"])
@@ -244,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpi_item_view_rank_by_period": marketing.item_view_rank_by_period,
         "kpi_most_viewed_item_latest_period": marketing.most_viewed_item_latest_period,
         "kpi_top_event_type_by_period": marketing.top_event_type_by_period,
+        # --- source/sink layer (SURVEY §2.1 S1-S5) ---
+        "csv_ingest_rollup": q_csv_ingest_rollup,
+        "ddl_table_roundtrip": q_ddl_table_roundtrip,
         # --- merge layer (SURVEY §2.1 S6/S7) ---
         "merge_ignore_orders": q_merge_ignore,
         "merge_update_orders": q_merge_update,
@@ -540,6 +621,22 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
             )
             ORDER BY c_custkey
+        """,
+        "csv_ingest_rollup": """
+            SELECT o_orderpriority AS order_priority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM orders
+            GROUP BY 1 ORDER BY 1
+        """,
+        "ddl_table_roundtrip": """
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY 1 ORDER BY 1
         """,
         "order_priority_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,

@@ -61,6 +61,12 @@ def build_event_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ↔ `etl_s3_snowflake_raw_event_ingest.py:25-33` (rename → json.loads →
     1-based index), minus the pandas detour: one lazy chain, payload
     parsed by ``from_json`` inside codegen.
+
+    Deliberate deviation, documented: the reference's raw layer stores
+    EVENT_TIME as *string* and only the fact build casts it
+    (`etl_s3_snowflake_f_events.py:54`); here the raw layer is typed at
+    ingest. Staging text timestamps buys nothing in Spark (the cast is
+    free either way) and costs every raw-layer consumer a re-parse.
     """
     flat = _flat_events(spark, sf_dir)
     return ordered_surrogate_key(flat, "guid_event_raw", order_by=["event_id"])
