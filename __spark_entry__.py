@@ -57,6 +57,36 @@ def _merge_slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return target, source
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: token-budget bin assignment over the document
+    corpus (streaming-packer semantics, bucketed two-pass cumsum — no
+    single-partition window; see operators/packing.py)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        packing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text_fn.token_count(F.col("text")).alias("n_tokens")
+    )
+    return packing.pack_sequences(
+        docs, token_col="n_tokens", order_by="doc_id", max_tokens=2048
+    ).select("doc_id", "n_tokens", "pack_id", "pack_offset")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination: eval slice = every 5th doc,
+    train = the rest; per eval doc, how many of its distinct 5-gram
+    shingles occur anywhere in train (operators/decontam.py)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        decontam,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontam.ngram_collisions(train, eval_df, n=5)
+
+
 def q_csv_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 oracle coverage: round-trip a deterministic orders slice
     through a header CSV (dotted source column names, like the
@@ -373,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frames,
         "media_embeddings": q_media_embeddings,
         "media_audio_features": q_media_audio,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "decontaminate_eval_docs": q_decontaminate,
     }
 
 
@@ -621,6 +653,60 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
             )
             ORDER BY c_custkey
+        """,
+        "doc_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   cum // 2048 AS pack_id,
+                   cum % 2048 AS pack_offset
+            FROM c
+        """,
+        "decontaminate_eval_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(
+                         range(0, greatest(len(tk) - 4, 1)),
+                         i -> array_to_string(
+                                list_slice(tk, i + 1, i + 5), ' ')
+                       )
+                     ) AS shingles
+              FROM toks
+            ),
+            tr AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id % 5 != 0
+            ),
+            ev AS (
+              SELECT doc_id, unnest(shingles) AS s FROM sh
+              WHERE doc_id % 5 = 0
+            )
+            SELECT ev.doc_id,
+                   COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) > 0
+                     AS contaminated
+            FROM ev LEFT JOIN tr ON ev.s = tr.s
+            GROUP BY 1
         """,
         "csv_ingest_rollup": """
             SELECT o_orderpriority AS order_priority,
