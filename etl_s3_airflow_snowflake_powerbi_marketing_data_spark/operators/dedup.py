@@ -433,7 +433,10 @@ def simhash_near_dups(
 
     n_bands = max_hamming + 1
     bits_per_band = 64 // n_bands
-    hashed = simhash_table(df, text_col, id_col)
+    # The (id, sh) table feeds three plan branches (banding + both
+    # verify joins); materialize it once — two longs per document —
+    # instead of recomputing the 64-aggregate vote pass three times.
+    hashed = simhash_table(df, text_col, id_col).localCheckpoint(eager=True)
     banded = explode_bands(
         hashed, bit_band_exprs(F.col("sh"), n_bands, bits_per_band)
     )
