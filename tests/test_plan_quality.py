@@ -84,3 +84,22 @@ def test_dedup_semantic_default_has_no_all_pairs_stage(spark):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_pack_and_decontam_plan_shape(spark):
+    # Packing: the only joins are broadcasts (1-row min/max, tiny
+    # offsets) — never a sort-merge over the data; the data-side window
+    # is partitioned by bucket (the global-order window exists only on
+    # the <=num_buckets offsets branch).
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    pack_plan = _plan(qs["doc_pack_sequences"](spark, SF))
+    assert "SortMergeJoin" not in pack_plan
+    assert "CartesianProduct" not in pack_plan
+    assert "windowspecdefinition(__bucket" in pack_plan
+    # Decontamination: candidate join keyed by shingle hash, no
+    # quadratic stage.
+    dec_plan = _plan(qs["decontaminate_eval_docs"](spark, SF))
+    assert "CartesianProduct" not in dec_plan
+    assert "NestedLoop" not in dec_plan
