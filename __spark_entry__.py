@@ -57,6 +57,32 @@ def _merge_slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     return target, source
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (functions/text.py:repetition_profile, word 2-grams)."""
+    return text_fn.repetition_profile(
+        load_table(spark, sf_dir, "documents"), n=2
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler: per-source deterministic rates
+    (operators/sampling.py:stratified_sample)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs,
+        id_col="doc_id",
+        strata_col="source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.2},
+        default_rate=0.05,
+        salt="mix1",
+    ).select("doc_id", "source", "lang", "n_chars").orderBy("doc_id")
+
+
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: token-budget bin assignment over the document
     corpus (streaming-packer semantics, bucketed two-pass cumsum — no
@@ -405,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_features": q_media_audio,
         "doc_pack_sequences": q_doc_pack_sequences,
         "decontaminate_eval_docs": q_decontaminate,
+        "repetition_profile": q_repetition_profile,
+        "stratified_mix_sample": q_stratified_sample,
     }
 
 
@@ -653,6 +681,44 @@ def oracle_sql() -> dict[str, str]:
               WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
             )
             ORDER BY c_custkey
+        """,
+        "repetition_profile": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(0, greatest(len(tk) - 1, 1)),
+                       i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')
+                     )) AS gram
+              FROM toks
+            ),
+            pg AS (
+              SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   floor((1.0 - COUNT(*) * 1.0 / SUM(c)) * 1000000.0)
+                     / 1000000.0 AS dup_gram_frac,
+                   floor((MAX(c) * 1.0 / SUM(c)) * 1000000.0)
+                     / 1000000.0 AS top_gram_frac
+            FROM pg GROUP BY 1
+        """,
+        "stratified_mix_sample": """
+            SELECT doc_id, source, lang, n_chars
+            FROM documents
+            WHERE ('0x' || substr(
+                     md5(concat('mix1', CAST(doc_id AS VARCHAR))), 1, 15
+                   ))::BIGINT % 10000
+                  < CASE source
+                      WHEN 'src0' THEN 10000
+                      WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 2000
+                      ELSE 500 END
+            ORDER BY doc_id
         """,
         "doc_pack_sequences": """
             WITH t AS (

@@ -153,6 +153,43 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition signals (the Gopher/MassiveText
+    quality-filter family): repetitious machine-generated text shows a
+    high duplicate-gram fraction and one dominant gram.
+
+    Output per doc: ``n_grams`` (total word n-grams, non-distinct),
+    ``dup_gram_frac`` (1 − distinct/total — share of gram slots that
+    repeat an earlier gram), ``top_gram_frac`` (occurrences of the most
+    frequent gram / total). Both floor-truncated at 6 decimals.
+
+    Plan: explode grams → two map-side-combinable aggregations keyed by
+    (doc, gram) then doc — no interpreted higher-order counting loop
+    (a per-row HOF mode computation is O(grams²) interpreted; see the
+    winnowing notes below on why staged/exploded beats nested lambdas).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    per_gram = ex.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias("n_grams"),
+        trunc6(
+            1.0 - F.count("*") / F.sum("__c")
+        ).alias("dup_gram_frac"),
+        trunc6(F.max("__c") / F.sum("__c")).alias("top_gram_frac"),
+    ).withColumn("n_grams", F.col("n_grams").cast("long"))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample"]
+__all__ = ["hash_bucket", "deterministic_sample", "stratified_sample"]
 
 _BUCKETS = 10_000
 
@@ -43,3 +43,39 @@ def deterministic_sample(
     if not 0 < rate <= 1:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
     return df.filter(hash_bucket(F.col(id_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing /
+    source-reweighting primitive of training-data pipelines ("keep 100%
+    of books, 10% of common-crawl, drop the rest").
+
+    Same content-hash membership as :func:`deterministic_sample`, so
+    every property carries over per stratum: stable across runs and
+    cluster sizes, nested rates (a 10% sample is a subset of the 20%
+    sample under the same salt), incremental loads land proportionally.
+    Strata absent from ``rates`` fall back to ``default_rate``
+    (``0.0`` = drop — a rate-0 stratum never passes the filter).
+
+    Plan shape: one CASE expression over the strata map inside the
+    filter — still a pure scan-side predicate, no shuffle, no join.
+    """
+    for stratum, rate in rates.items():
+        if not 0 <= rate <= 1:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
+    if not 0 <= default_rate <= 1:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold: Column = F.lit(int(default_rate * _BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * _BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.filter(hash_bucket(F.col(id_col), salt) < threshold)

@@ -233,3 +233,58 @@ def test_float_string_id_coercion_joins_like_snowflake(spark):
         normalize_id_to_long("k", "bigint").alias("v")
     )
     assert nums.first()["v"] == 5
+
+
+def test_stratified_sample_semantics(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )
+    out = stratified_sample(
+        df, "doc_id", "src",
+        rates={"s0": 1.0, "s1": 0.2}, default_rate=0.0, salt="x",
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], set()).add(r["doc_id"])
+    # rate 1.0 keeps the whole stratum; rate 0.0 (default) drops s2.
+    assert len(by_src["s0"]) == 2000
+    assert "s2" not in by_src
+    assert 0.14 < len(by_src["s1"]) / 2000 < 0.26
+    # Per-stratum membership identical to the flat sampler (same salt):
+    # stratification changes the threshold, not the hash stream.
+    flat = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            df.filter(F.col("src") == "s1"), "doc_id", 0.2, salt="x"
+        ).collect()
+    }
+    assert by_src["s1"] == flat
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", "src", rates={"s0": 1.5})
+
+
+def test_repetition_profile_flags_repetitious_text(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions.text import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),            # one dominant 2-gram
+            (2, "the quick brown fox jumps over a lazy sleeping dog"),
+            (3, "hi"),                        # shorter than n tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_profile(df, n=2).collect()}
+    assert out[1]["top_gram_frac"] > 0.4 and out[1]["dup_gram_frac"] > 0.9
+    assert out[2]["dup_gram_frac"] == 0.0
+    assert out[3]["n_grams"] == 1 and out[3]["dup_gram_frac"] == 0.0
