@@ -44,6 +44,10 @@ HEADLINE = [
     "embedding_topk",
     "embedding_cosine_dups_blocked",
     "media_features",
+    "doc_pack_sequences",
+    "decontaminate_eval_docs",
+    "repetition_profile",
+    "stratified_mix_sample",
 ]
 
 

@@ -172,6 +172,8 @@ def repetition_profile(
     (doc, gram) then doc — no interpreted higher-order counting loop
     (a per-row HOF mode computation is O(grams²) interpreted; see the
     winnowing notes below on why staged/exploded beats nested lambdas).
+    Grams hash to 64 bits before the shuffle — the metrics depend only
+    on gram equality, so the count aggregation never ships gram text.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     k = F.size(toks) - F.lit(n - 1)
@@ -179,7 +181,9 @@ def repetition_profile(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("__g")).select(
+        id_col, F.xxhash64("__g").alias("__g")
+    )
     per_gram = ex.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
     return per_gram.groupBy(id_col).agg(
         F.sum("__c").alias("n_grams"),

@@ -11,10 +11,10 @@ that.
 
 Scale shape: train shingles collapse to a DISTINCT shingle set before
 the join (the corpus-size→shingle-vocabulary reduction is what makes
-this feasible at 100 TB), both sides join on a fixed-width md5 key (32
-bytes, engine-portable — chosen over xxhash64 so independent engines
-can verify exact outputs; swap for the 8-byte hash when auditability
-matters less than shuffle bytes), and the aggregate is map-side
+this feasible at 100 TB), both sides join on a fixed-width 8-byte
+xxhash64 key — the output carries no hash values, only collision
+counts, so any engine verifying by value can join raw shingle strings
+and agree (up to 64-bit hash collisions). The aggregate is map-side
 combinable. No stage is quadratic; the only big shuffles are keyed by
 shingle hash.
 """
@@ -45,10 +45,10 @@ def ngram_collisions(
     """
     grams = F.explode(word_shingles(F.col(text_col), n)).alias("__g")
     train_sh = (
-        train.select(grams).select(F.md5("__g").alias("__sh")).distinct()
+        train.select(grams).select(F.xxhash64("__g").alias("__sh")).distinct()
     )
     eval_sh = eval_df.select(F.col(id_col).alias("id"), grams).select(
-        "id", F.md5("__g").alias("__sh")
+        "id", F.xxhash64("__g").alias("__sh")
     )
 
     hits = (
