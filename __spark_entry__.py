@@ -354,6 +354,12 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_pipeline.run_dedup_stream_to_memory(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
         sessions as streaming_sessions_mod,
@@ -390,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_counts": q_streaming_counts,
         "streaming_sliding_counts": q_streaming_sliding,
         "streaming_user_sessions": q_streaming_sessions,
+        "streaming_dedup_events": q_streaming_dedup,
         # --- relational coverage (SURVEY §2.5 gaps made first-class) ---
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
@@ -1255,6 +1262,11 @@ def oracle_sql() -> dict[str, str]:
                           / octet_length(encode(text)) / 255.0) * 1e6) / 1e6
                      AS rms
             FROM documents
+        """,
+        # The doubled stream must collapse back to exactly the distinct
+        # source rows (event_id is unique in the source).
+        "streaming_dedup_events": """
+            SELECT event_id, user_id, event_type, value FROM events
         """,
         "streaming_event_counts": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

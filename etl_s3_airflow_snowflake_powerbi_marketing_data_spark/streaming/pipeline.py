@@ -100,6 +100,54 @@ def run_stream_to_memory(
     return spark.table(query_name)
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key: str = "event_id",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each key's FIRST arrival,
+    drop every later duplicate, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — keys older than max-event-time
+    minus the watermark are evicted, so state is O(keys per watermark
+    window), flat over an unbounded replayed/at-least-once stream).
+
+    This is the streaming half of exact dedup (SURVEY §2.5): batch
+    dedup fixes the corpus after the fact; this keeps an at-least-once
+    ingest (Kafka replays, S3 re-lists, retried producers) exactly-once
+    at the table boundary.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
+def run_dedup_stream_to_memory(
+    spark: SparkSession, source_path: str, query_name: str = "dedup_events"
+) -> DataFrame:
+    """Drive the dedup stream over a DOUBLED source — the same prefix
+    mounted as two file streams, the local stand-in for an
+    at-least-once source replaying every record — and return the
+    deduped rows from the memory sink. Output must equal the distinct
+    source rows exactly (the oracle checks by value)."""
+    doubled = read_event_stream(spark, source_path).unionByName(
+        read_event_stream(spark, source_path)
+    )
+    deduped = streaming_dedup(doubled).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
 def streaming_sliding_counts(
     events: DataFrame,
     window_duration: str = "2 hours",

@@ -191,3 +191,23 @@ def test_winnow_guarantee_and_robustness(spark):
     assert fps[1] & fps[2], "shared substring must yield a common fingerprint"
     assert all(fps.values()), "every non-empty doc gets fingerprints"
     assert not (fps[1] & fps[3])
+
+
+def test_streaming_dedup_collapses_replayed_stream(spark, sf_dir, tmp_path):
+    # An at-least-once source (same prefix mounted twice) must collapse
+    # to exactly the distinct source rows — state-based dedup across
+    # micro-batches, not just in-batch distinct.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+        pipeline as sp,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+        table_path,
+    )
+
+    out = sp.run_dedup_stream_to_memory(
+        spark, table_path(sf_dir, "events"), query_name="dedup_test"
+    )
+    src = load_table(spark, sf_dir, "events")
+    assert out.count() == src.count()
+    assert out.select("event_id").distinct().count() == src.count()
