@@ -222,3 +222,33 @@ def test_dedup_semantic_chain_collapses(spark):
         for r in dedup.dedup_semantic(df, threshold=0.9).collect()
     }
     assert out == {1: 3, 4: 1}
+
+
+def test_ivf_training_maintains_or_improves_recall(spark, sf_dir):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        similarity,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    untrained = recall(similarity.ivf_topk(emb, queries, k=5))
+    trained = recall(similarity.ivf_topk(emb, queries, k=5, train_iters=3))
+    assert trained >= untrained - 1e-9
+    assert trained > 0.5
+    # Training is deterministic: same iterations, same cells.
+    c1 = similarity.train_ivf_centroids(emb, iters=2).collect()
+    c2 = similarity.train_ivf_centroids(emb, iters=2).collect()
+    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
