@@ -1,0 +1,79 @@
+"""Scale probe: replicate the sf0.1 documents N× (with shifted ids —
+which also multiplies duplicate density, the adversarial case for
+dedup) and time the text/dedup operators at 1× vs N×.
+
+The point is the growth CURVE, not the absolute numbers: an operator
+whose cost scales superlinearly in input here will not survive a
+1000-executor 100 TB run. Run ad hoc; results land in one JSON line.
+
+Usage: python tools/scale_probe.py [replicas=10]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+    text as text_fn,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import dedup
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1/documents.parquet"
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    big_path = os.path.join(tempfile.gettempdir(), f"docs{replicas}x.parquet")
+
+    docs = spark.read.parquet(BASE)
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(replicas)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.write.mode("overwrite").parquet(big_path)
+
+    def ops(df):
+        return {
+            # .count() would let Catalyst prune the computed columns;
+            # the noop sink forces the full plan.
+            "text_profile": lambda: text_fn.profile_documents(df),
+            "repetition_profile": lambda: text_fn.repetition_profile(df),
+            "winnow": lambda: text_fn.winnow_fingerprints(df),
+            "simhash_near_dups": lambda: dedup.simhash_near_dups(df),
+            "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(
+                df, threshold=0.5
+            ),
+            "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(
+                df, threshold=0.5
+            ),
+        }
+
+    results: dict[str, dict[str, float]] = {}
+    for tag, path in [("1x", BASE), (f"{replicas}x", big_path)]:
+        df = spark.read.parquet(path)
+        for name, fn in ops(df).items():
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
+
+    for name, r in results.items():
+        r["growth"] = round(r[f"{replicas}x"] / max(r["1x"], 0.01), 1)
+    print(json.dumps({"replicas": replicas, "seconds": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
