@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_grouping_sets": relational.revenue_grouping_sets,
         "event_type_pivot": relational.event_type_pivot,
         "order_price_quantiles": relational.order_price_quantiles,
+        "order_price_deciles": relational.order_price_deciles,
         "order_set_ops": relational.order_set_ops,
         "user_sessions": relational.user_sessions,
         "running_daily_revenue": relational.running_daily_revenue,
@@ -796,6 +797,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY 1 ORDER BY 1
+        """,
+        "order_price_deciles": """
+            WITH r AS (
+              SELECT o_orderpriority, o_totalprice,
+                     CAST(ntile(10) OVER w AS BIGINT) AS decile,
+                     percent_rank() OVER w AS pr
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey)
+            )
+            SELECT o_orderpriority, decile,
+                   COUNT(*) AS n_orders,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price,
+                   floor(MIN(pr) * 1000000.0) / 1000000.0 AS min_pct_rank,
+                   floor(MAX(pr) * 1000000.0) / 1000000.0 AS max_pct_rank
+            FROM r
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "order_priority_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,

@@ -208,6 +208,41 @@ def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking windows (NTILE + PERCENT_RANK), partitioned
+    by order priority: per (priority, decile) — row count, price range,
+    and the percent-rank span of the decile. (Span, not mean: a float
+    MEAN's value depends on summation order, which differs between
+    engines; min/max of per-row ranks is order-free and verifies
+    exactly.)
+
+    The window partitions by priority (bounded group count), never a
+    global single-partition rank; ties broken by order key so the
+    decile assignment is a total order and engine-portable.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            (F.floor(F.min("pr") * 1e6) / 1e6).alias("min_pct_rank"),
+            (F.floor(F.max("pr") * 1e6) / 1e6).alias("max_pct_rank"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
 def events_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event annotated with the user's most recent
     order at or before the event time (events.user_id ↔ orders.o_custkey).
