@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpi_item_view_rank_by_period": marketing.item_view_rank_by_period,
         "kpi_most_viewed_item_latest_period": marketing.most_viewed_item_latest_period,
         "kpi_top_event_type_by_period": marketing.top_event_type_by_period,
+        "kpi_view_trend_by_period": marketing.view_trend_by_period,
+        "kpi_top_items_view_share": marketing.top_items_view_share,
         # --- source/sink layer (SURVEY §2.1 S1-S5) ---
         "csv_ingest_rollup": q_csv_ingest_rollup,
         "ddl_table_roundtrip": q_ddl_table_roundtrip,
@@ -602,6 +604,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT period, event_type, type_count, type_rank
             FROM r WHERE type_rank = 1 ORDER BY period, event_type
+        """,
+        # 1e2/1e6 literals (not 100.0) force DOUBLE in DuckDB — a bare
+        # 100.0 is DECIMAL there, and decimal division diverges from the
+        # IEEE double arithmetic Spark uses. floor-truncation, not round,
+        # for cross-engine determinism.
+        "kpi_view_trend_by_period": f"""
+            WITH f AS ({_FILTERED_FACT}),
+            c AS (
+              SELECT date_trunc('day', f.ts) AS period, COUNT(f.ts) AS item_view
+              FROM f JOIN part p ON f.item_key = p.p_partkey
+              GROUP BY 1
+            ),
+            t AS (
+              SELECT period, item_view,
+                     LAG(item_view) OVER (ORDER BY period) AS prev_view
+              FROM c
+            )
+            SELECT period, item_view, prev_view,
+                   item_view - prev_view AS view_delta,
+                   FLOOR((item_view - prev_view) * 1e2 / prev_view * 1e6) / 1e6
+                       AS pct_change
+            FROM t WHERE prev_view IS NOT NULL ORDER BY period
+        """,
+        "kpi_top_items_view_share": f"""
+            WITH f AS ({_FILTERED_FACT}),
+            j AS (
+              SELECT date_trunc('day', f.ts) AS period, p.p_name AS item_name,
+                     f.ts
+              FROM f JOIN part p ON f.item_key = p.p_partkey
+            ),
+            c AS (
+              SELECT period, item_name, COUNT(ts) AS item_view
+              FROM j WHERE period = (SELECT MAX(period) FROM j)
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT period, item_name, item_view,
+                     FLOOR(item_view * 1e2
+                           / SUM(item_view) OVER (PARTITION BY period)
+                           * 1e6) / 1e6 AS view_share_pct,
+                     ROW_NUMBER() OVER (PARTITION BY period
+                         ORDER BY item_view DESC, item_name) AS view_rank
+              FROM c
+            )
+            SELECT * FROM r WHERE view_rank <= 10 ORDER BY view_rank
         """,
         "merge_ignore_orders": """
             WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),

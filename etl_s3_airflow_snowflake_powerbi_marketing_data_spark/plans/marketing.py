@@ -246,6 +246,91 @@ def top_event_type_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_trend_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI view 5 ↔ the reference's year-over-year-trend business
+    question (`README.md:14`), answered there inside Power BI rather
+    than a SQL view: period-over-period view counts with LAG delta and
+    percent change.
+
+    The LAG window is unpartitioned by necessity (the trend is a global
+    ordering over periods) but runs AFTER the aggregation, over one row
+    per period — bounded cardinality (#days, #years), never over raw
+    events, so the single-partition window stage is O(periods) at any
+    input scale.
+    """
+    fact = _filtered_fact(spark, sf_dir)
+    dim = build_d_item(spark, sf_dir)
+    counts = (
+        fact.join(
+            F.broadcast(dim), fact.event_parameter_value == dim.item_id, "inner"
+        )
+        .groupBy(F.date_trunc("day", "event_time").alias("period"))
+        .agg(F.count("event_time").alias("item_view"))
+    )
+    w = Window.orderBy("period")
+    prev = F.lag("item_view").over(w)
+    return (
+        counts.select(
+            "period",
+            "item_view",
+            prev.alias("prev_view"),
+            (F.col("item_view") - prev).alias("view_delta"),
+            # floor-truncate instead of round: identical IEEE result in any
+            # engine (round ties split HALF_UP vs HALF_EVEN across engines)
+            (F.floor((F.col("item_view") - prev) * 100.0 / prev * 1e6) / 1e6).alias(
+                "pct_change"
+            ),
+        )
+        # the first period has no prior to compare against; dropping it
+        # keeps the result NULL-free (NaN breaks order-insensitive hashing)
+        .filter(F.col("prev_view").isNotNull())
+        .orderBy("period")
+    )
+
+
+def top_items_view_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI view 6 ↔ the reference's top-10-item-detail and
+    view-share-distribution business questions (`README.md:15-16`),
+    answered there inside Power BI: the ten most-viewed items in the
+    latest period with each item's share of that period's total views.
+
+    Ranking uses row_number with an item_name tiebreak so exactly ten
+    deterministic rows come back (the reference's Power BI top-N has the
+    same arbitrary-tie caveat). The share denominator is an unpartitioned
+    window sum — over per-item aggregates (bounded by #items), not raw
+    events, so it stays O(items) at any input scale.
+    """
+    fact = _filtered_fact(spark, sf_dir)
+    dim = build_d_item(spark, sf_dir)
+    joined = fact.join(
+        F.broadcast(dim), fact.event_parameter_value == dim.item_id, "inner"
+    ).withColumn("period", F.date_trunc("day", "event_time"))
+    max_period = joined.agg(F.max("period").alias("mx"))
+    counts = (
+        joined.join(F.broadcast(max_period), F.col("period") == F.col("mx"))
+        .groupBy("period", "item_name")
+        .agg(F.count("event_time").alias("item_view"))
+    )
+    total = F.sum("item_view").over(Window.partitionBy("period"))
+    ranked = counts.select(
+        "period",
+        "item_name",
+        "item_view",
+        (F.floor(F.col("item_view") * 100.0 / total * 1e6) / 1e6).alias(
+            "view_share_pct"
+        ),
+        F.row_number()
+        .over(
+            Window.partitionBy("period").orderBy(
+                F.col("item_view").desc(), F.col("item_name")
+            )
+        )
+        .cast("long")
+        .alias("view_rank"),
+    )
+    return ranked.filter(F.col("view_rank") <= 10).orderBy("view_rank")
+
+
 # ---------------------------------------------------------------------------
 # View registration (S5/Q13: the catalog-facing contract)
 # ---------------------------------------------------------------------------

@@ -56,3 +56,34 @@ def test_fact_guid_contiguous(spark, sf_dir):
         F.countDistinct("guid_event").alias("d"),
     ).collect()[0]
     assert (stats["mn"], stats["mx"], stats["d"]) == (1, n, n)
+
+
+def test_view_trend_deltas_consistent(spark, sf_dir):
+    df = marketing.view_trend_by_period(spark, sf_dir)
+    rows = df.collect()
+    assert df.columns == [
+        "period", "item_view", "prev_view", "view_delta", "pct_change"
+    ]
+    assert len(rows) > 0
+    for r in rows:
+        # NULL-free by construction (first period dropped)
+        assert r["prev_view"] is not None
+        assert r["view_delta"] == r["item_view"] - r["prev_view"]
+    # consecutive rows chain: this row's prev is the previous row's count
+    for a, b in zip(rows, rows[1:]):
+        assert b["prev_view"] == a["item_view"]
+
+
+def test_top_items_view_share_bounds(spark, sf_dir):
+    df = marketing.top_items_view_share(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    assert [r["view_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # shares are positive, decreasing with rank, and sum to <= 100
+    shares = [r["view_share_pct"] for r in rows]
+    assert all(s > 0 for s in shares)
+    views = [r["item_view"] for r in rows]
+    assert views == sorted(views, reverse=True)
+    assert sum(shares) <= 100.0 + 1e-6
+    # single latest period only
+    assert len({r["period"] for r in rows}) == 1
