@@ -342,6 +342,38 @@ def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_injected_text(docs: DataFrame) -> "F.Column":
+    """Deterministic PII injection for the redaction query: the synthetic
+    documents contain no emails/IPs/phones, so the query appends one of
+    each (derived from doc_id) to exercise the redaction patterns with
+    exact, oracle-checkable results."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 tel 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = _pii_injected_text(docs)
+    return docs.select(
+        "doc_id",
+        text_fn.pii_hits(injected).alias("n_pii"),
+        F.md5(text_fn.redact_pii(injected)).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fn.top_terms(
+        load_table(spark, sf_dir, "documents"), "text", 20
+    )
+
+
 def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events")
@@ -416,11 +448,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_daily_revenue": relational.running_daily_revenue,
         "events_last_order": q_events_last_order,
         "purchases_in_browse_sessions": relational.purchases_in_browse_sessions,
+        "nation_trade_volume": relational.nation_trade_volume,
         "part_name_features": relational.part_name_features,
         "numeric_column_profile": relational.numeric_column_profile,
         "doc_sample_10pct": q_doc_sample,
         # --- training-data extensions (north star) ---
         "text_profile": q_text_profile,
+        "redact_pii_docs": q_redact_pii,
+        "vocab_top_terms": q_vocab_top_terms,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "exact_dup_groups": q_exact_dup_groups,
         "dedup_exact_docs": q_dedup_exact,
@@ -522,6 +557,11 @@ def oracle_sql() -> dict[str, str]:
         f"+ greatest(0.0, 1.0 - ({punct_ratio}) * 5.0) * 0.3) * 1000000.0) "
         f"/ 1000000.0"
     )
+    # single source of truth: the exact patterns the Spark operator uses
+    # (written in the Java/RE2-common regex subset, functions/text.py)
+    _PII_EMAIL = text_fn.PII_PATTERNS["email"]
+    _PII_IPV4 = text_fn.PII_PATTERNS["ipv4"]
+    _PII_PHONE = text_fn.PII_PATTERNS["phone"]
 
     oracles = {
         "event_raw": """
@@ -968,6 +1008,52 @@ def oracle_sql() -> dict[str, str]:
                    {quality} AS quality,
                    md5({_NORM_TEXT}) AS fingerprint
             FROM documents
+        """,
+        "redact_pii_docs": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 250 AS VARCHAR)
+                          || '.7 tel 555-010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                      + len(regexp_extract_all(t, '{_PII_IPV4}'))
+                      + len(regexp_extract_all(t, '{_PII_PHONE}'))
+                      AS BIGINT) AS n_pii,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{_PII_EMAIL}', '[PII]', 'g'),
+                          '{_PII_IPV4}', '[PII]', 'g'),
+                          '{_PII_PHONE}', '[PII]', 'g')) AS redacted_md5
+            FROM inj ORDER BY doc_id
+        """,
+        "vocab_top_terms": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     AS term
+              FROM documents
+            )
+            SELECT term, COUNT(*) AS term_count
+            FROM w WHERE length(term) > 0
+            GROUP BY term ORDER BY term_count DESC, term LIMIT 20
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   date_trunc('month', l.l_shipdate) AS ship_month,
+                   CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))), 2) AS DOUBLE) AS volume,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "doc_winnow_fingerprints": f"""
             WITH g AS (

@@ -94,12 +94,67 @@ def quality_score(col: Column) -> Column:
     return trunc6(length_term * 0.4 + sw_term * 0.3 + punct_term * 0.3)
 
 
+# PII patterns written in the regex subset where Java (Spark) and RE2
+# (DuckDB, Go, Rust scanners) agree exactly: character classes, bounded
+# repetition, \b word boundaries — no backreferences or lookarounds.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+PII_ORDER = ("email", "ipv4", "phone")  # email first: it embeds dots/digits
+
+
+def pii_hits(col: Column) -> Column:
+    """Total PII matches across all patterns (counted on the original
+    text, per-pattern counts are independent)."""
+    total = F.lit(0)
+    for name in PII_ORDER:
+        total = total + F.regexp_count(col, F.lit(PII_PATTERNS[name]))
+    return total.cast("long")
+
+
+def redact_pii(col: Column, token: str = "[PII]") -> Column:
+    """Replace every email / IPv4 / phone match with ``token``.
+
+    Chained ``regexp_replace`` — one codegen'd projection, no Python in
+    the row path, embarrassingly parallel at any scale (pure map, no
+    shuffle). Pattern order is fixed so redaction is deterministic when
+    classes could overlap a substring.
+    """
+    out = col
+    for name in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], token)
+    return out
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-
     normalized, lowercased text. Stable across engines (md5 is
     bit-identical everywhere), used as the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(norm)
+
+
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus vocabulary: top-k terms by document-corpus frequency.
+
+    explode(split) → groupBy(term) → top-k. The count is map-side
+    combinable (partial aggregation before the term shuffle) and the
+    final top-k plans as TakeOrderedAndProject, so driver traffic is
+    O(k) regardless of vocabulary size. Ties break by term for a
+    deterministic result.
+    """
+    words = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        words.groupBy("term")
+        .agg(F.count("*").alias("term_count"))
+        .orderBy(F.col("term_count").desc(), F.col("term"))
+        .limit(k)
+    )
 
 
 def _spread_if_narrow(df: DataFrame) -> DataFrame:

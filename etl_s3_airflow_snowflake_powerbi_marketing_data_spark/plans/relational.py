@@ -491,3 +491,56 @@ def numeric_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(col_name, n_values, n_nulls, n_distinct, min_val, max_val, "
         "mean_val, stddev_val)"
     ).orderBy("col_name")
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume (TPC-H Q7 shape): supplier nation x
+    customer nation x ship-month revenue, for pairs where the two
+    nations differ.
+
+    Join strategy at scale: lineitem joins supplier (broadcast — 10K
+    rows/SF) and nation twice (broadcast — 25 rows, aliased per role);
+    the ONLY real shuffle is lineitem ⋈ orders on orderkey, after which
+    the groupBy is map-side combinable. Six-way join, one shuffle.
+    Extends the reference's single inner-equi-join surface (SURVEY
+    §2.5 — "joins beyond inner-equi" absent there) with the multi-role
+    dim pattern (same nation table joined under two aliases).
+
+    Revenue accumulates in DECIMAL, not double: these groups are small
+    (nation-pair × month), so double-sum accumulation order visibly
+    shifts the 2-decimal rounding across engines. The per-row product
+    is bit-identical IEEE everywhere; casting it to decimal(18,6) makes
+    the subsequent sum exact and order-independent (and map-side
+    combinable all the same).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        )
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_month")
+    )

@@ -103,3 +103,18 @@ def test_pack_and_decontam_plan_shape(spark):
     dec_plan = _plan(qs["decontaminate_eval_docs"](spark, SF))
     assert "CartesianProduct" not in dec_plan
     assert "NestedLoop" not in dec_plan
+
+
+def test_nation_trade_volume_broadcasts_all_dims(spark):
+    """Q7-shape: the 4 dim joins (supplier, customer, nation x2) must
+    broadcast; lineitem x orders may shuffle (the one legitimate
+    shuffle at scale) or broadcast too at this tiny SF — either way,
+    never a nested-loop/cartesian plan."""
+    plan = _plan(relational.nation_trade_volume(spark, SF))
+    n_broadcast = plan.count("BroadcastHashJoin")
+    n_shuffle = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_broadcast >= 4
+    assert n_broadcast + n_shuffle == 5
+    assert n_shuffle <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -211,3 +211,36 @@ def test_streaming_dedup_collapses_replayed_stream(spark, sf_dir, tmp_path):
     src = load_table(spark, sf_dir, "events")
     assert out.count() == src.count()
     assert out.select("event_id").distinct().count() == src.count()
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "server 192.168.1.254 and phone 555-867-5309 up"),
+        (3, "no pii here at all"),
+        (4, "two mails: a@b.io and c.d@e-f.co end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n"], r["red"])
+        for r in df.select(
+            "doc_id",
+            text_fn.pii_hits(F.col("text")).alias("n"),
+            text_fn.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1] == (1, "mail me at [PII] today")
+    assert out[2] == (2, "server [PII] and phone [PII] up")
+    assert out[3] == (0, "no pii here at all")
+    assert out[4] == (2, "two mails: [PII] and [PII] end")
+
+
+def test_top_terms_counts_and_ties(spark):
+    rows = [(1, "apple banana apple"), (2, "banana cherry"), (3, "  Apple  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["term"], r["term_count"])
+        for r in text_fn.top_terms(df, "text", 2).collect()
+    ]
+    # apple appears 3x (case-folded), banana 2x; cherry cut by k=2
+    assert got == [("apple", 3), ("banana", 2)]
