@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_deciles": relational.order_price_deciles,
         "order_set_ops": relational.order_set_ops,
         "user_sessions": relational.user_sessions,
+        "conversion_funnel": relational.conversion_funnel,
         "running_daily_revenue": relational.running_daily_revenue,
         "events_last_order": q_events_last_order,
         "purchases_in_browse_sessions": relational.purchases_in_browse_sessions,
@@ -985,6 +986,54 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS session_value
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "conversion_funnel": """
+            WITH s1 AS (
+              SELECT user_id, ts, event_type,
+                     MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_view
+              FROM events
+            ),
+            s2 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                            THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click
+              FROM s1
+            ),
+            s3 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                            THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase
+              FROM s2
+            ),
+            pu AS (
+              SELECT user_id,
+                     MAX(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+                     MAX(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+                     MAX(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                       AS r3
+              FROM s3 GROUP BY user_id
+            ),
+            t AS (
+              SELECT CAST(SUM(r1) AS BIGINT) AS n1,
+                     CAST(SUM(r2) AS BIGINT) AS n2,
+                     CAST(SUM(r3) AS BIGINT) AS n3
+              FROM pu
+            )
+            SELECT * FROM (
+              SELECT 1 AS stage_order, 'view' AS stage, n1 AS n_users,
+                     CAST(100.0 AS DOUBLE) AS pct_of_prev FROM t
+              UNION ALL
+              SELECT 2, 'click_after_view', n2,
+                     CASE WHEN n1 = 0 THEN 0.0
+                          ELSE floor(CAST(n2 AS DOUBLE) * 100.0 / n1 * 1e6)
+                               / 1e6 END FROM t
+              UNION ALL
+              SELECT 3, 'purchase_after_click', n3,
+                     CASE WHEN n2 = 0 THEN 0.0
+                          ELSE floor(CAST(n3 AS DOUBLE) * 100.0 / n2 * 1e6)
+                               / 1e6 END FROM t
+            ) ORDER BY stage_order
         """,
         "running_daily_revenue": """
             WITH d AS (

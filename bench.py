@@ -48,6 +48,11 @@ HEADLINE = [
     "decontaminate_eval_docs",
     "repetition_profile",
     "stratified_mix_sample",
+    "kpi_view_trend_by_period",
+    "kpi_top_items_view_share",
+    "nation_trade_volume",
+    "redact_pii_docs",
+    "vocab_top_terms",
 ]
 
 

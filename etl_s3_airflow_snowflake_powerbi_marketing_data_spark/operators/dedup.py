@@ -191,13 +191,33 @@ def ngram_jaccard_pairs(
         ex.join(freq, "sh")
         .withColumn("__pos", F.row_number().over(w))
         .filter(F.col("__pos") <= prefix_len)
-        .select("id", "set_size", "sh")
+        .select("id", "set_size", "sh", "__pos")
     )
     left = prefixes.select(
-        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "sh"
+        F.col("id").alias("id_a"),
+        F.col("set_size").alias("size_a"),
+        F.col("__pos").alias("pos_a"),
+        "sh",
     )
     right = prefixes.select(
-        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "sh"
+        F.col("id").alias("id_b"),
+        F.col("set_size").alias("size_b"),
+        F.col("__pos").alias("pos_b"),
+        "sh",
+    )
+    # Positional filter (PPJoin): the prefix orderings are the SAME
+    # global order (df_count, sh), so at a pair's FIRST common prefix
+    # element no common element precedes it in either set, and
+    # |A∩B| ≤ min(|A|-pos_a, |B|-pos_b) + 1. Aggregating max over the
+    # pair's matches recovers exactly the first-match (largest) bound —
+    # so requiring ub ≥ ceil(t/(1+t)·(|A|+|B|)) (the Jaccard≥t overlap
+    # minimum) is lossless. The groupBy replaces the plain distinct()
+    # at the same shuffle cost and cuts the candidate set before the
+    # verify join — which carries full shingle arrays and is the
+    # payload-heavy stage at corpus scale.
+    min_overlap = F.expr(
+        f"(({t6} * (size_a + size_b)) + {1_000_000 + t6} - 1) "
+        f"div {1_000_000 + t6}"
     )
     candidates = (
         left.join(right, "sh")
@@ -207,8 +227,20 @@ def ngram_jaccard_pairs(
             & (F.col("size_b") * t6 <= F.col("size_a") * 1_000_000)
             & (F.col("size_a") * t6 <= F.col("size_b") * 1_000_000)
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.least(
+                    F.col("size_a") - F.col("pos_a"),
+                    F.col("size_b") - F.col("pos_b"),
+                )
+                + 1
+            ).alias("__ub"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
+        .filter(F.col("__ub") >= min_overlap)
         .select("id_a", "id_b")
-        .distinct()
     )
     verified = _verified_jaccard(candidates, sets, threshold).localCheckpoint(
         eager=True

@@ -544,3 +544,68 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "ship_month")
     )
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: a user converts
+    at a stage only via events AFTER their entry into the previous
+    stage (first view -> first click after that view -> first purchase
+    after that click).
+
+    One shuffle total: all three stage timestamps are unbounded
+    MIN-windows over the SAME user_id partitioning, so Catalyst plans a
+    single Exchange feeding stacked Window operators (the stage-N
+    timestamp feeds the stage-N+1 window predicate without
+    re-shuffling). The per-user frame then collapses to one row per
+    user (groupBy on the already-partitioned key) and a 3-row stack.
+    At 100 TB the cost is one events shuffle by user_id — the same
+    price as any sessionization — with no self-joins.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    wu = Window.partitionBy("user_id")
+    s1 = events.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.col("t_view").isNotNull().cast("long")).alias("r1"),
+        F.max(F.col("t_click").isNotNull().cast("long")).alias("r2"),
+        F.max(F.col("t_purchase").isNotNull().cast("long")).alias("r3"),
+    )
+    totals = per_user.agg(
+        F.sum("r1").alias("n1"), F.sum("r2").alias("n2"), F.sum("r3").alias("n3")
+    )
+    # 3-row funnel with conversion pct vs the previous stage; floor6 +
+    # zero-guard keep it exact and NULL-free for any data
+    pct = (
+        "CASE WHEN {prev} = 0 THEN 0.0 "
+        "ELSE floor(CAST({cur} AS DOUBLE) * 100.0 / {prev} * 1e6) / 1e6 END"
+    )
+    return totals.selectExpr(
+        "stack(3, "
+        " 1, 'view', n1, CAST(100.0 AS DOUBLE), "
+        f" 2, 'click_after_view', n2, {pct.format(cur='n2', prev='n1')}, "
+        f" 3, 'purchase_after_click', n3, {pct.format(cur='n3', prev='n2')}"
+        ") AS (stage_order, stage, n_users, pct_of_prev)"
+    ).orderBy("stage_order")

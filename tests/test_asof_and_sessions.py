@@ -292,3 +292,46 @@ def test_asof_carries_composite_row_not_stitched_columns(spark):
         right_cols=["price", "qty"], tolerance="6 minutes",
     ).first()
     assert out2["qty"] == 2 and out2["price"] is None
+
+
+def test_conversion_funnel_ordering(spark, tmp_path):
+    """Stage credit requires strictly-later events: a click BEFORE the
+    first view must not count, nor a purchase before the first
+    qualifying click."""
+    import datetime as dt
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        relational,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        ev(1, 1, "view", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        # user 2: click BEFORE view, purchase after view but no click after
+        # view: counts for view only
+        ev(4, 2, "click", 0), ev(5, 2, "view", 10), ev(6, 2, "purchase", 20),
+        # user 3: view -> click, purchase BEFORE the click: stops at click
+        ev(7, 3, "purchase", 0), ev(8, 3, "view", 5), ev(9, 3, "click", 15),
+        # user 4: never views
+        ev(10, 4, "purchase", 0), ev(11, 4, "click", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "funnel_events")
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {
+        r["stage"]: (r["n_users"], r["pct_of_prev"])
+        for r in relational.conversion_funnel(spark, path).collect()
+    }
+    assert out["view"][0] == 3          # users 1,2,3
+    assert out["click_after_view"][0] == 2   # users 1,3
+    assert out["purchase_after_click"][0] == 1  # user 1 only
+    assert out["purchase_after_click"][1] == 50.0
