@@ -403,6 +403,12 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered most-important-first: one representative of every
+    operator family sits in the front half, variants/baselines in the
+    tail. r01's driver report silently truncated to 50 entries (the
+    last two registered queries never appeared), so if any harness-side
+    count or time budget cuts the tail again, what's lost is a variant
+    with a surviving sibling — never a whole family."""
     return {
         # --- star-schema builds (SURVEY §2.2, P1-P9 + S-layer) ---
         "event_raw": marketing.build_event_raw,
@@ -416,27 +422,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpi_item_view_rank_by_period": marketing.item_view_rank_by_period,
         "kpi_most_viewed_item_latest_period": marketing.most_viewed_item_latest_period,
         "kpi_top_event_type_by_period": marketing.top_event_type_by_period,
-        "kpi_view_trend_by_period": marketing.view_trend_by_period,
-        "kpi_top_items_view_share": marketing.top_items_view_share,
-        # --- source/sink layer (SURVEY §2.1 S1-S5) ---
-        "csv_ingest_rollup": q_csv_ingest_rollup,
-        "ddl_table_roundtrip": q_ddl_table_roundtrip,
         # --- merge layer (SURVEY §2.1 S6/S7) ---
         "merge_ignore_orders": q_merge_ignore,
         "merge_update_orders": q_merge_update,
-        # --- streaming (green-field; kept mid-list so a harness-side
-        #     global time budget can't silently drop them off the tail,
-        #     which is what happened to the last two entries in r01) ---
+        # --- streaming ---
         "streaming_event_counts": q_streaming_counts,
         "streaming_sliding_counts": q_streaming_sliding,
         "streaming_user_sessions": q_streaming_sessions,
         "streaming_dedup_events": q_streaming_dedup,
+        # --- one representative per training-data extension family ---
+        "text_profile": q_text_profile,
+        "dedup_exact_docs": q_dedup_exact,
+        "ngram_jaccard_dups": q_ngram_jaccard,
+        "minhash_lsh_dups": q_minhash_dups,
+        "simhash_near_dups": q_simhash_dups,
+        "dedup_near_docs": q_dedup_near_docs,
+        "dedup_semantic_embeddings": q_dedup_semantic,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
+        "media_features": q_media_features,
+        "media_embeddings": q_media_embeddings,
+        "media_frame_sample": q_media_frames,
+        "media_audio_features": q_media_audio,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "decontaminate_eval_docs": q_decontaminate,
+        "repetition_profile": q_repetition_profile,
+        "stratified_mix_sample": q_stratified_sample,
+        "doc_winnow_fingerprints": q_winnow_fingerprints,
+        "redact_pii_docs": q_redact_pii,
+        "vocab_top_terms": q_vocab_top_terms,
+        "doc_sample_10pct": q_doc_sample,
+        # --- source/sink layer (SURVEY §2.1 S1-S5) ---
+        "csv_ingest_rollup": q_csv_ingest_rollup,
+        "ddl_table_roundtrip": q_ddl_table_roundtrip,
         # --- relational coverage (SURVEY §2.5 gaps made first-class) ---
         "pricing_summary": relational.pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
+        "nation_trade_volume": relational.nation_trade_volume,
+        "user_sessions": relational.user_sessions,
+        "conversion_funnel": relational.conversion_funnel,
+        "events_last_order": q_events_last_order,
+        "purchases_in_browse_sessions": relational.purchases_in_browse_sessions,
         "top_customers_per_segment": relational.top_customers_per_segment,
         "customers_without_orders": relational.customers_without_orders,
         "high_value_order_customers": relational.high_value_order_customers,
+        # --- tail: variants and baselines with surviving siblings ---
+        "kpi_view_trend_by_period": marketing.view_trend_by_period,
+        "kpi_top_items_view_share": marketing.top_items_view_share,
         "order_priority_rollup": relational.order_priority_rollup,
         "order_status_priority_cube": relational.order_status_priority_cube,
         "revenue_grouping_sets": relational.revenue_grouping_sets,
@@ -444,41 +478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_quantiles": relational.order_price_quantiles,
         "order_price_deciles": relational.order_price_deciles,
         "order_set_ops": relational.order_set_ops,
-        "user_sessions": relational.user_sessions,
-        "conversion_funnel": relational.conversion_funnel,
         "running_daily_revenue": relational.running_daily_revenue,
-        "events_last_order": q_events_last_order,
-        "purchases_in_browse_sessions": relational.purchases_in_browse_sessions,
-        "nation_trade_volume": relational.nation_trade_volume,
         "part_name_features": relational.part_name_features,
         "numeric_column_profile": relational.numeric_column_profile,
-        "doc_sample_10pct": q_doc_sample,
-        # --- training-data extensions (north star) ---
-        "text_profile": q_text_profile,
-        "redact_pii_docs": q_redact_pii,
-        "vocab_top_terms": q_vocab_top_terms,
-        "doc_winnow_fingerprints": q_winnow_fingerprints,
         "exact_dup_groups": q_exact_dup_groups,
-        "dedup_exact_docs": q_dedup_exact,
-        "ngram_jaccard_dups": q_ngram_jaccard,
-        "dedup_near_docs": q_dedup_near_docs,
-        "minhash_lsh_dups": q_minhash_dups,
-        "simhash_near_dups": q_simhash_dups,
-        "embedding_topk": q_embedding_topk,
-        "embedding_topk_lsh": q_embedding_topk_lsh,
-        "embedding_topk_ivf": q_embedding_topk_ivf,
-        "dedup_semantic_embeddings": q_dedup_semantic,
         "embedding_cosine_dups": q_cosine_dups,
-        "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
         "embedding_cosine_dups_blocked": q_cosine_dups_blocked,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frames,
-        "media_embeddings": q_media_embeddings,
-        "media_audio_features": q_media_audio,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "decontaminate_eval_docs": q_decontaminate,
-        "repetition_profile": q_repetition_profile,
-        "stratified_mix_sample": q_stratified_sample,
     }
 
 
