@@ -374,6 +374,29 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted per-source curation: score every doc, keep the
+    top 10 per source above a floor (operators/sampling.py:
+    curate_top_per_group — WindowGroupLimit pre-prunes per partition)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.curate_top_per_group(
+            docs,
+            text_fn.quality_score(F.col("text")),
+            "source",
+            "doc_id",
+            per_group=10,
+            min_score=0.3,
+        )
+        .select("doc_id", "source", "score", "rank_in_group")
+        .orderBy("source", "rank_in_group")
+    )
+
+
 def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events")
@@ -450,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_eval_docs": q_decontaminate,
         "repetition_profile": q_repetition_profile,
         "stratified_mix_sample": q_stratified_sample,
+        "curate_top_docs_per_source": q_curate_docs,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "redact_pii_docs": q_redact_pii,
         "vocab_top_terms": q_vocab_top_terms,
@@ -1062,6 +1086,21 @@ def oracle_sql() -> dict[str, str]:
                    {quality} AS quality,
                    md5({_NORM_TEXT}) AS fingerprint
             FROM documents
+        """,
+        "curate_top_docs_per_source": f"""
+            WITH s AS (
+              SELECT doc_id, source, {quality} AS score FROM documents
+            ),
+            r AS (
+              SELECT doc_id, source, score,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY score DESC, doc_id) AS BIGINT)
+                       AS rank_in_group
+              FROM s WHERE score >= 0.3
+            )
+            SELECT doc_id, source, score, rank_in_group
+            FROM r WHERE rank_in_group <= 10
+            ORDER BY source, rank_in_group
         """,
         "redact_pii_docs": f"""
             WITH inj AS (

@@ -53,6 +53,7 @@ HEADLINE = [
     "nation_trade_volume",
     "redact_pii_docs",
     "vocab_top_terms",
+    "conversion_funnel",
 ]
 
 

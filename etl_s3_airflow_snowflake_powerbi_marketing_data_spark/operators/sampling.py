@@ -79,3 +79,39 @@ def stratified_sample(
             .otherwise(threshold)
         )
     return df.filter(hash_bucket(F.col(id_col), salt) < threshold)
+
+
+def curate_top_per_group(
+    df: DataFrame,
+    score_col: Column,
+    group_col: str,
+    id_col: str = "doc_id",
+    per_group: int = 10,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Per-group curation under a budget: keep the ``per_group``
+    highest-scoring rows of each group, scores below ``min_score``
+    excluded — the selection step of quality-weighted domain mixing
+    (score docs, keep the best N per source/domain).
+
+    Plans as a rank-k window that Spark executes with WindowGroupLimit:
+    each shuffle partition pre-prunes to its local top-k per group
+    BEFORE the exchange, so shuffle volume is O(groups x k) no matter
+    how large the corpus — the same property the top-k-per-segment
+    relational query pins in tests. Ties break by id for a
+    deterministic survivor set.
+    """
+    from pyspark.sql import Window
+
+    scored = df.withColumn("__score", score_col).filter(
+        F.col("__score") >= min_score
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("__rank") <= per_group)
+        .withColumnRenamed("__score", "score")
+        .withColumnRenamed("__rank", "rank_in_group")
+    )

@@ -288,3 +288,26 @@ def test_repetition_profile_flags_repetitious_text(spark):
     assert out[1]["top_gram_frac"] > 0.4 and out[1]["dup_gram_frac"] > 0.9
     assert out[2]["dup_gram_frac"] == 0.0
     assert out[3]["n_grams"] == 1 and out[3]["dup_gram_frac"] == 0.0
+
+
+def test_curate_top_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    rows = [
+        (1, "a", 5.0), (2, "a", 9.0), (3, "a", 7.0), (4, "a", 0.1),
+        (5, "b", 3.0), (6, "b", 3.0),  # tie broken by id
+        (7, "c", 0.05),                # below floor: group vanishes
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v double")
+    out = sampling.curate_top_per_group(
+        df, F.col("v"), "source", "doc_id", per_group=2, min_score=0.1
+    )
+    got = [
+        (r["source"], r["doc_id"], r["rank_in_group"])
+        for r in out.orderBy("source", "rank_in_group").collect()
+    ]
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 5, 1), ("b", 6, 2)]
