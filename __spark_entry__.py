@@ -374,6 +374,33 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event_type
+    (operators/sketches.py), joined with the exact count so the result
+    itself exhibits the estimator's error (~3.2% stderr at p=10)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    est = sketches.hll_distinct(events, "user_id", ["event_type"], p=10)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    err = F.abs(F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact") * 100
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_estimate",
+            "buckets_used",
+            (F.floor(err * 1e4) / 1e4).alias("err_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted per-source curation: score every doc, keep the
     top 10 per source above a floor (operators/sampling.py:
@@ -474,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "stratified_mix_sample": q_stratified_sample,
         "curate_top_docs_per_source": q_curate_docs,
+        "hll_distinct_users_by_type": q_hll_users,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "redact_pii_docs": q_redact_pii,
         "vocab_top_terms": q_vocab_top_terms,
@@ -1253,6 +1281,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dups": """
             SELECT id_a, id_b, jaccard
             FROM read_parquet('/root/repo/expected/sf0.01/minhash_lsh_dups.parquet')
+        """,
+        "hll_distinct_users_by_type": """
+            SELECT event_type, n_exact, hll_estimate, buckets_used, err_pct
+            FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
         """,
         "simhash_near_dups": """
             SELECT id_a, id_b, hamming

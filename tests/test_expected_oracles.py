@@ -95,3 +95,26 @@ def test_generators_match_spark_on_alternate_sf(spark, sf_dir):
     for expected, spark_df in pairs:
         got = spark_df.toPandas()
         assert _canon(got) == _canon(expected)
+
+
+def test_hll_generator_matches_spark_on_alternate_sf(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    expected = gen_expected.gen_hll_users(sf_dir)
+    got = entrymod.q_hll_users(spark, sf_dir).toPandas()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return sorted(
+            tuple(
+                v if isinstance(v, str)
+                else round(v, 6) if isinstance(v, float)
+                else int(v)
+                for v in row
+            )
+            for row in df.itertuples(index=False)
+        )
+
+    assert canon(got) == canon(expected)
+    # sanity: the estimator is actually close at sf0.001 (15 users/type)
+    assert (got["err_pct"] < 15.0).all()

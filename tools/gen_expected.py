@@ -322,6 +322,52 @@ def gen_cosine_dups_lsh(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
     ).astype({"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"})
 
 
+def gen_hll_users(sf_dir: str, p: int = 10) -> pd.DataFrame:
+    """Independent HLL: per-event_type distinct-user estimate mirroring
+    ``operators.sketches.hll_distinct`` arithmetic exactly — unsigned
+    xxhash64 bucketing, exact-integer harmonic sum, single-division
+    estimate, linear-counting branch, floor-4 truncation."""
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    m = 1 << p
+    sb = 64 - p
+    maxr = sb + 1
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for t, u in zip(ev.event_type, ev.user_id):
+        h = xxhash64(int(u)) & M64
+        b = h >> sb
+        sfx = h & ((1 << sb) - 1)
+        rho = maxr if sfx == 0 else maxr - sfx.bit_length()
+        r = regs.setdefault(t, {})
+        if rho > r.get(b, 0):
+            r[b] = rho
+        exact.setdefault(t, set()).add(int(u))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << maxr)
+    rows = []
+    for t in sorted(regs):
+        r = regs[t]
+        used = len(r)
+        s_used = sum(1 << (maxr - rho) for rho in r.values())
+        empties = m - used
+        s_total = float(s_used + empties * (1 << maxr))
+        e_raw = numerator / s_total
+        if e_raw <= 2.5 * m and empties > 0:
+            est = float(m) * math.log(float(m) / float(empties))
+        else:
+            est = e_raw
+        est4 = math.floor(est * 1e4) / 1e4
+        n = len(exact[t])
+        err = math.floor(abs(est4 - n) / n * 100 * 1e4) / 1e4
+        rows.append((t, n, est4, used, err))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_exact", "hll_estimate", "buckets_used", "err_pct"],
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -342,6 +388,7 @@ def main() -> None:
         ("embedding_topk_lsh", gen_lsh_topk(vecs)),
         ("embedding_topk_ivf", gen_ivf_topk(vecs)),
         ("embedding_cosine_dups_lsh", gen_cosine_dups_lsh(vecs)),
+        ("hll_distinct_users_by_type", gen_hll_users(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
