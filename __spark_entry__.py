@@ -520,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_segment": relational.top_customers_per_segment,
         "customers_without_orders": relational.customers_without_orders,
         "high_value_order_customers": relational.high_value_order_customers,
+        "nation_customer_supplier_balance": relational.nation_customer_supplier_balance,
+        "rolling_weekly_revenue": relational.rolling_weekly_revenue,
         # --- tail: variants and baselines with surviving siblings ---
         "kpi_view_trend_by_period": marketing.view_trend_by_period,
         "kpi_top_items_view_share": marketing.top_items_view_share,
@@ -1091,6 +1093,45 @@ def oracle_sql() -> dict[str, str]:
                           ELSE floor(CAST(n3 AS DOUBLE) * 100.0 / n2 * 1e6)
                                / 1e6 END FROM t
             ) ORDER BY stage_order
+        """,
+        "nation_customer_supplier_balance": """
+            WITH c AS (
+              SELECT c_nationkey AS nk, COUNT(*) AS n_customers,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS customer_balance
+              FROM customer GROUP BY 1
+            ),
+            s AS (
+              SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers,
+                     CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS supplier_balance
+              FROM supplier GROUP BY 1
+            )
+            SELECT n.n_name AS nation_name,
+                   COALESCE(c.n_customers, 0) AS n_customers,
+                   COALESCE(c.customer_balance, 0.0) AS customer_balance,
+                   COALESCE(s.n_suppliers, 0) AS n_suppliers,
+                   COALESCE(s.supplier_balance, 0.0) AS supplier_balance
+            FROM c FULL OUTER JOIN s ON c.nk = s.nk
+            JOIN nation n ON COALESCE(c.nk, s.nk) = n.n_nationkey
+            ORDER BY nation_name
+        """,
+        "rolling_weekly_revenue": """
+            WITH d AS (
+              SELECT date_trunc('day', o_orderdate) AS order_day,
+                     CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2))
+                       AS day_rev
+              FROM orders GROUP BY 1
+            )
+            SELECT order_day,
+                   CAST(day_rev AS DOUBLE) AS day_revenue,
+                   CAST(SUM(day_rev) OVER w AS DOUBLE) AS week_revenue,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
+            FROM d
+            WINDOW w AS (ORDER BY order_day
+                         RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY order_day
         """,
         "running_daily_revenue": """
             WITH d AS (

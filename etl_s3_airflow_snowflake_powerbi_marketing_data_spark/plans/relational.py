@@ -609,3 +609,78 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" 3, 'purchase_after_click', n3, {pct.format(cur='n3', prev='n2')}"
         ") AS (stage_order, stage, n_users, pct_of_prev)"
     ).orderBy("stage_order")
+
+
+def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type no other query exercises):
+    per-nation customer account balance vs supplier account balance,
+    nations appearing on either side.
+
+    Both inputs are already nation-grain aggregates (≤25 rows), so the
+    full-outer join itself is trivial at any scale — the heavy lifting
+    is the two map-side-combinable aggs feeding it. Balances sum in
+    DECIMAL for cross-engine order-independence.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("customer_balance"),
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("supplier_balance"),
+    )
+    joined = c.join(s, c.nk_c == s.nk_s, "full_outer").withColumn(
+        "nationkey", F.coalesce("nk_c", "nk_s")
+    )
+    return (
+        joined.join(F.broadcast(nation), F.col("nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the ROWS frames elsewhere): rolling
+    7-day revenue over daily aggregates — RANGE BETWEEN 6 days
+    PRECEDING AND CURRENT ROW on the day timestamp, so gaps in the
+    calendar shrink the window instead of silently spanning them
+    (the ROWS-frame bug this operator class exists to avoid).
+
+    The frame sums DECIMAL day-revenues: sliding-frame accumulators
+    (add/remove) would drift under float math and diverge from an
+    engine that recomputes each frame; decimal is exact either way.
+    Window is unpartitioned but runs over one row per DAY — bounded
+    cardinality at any input scale (same argument as the trend KPI).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("order_day")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .alias("day_rev")
+    )
+    w = (
+        Window.orderBy(F.col("order_day").cast("long"))
+        # 6 x 86400 seconds back + the current day = a 7-day window
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "order_day",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("week_revenue"),
+        F.count("*").over(w).cast("long").alias("n_days_in_window"),
+    ).orderBy("order_day")

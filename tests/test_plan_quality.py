@@ -118,3 +118,12 @@ def test_nation_trade_volume_broadcasts_all_dims(spark):
     assert n_shuffle <= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_full_outer_and_range_frame_plan_shapes(spark):
+    """The two otherwise-unexercised operator classes: a genuine
+    FullOuter join, and a RANGE (not ROWS) window frame."""
+    plan = _plan(relational.nation_customer_supplier_balance(spark, SF))
+    assert "FullOuter" in plan
+    plan2 = _plan(relational.rolling_weekly_revenue(spark, SF))
+    assert "RangeFrame" in plan2 or "RANGE" in plan2
