@@ -2,9 +2,11 @@
 
 Each ``queries()`` entry is an operator/query from SURVEY.md §2 (plus
 the north-star extension operators); ``oracle_sql()`` holds the DuckDB
-equivalent run side-by-side at sf=0.01. Non-SQL-expressible operators
-(MinHash-LSH, SimHash — approximate candidate generation) have no
-oracle entry and get the rows-only check.
+equivalent run side-by-side at sf=0.01. EVERY query has an oracle: ops
+whose hashing DuckDB cannot reproduce in SQL (MinHash-LSH, SimHash,
+LSH/IVF top-k, the HLL sketch) compare against expected outputs
+precomputed by an independent pure-Python implementation
+(tools/gen_expected.py) committed under expected/sf0.01/.
 """
 
 from __future__ import annotations

@@ -54,6 +54,9 @@ HEADLINE = [
     "redact_pii_docs",
     "vocab_top_terms",
     "conversion_funnel",
+    "curate_top_docs_per_source",
+    "hll_distinct_users_by_type",
+    "rolling_weekly_revenue",
 ]
 
 

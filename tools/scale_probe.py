@@ -46,6 +46,11 @@ def main() -> None:
     big.write.mode("overwrite").parquet(big_path)
 
     def ops(df):
+        from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+            sampling,
+            sketches,
+        )
+
         return {
             # .count() would let Catalyst prune the computed columns;
             # the noop sink forces the full plan.
@@ -58,6 +63,21 @@ def main() -> None:
             ),
             "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(
                 df, threshold=0.5
+            ),
+            "redact_pii": lambda: df.select(
+                "doc_id", text_fn.redact_pii(F.col("text")).alias("t")
+            ),
+            "vocab_top_terms": lambda: text_fn.top_terms(df),
+            "curate_top_per_source": lambda: sampling.curate_top_per_group(
+                df, text_fn.quality_score(F.col("text")), "source"
+            ),
+            # HLL over the replicated corpus must ALSO return the same
+            # estimate at Nx: replicas duplicate text fingerprints, and
+            # a distinct sketch that grows with duplication is broken.
+            "hll_distinct_fingerprints": lambda: sketches.hll_distinct(
+                df.select(text_fn.fingerprint(F.col("text")).alias("fp")),
+                "fp",
+                [],
             ),
         }
 
