@@ -403,6 +403,16 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch: HLL registers maintained by Structured
+    Streaming, estimate finalized at read — must equal the batch
+    estimate bit-for-bit (register MAX is micro-batch-order
+    invariant)."""
+    return streaming_pipeline.run_hll_stream_to_memory(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted per-source curation: score every doc, keep the
     top 10 per source above a floor (operators/sampling.py:
@@ -504,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_mix_sample": q_stratified_sample,
         "curate_top_docs_per_source": q_curate_docs,
         "hll_distinct_users_by_type": q_hll_users,
+        "streaming_hll_users": q_streaming_hll,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "redact_pii_docs": q_redact_pii,
         "vocab_top_terms": q_vocab_top_terms,
@@ -1327,6 +1338,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct_users_by_type": """
             SELECT event_type, n_exact, hll_estimate, buckets_used, err_pct
+            FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
+        """,
+        # Streaming registers == batch registers (MAX is micro-batch-
+        # order invariant), so the same expected file verifies both.
+        "streaming_hll_users": """
+            SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
         """,
         "simhash_near_dups": """

@@ -15,11 +15,22 @@ estimate is one float division from precomputed literals. That is what
 lets an independent pure-Python implementation (tools/gen_expected.py)
 produce an exact expected output the oracle compares by value.
 
+Split into two halves on purpose:
+
+- ``hll_registers``: hash → bucket → MAX(rho). Pure associative
+  aggregation, so it is ALSO a legal Structured Streaming aggregation
+  (complete mode) — registers maintained continuously over a stream
+  equal the batch registers over the same rows, because MAX is
+  micro-batch-order invariant.
+- ``hll_finalize``: registers → estimate. A tiny batch projection +
+  per-group fold, run at read time — how a production sketch table
+  works (store registers, finalize on query).
+
 Estimator: Flajolet et al., "HyperLogLog: the analysis of a
 near-optimal cardinality estimation algorithm" (AofA 2007), with the
 standard linear-counting small-range correction. The correction branch
-compares E_raw against 2.5·m using exact integers, so both engines
-take the same branch on the same data.
+compares E_raw against 2.5·m using exactly-reproducible arithmetic, so
+every engine takes the same branch on the same data.
 """
 
 from __future__ import annotations
@@ -28,31 +39,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hll_distinct(
+def _check_p(p: int) -> None:
+    if not 4 <= p <= 16:
+        raise ValueError(f"p={p} outside sane HLL range [4, 16]")
+
+
+def hll_registers(
     df: DataFrame,
     key_col: str,
     group_cols: list[str],
     p: int = 10,
 ) -> DataFrame:
-    """Per-group HyperLogLog distinct estimate of ``key_col``.
-
-    Output: group cols + ``hll_estimate`` (double, floor-truncated to
-    4 decimals), ``buckets_used`` (long). 2^p buckets; standard error
-    ≈ 1.04/sqrt(2^p) (~3.2% at p=10).
-
-    Plan shape: one shuffle to (group, bucket) grain — the per-bucket
-    MAX(rho) partial-aggregates map-side, so the exchange carries at
-    most groups × 2^p rows regardless of input size — then a trivial
-    second aggregation at group grain.
+    """Per-(group, bucket) MAX(rho) registers — the mergeable sketch
+    state. Works identically on a batch or streaming DataFrame (one
+    associative aggregation; map-side/partial merges ARE the sketch
+    union).
 
     ``bin()`` (a per-row string) computes the leading-zero count; at
     extreme scale a branchless bit-trick cascade would shave the
-    allocation, but the expression sits after the map-side combine's
-    input projection, executing once per input row either way.
+    allocation, but the expression sits before the map-side combine,
+    executing once per input row either way.
     """
-    if not 4 <= p <= 16:
-        raise ValueError(f"p={p} outside sane HLL range [4, 16]")
-    m = 1 << p
+    _check_p(p)
     suffix_bits = 64 - p
     mask = (1 << suffix_bits) - 1
     max_rho = suffix_bits + 1  # suffix == 0 case
@@ -70,14 +78,26 @@ def hll_distinct(
         .otherwise(F.lit(max_rho) - F.length(F.expr("bin(__sfx)")))
         .cast("int")
     )
-    per_bucket = hashed.groupBy(*group_cols, "__bucket").agg(
-        F.max(rho).alias("__rho")
-    )
+    return hashed.groupBy(*group_cols, "__bucket").agg(F.max(rho).alias("__rho"))
+
+
+def hll_finalize(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 10,
+) -> DataFrame:
+    """Registers → (group cols, ``hll_estimate`` double floor-4,
+    ``buckets_used`` long). Standard error ≈ 1.04/sqrt(2^p)."""
+    _check_p(p)
+    m = 1 << p
+    max_rho = (64 - p) + 1
     # Exact harmonic sum: each bucket contributes 2^(-rho), scaled by
     # 2^max_rho so every term is an integer; DECIMAL sum is exact and
     # order-independent (sum < 2^p · 2^max_rho = 2^65 < 10^38).
-    term = F.expr(f"cast(shiftleft(cast(1 as bigint), {max_rho} - __rho) as decimal(38,0))")
-    per_group = per_bucket.groupBy(*group_cols).agg(
+    term = F.expr(
+        f"cast(shiftleft(cast(1 as bigint), {max_rho} - __rho) as decimal(38,0))"
+    )
+    per_group = registers.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("buckets_used"),
         F.sum(term).alias("__s_used"),
     )
@@ -88,18 +108,37 @@ def hll_distinct(
     empties = F.lit(m) - F.col("buckets_used")
     s_total = (
         F.col("__s_used")
-        + (empties.cast("decimal(38,0)") * F.lit(1 << max_rho).cast("decimal(38,0)"))
+        + (
+            empties.cast("decimal(38,0)")
+            * F.lit(1 << max_rho).cast("decimal(38,0)")
+        )
     ).cast("double")
     e_raw = F.lit(numerator) / s_total
-    # Linear counting below 2.5m with empty buckets (branch condition
-    # uses exact integers on the estimate's ordering side via e_raw
-    # comparison — both engines compute e_raw identically).
+    # Linear counting below 2.5m with empty buckets — both engines
+    # compute e_raw identically, so the branch choice is reproducible.
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / empties.cast("double"))
-    estimate = F.when((e_raw <= F.lit(2.5 * m)) & (empties > 0), linear).otherwise(
-        e_raw
-    )
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (empties > 0), linear
+    ).otherwise(e_raw)
     return per_group.select(
         *group_cols,
         (F.floor(estimate * 1e4) / 1e4).alias("hll_estimate"),
         "buckets_used",
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 10,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``key_col`` in one
+    call: ``hll_finalize(hll_registers(df))``.
+
+    Plan shape: one shuffle to (group, bucket) grain — the per-bucket
+    MAX(rho) partial-aggregates map-side, so the exchange carries at
+    most groups × 2^p rows regardless of input size — then a trivial
+    second aggregation at group grain.
+    """
+    return hll_finalize(hll_registers(df, key_col, group_cols, p), group_cols, p)

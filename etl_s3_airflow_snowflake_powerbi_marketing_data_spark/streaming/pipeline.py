@@ -187,3 +187,39 @@ def run_sliding_to_memory(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_hll_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    p: int = 10,
+    query_name: str = "hll_registers_stream",
+) -> DataFrame:
+    """Streaming HyperLogLog: maintain the per-(event_type, bucket)
+    MAX(rho) registers as a Structured Streaming aggregation (complete
+    mode — MAX is associative, so the continuously-merged registers
+    equal the batch registers over the same rows no matter how the
+    stream micro-batches), then finalize the estimate in batch over the
+    register table — the production sketch-table pattern: store
+    registers, compute the estimate at read time.
+
+    Output is bit-identical to batch ``hll_distinct`` on the same
+    file, which is exactly what the oracle checks.
+    """
+    from ..operators.sketches import hll_finalize, hll_registers
+
+    stream = read_event_stream(spark, source_path)
+    regs = hll_registers(stream, "user_id", ["event_type"], p)
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return hll_finalize(spark.table(query_name), ["event_type"], p).orderBy(
+        "event_type"
+    )

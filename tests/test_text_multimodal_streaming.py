@@ -244,3 +244,27 @@ def test_top_terms_counts_and_ties(spark):
     ]
     # apple appears 3x (case-folded), banana 2x; cherry cut by k=2
     assert got == [("apple", 3), ("banana", 2)]
+
+
+def test_streaming_hll_equals_batch(spark, sf_dir):
+    """Register MAX is micro-batch-order invariant, so the streamed
+    sketch must equal the batch sketch exactly — including the
+    estimate finalized from it."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    streamed = pipeline.run_hll_stream_to_memory(
+        spark, table_path(sf_dir, "events"), query_name="hll_regs_test"
+    ).collect()
+    batch = (
+        sketches.hll_distinct(
+            load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
