@@ -193,6 +193,44 @@ def q_ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 dead-letter path: write an orders CSV slice with every
+    7th-key row deliberately mangled (non-numeric price), re-read with
+    the PERMISSIVE quarantine reader, and aggregate good vs corrupt.
+    The oracle computes the same numbers from the ORIGINAL orders
+    table and the injection rule — verifying the quarantine routed
+    every row to the right side and the good rows round-tripped
+    losslessly (Spark's double→string is shortest-round-trip)."""
+    import tempfile  # noqa: PLC0415
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+    )
+
+    path = f"{tempfile.gettempdir()}/spark_graft_csv_badrec"
+    orders = load_table(spark, sf_dir, "orders")
+    price_field = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("oops")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    line = F.concat_ws(
+        ",", F.col("o_orderkey").cast("string"), F.col("o_orderpriority"), price_field
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    staged = readers.read_csv_permissive(
+        spark, path, "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+    )
+    good = F.col("_corrupt_record").isNull()
+    return staged.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(
+            F.when(good, F.col("o_totalprice").cast("decimal(18,6)"))
+        )
+        .cast("double")
+        .alias("good_total_price"),
+    )
+
+
 def q_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     target, source = _merge_slices(spark, sf_dir)
     return merge.merge_ignore(target, source, ["o_orderkey"])
@@ -521,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_10pct": q_doc_sample,
         # --- source/sink layer (SURVEY §2.1 S1-S5) ---
         "csv_ingest_rollup": q_csv_ingest_rollup,
+        "csv_bad_records_quarantine": q_csv_bad_records,
         "ddl_table_roundtrip": q_ddl_table_roundtrip,
         # --- relational coverage (SURVEY §2.5 gaps made first-class) ---
         "pricing_summary": relational.pricing_summary,
@@ -950,6 +989,16 @@ def oracle_sql() -> dict[str, str]:
                    MAX(o_orderkey) AS max_key
             FROM orders
             GROUP BY 1 ORDER BY 1
+        """,
+        "csv_bad_records_quarantine": """
+            SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 <> 0) AS BIGINT)
+                     AS n_good,
+                   CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT)
+                     AS n_corrupt,
+                   CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                            THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
+                        AS DOUBLE) AS good_total_price
+            FROM orders
         """,
         "ddl_table_roundtrip": """
             SELECT o_orderstatus,

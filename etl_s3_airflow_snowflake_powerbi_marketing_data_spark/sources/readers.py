@@ -59,3 +59,26 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     """S2 — read a registered table/view by name."""
     return spark.table(name)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Typed CSV read that quarantines malformed rows instead of
+    failing the job or silently dropping them (the production posture
+    for S1 ingest at scale — a 100 TB load WILL contain bad lines).
+
+    PERMISSIVE mode: parseable fields populate, the raw line of any
+    malformed row lands in ``corrupt_col`` (which must be appended to
+    the declared schema), so the caller can route good rows onward and
+    corrupt rows to a dead-letter sink with one filter each.
+    """
+    return (
+        spark.read.schema(f"{schema_ddl}, {corrupt_col} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
