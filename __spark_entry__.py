@@ -441,6 +441,16 @@ def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streamed events enriched against the item
+    dim (broadcast per micro-batch), then watermarked daily counts per
+    brand."""
+    items = marketing.build_d_item(spark, sf_dir)
+    return streaming_pipeline.run_enriched_stream_to_memory(
+        spark, table_path(sf_dir, "events"), items
+    )
+
+
 def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sketch: HLL registers maintained by Structured
     Streaming, estimate finalized at read — must equal the batch
@@ -530,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sliding_counts": q_streaming_sliding,
         "streaming_user_sessions": q_streaming_sessions,
         "streaming_dedup_events": q_streaming_dedup,
+        "streaming_enriched_brand_counts": q_streaming_enriched,
         # --- one representative per training-data extension family ---
         "text_profile": q_text_profile,
         "dedup_exact_docs": q_dedup_exact,
@@ -1658,6 +1669,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_enriched_brand_counts": """
+            SELECT date_trunc('day', e.ts) AS window_start,
+                   p.p_brand AS item_brand,
+                   COUNT(*) AS n_events
+            FROM events e
+            JOIN part p
+              ON CAST(json_extract_string(e.props, '$.k') AS BIGINT)
+                 = p.p_partkey
+            GROUP BY 1, 2
         """,
         "media_frame_sample": """
             SELECT doc_id AS media_id,

@@ -223,3 +223,56 @@ def run_hll_stream_to_memory(
     return hll_finalize(spark.table(query_name), ["event_type"], p).orderBy(
         "event_type"
     )
+
+
+def streaming_enriched_brand_counts(
+    events: DataFrame,
+    items: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: the canonical
+    production streaming topology (enrich each event against a slowly-
+    changing dimension, then aggregate).
+
+    The static side joins with a broadcast hash join re-resolved per
+    micro-batch — no stream-side state for the join itself; only the
+    windowed aggregation is stateful, bounded by the watermark.
+    """
+    parsed = events.withColumn(
+        "item_key", F.from_json("props", PROPS_SCHEMA)["k"].cast("long")
+    )
+    enriched = parsed.join(
+        F.broadcast(items), parsed.item_key == items.item_id, "inner"
+    )
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "item_brand")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "item_brand",
+            "n_events",
+        )
+    )
+
+
+def run_enriched_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    items: DataFrame,
+    query_name: str = "enriched_brand_counts",
+) -> DataFrame:
+    stream = read_event_stream(spark, source_path)
+    agg = streaming_enriched_brand_counts(stream, items)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
