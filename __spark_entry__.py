@@ -414,6 +414,14 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/text.py:
+    chunk_documents — shuffle-free, runs at scan speed)."""
+    return text_fn.chunk_documents(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id", "chunk_index")
+
+
 def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-user estimate per event_type
     (operators/sketches.py), joined with the exact count so the result
@@ -567,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "redact_pii_docs": q_redact_pii,
         "vocab_top_terms": q_vocab_top_terms,
+        "chunk_documents": q_chunk_documents,
         "doc_sample_10pct": q_doc_sample,
         # --- source/sink layer (SURVEY §2.1 S1-S5) ---
         "csv_ingest_rollup": q_csv_ingest_rollup,
@@ -1274,6 +1283,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*) AS term_count
             FROM w WHERE length(term) > 0
             GROUP BY term ORDER BY term_count DESC, term LIMIT 20
+        """,
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS toks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     CAST(i // 48 AS BIGINT) AS chunk_index,
+                     list_slice(toks, i + 1, i + 64) AS chunk
+              FROM t, (SELECT unnest(range(0, 100000, 48)) AS i)
+              WHERE i < greatest(len(toks), 1)
+            )
+            SELECT doc_id, chunk_index,
+                   CAST(len(chunk) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_index
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -291,3 +291,47 @@ def winnow_fingerprints(
         F.col(id_col),
         F.array_sort(F.array_distinct(winnowed)).alias("fingerprints"),
     ).withColumn("n_fingerprints", F.size("fingerprints").cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    embedding/packing prep step of a training pipeline): windows of
+    ``chunk_size`` tokens every ``stride`` tokens, so consecutive
+    chunks overlap by ``chunk_size - stride``.
+
+    Pure JVM expressions — normalize, split once, generate window
+    starts with ``sequence``, ``posexplode``, slice per window. The
+    token array materializes once per row (staged projection), never
+    per window. Output is one row per chunk, embarrassingly parallel:
+    no shuffle at all — at 100 TB this runs at scan speed and feeds
+    the embed/pack stages partition-aligned with its input.
+
+    Output: (id, chunk_index, n_tokens, chunk_md5). The md5 of the
+    re-joined window keeps the query output scalar while pinning the
+    exact chunk CONTENT, not just its size.
+    """
+    if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    staged = df.select(F.col(id_col), F.split(norm, " ").alias("__toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = staged.select(
+        id_col, "__toks", F.posexplode(starts).alias("chunk_index", "__start")
+    )
+    window = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.size(window).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+    )

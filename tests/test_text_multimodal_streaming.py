@@ -268,3 +268,19 @@ def test_streaming_hll_equals_batch(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: 100 tokens with size=64/stride=48 gives chunks
+    [1..64], [49..100], [97..100] — overlapping by 16, last one ragged."""
+    words = " ".join(f"w{i}" for i in range(1, 101))
+    df = spark.createDataFrame([(1, words), (2, "a b")],
+                               "doc_id long, text string")
+    out = {
+        (r["doc_id"], r["chunk_index"]): r["n_tokens"]
+        for r in text_fn.chunk_documents(df).collect()
+    }
+    assert out == {
+        (1, 0): 64, (1, 1): 52, (1, 2): 4,
+        (2, 0): 2,
+    }
