@@ -414,6 +414,14 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding corpus diagnostics (operators/similarity.py:
+    embedding_profile)."""
+    return similarity.embedding_profile(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "label"
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (functions/text.py:
     chunk_documents — shuffle-free, runs at scan speed)."""
@@ -561,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
+        "embedding_source_profile": q_embedding_profile,
         "media_features": q_media_features,
         "media_embeddings": q_media_embeddings,
         "media_frame_sample": q_media_frames,
@@ -1447,6 +1456,35 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups_lsh": """
             SELECT id_a, id_b, cosine_sim
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_cosine_dups_lsh.parquet')
+        """,
+        "embedding_source_profile": """
+            WITH v AS (
+              SELECT label,
+                     sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE)))) AS nrm
+              FROM embeddings
+            ),
+            g AS (
+              SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                     floor(AVG(nrm) * 1e6) / 1e6 AS avg_norm
+              FROM v GROUP BY 1
+            ),
+            d AS (
+              SELECT label, i - 1 AS pos,
+                     AVG(CAST(embedding[i] AS DOUBLE)) AS c
+              FROM embeddings,
+                   (SELECT unnest(range(1,
+                      (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i)
+              GROUP BY 1, 2
+            ),
+            cn AS (
+              SELECT label, CAST(MAX(pos) + 1 AS BIGINT) AS dim,
+                     floor(sqrt(SUM(c * c)) * 1e6) / 1e6 AS centroid_norm
+              FROM d GROUP BY 1
+            )
+            SELECT g.label, g.n_vecs, cn.dim, g.avg_norm, cn.centroid_norm
+            FROM g JOIN cn ON g.label = cn.label ORDER BY 1
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

@@ -498,3 +498,41 @@ def cosine_dup_pairs_blocked(
         )
 
     return both.groupBy("bi", "bj").applyInPandas(compute, out_schema)
+
+
+def embedding_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Per-group embedding-corpus diagnostics: vector count, dimension,
+    mean L2 norm, and centroid norm — the drift/collapse signals a
+    training pipeline tracks per source (a centroid norm near the mean
+    norm flags a degenerate, low-diversity cluster).
+
+    All JVM-side: the per-vector norm is a sequential HOF fold
+    (deterministic element order), the centroid is posexplode →
+    per-(group, dim) mean — one shuffle keyed (group, dim), map-side
+    combinable, so the exchange carries O(groups × dims) rows whatever
+    the corpus size.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sumsq = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+
+    norms = df.select(F.col(group_col), F.sqrt(sumsq).alias("__norm"))
+    per_group = norms.groupBy(group_col).agg(
+        F.count("*").alias("n_vecs"),
+        t6(F.avg("__norm")).alias("avg_norm"),
+    )
+    dims = df.select(
+        F.col(group_col), F.posexplode(vec).alias("pos", "x")
+    )
+    centroid = dims.groupBy(group_col, "pos").agg(F.avg("x").alias("c"))
+    cnorm = centroid.groupBy(group_col).agg(
+        (F.max("pos") + 1).cast("long").alias("dim"),
+        t6(F.sqrt(F.sum(F.col("c") * F.col("c")))).alias("centroid_norm"),
+    )
+    return per_group.join(cnorm, group_col).select(
+        group_col, "n_vecs", "dim", "avg_norm", "centroid_norm"
+    ).orderBy(group_col)
