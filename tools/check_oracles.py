@@ -42,9 +42,24 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        # Simulate the grading driver exactly: a stock SparkSession with
+        # NONE of our session factory's confs (no nanosAsLong, stock
+        # shuffle partitions, default timezone). Every query must be
+        # self-sufficient on this session — the r01 failure mode.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle_check_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(
