@@ -57,6 +57,8 @@ HEADLINE = [
     "curate_top_docs_per_source",
     "hll_distinct_users_by_type",
     "rolling_weekly_revenue",
+    "chunk_documents",
+    "embedding_source_profile",
 ]
 
 

@@ -127,3 +127,18 @@ def test_full_outer_and_range_frame_plan_shapes(spark):
     assert "FullOuter" in plan
     plan2 = _plan(relational.rolling_weekly_revenue(spark, SF))
     assert "RangeFrame" in plan2 or "RANGE" in plan2
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking must run at scan speed: a pure projection+generate
+    plan, no Exchange at all."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    plan = _plan(text_fn.chunk_documents(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
