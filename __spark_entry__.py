@@ -414,6 +414,24 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional importance sampling (operators/sampling.py:
+    weighted_sample): each doc kept with probability = its quality
+    score, deterministic content-hash membership."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.weighted_sample(
+            docs, "doc_id", text_fn.quality_score(F.col("text")), salt="wq1"
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding corpus diagnostics (operators/similarity.py:
     embedding_profile)."""
@@ -578,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_eval_docs": q_decontaminate,
         "repetition_profile": q_repetition_profile,
         "stratified_mix_sample": q_stratified_sample,
+        "weighted_sample_docs": q_weighted_sample,
         "curate_top_docs_per_source": q_curate_docs,
         "hll_distinct_users_by_type": q_hll_users,
         "streaming_hll_users": q_streaming_hll,
@@ -1570,6 +1589,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(
                      md5(concat('split1', CAST(doc_id AS VARCHAR))), 1, 15
                    ))::BIGINT % 10000 < 1000
+            ORDER BY doc_id
+        """,
+        "weighted_sample_docs": f"""
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE ('0x' || substr(
+                     md5(concat('wq1', CAST(doc_id AS VARCHAR))), 1, 15
+                   ))::BIGINT % 10000
+                  < FLOOR(least(greatest({quality}, 0.0), 1.0) * 10000)
             ORDER BY doc_id
         """,
         "numeric_column_profile": " UNION ALL ".join(

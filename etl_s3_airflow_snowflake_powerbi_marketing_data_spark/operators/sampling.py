@@ -115,3 +115,33 @@ def curate_top_per_group(
         .withColumnRenamed("__score", "score")
         .withColumnRenamed("__rank", "rank_in_group")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to its
+    own weight in [0, 1] (clamped) — quality-proportional retention,
+    the continuous-weight sibling of :func:`stratified_sample`'s
+    categorical rates ("keep good docs almost surely, bad docs
+    rarely").
+
+    Membership is the same content-hash test as the other samplers, so
+    the sample is reproducible across runs, partitionings, and cluster
+    sizes, and monotone in the weight: raising a row's weight can only
+    ever ADD it to the sample (the hash draw is fixed; only the
+    threshold moves). Pure scan-side predicate — no shuffle, no RNG
+    state, trivially parallel at any scale.
+
+    ``floor`` (not cast) converts the weight threshold: Spark's
+    double→long cast truncates while other engines round, and the
+    sampler's oracle-reproducibility depends on every engine computing
+    the identical integer threshold.
+    """
+    w = F.least(F.greatest(weight_col, F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        hash_bucket(F.col(id_col), salt) < F.floor(w * _BUCKETS).cast("long")
+    )

@@ -311,3 +311,28 @@ def test_curate_top_per_group(spark):
         for r in out.orderBy("source", "rank_in_group").collect()
     ]
     assert got == [("a", 2, 1), ("a", 3, 2), ("b", 5, 1), ("b", 6, 2)]
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(1000)], "doc_id long, w double"
+    )
+    lo = {r["doc_id"] for r in
+          sampling.weighted_sample(df, "doc_id", F.col("w") * 0.5).collect()}
+    hi = {r["doc_id"] for r in
+          sampling.weighted_sample(df, "doc_id", F.col("w")).collect()}
+    again = {r["doc_id"] for r in
+             sampling.weighted_sample(df, "doc_id", F.col("w")).collect()}
+    assert hi == again                   # deterministic
+    assert lo <= hi                      # monotone: halving weights only removes
+    # weight 0 rows never pass, weight ~1 rows almost always do
+    zero_ids = {i for i in range(1000) if i % 10 == 0}
+    assert not (hi & zero_ids)
+    nine = {i for i in range(1000) if i % 10 == 9}
+    assert len(hi & nine) > 70  # ~90% of them
