@@ -41,8 +41,8 @@ HEADLINE = [
     "ngram_jaccard_dups",
     "minhash_lsh_dups",
     "simhash_near_dups",
-    "embedding_topk",
-    "embedding_cosine_dups_blocked",
+    "embedding_topk_lsh",
+    "embedding_cosine_dups_lsh",
     "media_features",
     "doc_pack_sequences",
     "decontaminate_eval_docs",
@@ -59,6 +59,7 @@ HEADLINE = [
     "rolling_weekly_revenue",
     "chunk_documents",
     "embedding_source_profile",
+    "salted_event_counts",
 ]
 
 

@@ -69,6 +69,10 @@ def _order_proxy(df: DataFrame, key: str) -> Column:
         ).cast("double")
     if isinstance(dtype, T.DateType):
         return col.cast("timestamp").cast("double")
+    if isinstance(dtype, T.TimestampNTZType):
+        # TIMESTAMP_NTZ → DOUBLE is an illegal direct cast; route through
+        # the session-zone timestamp (monotone for a fixed session zone).
+        return col.cast("timestamp").cast("double")
     return col.cast("double")
 
 

@@ -140,6 +140,15 @@ def weighted_sample(
     double→long cast truncates while other engines round, and the
     sampler's oracle-reproducibility depends on every engine computing
     the identical integer threshold.
+
+    Quantization caveat: the keep probability is
+    ``floor(w * _BUCKETS) / _BUCKETS`` — with the default 10,000
+    buckets, weights are quantized DOWN to the next 1e-4 step, so a
+    weight below 1e-4 is never sampled and every weight is biased down
+    by up to 1e-4 versus its nominal value. This is deliberate (the
+    integer grid is what makes the draw engine-reproducible); callers
+    whose weights live near or below 1e-4 should rescale them into a
+    coarser range rather than assume exact-probability retention.
     """
     w = F.least(F.greatest(weight_col, F.lit(0.0)), F.lit(1.0))
     return df.filter(

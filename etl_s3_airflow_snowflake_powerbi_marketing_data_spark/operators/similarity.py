@@ -277,8 +277,16 @@ def ivf_topk(
     refinement (:func:`train_ivf_centroids`) first, which tightens
     cells and raises recall at the same ``n_probe`` — the production
     posture at 100 TB, where training cost amortizes over every query.
-    At scale the cell assignment is a broadcast map-side op and the
-    probe join shuffles only (query, cell) pairs.
+
+    Cell assignment is a pure PROJECTION, not a join: the centroid
+    table is O(n_cells × dim) by construction (the FAISS in-memory
+    coarse quantizer), so it is collected once and inlined as an array
+    literal; per-row argmax/top-probe runs inside whole-stage codegen
+    with no broadcast exchange and no nested-loop operator anywhere in
+    the plan. The probe join then shuffles only (query, cell) pairs.
+    Negating the similarity inside the sort struct gives (sim DESC,
+    cell ASC) under the default ascending struct order — the same
+    deterministic tie-break the window form used.
     """
     if train_iters > 0:
         centroids = train_ivf_centroids(
@@ -286,20 +294,33 @@ def ivf_topk(
         )
     else:
         centroids = sampled_centroids(corpus, id_col, vec_col, n_cells)
+    centroid_lit = F.array(
+        *[
+            F.struct(
+                F.lit(r["cell"]).alias("cell"),
+                F.array(
+                    *[F.lit(float(x)).cast("double") for x in r["centroid"]]
+                ).alias("centroid"),
+            )
+            for r in centroids.select("cell", "centroid").collect()
+        ]
+    )
 
     def assign(df: DataFrame, role: str, probes: int) -> DataFrame:
-        joined = df.crossJoin(F.broadcast(centroids)).withColumn(
-            "c_sim", cosine(F.col(vec_col), F.col("centroid"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("cell"))
-        return (
-            joined.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= probes)
-            .select(
-                F.col(id_col).alias(f"{role}_id"),
-                F.col(vec_col).alias(f"{role}_vec"),
-                "cell",
+        ranked = F.array_sort(
+            F.transform(
+                centroid_lit,
+                lambda e: F.struct(
+                    (-cosine(F.col(vec_col), e["centroid"])).alias("nsim"),
+                    e["cell"].alias("cell"),
+                ),
             )
+        )
+        cells = F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.explode(cells).alias("cell"),
         )
 
     c = assign(corpus, "neighbor", 1)
@@ -515,23 +536,35 @@ def embedding_profile(
     per-(group, dim) mean — one shuffle keyed (group, dim), map-side
     combinable, so the exchange carries O(groups × dims) rows whatever
     the corpus size.
+
+    Every cross-row SUM accumulates in DECIMAL(38,12), never double:
+    double addition is accumulation-order-dependent across
+    partitionings/engines, and these aggregates feed a floor-1e-6
+    truncation for the exact oracle compare — a value ~1 ulp from a
+    grid boundary would flip the floor nondeterministically. The
+    decimal sum is exact and order-independent; the single division /
+    sqrt that follows is one deterministic IEEE op, identical in any
+    engine (same pattern as nation_trade_volume's revenue sums).
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sumsq = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
     t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
 
     norms = df.select(F.col(group_col), F.sqrt(sumsq).alias("__norm"))
     per_group = norms.groupBy(group_col).agg(
         F.count("*").alias("n_vecs"),
-        t6(F.avg("__norm")).alias("avg_norm"),
+        t6(dsum(F.col("__norm")) / F.count("*")).alias("avg_norm"),
     )
     dims = df.select(
         F.col(group_col), F.posexplode(vec).alias("pos", "x")
     )
-    centroid = dims.groupBy(group_col, "pos").agg(F.avg("x").alias("c"))
+    centroid = dims.groupBy(group_col, "pos").agg(
+        (dsum(F.col("x")) / F.count("*")).alias("c")
+    )
     cnorm = centroid.groupBy(group_col).agg(
         (F.max("pos") + 1).cast("long").alias("dim"),
-        t6(F.sqrt(F.sum(F.col("c") * F.col("c")))).alias("centroid_norm"),
+        t6(F.sqrt(dsum(F.col("c") * F.col("c")))).alias("centroid_norm"),
     )
     return per_group.join(cnorm, group_col).select(
         group_col, "n_vecs", "dim", "avg_norm", "centroid_norm"

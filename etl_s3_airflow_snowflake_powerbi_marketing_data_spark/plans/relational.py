@@ -529,7 +529,12 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is NOT force-broadcast: it grows 150K rows/SF, a
+        # driver-memory hazard at large SF. Let AQE pick broadcast vs
+        # shuffle from measured size; only the truly fixed-size dims
+        # (supplier 10K/SF is borderline-acceptable, nation 25 rows)
+        # are pinned.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -674,9 +679,15 @@ def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day_rev")
     )
     w = (
-        Window.orderBy(F.col("order_day").cast("long"))
-        # 6 x 86400 seconds back + the current day = a 7-day window
-        .rangeBetween(-6 * 86400, 0)
+        # Order the RANGE frame by integer DAYS since epoch, not epoch
+        # seconds: midnight-to-midnight is 86400 s only in a DST-free
+        # session zone (82800/90000 across a transition), so a seconds
+        # frame would include/exclude the wrong day under e.g.
+        # Europe/Berlin while the calendar-interval oracle would not.
+        # datediff is calendar-exact in any zone.
+        Window.orderBy(F.datediff(F.col("order_day"), F.lit("1970-01-01")))
+        # 6 days back + the current day = a 7-day window
+        .rangeBetween(-6, 0)
     )
     return daily.select(
         "order_day",

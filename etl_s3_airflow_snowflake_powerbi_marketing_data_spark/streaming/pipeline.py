@@ -19,12 +19,12 @@ from pyspark.sql import types as T
 
 from ..operators.transforms import PROPS_SCHEMA
 
-# ts arrives as TIMESTAMP(NANOS) in the testdata parquet → read as long
-# (see session.py nanosAsLong) and convert to a microsecond timestamp.
+# Logical schema of the event stream; the physical type of ``ts`` is
+# resolved per-source in read_event_stream (see below).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -36,17 +36,45 @@ EVENTS_SCHEMA = T.StructType(
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events parquet prefix (one file per
     micro-batch locally; an S3 prefix with notification-based listing at
-    scale)."""
+    scale).
+
+    The stream source requires a user-supplied schema, but the on-disk
+    type of ``ts`` varies: the driver testdata stores TIMESTAMP(NANOS)
+    (surfaced as ``bigint`` under ``spark.sql.legacy.parquet.nanosAsLong``
+    or as TIMESTAMP_NTZ by readers that map nanos natively), while
+    Spark-written fixtures store micros TIMESTAMP. Pinning any single
+    type crashes the vectorized reader on the others
+    (SchemaColumnConvertNotSupportedException), so we probe the actual
+    footer type with a driver-side batch metadata read (no data scan)
+    and normalize to a session-zone TIMESTAMP — the same contract as
+    ``tables.load_table``.
+    """
     import os  # noqa: PLC0415
 
     base_dir, file_name = os.path.split(path.rstrip("/"))
+    probed = (
+        spark.read.option("pathGlobFilter", file_name or "*")
+        .parquet(base_dir)
+        .schema
+    )
+    ts_type = next(f.dataType for f in probed if f.name == "ts")
+    schema = T.StructType(
+        [
+            T.StructField(f.name, ts_type if f.name == "ts" else f.dataType)
+            for f in EVENTS_SCHEMA
+        ]
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", file_name or "*")
         .parquet(base_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.LongType):
+        # Integer div: epoch-nanos exceeds double's 53-bit mantissa, so
+        # float division would corrupt the microsecond digit.
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_event_counts(

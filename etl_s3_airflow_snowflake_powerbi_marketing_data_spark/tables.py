@@ -38,10 +38,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-# Columns stored as TIMESTAMP(NANOS) in the testdata parquet; Spark reads
-# them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
-# microsecond timestamps here (sub-microsecond parts are zero — verified
-# lossless; DuckDB likewise surfaces them at microsecond precision).
+# Columns stored as TIMESTAMP(NANOS) in the testdata parquet. Spark's
+# reader has changed across 4.x: older builds surface them as long only
+# under spark.sql.legacy.parquet.nanosAsLong; current builds read them
+# natively as TIMESTAMP_NTZ (the legacy conf is accepted but ignored).
+# Either way we normalize to a session-zone TIMESTAMP here so every
+# downstream plan sees one type (sub-microsecond parts are zero —
+# verified lossless; DuckDB likewise surfaces microsecond precision,
+# and the gate environment runs UTC so NTZ→LTZ is value-identical).
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -85,10 +89,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_foreign_session(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in NANO_TS_COLUMNS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             # Integer div: epoch-nanos exceeds double's 53-bit mantissa, so
             # float division would corrupt the microsecond digit.
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            # Newer parquet readers hand back TIMESTAMP_NTZ, which many
+            # numeric casts (→long/double for epoch math) reject; the
+            # session-zone cast restores the type the engine was built
+            # and oracle-verified against.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -36,7 +36,13 @@ def test_kpi_filter_pushdown_and_pruning(spark):
     # the KPI needs ts/event_type/props).
     plan = _plan(marketing.view_count_by_period(spark, SF))
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]" in plan
-    assert "ReadSchema: struct<ts:bigint,event_type:string,props:string>" in plan
+    # the nanos ts column surfaces as bigint (legacy-conf readers) or
+    # timestamp_ntz (native nanos readers) — pruning is what's pinned
+    assert (
+        "ReadSchema: struct<ts:bigint,event_type:string,props:string>" in plan
+        or "ReadSchema: struct<ts:timestamp_ntz,event_type:string,props:string>"
+        in plan
+    )
     for unused in ("event_id", "user_id", "value"):
         assert f"{unused}:" not in plan.split("ReadSchema:")[1].split("\n")[0]
 
@@ -106,16 +112,18 @@ def test_pack_and_decontam_plan_shape(spark):
 
 
 def test_nation_trade_volume_broadcasts_all_dims(spark):
-    """Q7-shape: the 4 dim joins (supplier, customer, nation x2) must
-    broadcast; lineitem x orders may shuffle (the one legitimate
-    shuffle at scale) or broadcast too at this tiny SF — either way,
-    never a nested-loop/cartesian plan."""
+    """Q7-shape: the fixed-size dims (supplier, nation x2) must
+    broadcast. customer grows 150K rows/SF so it is deliberately NOT
+    pinned (a forced broadcast is a driver-memory hazard at large SF) —
+    AQE may still pick broadcast at tiny SF or shuffle at scale, both
+    fine. lineitem x orders may shuffle (the one legitimate shuffle at
+    scale) — either way, never a nested-loop/cartesian plan."""
     plan = _plan(relational.nation_trade_volume(spark, SF))
     n_broadcast = plan.count("BroadcastHashJoin")
     n_shuffle = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
-    assert n_broadcast >= 4
+    assert n_broadcast >= 3
     assert n_broadcast + n_shuffle == 5
-    assert n_shuffle <= 1
+    assert n_shuffle <= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -127,6 +135,61 @@ def test_full_outer_and_range_frame_plan_shapes(spark):
     assert "FullOuter" in plan
     plan2 = _plan(relational.rolling_weekly_revenue(spark, SF))
     assert "RangeFrame" in plan2 or "RANGE" in plan2
+
+
+def test_registered_similarity_queries_are_subquadratic(spark):
+    """The O(N^2) exact baselines (brute_force_topk, cosine_dup_pairs,
+    cosine_dup_pairs_blocked) are pytest verification gates, not
+    registered queries; every REGISTERED similarity/embedding query
+    must plan without an all-pairs stage, or it dies at 100x scale."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "embedding_topk_lsh",
+        "embedding_topk_ivf",
+        "embedding_cosine_dups_lsh",
+        "dedup_semantic_embeddings",
+        "embedding_source_profile",
+    ):
+        plan = _plan(qs[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_salted_agg_matches_plain_and_splits_hot_key(spark):
+    """Skew wiring (operators/skew.py): the registered salted query
+    must (a) group phase 1 on (key, __salt) so a hot key spreads over
+    n_salts reducers, (b) not leak the salt into the output schema,
+    and (c) equal a plain one-phase GROUP BY value-for-value (decimal
+    sums make the re-combination order-independent)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    df = entrymod.queries()["salted_event_counts"](spark, SF)
+    plan = _plan(df)
+    assert "__salt" in plan  # phase-1 (key, salt) grouping is present
+    assert "__salt" not in [f.name for f in df.schema.fields]
+    plain = (
+        load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
 
 
 def test_chunk_documents_is_shuffle_free(spark):

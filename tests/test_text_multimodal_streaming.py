@@ -10,7 +10,10 @@ from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
     text as text_fn,
 )
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import pipeline
-from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import table_path
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+    load_table,
+    table_path,
+)
 
 
 @pytest.fixture(scope="module")
@@ -93,12 +96,12 @@ def test_streaming_counts_match_batch(spark, sf_dir):
     out = pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events"), query_name="t_stream"
     )
+    # load_table normalizes the on-disk nanos timestamp whatever this
+    # reader build surfaces it as (bigint vs TIMESTAMP_NTZ).
     batch = (
-        spark.read.parquet(table_path(sf_dir, "events"))
+        load_table(spark, sf_dir, "events")
         .groupBy(
-            F.date_trunc("hour", F.expr("timestamp_micros(ts div 1000)")).alias(
-                "window_start"
-            ),
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
             "event_type",
         )
         .count()
