@@ -75,6 +75,34 @@ def parse_json_column(
     return df.withColumn(parsed_name or column, F.from_json(F.col(column), schema))
 
 
+def parse_json_variant(
+    df: DataFrame, column: str, parsed_name: str | None = None
+) -> DataFrame:
+    """P2 (VARIANT form) — JSON string column → open-schema ``VARIANT``
+    column, the literal mapping of the reference's Snowflake storage
+    (``Snowflake_tables/event_raw.png`` line 5: ``EVENT_PAYLOAD
+    VARIANT``). ``try_parse_json`` is the Snowflake semantic: malformed
+    JSON yields NULL, never a failed job.
+
+    The engine's default path stays ``from_json`` into a fixed struct
+    (:func:`parse_json_column`) — a declared schema gives Catalyst
+    field pruning and codegen field access, which an open variant
+    cannot. Use this form when the payload schema is genuinely unknown
+    or evolving; read fields with ``variant_get(col, '$.path', type)``.
+    """
+    return df.withColumn(
+        parsed_name or column, F.try_parse_json(F.col(column))
+    )
+
+
+def variant_field(col: Column | str, path: str, dtype: str) -> Column:
+    """Typed field extraction from a VARIANT column —
+    ``variant_get(v, '$.field', 'type')``, the Snowflake ``v:field::type``
+    analog."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.variant_get(c, path, dtype)
+
+
 def flatten_struct(df: DataFrame, column: str, drop_struct: bool = True) -> DataFrame:
     """P3 — one output column per struct field (``pd.json_normalize`` analog)."""
     out = df.select("*", f"{column}.*")

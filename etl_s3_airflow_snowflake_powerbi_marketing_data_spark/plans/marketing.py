@@ -427,6 +427,60 @@ WAREHOUSE_KPI_SQL: dict[str, str] = {
         FROM ranked WHERE type_rank = 1
         ORDER BY period, event_type
     """,
+    # The two Power-BI-layer business questions (README.md:14-16) the
+    # reference answers inside the BI tool rather than a warehouse
+    # view — SQL twins of view_trend_by_period / top_items_view_share.
+    "view_trend_by_period": """
+        CREATE OR REPLACE TEMPORARY VIEW view_trend_by_period AS
+        WITH filtered_events AS (
+          SELECT * FROM f_events WHERE event_name = 'view'
+        ),
+        counts AS (
+          SELECT date_trunc('day', f.event_time) AS period,
+                 COUNT(f.event_time) AS item_view
+          FROM filtered_events f
+          INNER JOIN d_item d ON f.event_parameter_value = d.item_id
+          GROUP BY 1
+        ),
+        t AS (
+          SELECT period, item_view,
+                 LAG(item_view) OVER (ORDER BY period) AS prev_view
+          FROM counts
+        )
+        SELECT period, item_view, prev_view,
+               item_view - prev_view AS view_delta,
+               floor((item_view - prev_view) * 100.0 / prev_view * 1e6)
+                 / 1e6 AS pct_change
+        FROM t WHERE prev_view IS NOT NULL ORDER BY period
+    """,
+    "top_items_view_share": """
+        CREATE OR REPLACE TEMPORARY VIEW top_items_view_share AS
+        WITH filtered_events AS (
+          SELECT * FROM f_events WHERE event_name = 'view'
+        ),
+        joined AS (
+          SELECT date_trunc('day', f.event_time) AS period,
+                 d.item_name, f.event_time
+          FROM filtered_events f
+          INNER JOIN d_item d ON f.event_parameter_value = d.item_id
+        ),
+        counts AS (
+          SELECT period, item_name, COUNT(event_time) AS item_view
+          FROM joined WHERE period = (SELECT MAX(period) FROM joined)
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT period, item_name, item_view,
+                 floor(item_view * 100.0
+                       / SUM(item_view) OVER (PARTITION BY period)
+                       * 1e6) / 1e6 AS view_share_pct,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY period
+                      ORDER BY item_view DESC, item_name) AS BIGINT)
+                   AS view_rank
+          FROM counts
+        )
+        SELECT * FROM ranked WHERE view_rank <= 10 ORDER BY view_rank
+    """,
 }
 
 

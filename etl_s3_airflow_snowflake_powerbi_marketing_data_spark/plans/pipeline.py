@@ -333,6 +333,58 @@ def run_stage(
         PIPELINE_STAGES[stage](spark, sf_dir, warehouse_dir)
 
 
+def export_bi(
+    spark: SparkSession,
+    warehouse_dir: str,
+    export_dir: str | None = None,
+) -> dict[str, dict]:
+    """S9 BI consumption contract (reference: Power BI over ODBC,
+    ``README.md:73-77`` + ``report-overview.jpg``): drop every KPI view
+    as a headered CSV plus a ``manifest.json`` describing path, column
+    schema, and row count — the flat-file hand-off any BI client
+    (Power BI folder source, Tableau, a plain spreadsheet) can ingest
+    without a Spark connection.
+
+    Every KPI result is bounded (rows ≤ #periods or ≤ top-k items, by
+    construction — never raw-event cardinality), so the single-file
+    ``coalesce(1)`` CSV is safe at any input scale; the heavy lifting
+    stayed in the distributed plan that materialized the view.
+    Returns the manifest's view map.
+    """
+    import json  # noqa: PLC0415
+
+    export_dir = export_dir or os.path.join(warehouse_dir, "bi_export")
+    views: dict[str, dict] = {}
+    for view_name in marketing.WAREHOUSE_KPI_SQL:
+        df = spark.table(view_name)
+        out = _table_dir(export_dir, view_name)
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .csv(out)
+        )
+        views[view_name] = {
+            "path": view_name,
+            "format": "csv",
+            "options": {"header": True},
+            "columns": [
+                {
+                    "name": f.name,
+                    "type": f.dataType.simpleString(),
+                    "nullable": f.nullable,
+                }
+                for f in df.schema.fields
+            ],
+            "rows": spark.read.option("header", True).csv(out).count(),
+        }
+    manifest = {"contract": "bi_export/v1", "views": views}
+    with open(os.path.join(export_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return views
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -340,7 +392,8 @@ def run_daily_pipeline(
     materialize_views: bool = False,
 ) -> dict[str, int]:
     """One daily cycle: ingest, build dims + fact, MERGE into the
-    warehouse, refresh KPI views. Returns per-table row counts.
+    warehouse, refresh KPI views, publish the BI export. Returns
+    per-table row counts.
 
     ``materialize_views=True`` additionally persists each KPI view as a
     ``kpi_<name>`` parquet table — the "answers always available" BI
@@ -350,6 +403,7 @@ def run_daily_pipeline(
     for stage in PIPELINE_STAGES:
         run_stage(spark, sf_dir, warehouse_dir, stage, materialize_views)
     publish_catalog(spark, warehouse_dir)
+    export_bi(spark, warehouse_dir)
     return {
         name: spark.read.parquet(_table_dir(warehouse_dir, name)).count()
         for name in WAREHOUSE_TABLES

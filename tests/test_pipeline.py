@@ -95,6 +95,40 @@ def test_warehouse_sql_views(spark, warehouse):
     assert total_views == joined
 
 
+def test_bi_export_contract(spark, warehouse):
+    """S9 (reference README.md:73-77): the pipeline's final step drops
+    every KPI view as a headered CSV + manifest.json — the flat-file
+    contract a Power-BI-equivalent client ingests without Spark."""
+    import json
+    import os
+
+    wh, _ = warehouse
+    export_dir = os.path.join(wh, "bi_export")
+    with open(os.path.join(export_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["contract"] == "bi_export/v1"
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        marketing,
+    )
+
+    assert set(manifest["views"]) == set(marketing.WAREHOUSE_KPI_SQL)
+    assert len(manifest["views"]) == 6
+    for view_name, meta in manifest["views"].items():
+        view_dir = os.path.join(export_dir, meta["path"])
+        csvs = [p for p in os.listdir(view_dir) if p.endswith(".csv")]
+        assert len(csvs) == 1, view_name  # single-file hand-off
+        # round-trip: the CSV holds exactly the view's rows, and the
+        # manifest schema names the live view's columns in order
+        live = spark.table(view_name)
+        assert meta["rows"] == live.count()
+        back = (
+            spark.read.option("header", True).csv(os.path.join(view_dir, csvs[0]))
+        )
+        assert back.count() == meta["rows"]
+        assert [c["name"] for c in meta["columns"]] == live.columns
+        assert back.columns == live.columns
+
+
 def test_catalog_publish_registers_declared_schemas(spark, warehouse):
     # S5: the pipeline's final step registers every warehouse table in
     # the session catalog under its DECLARED schema (reference

@@ -42,6 +42,31 @@ def test_parse_and_flatten_json(spark):
     assert rows[2]["event_name"] is None
 
 
+def test_parse_json_variant_open_schema(spark):
+    """P2 VARIANT form (Snowflake_tables/event_raw.png line 5): open
+    schema — fields unknown at parse time still extract typed via
+    variant_get; malformed JSON nulls out instead of failing the job."""
+    df = _df(
+        spark,
+        [
+            (1, '{"event_name": "view_item", "n": 42}'),
+            (2, "not json"),
+        ],
+        "id int, payload string",
+    )
+    v = transforms.parse_json_variant(df, "payload")
+    assert v.schema["payload"].dataType.typeName() == "variant"
+    out = v.select(
+        "id",
+        transforms.variant_field("payload", "$.event_name", "string").alias("e"),
+        transforms.variant_field("payload", "$.n", "long").alias("n"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["e"] == "view_item"
+    assert rows[1]["n"] == 42
+    assert rows[2]["e"] is None
+
+
 def test_dedup_keep_first_deterministic(spark):
     df = _df(
         spark,

@@ -1,6 +1,9 @@
 """Scale probe: replicate the sf0.1 documents N× (with shifted ids —
 which also multiplies duplicate density, the adversarial case for
-dedup) and time the text/dedup operators at 1× vs N×.
+dedup) and time the text/dedup operators at 1× vs N×; likewise
+replicate events N× and probe the star-schema path (fact build + the
+four KPI views) — the fact join/agg curve must stay flat-ish and the
+bucketed two-pass surrogate key must hold.
 
 The point is the growth CURVE, not the absolute numbers: an operator
 whose cost scales superlinearly in input here will not survive a
@@ -87,6 +90,49 @@ def main() -> None:
         for name, fn in ops(df).items():
             t0 = time.time()
             fn().write.format("noop").mode("overwrite").save()
+            results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
+
+    # --- star-schema path: replicate EVENTS Nx into an sf_dir-shaped
+    # probe dir (other tables symlinked), then time the fact build and
+    # the four KPI views through the exact registered query code.
+    sf_dir = os.path.dirname(BASE)
+    star_dir = os.path.join(tempfile.gettempdir(), f"star{replicas}x")
+    os.makedirs(star_dir, exist_ok=True)
+    for t in os.listdir(sf_dir):
+        link = os.path.join(star_dir, t)
+        if t != "events.parquet" and not os.path.exists(link):
+            os.symlink(os.path.join(sf_dir, t), link)
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    eparts = [
+        events.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        for i in range(replicas)
+    ]
+    ebig = eparts[0]
+    for p in eparts[1:]:
+        ebig = ebig.unionByName(p)
+    ebig.write.mode("overwrite").parquet(os.path.join(star_dir, "events.parquet"))
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        marketing,
+    )
+
+    star_ops = {
+        "fact_events": marketing.build_f_events,
+        "kpi_view_count_by_period": marketing.view_count_by_period,
+        "kpi_item_view_rank_by_period": marketing.item_view_rank_by_period,
+        "kpi_most_viewed_item_latest_period": (
+            marketing.most_viewed_item_latest_period
+        ),
+        "kpi_top_event_type_by_period": marketing.top_event_type_by_period,
+    }
+    for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
+        for name, fn in star_ops.items():
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
             results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
 
     for name, r in results.items():
