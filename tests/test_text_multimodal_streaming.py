@@ -287,3 +287,50 @@ def test_chunk_documents_windows(spark):
         (1, 0): 64, (1, 1): 52, (1, 2): 4,
         (2, 0): 2,
     }
+
+
+def test_streaming_warehouse_merge_idempotent(spark, tmp_path):
+    """foreachBatch continuous ingest: two micro-batches with an
+    overlapping key merge insert-if-absent into the warehouse dir;
+    re-running the whole stream from a fresh checkpoint (an
+    at-least-once replay) changes nothing."""
+    import datetime as dt
+    import os
+    import time
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+        pipeline as sp,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def _write(path, rows):
+        spark.createDataFrame(
+            [(i, base, i, "view", float(i), "{}") for i in rows],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    src = str(tmp_path / "stream")
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate([[1, 2, 3], [3, 4]]):  # key 3 overlaps
+        f = str(tmp_path / f"b{i}")
+        _write(f, rows)
+        part = [p for p in os.listdir(f) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    tgt = str(tmp_path / "wh_fact")
+    out = sp.run_streaming_warehouse_merge(
+        spark, src + "/*", tgt, checkpoint_dir=str(tmp_path / "ck1")
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3, 4]
+    # replay from scratch: fresh checkpoint re-delivers every batch;
+    # the key-idempotent merge must be a no-op on the target
+    out2 = sp.run_streaming_warehouse_merge(
+        spark, src + "/*", tgt, checkpoint_dir=str(tmp_path / "ck2")
+    )
+    assert sorted(r["event_id"] for r in out2.collect()) == [1, 2, 3, 4]
+    assert out2.count() == 4
