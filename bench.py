@@ -60,6 +60,7 @@ HEADLINE = [
     "chunk_documents",
     "embedding_source_profile",
     "salted_event_counts",
+    "embedding_kmeans_clusters",
 ]
 
 

@@ -200,48 +200,93 @@ def sampled_centroids(
     )
 
 
+def _centroid_literal(rows: list[tuple[int, list[float]]]):
+    """Inline a bounded (cell, centroid) table as an array-of-structs
+    literal — the FAISS posture of an in-memory coarse quantizer. Keeps
+    cell assignment a pure codegen projection: no broadcast exchange,
+    no nested-loop join operator anywhere in the plan."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(float(x)).cast("double") for x in cen]).alias(
+                    "centroid"
+                ),
+            )
+            for cell, cen in rows
+        ]
+    )
+
+
+def _nearest_cells(vec: Column, centroid_lit, probes: int):
+    """array of the ``probes`` nearest cell ids for ``vec``. Negating
+    the similarity inside the sort struct yields (sim DESC, cell ASC)
+    under the default ascending struct order — a deterministic
+    tie-break."""
+    ranked = F.array_sort(
+        F.transform(
+            centroid_lit,
+            lambda e: F.struct(
+                (-cosine(vec, e["centroid"])).alias("nsim"),
+                e["cell"].alias("cell"),
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+
+
+def _collect_centroids(
+    centroids: DataFrame,
+) -> list[tuple[int, list[float]]]:
+    return [
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in centroids.select("cell", "centroid").collect()
+    ]
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 5,
-) -> DataFrame:
+) -> list[tuple[int, list[float]]]:
     """Lloyd-iteration k-means refinement of the sampled seed centroids
     (cosine assignment, per-dimension mean update) — FAISS IVF training
-    as a DataFrame loop.
+    as a DataFrame loop. Returns the trained (cell, centroid) rows
+    driver-side — O(n_cells × dim), the in-memory coarse quantizer.
 
-    Per iteration: one corpus scan with a broadcast centroid join (the
-    assignment is map-side), one shuffle keyed by (cell, dim) for the
-    mean — both linear in corpus size, centroids localCheckpointed so
-    lineage stays flat. Cells that lose all members keep their previous
-    centroid (the FAISS empty-cell rule) instead of vanishing.
-    Deterministic end to end: hash-sampled seeds, mean updates, no RNG.
+    Per iteration: ONE corpus scan (assignment is a literal-centroid
+    projection, zero joins) feeding one shuffle keyed (cell, dim) for
+    the mean — linear in corpus size, map-side combinable. Cells that
+    lose all members keep their previous centroid (the FAISS empty-cell
+    rule) instead of vanishing.
+
+    Deterministic end to end — and ENGINE-REPRODUCIBLE, which is what
+    lets an independent oracle pin the result: hash-sampled seeds; the
+    mean accumulates in DECIMAL(38,12) (exact, shuffle-order-free) with
+    a single IEEE division after (double AVG would drift with partition
+    order and flip near-tie assignments next iteration); assignment
+    ties break to the smaller cell id.
     """
-    # Widen seed centroids to double up front: mean updates produce
-    # array<double>, and the empty-cell coalesce needs matching types.
-    centroids = sampled_centroids(corpus, id_col, vec_col, n_cells).select(
-        "cell",
-        F.transform(F.col("centroid"), lambda x: x.cast("double")).alias(
-            "centroid"
-        ),
+    cent = _collect_centroids(sampled_centroids(corpus, id_col, vec_col, n_cells))
+    vecs = corpus.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
-    vecs = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     for _ in range(iters):
-        centroids = centroids.localCheckpoint(eager=True)
-        w = Window.partitionBy("__vid").orderBy(
-            F.col("__sim").desc(), F.col("cell")
-        )
-        assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .withColumn("__sim", cosine(F.col("__v"), F.col("centroid")))
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("cell", F.posexplode("__v").alias("dim", "val"))
+        lit = _centroid_literal(cent)
+        assigned = vecs.select(
+            _nearest_cells(F.col("__v"), lit, 1)[0].alias("cell"),
+            F.posexplode("__v").alias("dim", "val"),
         )
         means = (
             assigned.groupBy("cell", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count("val")
+                ).alias("m")
+            )
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -250,11 +295,48 @@ def train_ivf_centroids(
                 ).alias("new_centroid")
             )
         )
-        centroids = centroids.join(means, "cell", "left").select(
-            "cell",
-            F.coalesce("new_centroid", "centroid").alias("centroid"),
-        )
-    return centroids.localCheckpoint(eager=True)
+        updated = {
+            r["cell"]: [float(x) for x in r["new_centroid"]]
+            for r in means.collect()
+        }
+        cent = [(cell, updated.get(cell, old)) for cell, old in cent]
+    return cent
+
+
+def kmeans_clusters(
+    df: DataFrame,
+    n_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterative k-means clustering of an embedding corpus: Lloyd
+    training (:func:`train_ivf_centroids`) then one assignment pass —
+    (id, cell, trunc6 cosine to the final centroid) per vector. The
+    registered face of the engine's iterative-algorithm family (the
+    reference has none; SURVEY §2.5 greenfield).
+
+    Scale: training is iters × (one scan + one (cell, dim)-keyed
+    shuffle); the final assignment is a single scan-speed projection
+    against the literal centroids. Nothing grows with corpus² and the
+    driver holds only O(n_cells × dim) floats.
+    """
+    cent = train_ivf_centroids(df, id_col, vec_col, n_cells, iters)
+    lit = _centroid_literal(cent)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = _nearest_cells(vec, lit, 1)[0]
+    sim = F.element_at(
+        F.transform(
+            F.filter(lit, lambda e: e["cell"] == best),
+            lambda e: cosine(vec, e["centroid"]),
+        ),
+        1,
+    )
+    return df.select(
+        F.col(id_col),
+        best.cast("long").alias("cell"),
+        trunc6(sim).alias("centroid_sim"),
+    ).orderBy(id_col)
 
 
 def ivf_topk(
@@ -289,34 +371,15 @@ def ivf_topk(
     deterministic tie-break the window form used.
     """
     if train_iters > 0:
-        centroids = train_ivf_centroids(
-            corpus, id_col, vec_col, n_cells, train_iters
-        )
+        cent = train_ivf_centroids(corpus, id_col, vec_col, n_cells, train_iters)
     else:
-        centroids = sampled_centroids(corpus, id_col, vec_col, n_cells)
-    centroid_lit = F.array(
-        *[
-            F.struct(
-                F.lit(r["cell"]).alias("cell"),
-                F.array(
-                    *[F.lit(float(x)).cast("double") for x in r["centroid"]]
-                ).alias("centroid"),
-            )
-            for r in centroids.select("cell", "centroid").collect()
-        ]
-    )
+        cent = _collect_centroids(
+            sampled_centroids(corpus, id_col, vec_col, n_cells)
+        )
+    centroid_lit = _centroid_literal(cent)
 
     def assign(df: DataFrame, role: str, probes: int) -> DataFrame:
-        ranked = F.array_sort(
-            F.transform(
-                centroid_lit,
-                lambda e: F.struct(
-                    (-cosine(F.col(vec_col), e["centroid"])).alias("nsim"),
-                    e["cell"].alias("cell"),
-                ),
-            )
-        )
-        cells = F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+        cells = _nearest_cells(F.col(vec_col), centroid_lit, probes)
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),

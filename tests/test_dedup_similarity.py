@@ -249,6 +249,26 @@ def test_ivf_training_maintains_or_improves_recall(spark, sf_dir):
     assert trained >= untrained - 1e-9
     assert trained > 0.5
     # Training is deterministic: same iterations, same cells.
-    c1 = similarity.train_ivf_centroids(emb, iters=2).collect()
-    c2 = similarity.train_ivf_centroids(emb, iters=2).collect()
-    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
+    c1 = similarity.train_ivf_centroids(emb, iters=2)
+    c2 = similarity.train_ivf_centroids(emb, iters=2)
+    assert c1 == c2
+
+
+def test_kmeans_clusters_shape_and_determinism(spark, sf_dir):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_clusters(emb, n_cells=4, iters=2)
+    rows = out.collect()
+    # total assignment: every vector exactly once, cells within range
+    assert len(rows) == emb.count()
+    assert {r["cell"] for r in rows} <= {1, 2, 3, 4}
+    assert all(-1.0 <= r["centroid_sim"] <= 1.0 for r in rows)
+    # deterministic end-to-end (hash seeds + decimal means, no RNG)
+    again = similarity.kmeans_clusters(emb, n_cells=4, iters=2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # plan: assignment is a projection — no join operator at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -91,6 +91,10 @@ def test_generators_match_spark_on_alternate_sf(spark, sf_dir):
             gen_expected.gen_cosine_dups_lsh(vecs),
             similarity.cosine_dup_pairs_lsh(emb, threshold=0.4),
         ),
+        (
+            gen_expected.gen_kmeans_clusters(vecs),
+            similarity.kmeans_clusters(emb),
+        ),
     ]
     for expected, spark_df in pairs:
         got = spark_df.toPandas()

@@ -151,6 +151,7 @@ def test_registered_similarity_queries_are_subquadratic(spark):
         "embedding_cosine_dups_lsh",
         "dedup_semantic_embeddings",
         "embedding_source_profile",
+        "embedding_kmeans_clusters",
     ):
         plan = _plan(qs[name](spark, SF))
         assert "BroadcastNestedLoopJoin" not in plan, name

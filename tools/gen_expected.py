@@ -283,6 +283,64 @@ def gen_ivf_topk(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
     return _rank_topk(scored, k)
 
 
+def _decimal12(x: float):
+    """Mirror Spark's CAST(double AS DECIMAL(38,12)): Java
+    BigDecimal.valueOf goes through Double.toString — the SHORTEST
+    round-trip decimal, which Python's repr() also produces — then
+    rounds HALF_UP at scale 12. Decimal(repr(x)) reproduces it exactly
+    (Decimal(x) would expand the full binary value instead and can
+    round the 12th digit differently)."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal("1E-12"), rounding=ROUND_HALF_UP
+    )
+
+
+def gen_kmeans_clusters(
+    vecs: list[tuple[int, list[float]]], n_cells: int = 8, iters: int = 3
+) -> pd.DataFrame:
+    """Independent Lloyd k-means mirroring operators/similarity.py
+    semantics: smallest-id-hash seeds, cosine assignment with
+    (sim DESC, cell ASC) tie-break, per-dim means accumulated in
+    decimal-12 with one float division, empty cells keep their
+    centroid."""
+    hashed = sorted((xxhash64(i), i) for i, _ in vecs)
+    by_id = dict(vecs)
+    cent: dict[int, list[float]] = {
+        cell + 1: [float(x) for x in by_id[i]]
+        for cell, (_, i) in enumerate(hashed[:n_cells])
+    }
+
+    def best(v: list[float]) -> int:
+        return min(
+            ((c, seq_cosine(v, cv)) for c, cv in cent.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[0]
+
+    for _ in range(iters):
+        members: dict[int, list[list[float]]] = {}
+        for _i, v in vecs:
+            fv = [float(x) for x in v]
+            members.setdefault(best(fv), []).append(fv)
+        for cell, vs in members.items():
+            n = len(vs)
+            cent[cell] = [
+                float(sum(_decimal12(v[d]) for v in vs)) / n
+                for d in range(len(vs[0]))
+            ]
+    out = {"vec_id": [], "cell": [], "centroid_sim": []}
+    for i, v in sorted(vecs):
+        fv = [float(x) for x in v]
+        c = best(fv)
+        out["vec_id"].append(i)
+        out["cell"].append(c)
+        out["centroid_sim"].append(trunc6(seq_cosine(fv, cent[c])))
+    return pd.DataFrame(out).astype(
+        {"vec_id": "int64", "cell": "int64", "centroid_sim": "float64"}
+    )
+
+
 def gen_cosine_dups_lsh(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
     threshold, bits, bands = 0.4, 16, 8
     bits_per_band = bits // bands
@@ -388,6 +446,7 @@ def main() -> None:
         ("embedding_topk_lsh", gen_lsh_topk(vecs)),
         ("embedding_topk_ivf", gen_ivf_topk(vecs)),
         ("embedding_cosine_dups_lsh", gen_cosine_dups_lsh(vecs)),
+        ("embedding_kmeans_clusters", gen_kmeans_clusters(vecs)),
         ("hll_distinct_users_by_type", gen_hll_users(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
