@@ -670,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "order_priority_rollup": relational.order_priority_rollup,
         "order_price_deciles": relational.order_price_deciles,
+        "order_priority_daily_gapfill": relational.order_priority_daily_gapfill,
         "numeric_column_profile": relational.numeric_column_profile,
         "dim_user": marketing.build_d_user,
         "dim_parameter": marketing.build_d_parameter,
@@ -1122,6 +1123,38 @@ def oracle_sql() -> dict[str, str]:
                    floor(MAX(pr) * 1000000.0) / 1000000.0 AS max_pct_rank
             FROM r
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "order_priority_daily_gapfill": """
+            WITH daily AS (
+              SELECT o_orderpriority AS priority,
+                     date_trunc('day', o_orderdate) AS day,
+                     COUNT(*) AS n_orders,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_dec
+              FROM orders GROUP BY 1, 2
+            ),
+            bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+            cal AS (
+              SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+              FROM bounds
+            ),
+            pri AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+            grid AS (SELECT p.priority, c.day FROM pri p CROSS JOIN cal c),
+            j AS (
+              SELECT g.priority, g.day,
+                     COALESCE(d.n_orders, 0) AS n_orders,
+                     CAST(COALESCE(d.rev_dec, 0) AS DOUBLE) AS day_revenue,
+                     CASE WHEN d.n_orders IS NULL THEN NULL
+                          ELSE CAST(d.rev_dec AS DOUBLE) / d.n_orders
+                     END AS avg_price
+              FROM grid g
+              LEFT JOIN daily d ON g.priority = d.priority AND g.day = d.day
+            )
+            SELECT priority, day, n_orders, day_revenue,
+                   COALESCE(last_value(avg_price IGNORE NULLS) OVER (
+                     PARTITION BY priority ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0.0) AS avg_price_ffill
+            FROM j ORDER BY priority, day
         """,
         "order_priority_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,

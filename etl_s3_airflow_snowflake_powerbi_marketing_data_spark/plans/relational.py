@@ -695,3 +695,60 @@ def rolling_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_rev").over(w).cast("double").alias("week_revenue"),
         F.count("*").over(w).cast("long").alias("n_days_in_window"),
     ).orderBy("order_day")
+
+
+def order_priority_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (greenfield vs SURVEY §2.5 — the
+    reference's period aggregates silently skip empty periods): per
+    order-priority daily series on a COMPLETE calendar — missing days
+    materialize with zero counts/revenue, and the running average order
+    price forward-fills from the last observed day (``last(...,
+    ignorenulls=True)`` over an unbounded-preceding ROWS frame — the
+    LOCF gap-fill every BI/forecasting consumer expects).
+
+    Scale shape: one (priority, day)-keyed map-side-combinable shuffle
+    builds the daily aggregates; the calendar grid is |priorities| ×
+    |days| — bounded by the DOMAIN, not the row count, at any input
+    scale — so the deliberate small crossJoin and the per-priority
+    O(days) window never grow with the fact table. Revenue accumulates
+    in DECIMAL (order-independent, exact) with single IEEE casts after,
+    keeping the result engine-reproducible for the exact oracle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_dec"),
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cal = bounds.select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    pri = orders.select(F.col("o_orderpriority").alias("priority")).distinct()
+    grid = pri.crossJoin(cal)
+    joined = grid.join(daily, ["priority", "day"], "left")
+    avg_price = F.when(
+        F.col("n_orders").isNotNull(),
+        F.col("rev_dec").cast("double") / F.col("n_orders"),
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "priority",
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("rev_dec"), F.lit(0)).cast("double").alias("day_revenue"),
+        # days before a priority's FIRST observation have nothing to
+        # carry forward; 0.0 keeps the result NULL-free (NaN breaks
+        # order-insensitive hashing — same rule as the trend KPI)
+        F.coalesce(
+            F.last(avg_price, ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("avg_price_ffill"),
+    ).orderBy("priority", "day")

@@ -361,3 +361,48 @@ def test_weighted_sample_monotone_and_deterministic(spark):
     assert not (hi & zero_ids)
     nine = {i for i in range(1000) if i % 10 == 9}
     assert len(hi & nine) > 70  # ~90% of them
+
+
+def test_gapfill_fills_calendar_and_forward_fills(spark, tmp_path):
+    """Time-series regularization: a priority with a 2-day hole gets
+    zero-count rows for the hole, the forward-fill carries the last
+    observed average price across it, and days before a priority's
+    first observation fill with 0.0."""
+    import datetime as dt
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        relational,
+    )
+
+    d = dt.date
+    rows = [
+        # (orderkey, priority, day, price)
+        (1, "A", d(2024, 1, 1), 10.0),
+        (2, "A", d(2024, 1, 1), 30.0),   # day avg 20.0
+        (3, "A", d(2024, 1, 4), 8.0),    # hole: Jan 2-3
+        (4, "B", d(2024, 1, 3), 5.0),    # B starts later than the grid
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderdate date,"
+        " o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    out = relational.order_priority_daily_gapfill(spark, sf)
+    got = {
+        (r["priority"], r["day"].day): (
+            r["n_orders"],
+            r["day_revenue"],
+            r["avg_price_ffill"],
+        )
+        for r in out.collect()
+    }
+    # full 4-day calendar x 2 priorities
+    assert len(got) == 8
+    assert got[("A", 1)] == (2, 40.0, 20.0)
+    assert got[("A", 2)] == (0, 0.0, 20.0)   # gap day: zero, ffill carries
+    assert got[("A", 3)] == (0, 0.0, 20.0)
+    assert got[("A", 4)] == (1, 8.0, 8.0)
+    assert got[("B", 1)] == (0, 0.0, 0.0)    # before first observation
+    assert got[("B", 3)] == (1, 5.0, 5.0)
+    assert got[("B", 4)] == (0, 0.0, 5.0)
