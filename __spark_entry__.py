@@ -320,6 +320,20 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram quantile sketch over order prices
+    (operators/sketches.py:binned_quantile_sketch) — the reproducible
+    scale path for percentiles; the exact percentile_approx-free
+    sibling of order_price_quantiles."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    return sketches.binned_quantile_sketch(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative-algorithm family: Lloyd k-means over the embedding
     corpus (operators/similarity.py:kmeans_clusters) — hash seeds,
@@ -671,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_rollup": relational.order_priority_rollup,
         "order_price_deciles": relational.order_price_deciles,
         "order_priority_daily_gapfill": relational.order_priority_daily_gapfill,
+        "order_price_quantile_sketch": q_order_price_quantile_sketch,
         "numeric_column_profile": relational.numeric_column_profile,
         "dim_user": marketing.build_d_user,
         "dim_parameter": marketing.build_d_parameter,
@@ -1155,6 +1170,40 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 0.0) AS avg_price_ffill
             FROM j ORDER BY priority, day
+        """,
+        "order_price_quantile_sketch": """
+            WITH b AS (
+              SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                     count(o_totalprice) AS n
+              FROM orders
+            ),
+            h AS (
+              SELECT CASE WHEN b.mx = b.mn THEN 0
+                          ELSE LEAST(CAST(floor((o_totalprice - b.mn)
+                                 / ((b.mx - b.mn) / 1000.0)) AS BIGINT), 999)
+                     END AS bin,
+                     COUNT(*) AS cnt
+              FROM orders, b GROUP BY 1
+            ),
+            c AS (
+              SELECT bin, SUM(cnt) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h
+            ),
+            q AS (
+              SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE)
+                AS quantile
+            ),
+            sel AS (
+              SELECT q.quantile, MIN(c.bin) AS bin
+              FROM q JOIN c ON c.cum >= CEIL(q.quantile * (SELECT n FROM b))
+              GROUP BY 1
+            )
+            SELECT quantile, bin,
+                   (SELECT mn FROM b) + (bin + 1)
+                     * (((SELECT mx FROM b) - (SELECT mn FROM b)) / 1000.0)
+                     AS est_value
+            FROM sel ORDER BY quantile
         """,
         "order_priority_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,

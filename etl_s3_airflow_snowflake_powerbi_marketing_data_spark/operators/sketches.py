@@ -142,3 +142,92 @@ def hll_distinct(
     second aggregation at group grain.
     """
     return hll_finalize(hll_registers(df, key_col, group_cols, p), group_cols, p)
+
+
+def binned_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles via a fixed-width histogram sketch — the
+    deterministic, engine-reproducible alternative to
+    ``approx_percentile`` (whose GK summary depends on partition merge
+    order and is not reproducible across engines, so it can never pass
+    an exact oracle).
+
+    Accuracy: the estimate is the UPPER EDGE of the first bin whose
+    cumulative count reaches ceil(q·N) — within (max−min)/n_bins of
+    the true quantile, and monotone in q by construction.
+
+    Scale shape: one bounds aggregate (min/max/count — associative,
+    map-side combined), one scan to bin (pure projection against the
+    broadcast 1-row bounds), one groupBy over ≤ ``n_bins`` keys
+    (map-side combined: the shuffle moves O(partitions × bins) rows
+    regardless of input size), then O(bins × quantiles) driver-light
+    selection. The cumulative window is unpartitioned but runs over
+    ≤ n_bins rows — bounded by the SKETCH, not the data. Exactly the
+    two-pass histogram a warehouse runs at 100 TB.
+
+    Every arithmetic step is single-IEEE-op reproducible (bin width
+    division, edge reconstruction), so a SQL engine computing the same
+    formula lands on identical doubles — no float-accumulation anywhere
+    (counts are integers).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    bounds = df.agg(
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.count(value_col).alias("__n"),
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(n_bins)
+    binned = (
+        df.select(F.col(value_col).alias("__v"))
+        .join(F.broadcast(bounds))
+        .select(
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("__v") - F.col("__mn")) / width),
+                    F.lit(n_bins - 1),
+                )
+            )
+            .cast("long")
+            .alias("bin"),
+            "__mn",
+            "__mx",
+            "__n",
+        )
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count("*").alias("cnt"),
+        F.first("__mn").alias("__mn"),
+        F.first("__mx").alias("__mx"),
+        F.first("__n").alias("__n"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    q = cum.select(
+        F.explode(F.array(*[F.lit(float(x)) for x in quantiles])).alias(
+            "quantile"
+        ),
+        "bin",
+        "cum",
+        "__mn",
+        "__mx",
+        "__n",
+    ).filter(F.col("cum") >= F.ceil(F.col("quantile") * F.col("__n")))
+    est = F.col("__mn") + (F.col("bin") + 1) * (
+        (F.col("__mx") - F.col("__mn")) / F.lit(n_bins)
+    )
+    return (
+        q.groupBy("quantile")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+        )
+        .select("quantile", F.col("bin"), est.alias("est_value"))
+        .orderBy("quantile")
+    )

@@ -54,6 +54,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Runtime bloom filters: inject a filter built from the
+        # selective side of a join into the probe side's scan — at
+        # 100 TB this prunes most of a fact scan behind a filtered-dim
+        # join before the shuffle. Harmless locally (threshold-gated).
+        # NOTE: do NOT also enable
+        # runtimeFilter.semiJoinReduction.enabled — measured on this
+        # build it deadlocks trivial actions (range(5).count() hangs).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # The driver's testdata stores events.ts as TIMESTAMP(NANOS), which
         # Spark's parquet reader refuses; read as long and convert in
         # tables.load_table (sub-microsecond parts are zero, so lossless).

@@ -406,3 +406,24 @@ def test_gapfill_fills_calendar_and_forward_fills(spark, tmp_path):
     assert got[("B", 1)] == (0, 0.0, 0.0)    # before first observation
     assert got[("B", 3)] == (1, 5.0, 5.0)
     assert got[("B", 4)] == (0, 0.0, 5.0)
+
+
+def test_binned_quantile_sketch_within_bin_width(spark):
+    """Sketch contract: each estimate is the upper edge of the bin that
+    reaches ceil(q*N), so it sits within one bin width above the true
+    quantile; monotone in q; invariant to partitioning."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    df = spark.range(0, 10_000).select((F.col("id") * 1.0).alias("v"))
+    out = sketches.binned_quantile_sketch(df, "v", n_bins=100)
+    rows = {r["quantile"]: r["est_value"] for r in out.collect()}
+    width = 9999.0 / 100
+    for q, est in rows.items():
+        true = q * 9999.0
+        assert true - 1e-9 <= est <= true + width + 1e-9, (q, est, true)
+    ests = [rows[q] for q in sorted(rows)]
+    assert ests == sorted(ests)
+    re_out = sketches.binned_quantile_sketch(df.repartition(13), "v", n_bins=100)
+    assert {r["quantile"]: r["est_value"] for r in re_out.collect()} == rows
