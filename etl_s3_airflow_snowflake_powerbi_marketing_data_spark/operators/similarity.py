@@ -203,27 +203,32 @@ def sampled_centroids(
 def _centroid_literal(rows: list[tuple[int, list[float]]]):
     """Inline a bounded (cell, centroid) table as an array-of-structs
     literal — the FAISS posture of an in-memory coarse quantizer. Keeps
-    cell assignment a pure codegen projection: no broadcast exchange,
-    no nested-loop join operator anywhere in the plan."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(float(x)).cast("double") for x in cen]).alias(
-                    "centroid"
-                ),
-            )
-            for cell, cen in rows
-        ]
-    )
+    cell assignment a pure projection: no broadcast exchange, no
+    nested-loop join operator anywhere in the plan.
+
+    Built as ONE ``F.expr`` SQL string, not nested ``F.lit`` calls: a
+    cells×dim literal is hundreds of scalars, and per-scalar Column
+    construction costs a py4j round-trip each (measured ~1.6 s per
+    build at 8×64 — paid once per Lloyd iteration). ``repr(x)`` is the
+    shortest round-trip decimal, so CAST('…' AS DOUBLE) reconstructs
+    the identical double."""
+    parts = []
+    for cell, cen in rows:
+        arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cen)
+        parts.append(
+            f"named_struct('cell', {int(cell)}, 'centroid', array({arr}))"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
-def _nearest_cells(vec: Column, centroid_lit, probes: int):
-    """array of the ``probes`` nearest cell ids for ``vec``. Negating
-    the similarity inside the sort struct yields (sim DESC, cell ASC)
-    under the default ascending struct order — a deterministic
-    tie-break."""
-    ranked = F.array_sort(
+def _ranked_cells(vec: Column, centroid_lit):
+    """array<struct<nsim,cell>> sorted nearest-first for ``vec``.
+    Negating the similarity inside the sort struct yields (sim DESC,
+    cell ASC) under the default ascending struct order — a
+    deterministic tie-break. Callers read cell AND similarity from one
+    struct so the n_cells-cosine scan is evaluated once, not per
+    consumed field."""
+    return F.array_sort(
         F.transform(
             centroid_lit,
             lambda e: F.struct(
@@ -232,7 +237,14 @@ def _nearest_cells(vec: Column, centroid_lit, probes: int):
             ),
         )
     )
-    return F.transform(F.slice(ranked, 1, probes), lambda s: s["cell"])
+
+
+def _nearest_cells(vec: Column, centroid_lit, probes: int):
+    """array of the ``probes`` nearest cell ids for ``vec``."""
+    return F.transform(
+        F.slice(_ranked_cells(vec, centroid_lit), 1, probes),
+        lambda s: s["cell"],
+    )
 
 
 def _collect_centroids(
@@ -275,9 +287,18 @@ def train_ivf_centroids(
     )
     for _ in range(iters):
         lit = _centroid_literal(cent)
-        assigned = vecs.select(
-            _nearest_cells(F.col("__v"), lit, 1)[0].alias("cell"),
-            F.posexplode("__v").alias("dim", "val"),
+        # cache() between assignment and explode is load-bearing:
+        # whole-stage codegen inlines the projection into the Generate
+        # loop, so without the barrier the n_cells-cosine assignment
+        # re-evaluates once per EXPLODED ELEMENT — dim× redundant work
+        # (measured 30× slower at dim=64). The cached frame is one
+        # (cell, vector) row per corpus row, the classic persisted
+        # working set of iterative ML on Spark.
+        assigned_rows = vecs.select(
+            _nearest_cells(F.col("__v"), lit, 1)[0].alias("cell"), "__v"
+        ).cache()
+        assigned = assigned_rows.select(
+            "cell", F.posexplode("__v").alias("dim", "val")
         )
         means = (
             assigned.groupBy("cell", "dim")
@@ -299,6 +320,7 @@ def train_ivf_centroids(
             r["cell"]: [float(x) for x in r["new_centroid"]]
             for r in means.collect()
         }
+        assigned_rows.unpersist()
         cent = [(cell, updated.get(cell, old)) for cell, old in cent]
     return cent
 
@@ -324,18 +346,11 @@ def kmeans_clusters(
     cent = train_ivf_centroids(df, id_col, vec_col, n_cells, iters)
     lit = _centroid_literal(cent)
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best = _nearest_cells(vec, lit, 1)[0]
-    sim = F.element_at(
-        F.transform(
-            F.filter(lit, lambda e: e["cell"] == best),
-            lambda e: cosine(vec, e["centroid"]),
-        ),
-        1,
-    )
+    best = F.element_at(_ranked_cells(vec, lit), 1)
     return df.select(
         F.col(id_col),
-        best.cast("long").alias("cell"),
-        trunc6(sim).alias("centroid_sim"),
+        best["cell"].cast("long").alias("cell"),
+        trunc6(-best["nsim"]).alias("centroid_sim"),
     ).orderBy(id_col)
 
 
