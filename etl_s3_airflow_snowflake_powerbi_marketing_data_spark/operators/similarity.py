@@ -112,10 +112,17 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
 def signed_projection_signature(
     vec: Column, planes: list[list[float]]
 ) -> Column:
-    """b-bit signature: bit i = sign(vec · plane_i). Returns bigint."""
+    """b-bit signature: bit i = sign(vec · plane_i). Returns bigint.
+
+    Each plane literal is ONE ``F.expr`` SQL array, not dim nested
+    ``F.lit`` calls — per-scalar Column construction is a py4j
+    round-trip each, ~2-3 s of pure driver time at 16×64 (measured; the
+    same lesson as ``_centroid_literal``). ``repr`` round-trips the
+    exact double, so signatures are bit-identical either way."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
+        arr = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in plane)
+        plane_col = F.expr(f"array({arr})")
         bit = F.when(_dot(vec, plane_col) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
     return sig
