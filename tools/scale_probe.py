@@ -98,26 +98,44 @@ def main() -> None:
     sf_dir = os.path.dirname(BASE)
     star_dir = os.path.join(tempfile.gettempdir(), f"star{replicas}x")
     os.makedirs(star_dir, exist_ok=True)
+    replicated = {
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "embeddings": "vec_id",
+    }
     for t in os.listdir(sf_dir):
         link = os.path.join(star_dir, t)
-        if t != "events.parquet" and not os.path.exists(link):
+        if t.removesuffix(".parquet") not in replicated and not os.path.exists(
+            link
+        ):
             os.symlink(os.path.join(sf_dir, t), link)
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
         load_table,
     )
 
-    events = load_table(spark, sf_dir, "events")
-    eparts = [
-        events.withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
-        for i in range(replicas)
-    ]
-    ebig = eparts[0]
-    for p in eparts[1:]:
-        ebig = ebig.unionByName(p)
-    ebig.write.mode("overwrite").parquet(os.path.join(star_dir, "events.parquet"))
+    for tname, key in replicated.items():
+        src = load_table(spark, sf_dir, tname)
+        parts_t = [
+            src.withColumn(key, F.col(key) + F.lit(i * 100_000_000))
+            for i in range(replicas)
+        ]
+        big_t = parts_t[0]
+        for p in parts_t[1:]:
+            big_t = big_t.unionByName(p)
+        big_t.write.mode("overwrite").parquet(
+            os.path.join(star_dir, f"{tname}.parquet")
+        )
 
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
         marketing,
+    )
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        similarity,
+        sketches,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        relational,
     )
 
     star_ops = {
@@ -128,6 +146,17 @@ def main() -> None:
             marketing.most_viewed_item_latest_period
         ),
         "kpi_top_event_type_by_period": marketing.top_event_type_by_period,
+        # gap-fill's grid is domain-bounded: events replication must not
+        # grow it (growth should track the daily-agg scan, not the grid)
+        "order_priority_daily_gapfill": relational.order_priority_daily_gapfill,
+        "order_price_quantile_sketch": lambda s, d: (
+            sketches.binned_quantile_sketch(
+                load_table(s, d, "orders"), "o_totalprice"
+            )
+        ),
+        "embedding_kmeans_clusters": lambda s, d: similarity.kmeans_clusters(
+            load_table(s, d, "embeddings")
+        ),
     }
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
         for name, fn in star_ops.items():
