@@ -686,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_deciles": relational.order_price_deciles,
         "order_priority_daily_gapfill": relational.order_priority_daily_gapfill,
         "order_price_quantile_sketch": q_order_price_quantile_sketch,
+        "nation_top_customer_names": relational.nation_top_customer_names,
         "numeric_column_profile": relational.numeric_column_profile,
         "dim_user": marketing.build_d_user,
         "dim_parameter": marketing.build_d_parameter,
@@ -1204,6 +1205,26 @@ def oracle_sql() -> dict[str, str]:
                      * (((SELECT mx FROM b) - (SELECT mn FROM b)) / 1000.0)
                      AS est_value
             FROM sel ORDER BY quantile
+        """,
+        "nation_top_customer_names": """
+            WITH spend AS (
+              SELECT c.c_nationkey, c.c_custkey, c.c_name,
+                     SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS spend
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2, 3
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                        ORDER BY spend DESC, c_custkey) AS rnk
+              FROM spend
+            )
+            SELECT n.n_name AS nation_name,
+                   string_agg(r.c_name, ', ' ORDER BY r.rnk) AS top_customers,
+                   COUNT(*) AS n_listed,
+                   CAST(SUM(r.spend) AS DOUBLE) AS combined_spend
+            FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+            WHERE r.rnk <= 3
+            GROUP BY 1 ORDER BY 1
         """,
         "order_priority_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,

@@ -752,3 +752,53 @@ def order_priority_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last(avg_price, ignorenulls=True).over(w), F.lit(0.0)
         ).alias("avg_price_ffill"),
     ).orderBy("priority", "day")
+
+
+def nation_top_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg family): per
+    nation, the top-3 customers by spend as one comma-joined string in
+    rank order — the "denormalized label" shape BI tools ask of a
+    warehouse.
+
+    Determinism is the whole trick for an order-sensitive aggregate:
+    spend totals accumulate in DECIMAL (a double sum's value depends on
+    partition order, which would reorder ties differently per engine),
+    ranking tie-breaks on custkey, and the join happens via
+    array_sort(collect_list(struct(rank, name))) — collect_list order
+    is partition-nondeterministic, so the sort key rides INSIDE the
+    collected struct and the concatenation order never depends on it.
+    One custkey shuffle for the agg, one bounded nation-partitioned
+    window, and the final groupBy carries ≤3 rows per nation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__spend")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("__spend").desc(), F.col("c_custkey")
+    )
+    top = spend.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= 3
+    )
+    return (
+        top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__rank", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                ", ",
+            ).alias("top_customers"),
+            F.count("*").alias("n_listed"),
+            F.sum("__spend").cast("double").alias("combined_spend"),
+        )
+        .orderBy("nation_name")
+    )
