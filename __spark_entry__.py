@@ -687,6 +687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_daily_gapfill": relational.order_priority_daily_gapfill,
         "order_price_quantile_sketch": q_order_price_quantile_sketch,
         "nation_top_customer_names": relational.nation_top_customer_names,
+        "cumulative_distinct_users": relational.cumulative_distinct_users,
+        "above_nation_average_customers": (
+            relational.above_nation_average_customers
+        ),
         "numeric_column_profile": relational.numeric_column_profile,
         "dim_user": marketing.build_d_user,
         "dim_parameter": marketing.build_d_parameter,
@@ -1225,6 +1229,49 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
             WHERE r.rnk <= 3
             GROUP BY 1 ORDER BY 1
+        """,
+        "cumulative_distinct_users": """
+            WITH fd AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS first_day
+              FROM events GROUP BY 1
+            ),
+            dn AS (
+              SELECT first_day AS day, COUNT(*) AS new_users
+              FROM fd GROUP BY 1
+            ),
+            da AS (
+              SELECT date_trunc('day', ts) AS day,
+                     COUNT(DISTINCT user_id) AS active_users
+              FROM events GROUP BY 1
+            )
+            SELECT da.day, da.active_users,
+                   COALESCE(dn.new_users, 0) AS new_users,
+                   CAST(SUM(COALESCE(dn.new_users, 0)) OVER (ORDER BY da.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS distinct_users_to_date
+            FROM da LEFT JOIN dn ON da.day = dn.day
+            ORDER BY da.day
+        """,
+        "above_nation_average_customers": """
+            WITH spend AS (
+              SELECT c.c_nationkey, c.c_custkey, c.c_name,
+                     SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS spend
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2, 3
+            ),
+            na AS (
+              SELECT c_nationkey,
+                     CAST(SUM(spend) AS DOUBLE) / COUNT(*) AS nation_avg
+              FROM spend GROUP BY 1
+            )
+            SELECT n.n_name AS nation_name, s.c_custkey, s.c_name,
+                   CAST(s.spend AS DOUBLE) AS customer_spend,
+                   na.nation_avg AS nation_avg_spend
+            FROM spend s
+            JOIN na ON s.c_nationkey = na.c_nationkey
+            JOIN nation n ON s.c_nationkey = n.n_nationkey
+            WHERE CAST(s.spend AS DOUBLE) > na.nation_avg
+            ORDER BY nation_name, s.c_custkey
         """,
         "order_priority_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,

@@ -802,3 +802,83 @@ def nation_top_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_name")
     )
+
+
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over time — the aggregate SQL engines
+    can't express as a window (COUNT(DISTINCT) OVER is unsupported in
+    Spark and most warehouses). Re-expressed scalably: a user counts as
+    NEW only on their first-ever day (one user_id-keyed min-aggregate),
+    daily new-user counts then cumulative-sum over the bounded day
+    spine — distinct-so-far without ever materializing per-day distinct
+    sets.
+
+    Scale shape: the only data-sized shuffle is the per-user MIN
+    (map-side combinable); everything after runs on O(days) rows. The
+    unpartitioned cumulative window is over that bounded spine, same
+    argument as the trend KPI.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily_new = first_day.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    daily_active = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count_distinct("user_id").alias("active_users"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily_active.join(daily_new, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("distinct_users_to_date", F.sum("new_users").over(w))
+        .orderBy("day")
+    )
+
+
+def above_nation_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (WHERE spend > avg spend OF THE
+    CUSTOMER'S OWN NATION) — the decorrelated form every engine
+    actually executes: per-customer totals, per-nation averages, one
+    broadcast-joined comparison. Extends the uncorrelated scalar
+    subquery (high_value_order_customers) to the correlated class.
+
+    Per-customer spend accumulates in DECIMAL so the nation average is
+    exact/deterministic; the single IEEE division (sum/count) follows
+    the engine-reproducibility pattern. One custkey shuffle; the nation
+    aggregate is 25 rows — broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__spend")
+        )
+    )
+    nation_avg = spend.groupBy("c_nationkey").agg(
+        (F.sum("__spend").cast("double") / F.count("*")).alias("__nation_avg")
+    )
+    return (
+        spend.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("__spend").cast("double") > F.col("__nation_avg"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "c_custkey",
+            "c_name",
+            F.col("__spend").cast("double").alias("customer_spend"),
+            F.col("__nation_avg").alias("nation_avg_spend"),
+        )
+        .orderBy("nation_name", "c_custkey")
+    )
