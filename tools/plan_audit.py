@@ -1,0 +1,95 @@
+"""Plan audit: compile every registered query at a small SF and flag
+physical-plan red flags for 100 TB readiness — cartesian products,
+broadcast-nested-loop joins, and exchange counts.
+
+A BroadcastNestedLoopJoin is only acceptable when the build side is
+BOUNDED BY CONSTRUCTION (a 1-row bounds/max aggregate, a domain-bounded
+calendar grid) — those sites are allowlisted here WITH their
+justification so the audit output documents the reasoning instead of
+hiding it. Anything not allowlisted fails the audit.
+
+Usage: python tools/plan_audit.py [sf_dir] — writes one JSON line and
+exits non-zero on unexpected plan shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
+
+# query -> why a nested-loop/cross against a bounded side is fine there
+BOUNDED_BNLJ_OK = {
+    # star builds: ordered_surrogate_key's bucket math joins a 1-row
+    # min/max aggregate of the ordering key (operators/keys.py:98,139)
+    "event_raw": "1-row min/max bounds for surrogate-key buckets",
+    "dim_event": "1-row min/max bounds for surrogate-key buckets",
+    "dim_user": "1-row min/max bounds for surrogate-key buckets",
+    "dim_parameter": "1-row min/max bounds for surrogate-key buckets",
+    "dim_item": "1-row min/max bounds for surrogate-key buckets",
+    "fact_events": "1-row min/max bounds for surrogate-key buckets",
+    "kpi_most_viewed_item_latest_period": "1-row MAX(period) scalar subquery",
+    "kpi_top_items_view_share": "1-row MAX(period) scalar subquery",
+    "most_viewed_item_latest_period": "1-row MAX(period) scalar subquery",
+    "high_value_order_customers": "1-row AVG(price) scalar subquery",
+    "order_priority_daily_gapfill": (
+        "domain-bounded calendar grid (|priorities| x |days|)"
+    ),
+    "order_price_quantile_sketch": "1-row min/max/count bounds aggregate",
+    "rolling_weekly_revenue": "1-row bounds for the day spine",
+    "doc_pack_sequences": "1-row min/max bounds for bucket math",
+    "csv_ingest_rollup": "1-row corpus-stats aggregate",
+    "numeric_column_profile": "1-row multi-column stats, stack unpivot",
+    "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan_audit")
+    report: dict[str, dict] = {}
+    unexpected: list[str] = []
+    for name, fn in entrymod.queries().items():
+        try:
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as exc:  # noqa: BLE001
+            report[name] = {"error": str(exc)[:200]}
+            unexpected.append(name)
+            continue
+        entry = {
+            "exchanges": plan.count("Exchange"),
+            "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "cartesian": plan.count("CartesianProduct"),
+            "broadcast_hash": plan.count("BroadcastHashJoin"),
+            "sort_merge": plan.count("SortMergeJoin"),
+        }
+        if entry["cartesian"] or (
+            entry["bnlj"] and name not in BOUNDED_BNLJ_OK
+        ):
+            unexpected.append(name)
+        elif entry["bnlj"]:
+            entry["bnlj_justification"] = BOUNDED_BNLJ_OK[name]
+        report[name] = entry
+    out = {
+        "sf_dir": sf_dir,
+        "n_queries": len(report),
+        "unexpected": unexpected,
+        "plans": report,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    sys.exit(1 if unexpected else 0)
+
+
+if __name__ == "__main__":
+    main()
