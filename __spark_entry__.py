@@ -499,6 +499,17 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join (streaming/pipeline.py:
+    streaming_view_purchase_attribution): purchases attributed to same-
+    user views within 1 hour, both sides watermarked so join state is
+    bounded. Over the finite replayed source the inner join emits
+    exactly the batch self-join result, which the oracle checks."""
+    return streaming_pipeline.run_attribution_stream_to_memory(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sketch: HLL registers maintained by Structured
     Streaming, estimate finalized at read — must equal the batch
@@ -708,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_10pct": q_doc_sample,
         "streaming_sliding_counts": q_streaming_sliding,
         "streaming_hll_users": q_streaming_hll,
+        "streaming_view_purchase_attribution": q_streaming_attribution,
         "csv_bad_records_quarantine": q_csv_bad_records,
     }
 
@@ -1938,6 +1950,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_view_purchase_attribution": """
+            SELECT v.user_id,
+                   v.event_id AS view_event_id,
+                   p.event_id AS purchase_event_id,
+                   v.ts AS view_ts,
+                   p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM events v
+            JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view'
+             AND p.event_type = 'purchase'
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 1 HOUR
+            ORDER BY view_event_id, purchase_event_id
         """,
         "streaming_enriched_brand_counts": """
             SELECT date_trunc('day', e.ts) AS window_start,

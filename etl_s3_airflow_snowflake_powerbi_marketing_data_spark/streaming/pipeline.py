@@ -367,3 +367,86 @@ def run_streaming_warehouse_merge(
     finally:
         q.stop()
     return spark.read.parquet(target_dir)
+
+
+def streaming_view_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join — the missing sibling of the
+    stream-static dim join: attribute each purchase to every view by
+    the same user within the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so state for each side is evicted once the
+    other side's watermark passes the range — the state stays
+    O(events per window), flat over an unbounded stream. Inner join
+    emits a pair exactly when both sides have arrived (append mode);
+    late data beyond the watermark is dropped, matching the engine's
+    other watermark semantics.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + interval {attribution_window}
+            """
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def run_attribution_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "view_purchase_attr",
+) -> DataFrame:
+    """Drive the stream-stream attribution join over the source's
+    current contents and return the joined pairs. Over a replayed
+    finite stream the inner join emits exactly the batch-join result
+    (watermarks bound state, not the final answer), which is what the
+    batch-SQL oracle checks."""
+    # Two independent file-stream sources over the same prefix (the
+    # production shape: two topics/prefixes); a same-DataFrame self-join
+    # would also work but hides the two-source state bookkeeping this
+    # operator exists to exercise.
+    joined = streaming_view_purchase_attribution(
+        read_event_stream(spark, source_path).filter(
+            F.col("event_type") == "view"
+        ),
+        read_event_stream(spark, source_path).filter(
+            F.col("event_type") == "purchase"
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
