@@ -702,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_nation_average_customers": (
             relational.above_nation_average_customers
         ),
+        "session_window_revenue": relational.session_window_revenue,
         "numeric_column_profile": relational.numeric_column_profile,
         "dim_user": marketing.build_d_user,
         "dim_parameter": marketing.build_d_parameter,
@@ -1241,6 +1242,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
             WHERE r.rnk <= 3
             GROUP BY 1 ORDER BY 1
+        """,
+        "session_window_revenue": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts) > INTERVAL 30 MINUTE
+                          OR LAG(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            s AS (
+              SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS session_id
+              FROM o
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS session_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_start
         """,
         "cumulative_distinct_users": """
             WITH fd AS (

@@ -882,3 +882,36 @@ def above_nation_average_customers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("nation_name", "c_custkey")
     )
+
+
+def session_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation (the built-in dynamic-gap
+    operator, distinct from :func:`user_sessions`' lag/cumsum form):
+    per-user 30-minute-gap sessions with event counts and decimal-exact
+    value totals. The same call works unchanged as a watermarked
+    Structured Streaming aggregation — that API unification is the
+    point of covering the native form.
+
+    Session end follows Spark's semantics: last event time + gap. One
+    (user_id)-keyed shuffle; session merging is linear per key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
