@@ -703,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             relational.above_nation_average_customers
         ),
         "session_window_revenue": relational.session_window_revenue,
+        "user_event_extremes": relational.user_event_extremes,
         "numeric_column_profile": relational.numeric_column_profile,
         "dim_user": marketing.build_d_user,
         "dim_parameter": marketing.build_d_parameter,
@@ -1242,6 +1243,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
             WHERE r.rnk <= 3
             GROUP BY 1 ORDER BY 1
+        """,
+        # DuckDB arg_min/arg_max take a scalar ordering key, not a ROW:
+        # encode (ts, event_id) as one HUGEINT — ns-epoch dominates,
+        # event_id (< 1e9) breaks ties — the same total order as the
+        # Spark side's struct(ts, event_id).
+        "user_event_extremes": """
+            WITH k AS (
+              SELECT *, CAST(epoch_ns(ts) AS HUGEINT) * 1000000000
+                        + event_id AS okey
+              FROM events
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   arg_min(event_type, okey) AS first_event_type,
+                   arg_min(value, okey) AS first_value,
+                   arg_max(event_type, okey) AS last_event_type,
+                   arg_max(value, okey) AS last_value,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts
+            FROM k GROUP BY user_id ORDER BY user_id
         """,
         "session_window_revenue": """
             WITH o AS (

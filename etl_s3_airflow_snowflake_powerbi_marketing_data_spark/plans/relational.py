@@ -915,3 +915,32 @@ def session_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+def user_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax aggregate family (``min_by``/``max_by``): each
+    user's first and last event type and value in one pass — the
+    "latest status per key" query every event warehouse runs, WITHOUT
+    a window+filter (one map-side-combinable shuffle; a window form
+    would sort inside every user partition).
+
+    Tie-breaks are explicit: the ordering key is struct(ts, event_id),
+    so two events on the same timestamp resolve by event_id instead of
+    partition order — what makes an argmax aggregate
+    engine-reproducible at all.
+    """
+    events = load_table(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("event_type", okey).alias("first_event_type"),
+            F.min_by("value", okey).alias("first_value"),
+            F.max_by("event_type", okey).alias("last_event_type"),
+            F.max_by("value", okey).alias("last_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
