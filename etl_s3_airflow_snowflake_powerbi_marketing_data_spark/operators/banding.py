@@ -35,10 +35,26 @@ def self_candidate_pairs(banded: DataFrame, id_col: str = "id") -> DataFrame:
     The join key is (band, band_key): shuffle cost is proportional to
     bucket collisions, never all pairs. Callers re-verify candidates
     exactly (Hamming / Jaccard / cosine) — banding only bounds recall.
+
+    The probe side is explicitly repartitioned on the band key before
+    the join: banded rows are only O(N·bands) so the build side usually
+    broadcasts, and a broadcast join inherits the PROBE side's
+    partitioning — which for a small parquet scan is ONE partition, so
+    the quadratic pair expansion (the actual work) would run in a
+    single task (measured: a 4M-pair expansion single-threaded at
+    sf0.1). The partition count is pinned explicitly because AQE sizes
+    coalescing from the exchange's INPUT bytes — tiny here — and would
+    fold the expansion back into a handful of tasks; the output is
+    quadratically larger than what AQE can see. The tiny extra shuffle
+    buys bucket-level parallelism for the expansion and the distinct's
+    map-side partial dedup.
     """
+    n_part = int(
+        banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_key"
-    )
+    ).repartition(n_part, "band", "band_key")
     right = banded.select(
         F.col(id_col).alias("id_b"), "band", "band_key"
     )

@@ -110,22 +110,57 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
 
 
 def signed_projection_signature(
-    vec: Column, planes: list[list[float]]
+    vec_col: str, planes: list[list[float]]
 ) -> Column:
     """b-bit signature: bit i = sign(vec · plane_i). Returns bigint.
 
-    Each plane literal is ONE ``F.expr`` SQL array, not dim nested
-    ``F.lit`` calls — per-scalar Column construction is a py4j
-    round-trip each, ~2-3 s of pure driver time at 16×64 (measured; the
-    same lesson as ``_centroid_literal``). ``repr`` round-trips the
-    exact double, so signatures are bit-identical either way."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in plane)
-        plane_col = F.expr(f"array({arr})")
-        bit = F.when(_dot(vec, plane_col) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    return sig
+    All planes ride in ONE flat array literal (``F.lit`` of the
+    row-major plane matrix — a single py4j transfer of exact IEEE
+    doubles, no string round-trip, no SQL parse) and the per-plane loop
+    is a higher-order ``transform`` over plane indices with ``slice``
+    picking each plane's window. The earlier forms paid a fixed
+    per-query cost that grew with ``bits``: per-plane Column
+    composition was ~2 s of py4j round-trips at 16 planes, and a
+    generated ~90 KB SQL string at 48 planes cost ~3.5 s of
+    parse+analyze+codegen on first execution (measured — dominated the
+    whole query). This form keeps the expression tree O(1) in ``bits``.
+
+    Float semantics are unchanged: bit i = sign of the zip_with
+    product folded sequentially from 0.0 — bit-identical to the
+    pure-Python oracle's sequential sums."""
+    dim = len(planes[0])
+    # D-suffixed SQL double literals, one expr: ~8 ms for 3072 planes
+    # values vs ~1.6 s for F.lit(list) (py4j converts list elements one
+    # JVM call each). repr → SQL double parse is shortest-round-trip
+    # exact (verified incl. exponent notation, -0.0, denormals).
+    plane_mat = F.expr(
+        "array("
+        + ",".join(f"{float(v)!r}D" for plane in planes for v in plane)
+        + ")"
+    )
+    dot = lambda p: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col),
+            F.slice(plane_mat, p * F.lit(dim) + 1, dim),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda p: F.when(
+            dot(p) > 0,
+            # call_function: F.shiftleft only takes a literal int for
+            # numBits, but the shift amount here is the lambda variable.
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), p.cast("int")
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def lsh_topk(
@@ -135,8 +170,8 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 16,
-    bands: int = 4,
+    bits: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH with banding.
 
@@ -144,6 +179,14 @@ def lsh_topk(
     get exact cosine re-ranking. Recall is tunable (more bands / fewer
     bits per band → more candidates). The join key is (band, band_bits):
     shuffle ∝ collisions, never O(N·Q).
+
+    Default 8 bands × 4 bits: the earlier 4×4 config measured
+    recall@5 ≈ 0.42 on the synthetic corpus (tools/scale_probe.py
+    --recall), whose true top-k neighbors sit at cosine ≈0.35-0.45 —
+    the near-orthogonal regime where hyperplane LSH needs many bands.
+    Doubling the bands roughly halves the miss probability per
+    neighbor; measured recall and the per-query candidate fraction are
+    tracked in RECALL_PROBE.json, not assumed.
     """
     planes = [_hyperplane(s, dim) for s in range(bits)]
     bits_per_band = bits // bands
@@ -151,7 +194,7 @@ def lsh_topk(
     mask = (1 << bits_per_band) - 1
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = signed_projection_signature(F.col(vec_col), planes)
+        sig = signed_projection_signature(vec_col, planes)
         out = df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}_vec"),
@@ -194,15 +237,23 @@ def sampled_centroids(
     """(cell, centroid) — deterministic pseudo-random seed centroids:
     the ``n_cells`` rows with the smallest id-hash. Planned as a top-k
     (TakeOrdered), so the seeding pass is one cheap scan even on a huge
-    corpus."""
+    corpus.
+
+    The id rides as a secondary sort key everywhere: ordering by the
+    hash alone leaves xxhash64-collision ties engine-defined, and the
+    pure-Python oracle (tools/gen_expected.py) breaks the same tie on
+    id — the total order must match bit-for-bit on both sides."""
     return (
         corpus.select(
             F.xxhash64(F.col(id_col)).alias("__h"),
+            F.col(id_col).alias("__sid"),
             F.col(vec_col).alias("centroid"),
         )
-        .orderBy("__h")
+        .orderBy("__h", "__sid")
         .limit(n_cells)
-        .withColumn("cell", F.row_number().over(Window.orderBy("__h")))
+        .withColumn(
+            "cell", F.row_number().over(Window.orderBy("__h", "__sid"))
+        )
         .select("cell", "centroid")
     )
 
@@ -490,43 +541,109 @@ def cosine_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 16,
-    bands: int = 8,
+    bits: int = 48,
+    bands: int = 12,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: random-hyperplane LSH banding
     generates candidates (pairs sharing ≥1 signature band), then exact
     cosine verifies. Recall rises with more/narrower bands; the verify
     step keeps precision exact.
 
-    Scale shape: the banded self-join and the candidate ``distinct``
-    carry ONLY id pairs — vectors are re-joined afterwards by id, so the
-    wide array payload never rides the hot shuffle. Verification is the
-    Arrow/numpy path (:func:`_cosine_pandas`): one matrix multiply per
-    batch instead of per-pair interpreted expressions.
+    Default banding is 12 bands × 4 bits. The old 8×2-bit config had
+    only 4 keys per band, so ~90% of ALL pairs collided somewhere —
+    candidate volume was effectively O(N²) (measured: 1.78M of 2.0M
+    pairs at sf0.1), an all-pairs join wearing an LSH costume. At 4
+    bits/band a random (sim≈0) pair collides in a band with p=1/16
+    (~0.54 over 12 bands at this N; drops as signatures decorrelate
+    with real data), while a threshold-level 0.4-cosine pair (bit-match
+    p≈0.63) still lands together in ≥1 band with p≈0.90 — measured
+    recall is tracked by tools/scale_probe.py against the exact
+    baseline.
+
+    Scale shape — verify INSIDE each band bucket, dedup survivors
+    after. The earlier form materialized the distinct candidate-pair
+    set (O(collisions) rows) and re-joined both vectors onto every
+    pair, shipping ~128 doubles per pair through Arrow (measured:
+    ~0.5 GB and two extra joins at sf0.1 for 1.07M candidates — the
+    query's dominant cost). Here each (band, band_key) bucket flows
+    once through ``applyInPandas`` — Arrow payload is O(N·bands) rows,
+    not O(pairs) — and numpy verifies all in-bucket pairs row-wise,
+    chunked to bound memory. A pair colliding in k bands is verified k
+    times (k ≤ bands, cheap numpy-side) and collapsed by the final
+    ``distinct``, which now runs on the tiny ≥threshold survivor set
+    instead of the full candidate set. The bucket shuffle is pinned to
+    the session shuffle parallelism because AQE sizes coalescing from
+    the exchange's input bytes and cannot see the quadratic in-bucket
+    compute.
+
+    The verify math is row-wise products + axis-1 sums + floor-trunc —
+    float-identical to :func:`_cosine_pandas` and to the independent
+    generator (tools/gen_expected.py), so the pair set and sims are
+    unchanged from the join-based form.
     """
-    from .banding import bit_band_exprs, explode_bands, self_candidate_pairs
+    from .banding import bit_band_exprs, explode_bands
 
     planes = [_hyperplane(s, dim) for s in range(bits)]
     bits_per_band = bits // bands
+    id_type = df.schema[id_col].dataType.simpleString()
 
     sigs = df.select(
         F.col(id_col).alias("id"),
-        signed_projection_signature(F.col(vec_col), planes).alias("sig"),
+        F.col(vec_col).alias("v"),
+        signed_projection_signature(vec_col, planes).alias("sig"),
     )
     banded = explode_bands(
-        sigs.select("id", "sig"),
-        bit_band_exprs(F.col("sig"), bands, bits_per_band),
+        sigs, bit_band_exprs(F.col("sig"), bands, bits_per_band)
+    ).select("id", "v", "band", "band_key")
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    candidates = self_candidate_pairs(banded)
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    rep = banded.repartition(n_part, "band", "band_key")
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    chunk = 250_000  # pairs per numpy batch: bounds temporaries ~250 MB
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415
+
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pdf["id"].iloc[:0],
+                    "id_b": pdf["id"].iloc[:0],
+                    "cosine_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        ii, jj = np.triu_indices(n, 1)
+        out_a, out_b, out_s = [], [], []
+        for s in range(0, len(ii), chunk):
+            i2, j2 = ii[s : s + chunk], jj[s : s + chunk]
+            mat_a, mat_b = mat[i2], mat[j2]
+            num = (mat_a * mat_b).sum(axis=1)
+            den = np.sqrt((mat_a * mat_a).sum(axis=1)) * np.sqrt(
+                (mat_b * mat_b).sum(axis=1)
+            )
+            sim = np.floor(num / den * 1e6) / 1e6
+            keep = sim >= threshold
+            id_a, id_b = ids[i2[keep]], ids[j2[keep]]
+            a_first = id_a < id_b
+            out_a.append(np.where(a_first, id_a, id_b))
+            out_b.append(np.where(a_first, id_b, id_a))
+            out_s.append(sim[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine_sim", _cosine_pandas(F.col("v_a"), F.col("v_b")))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        rep.groupBy("band", "band_key")
+        .applyInPandas(bucket_verify, out_schema)
+        .distinct()
     )
 
 

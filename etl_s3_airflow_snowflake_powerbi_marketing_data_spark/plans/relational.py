@@ -47,8 +47,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
-    region) + groupBy. Dims broadcast; the only real shuffle is
-    lineitem⋈orders on orderkey, then the agg is map-side combined."""
+    region) + groupBy. Fixed-size dims (nation 25 rows, region 5 rows)
+    are pinned broadcast; customer grows 150K rows/SF so its join
+    strategy is left to AQE (broadcast while it fits, shuffle beyond).
+    The only unavoidable shuffle is lineitem⋈orders on orderkey, then
+    the agg is map-side combined."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -57,7 +60,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is NOT force-broadcast: 150K rows/SF grows linearly
+        # with data volume; a pinned broadcast is a driver/executor OOM
+        # at large SF. AQE picks broadcast vs shuffle from measured size.
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -77,7 +83,8 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     spend = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with SF — no pinned broadcast; AQE decides.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "c_custkey", "c_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
@@ -774,7 +781,8 @@ def nation_top_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     spend = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with SF — no pinned broadcast; AQE decides.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "c_custkey", "c_name")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__spend")
@@ -860,7 +868,8 @@ def above_nation_average_customers(spark: SparkSession, sf_dir: str) -> DataFram
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     spend = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer grows with SF — no pinned broadcast; AQE decides.
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "c_custkey", "c_name")
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("__spend")

@@ -74,10 +74,11 @@ def test_interval_and_asof_avoid_nested_loop(spark):
 
 def test_dedup_semantic_default_has_no_all_pairs_stage(spark):
     # The default edge generator must be the LSH candidate path: no
-    # cartesian/nested-loop stage and no blocked-matmul
-    # FlatMapGroupsInPandas (the exhaustive O(N^2/B^2) fallback, which
-    # is opt-in via edges=). At 100 TB the default plan must stay
-    # subquadratic end to end.
+    # cartesian/nested-loop stage, and every FlatMapGroupsInPandas must
+    # be the band-bucketed verify (grouped on the LSH band key) — never
+    # the exhaustive blocked-matmul fallback, which groups on block
+    # pair (bi, bj) and is opt-in via edges=. At 100 TB the default
+    # plan must stay subquadratic end to end.
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
         dedup,
     )
@@ -89,7 +90,9 @@ def test_dedup_semantic_default_has_no_all_pairs_stage(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
-    assert "FlatMapGroupsInPandas" not in plan
+    for line in plan.splitlines():
+        if "FlatMapGroupsInPandas" in line:
+            assert "band_key" in line, line
 
 
 def test_pack_and_decontam_plan_shape(spark):
@@ -126,6 +129,21 @@ def test_nation_trade_volume_broadcasts_all_dims(spark):
     assert n_shuffle <= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_pinned_broadcast_of_scale_growing_tables():
+    """Broadcast hints may only pin genuinely fixed-size dims (nation
+    25 rows, region 5, 1-row/`O(groups)` aggregates). customer (150K
+    rows/SF), orders, and lineitem grow linearly with data volume — a
+    pinned ``F.broadcast`` of any of them is a driver/executor OOM at
+    large SF regardless of what AQE would have chosen. Assert at the
+    source level so no future query reintroduces the hazard; AQE
+    remains free to broadcast them at small SF where they fit."""
+    import pathlib
+
+    src = pathlib.Path(relational.__file__).read_text()
+    for bad in ("F.broadcast(cust", "F.broadcast(orders", "F.broadcast(li"):
+        assert bad not in src, f"scale-growing table pinned broadcast: {bad}"
 
 
 def test_full_outer_and_range_frame_plan_shapes(spark):

@@ -96,3 +96,34 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_scheme_qualified_uri_roundtrip(spark, tmp_path):
+    """Path transparency (readers.py module docstring): every reader,
+    writer, and catalog declaration must accept scheme-qualified Hadoop
+    URIs — ``file://`` here, ``s3a://`` on a cluster — because the URI
+    scheme, not the code, selects the filesystem. Exercises
+    write_full_replace → CREATE TABLE … LOCATION → read-by-name, plus
+    the parquet and inferred-CSV readers, all on ``file://`` URIs."""
+    uri = f"file://{tmp_path}/parquet_t"
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    writers.write_full_replace(df, uri)
+    assert readers.read_parquet(spark, uri).count() == 5
+
+    writers.create_table_ddl(
+        spark, "uri_roundtrip_t", "k BIGINT, v BIGINT", location=uri
+    )
+    try:
+        got = readers.read_table(spark, "uri_roundtrip_t").orderBy("k")
+        assert [r.k for r in got.collect()] == list(range(5))
+        assert [f.name for f in got.schema.fields] == ["k", "v"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS uri_roundtrip_t")
+
+    csv_uri = f"file://{tmp_path}/csv_t"
+    df.write.mode("overwrite").option("header", True).csv(csv_uri)
+    back = readers.read_csv_inferred(spark, csv_uri)
+    assert back.count() == 5
+    assert set(back.columns) == {"k", "v"}

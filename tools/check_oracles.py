@@ -7,6 +7,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -77,10 +78,12 @@ def main() -> None:
         # (tools/gen_expected.py); comparing them at another SF is a
         # guaranteed false failure, not a check. Skip with a visible
         # marker so the smoke-SF run stays honest.
+        # Basename compared exactly: a substring test would let e.g.
+        # .../sf0.012 silently compare against sf0.01 expected files.
         if (
             name in oracles
             and "expected/sf0.01" in oracles[name]
-            and "/sf0.01" not in sf_dir.rstrip("/")
+            and os.path.basename(sf_dir.rstrip("/")) != "sf0.01"
         ):
             print(f"skip  {name}: expected-parquet oracle is sf0.01-only")
             continue

@@ -204,7 +204,7 @@ def _signature(vec: list[float], planes: list[list[float]]) -> int:
     for i, plane in enumerate(planes):
         if seq_dot(vec, plane) > 0:
             sig |= 1 << i
-    return sig  # bits=16 so never hits the sign bit
+    return sig  # bits<=63 everywhere so never hits the int64 sign bit
 
 
 def _rank_topk(
@@ -229,7 +229,7 @@ def _rank_topk(
 
 
 def gen_lsh_topk(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
-    k, bits, bands = 5, 16, 4
+    k, bits, bands = 5, 32, 8
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
     dim = len(vecs[0][1])
@@ -342,7 +342,7 @@ def gen_kmeans_clusters(
 
 
 def gen_cosine_dups_lsh(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
-    threshold, bits, bands = 0.4, 16, 8
+    threshold, bits, bands = 0.4, 48, 12
     bits_per_band = bits // bands
     mask = (1 << bits_per_band) - 1
     dim = len(vecs[0][1])

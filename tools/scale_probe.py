@@ -33,7 +33,109 @@ from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_sp
 BASE = "/root/testdata/sf0.1/documents.parquet"
 
 
+def recall_probe(spark, sf_dir: str) -> dict:
+    """Measure LSH/IVF recall against the exact answer at sf0.1.
+
+    The correctness oracles pin exact expected outputs at fixed params;
+    this records how much of the TRUE answer those params recover —
+    recall@5 for the two ANN top-k forms (fraction of the exact top-5
+    retrieved, averaged over the registered query set) and pair recall
+    for the banded near-dup join (fraction of exact cosine>=0.4 pairs
+    found). Ground truth is computed driver-side with numpy (N=2000 at
+    sf0.1 - trivially exact); same trunc6+tie-break ranking as the
+    operators. Documented targets on THIS corpus (true neighbors sit
+    at cosine ~0.35-0.45, the near-orthogonal regime that is
+    worst-case for hyperplane LSH): topk_lsh >= 0.7 (32 bits /
+    8 bands), topk_ivf >= 0.4 (4-probe of 16 unsampled cells),
+    dup-pair recall >= 0.8 at the 0.4 threshold (12x4-bit banding;
+    see cosine_dup_pairs_lsh docstring for the collision math).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (  # noqa: PLC0415
+        similarity,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ids = t["vec_id"].to_numpy()
+    mat = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+    norm = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    sims = np.floor((mat / norm) @ (mat / norm).T * 1e6) / 1e6
+
+    k = 5
+    q_rows = np.where(ids < 10)[0]
+    exact_topk: dict[int, set[int]] = {}
+    for qi in q_rows:
+        s = sims[qi]
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-s[j], ids[j]),
+        )[:k]
+        exact_topk[int(ids[qi])] = {int(ids[j]) for j in order}
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def topk_recall(df) -> float:
+        got: dict[int, set[int]] = {}
+        for r in df.select("query_id", "neighbor_id").toPandas().itertuples():
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        return round(
+            sum(
+                len(got.get(q, set()) & exact) / len(exact)
+                for q, exact in exact_topk.items()
+            )
+            / len(exact_topk),
+            3,
+        )
+
+    iu = np.triu_indices(len(ids), 1)
+    above = sims[iu] >= 0.4
+    exact_pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0][above]], ids[iu[1][above]])
+    }
+    lsh_pairs = {
+        (int(r.id_a), int(r.id_b))
+        for r in similarity.cosine_dup_pairs_lsh(emb, threshold=0.4)
+        .toPandas()
+        .itertuples()
+    }
+    return {
+        "sf_dir": sf_dir,
+        "n_vectors": int(len(ids)),
+        "topk_lsh_recall_at_5": topk_recall(
+            similarity.lsh_topk(emb, queries, k=k)
+        ),
+        "topk_ivf_recall_at_5": topk_recall(
+            similarity.ivf_topk(emb, queries, k=k)
+        ),
+        "dup_pairs_exact": len(exact_pairs),
+        "dup_pairs_lsh": len(lsh_pairs),
+        "dup_pair_recall": round(
+            len(lsh_pairs & exact_pairs) / max(len(exact_pairs), 1), 3
+        ),
+        "dup_pair_precision": round(
+            len(lsh_pairs & exact_pairs) / max(len(lsh_pairs), 1), 3
+        ),
+    }
+
+
 def main() -> None:
+    if "--recall" in sys.argv:
+        spark = get_spark("recall_probe")
+        out = recall_probe(spark, os.path.dirname(BASE))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "RECALL_PROBE.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+        with open(os.path.join(repo, "PROGRESS.jsonl"), "a") as fh:
+            fh.write(json.dumps({"ts": time.time(), "recall_probe": out}) + "\n")
+        print(json.dumps(out))
+        spark.stop()
+        return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("scale_probe")
     big_path = os.path.join(tempfile.gettempdir(), f"docs{replicas}x.parquet")
