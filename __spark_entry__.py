@@ -571,6 +571,206 @@ def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level corpus dedup (operators/lines.py):
+    deterministically re-wrap each document into 10-token lines (the
+    corpus ships one physical line per doc), then remove every line
+    occurrence except its corpus-global first (min (doc_id, line_idx)).
+    Per doc: line counts before/after and the md5 of the cleaned text —
+    the oracle recomputes the identical wrap + global-first rule in
+    SQL, so the hash pins exact cleaned CONTENT."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        lines as lines_mod,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", lines_mod.wrap_tokens_to_lines(F.col("text"), 10).alias("lines")
+    )
+    return lines_mod.line_dedup_stats(wrapped, "lines", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def q_dup_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span hotspots: top-20 word 8-grams shared by ≥2
+    documents (operators/dedup.py:shared_gram_hotspots) — the
+    exact-substring boilerplate/memorization screen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shared_gram_hotspots(
+        docs, "text", "doc_id", n=8, min_docs=2, top=20
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms, exact scaled-integer linear-idf
+    score (functions/text.py:tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fn.tfidf_top_terms(docs, "text", "doc_id", top_per_doc=3).orderBy(
+        "doc_id", "term_rank"
+    )
+
+
+def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read path (S3 write layout at 100 TB): persist
+    events hive-partitioned by event_type (sources/writers.py:
+    write_partitioned), read back ONE partition — the scan touches only
+    that directory (PartitionFilters, asserted in
+    tests/test_plan_quality.py) — and aggregate per day. Oracle
+    computes the same numbers from the unpartitioned events view, so
+    equality proves the layout round-trip is lossless."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+
+    path = _scratch_path("part_events", sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    writers.write_partitioned(
+        events.select("event_id", "ts", "value", "event_type"),
+        path,
+        ["event_type"],
+    )
+    back = readers.read_parquet(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        back.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (the pay-the-shuffle-once layout for
+    repeated fact⋈dim joins at 100 TB): persist orders and customer as
+    catalog tables bucketed 8-ways on custkey (sources/writers.py:
+    write_bucketed), join them BY NAME, aggregate revenue per market
+    segment. With both sides bucket-aligned the join needs no exchange
+    (asserted in tests/test_sources.py with broadcast disabled); the
+    oracle computes the same join from the raw views, proving the
+    bucketed layout changes the plan, not the answer."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+
+    base = _scratch_path("bucketed", sf_dir)
+    tag = f"{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
+    t_orders, t_cust = f"b_orders_{tag}", f"b_cust_{tag}"
+    writers.write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_orders,
+        ["o_custkey"],
+        8,
+        f"{base}/orders",
+        sort_by=["o_custkey"],
+    )
+    writers.write_bucketed(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        t_cust,
+        ["c_custkey"],
+        8,
+        f"{base}/customer",
+        sort_by=["c_custkey"],
+    )
+    joined = readers.read_table(spark, t_orders).join(
+        readers.read_table(spark, t_cust),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interop round-trip: full-replace a lineitem projection as
+    ORC (sources/writers.py:write_orc_replace), scan it back with the
+    vectorized ORC reader, aggregate by return flag + status. Oracle
+    aggregates the parquet view directly — equality proves the format
+    conversion is lossless for the numeric/string contract."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+
+    path = _scratch_path("orc_rt", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    writers.write_orc_replace(li, path)
+    back = readers.read_orc(spark, path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interop round-trip (the corpus interchange format):
+    full-replace a documents projection as JSON lines
+    (sources/writers.py:write_jsonl_replace), read back with an
+    EXPLICIT schema (sources/readers.py:read_json — no inference pass),
+    aggregate per language. Oracle aggregates the parquet view."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    path = _scratch_path("jsonl_rt", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    writers.write_jsonl_replace(docs, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = readers.read_json(spark, path, schema)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events")
@@ -751,6 +951,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_users": q_streaming_hll,
         "streaming_view_purchase_attribution": q_streaming_attribution,
         "csv_bad_records_quarantine": q_csv_bad_records,
+        # round 4: corpus-boilerplate family (line dedup + span
+        # hotspots + TF-IDF) and the storage-layout family (partition
+        # pruning, bucketed co-located join, ORC/JSONL interop) — the
+        # latter promotes write_partitioned/write_bucketed from
+        # pytest-only coverage to oracle-verified rows
+        "line_dedup_docs": q_line_dedup_docs,
+        "dup_span_hotspots": q_dup_span_hotspots,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "partitioned_events_by_type": q_partitioned_events,
+        "bucketed_segment_revenue": q_bucketed_segment_revenue,
+        "orc_roundtrip_flags": q_orc_roundtrip,
+        "jsonl_roundtrip_docs": q_jsonl_roundtrip,
     }
 
 
@@ -2095,6 +2307,121 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS session_value
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        # Round 4: corpus-boilerplate + storage-layout families.
+        # Same 10-token wrap as wrap_tokens_to_lines, same global
+        # first-occurrence (min (doc_id, line_idx)) survivor rule.
+        "line_dedup_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, greatest(len(t)-1, 0)//10))
+                       AS line_idx,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(t)-1, 0)//10 + 1),
+                       j -> array_to_string(t[(j-1)*10+1:(j-1)*10+10], ' ')))
+                       AS line
+              FROM toks
+            ),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_idx) AS rn
+              FROM lines
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_lines,
+                   CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                   md5(COALESCE(string_agg(line, chr(10) ORDER BY line_idx)
+                                FILTER (rn = 1), '')) AS kept_md5
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dup_span_hotspots": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(t)-7, 1)),
+                       i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM toks
+            )
+            SELECT gram,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occurrences
+            FROM grams GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, n_occurrences DESC, gram
+            LIMIT 20
+        """,
+        "tfidf_top_terms": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM ex WHERE term <> '' GROUP BY doc_id, term
+            ),
+            dfq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+                     (tf.tf * n.n_docs * 1000000) // dfq.df_docs
+                       AS score_scaled
+              FROM tf JOIN dfq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score_scaled DESC, term)
+                       AS term_rank
+              FROM scored
+            )
+            SELECT doc_id, term, tf, df_docs, score_scaled, term_rank
+            FROM ranked WHERE term_rank <= 3
+            ORDER BY doc_id, term_rank
+        """,
+        "partitioned_events_by_type": """
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_value,
+                   MIN(event_id) AS min_event_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY day
+        """,
+        "bucketed_segment_revenue": """
+            SELECT c.c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY c.c_mktsegment
+        """,
+        "orc_roundtrip_flags": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_price
+            FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus
+        """,
+        "jsonl_roundtrip_docs": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }
     return oracles

@@ -61,6 +61,12 @@ HEADLINE = [
     "embedding_source_profile",
     "salted_event_counts",
     "embedding_kmeans_clusters",
+    # round 4: corpus-boilerplate + storage-layout families
+    "line_dedup_docs",
+    "dup_span_hotspots",
+    "tfidf_top_terms",
+    "partitioned_events_by_type",
+    "bucketed_segment_revenue",
 ]
 
 

@@ -623,3 +623,50 @@ def dedup_semantic(
         .withColumn("n_merged", F.lit(1).cast("long"))
     )
     return survivors.unionByName(unpaired).orderBy(id_col)
+
+
+def shared_gram_hotspots(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Duplicate-span hotspot report: the word ``n``-grams shared by
+    the most documents (the exact-substring view of corpus boilerplate,
+    complementing the per-line C4 rule in :mod:`operators.lines` — a
+    span repeated VERBATIM across documents is the strongest memorization
+    signal a training pipeline screens for).
+
+    Counts every OCCURRENCE (not the distinct-per-doc shingle set):
+    ``n_docs`` = documents containing the gram, ``n_occurrences`` =
+    total occurrences corpus-wide. Top-``top`` by (n_docs desc,
+    n_occurrences desc, gram asc) — a total order, so the cut is
+    deterministic.
+
+    Scale shape: one explode (map-side), one two-phase
+    ``countDistinct`` aggregation keyed by the gram, then a top-k that
+    plans as TakeOrderedAndProject (no global sort materialization).
+    The gram string must cross the shuffle — it IS the report payload;
+    a count-only variant would hash shingles to 8 bytes first (the
+    :func:`_shingle_sets` trick).
+    """
+    toks = _tokens(F.col(text_col))
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    stats = (
+        ex.groupBy("gram")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return stats.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.col("gram")
+    ).limit(top)

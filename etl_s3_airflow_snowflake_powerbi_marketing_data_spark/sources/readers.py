@@ -82,3 +82,11 @@ def read_csv_permissive(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .csv(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan — same pushdown/pruning contract as parquet
+    (ORC is the other first-class columnar format Spark ships a
+    vectorized reader for; interop matters when upstream warehouses
+    export ORC)."""
+    return spark.read.orc(path)

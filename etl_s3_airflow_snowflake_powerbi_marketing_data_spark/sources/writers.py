@@ -97,3 +97,17 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def write_orc_replace(df: DataFrame, path: str) -> None:
+    """Full-replace ORC persist — the parquet writer's contract on the
+    other columnar at-rest format (warehouse-export interop)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def write_jsonl_replace(df: DataFrame, path: str) -> None:
+    """Full-replace JSON-lines persist — the interchange format for
+    document corpora between training-data pipelines; read back with
+    :func:`readers.read_json` and an EXPLICIT schema (inference over
+    JSONL at 100 TB costs a full extra pass)."""
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,142 @@
+"""Corpus-boilerplate family: line-level C4 dedup, duplicate-span
+hotspots, TF-IDF top terms — hand-computed micro-fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+    text as text_fn,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+    dedup,
+    lines,
+)
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    # doc 1: lines A B; doc 2: lines B C (B repeats — doc 1 keeps it);
+    # doc 3: line A again (doc 1 keeps it) + unique D.
+    rows = [
+        (1, ["alpha beta", "gamma delta"]),
+        (2, ["gamma delta", "epsilon zeta"]),
+        (3, ["alpha beta", "eta theta"]),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lines array<string>")
+
+
+def test_line_dedup_global_first_occurrence(line_docs):
+    out = {
+        r["doc_id"]: r
+        for r in lines.line_dedup_stats(line_docs).collect()
+    }
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 1
+    # content pinned, not just counts
+    assert out[1]["kept_md5"] == md5("alpha beta\ngamma delta")
+    assert out[2]["kept_md5"] == md5("epsilon zeta")
+    assert out[3]["kept_md5"] == md5("eta theta")
+
+
+def test_line_dedup_doc_with_nothing_kept(spark):
+    rows = [(1, ["x y"]), (2, ["x y"])]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r["doc_id"]: r for r in lines.line_dedup_stats(df).collect()}
+    assert out[2]["n_kept"] == 0
+    assert out[2]["kept_md5"] == md5("")
+
+
+def test_line_dedup_ties_break_on_line_idx(spark):
+    # Same doc repeats a line: first occurrence (lower idx) survives.
+    df = spark.createDataFrame(
+        [(7, ["dup line", "mid", "dup line"])],
+        "doc_id long, lines array<string>",
+    )
+    row = lines.line_dedup_stats(df).collect()[0]
+    assert row["n_lines"] == 3 and row["n_kept"] == 2
+    assert row["kept_md5"] == md5("dup line\nmid")
+
+
+def test_wrap_tokens_to_lines_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lines"]
+        for r in df.select(
+            "doc_id", lines.wrap_tokens_to_lines(F.col("text"), 2).alias("lines")
+        ).collect()
+    }
+    assert got[1] == ["a b", "c d", "e"]
+    assert got[2] == ["x"]
+    with pytest.raises(ValueError):
+        lines.wrap_tokens_to_lines(F.col("text"), 0)
+
+
+def test_shared_gram_hotspots_counts_docs_and_occurrences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # gram "a b c" occurs at 2 positions
+            (2, "z a b c z"),
+            (3, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.shared_gram_hotspots(df, n=3, min_docs=2, top=5).collect()
+    got = {r["gram"]: (r["n_docs"], r["n_occurrences"]) for r in out}
+    assert got == {"a b c": (2, 3)}  # doc1 twice ("a b c a b c" windows 1,4) + doc2
+
+
+def test_shared_gram_hotspots_ordering_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "p q p q"), (2, "p q x"), (3, "q x y"), (4, "x y z"), (5, "x y w")],
+        "doc_id long, text string",
+    )
+    out = dedup.shared_gram_hotspots(df, n=2, min_docs=2, top=10).collect()
+    keys = [(r["n_docs"], r["n_occurrences"], r["gram"]) for r in out]
+    assert keys == sorted(keys, key=lambda t: (-t[0], -t[1], t[2]))
+
+
+def test_tfidf_top_terms_ranking_and_score(spark):
+    # 3 docs; "rare" appears only in doc 1 (df=1), "common" in all (df=3).
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common other"),
+            (3, "common third"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_fn.tfidf_top_terms(df, top_per_doc=2).collect()
+    d1 = {r["term"]: r for r in out if r["doc_id"] == 1}
+    # rare: tf=1, df=1, N=3 -> 3_000_000; common: tf=2, df=3 -> 2_000_000
+    assert d1["rare"]["score_scaled"] == 3_000_000
+    assert d1["rare"]["term_rank"] == 1
+    assert d1["common"]["score_scaled"] == 2_000_000
+    assert d1["common"]["term_rank"] == 2
+    # every doc contributes at most top_per_doc rows
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in out)
+    assert all(v <= 2 for v in per_doc.values())
+
+
+def test_tfidf_tie_breaks_on_term(spark):
+    df = spark.createDataFrame(
+        [(1, "bbb aaa"), (2, "aaa bbb")], "doc_id long, text string"
+    )
+    out = [
+        (r["term"], r["term_rank"])
+        for r in text_fn.tfidf_top_terms(df, top_per_doc=2).collect()
+        if r["doc_id"] == 1
+    ]
+    assert sorted(out, key=lambda t: t[1]) == [("aaa", 1), ("bbb", 2)]

@@ -224,3 +224,76 @@ def test_chunk_documents_is_shuffle_free(spark):
     plan = _plan(text_fn.chunk_documents(load_table(spark, SF, "documents")))
     assert "Exchange" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_dup_span_hotspots_top_k_and_partial_agg(spark):
+    # The hotspot report's top-20 must plan as TakeOrderedAndProject
+    # (distributed top-k, no global sort) and the occurrence count
+    # must partial-aggregate before the exchange.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.shared_gram_hotspots(docs))
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_no_corpus_window(spark):
+    # Survivor election must be the keyed min-aggregation, never a
+    # corpus-wide window (a data-sized single-partition window is the
+    # classic 100 TB killer).
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        lines,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", lines.wrap_tokens_to_lines(F.col("text"), 10).alias("lines")
+    )
+    plan = _plan(lines.line_dedup_stats(docs))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-combinable survivor election
+
+
+def test_tfidf_plan_shape(spark):
+    # The corpus-size N joins as ONE single-row broadcast (the
+    # whitelisted scalar-subquery shape); the vocabulary join is a
+    # real hash join; the per-doc top-k pre-prunes via
+    # WindowGroupLimit before the exchange; nothing plans cartesian.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(text_fn.tfidf_top_terms(docs))
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row N
+    assert "BroadcastHashJoin" in plan  # term -> df_docs
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_events_query_prunes_partitions(spark, tmp_path):
+    # The registered partition-layout query's read side must show
+    # partition pruning: only the selected event_type directory scans.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "pe")
+    writers.write_partitioned(
+        events.select("event_id", "ts", "value", "event_type"),
+        path,
+        ["event_type"],
+    )
+    back = readers.read_parquet(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    plan = _plan(back.groupBy(F.date_trunc("day", "ts")).count())
+    assert "PartitionFilters: [isnotnull(event_type" in plan

@@ -127,3 +127,31 @@ def test_scheme_qualified_uri_roundtrip(spark, tmp_path):
     back = readers.read_csv_inferred(spark, csv_uri)
     assert back.count() == 5
     assert set(back.columns) == {"k", "v"}
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "A", 1.5), (2, "B", 2.25)], "k long, s string, v double"
+    )
+    path = str(tmp_path / "orc_t")
+    writers.write_orc_replace(df, path)
+    back = readers.read_orc(spark, path).orderBy("k")
+    assert [tuple(r) for r in back.collect()] == [(1, "A", 1.5), (2, "B", 2.25)]
+    assert back.schema == df.schema
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, 7)], "k long, s string, n long"
+    )
+    path = str(tmp_path / "jsonl_t")
+    writers.write_jsonl_replace(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    back = readers.read_json(spark, path, schema).orderBy("k")
+    assert [tuple(r) for r in back.collect()] == [(1, "x", None), (2, None, 7)]

@@ -46,6 +46,7 @@ BOUNDED_BNLJ_OK = {
     "csv_ingest_rollup": "1-row corpus-stats aggregate",
     "numeric_column_profile": "1-row multi-column stats, stack unpivot",
     "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
+    "tfidf_top_terms": "1-row corpus-size (N) scalar for the idf term",
 }
 
 
