@@ -9,14 +9,17 @@ reports, per eval document, how many of its distinct shingles collide —
 the usual decision inputs (any-hit boolean, hit fraction) derive from
 that.
 
-Scale shape: train shingles collapse to a DISTINCT shingle set before
-the join (the corpus-size→shingle-vocabulary reduction is what makes
-this feasible at 100 TB), both sides join on a fixed-width 8-byte
-xxhash64 key — the output carries no hash values, only collision
-counts, so any engine verifying by value can join raw shingle strings
-and agree (up to 64-bit hash collisions). The aggregate is map-side
-combinable. No stage is quadratic; the only big shuffles are keyed by
-shingle hash.
+Scale shape: the eval suite is SMALL by definition (benchmarks are
+thousands of documents; the train corpus is the 100 TB side), so the
+train scan semi-joins against the eval set's distinct shingle hashes
+FIRST — with AQE this plans as a broadcast semi-join, i.e. a map-side
+filter at scan speed — and only the surviving train shingles (bounded
+by |eval shingle vocabulary|) ever reach a shuffle for the DISTINCT.
+Both sides join on a fixed-width 8-byte xxhash64 key — the output
+carries no hash values, only collision counts, so any engine verifying
+by value can join raw shingle strings and agree (up to 64-bit hash
+collisions). The aggregate is map-side combinable. No stage is
+quadratic; no corpus-sized shuffle anywhere.
 """
 
 from __future__ import annotations
@@ -44,11 +47,20 @@ def ngram_collisions(
     drops out of the audit.
     """
     grams = F.explode(word_shingles(F.col(text_col), n)).alias("__g")
-    train_sh = (
-        train.select(grams).select(F.xxhash64("__g").alias("__sh")).distinct()
-    )
     eval_sh = eval_df.select(F.col(id_col).alias("id"), grams).select(
         "id", F.xxhash64("__g").alias("__sh")
+    )
+    eval_set = eval_sh.select("__sh").distinct()
+    # Semi-filter the corpus-sized side against the (small) eval
+    # shingle vocabulary BEFORE any shuffle: AQE broadcasts eval_set,
+    # so train shingles that can't collide die at the scan. No
+    # broadcast hint — if someone decontaminates against a huge eval
+    # side, AQE falls back to a shuffled semi-join instead of OOMing.
+    train_sh = (
+        train.select(grams)
+        .select(F.xxhash64("__g").alias("__sh"))
+        .join(eval_set, "__sh", "left_semi")
+        .distinct()
     )
 
     hits = (

@@ -108,10 +108,13 @@ def test_pack_and_decontam_plan_shape(spark):
     assert "CartesianProduct" not in pack_plan
     assert "windowspecdefinition(__bucket" in pack_plan
     # Decontamination: candidate join keyed by shingle hash, no
-    # quadratic stage.
+    # quadratic stage, and the corpus side semi-filters against the
+    # eval shingle vocabulary BEFORE any distinct/shuffle (the
+    # eval-is-small design — no corpus-sized shuffle).
     dec_plan = _plan(qs["decontaminate_eval_docs"](spark, SF))
     assert "CartesianProduct" not in dec_plan
     assert "NestedLoop" not in dec_plan
+    assert "LeftSemi" in dec_plan
 
 
 def test_nation_trade_volume_broadcasts_all_dims(spark):

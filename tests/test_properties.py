@@ -122,3 +122,43 @@ def test_jaccard_pairs_sound(spark, texts):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert r["jaccard"] >= 0.5
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "ii jj"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_line_dedup_matches_set_model(spark, docs):
+    """Global invariants vs a pure-Python first-occurrence model:
+    total kept == number of distinct lines corpus-wide, and each doc's
+    kept set is exactly its globally-first occurrences."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        lines,
+    )
+
+    rows = [(i, ls) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {r["doc_id"]: r for r in lines.line_dedup_stats(df).collect()}
+
+    seen: set[str] = set()
+    expect_kept: dict[int, int] = {}
+    for i, ls in rows:
+        kept = 0
+        for line in ls:
+            if line not in seen:
+                seen.add(line)
+                kept += 1
+        expect_kept[i] = kept
+
+    assert sum(r["n_kept"] for r in out.values()) == len(seen)
+    for i, ls in rows:
+        assert out[i]["n_lines"] == len(ls)
+        assert out[i]["n_kept"] == expect_kept[i]

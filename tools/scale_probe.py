@@ -152,6 +152,7 @@ def main() -> None:
 
     def ops(df):
         from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+            lines as lines_mod,
             sampling,
             sketches,
         )
@@ -184,6 +185,19 @@ def main() -> None:
                 "fp",
                 [],
             ),
+            # round 4: replicas multiply line-duplicate density the
+            # same way they multiply doc-duplicate density — the keyed
+            # min-agg survivor election must stay flat-ish.
+            "line_dedup": lambda: lines_mod.line_dedup_stats(
+                df.select(
+                    "doc_id",
+                    lines_mod.wrap_tokens_to_lines(F.col("text"), 10).alias(
+                        "lines"
+                    ),
+                )
+            ),
+            "dup_span_hotspots": lambda: dedup.shared_gram_hotspots(df),
+            "tfidf_top_terms": lambda: text_fn.tfidf_top_terms(df),
         }
 
     results: dict[str, dict[str, float]] = {}
