@@ -255,6 +255,48 @@ def q_csv_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history-keeping MERGE (operators/merge.py:merge_scd2) over
+    deterministic orders slices: current rows = keys not divisible by
+    3 (valid since 2024-01-01), pre-closed history injected for keys
+    also divisible by 5 (price-500 variant, 2023→2024), source = even
+    keys with price bumped EXCEPT keys divisible by 4 (the unchanged
+    branch). Exercises all five legs: history passthrough, untouched
+    current, unchanged match, close-on-change, new-version insert,
+    brand-new key. The oracle reconstructs the identical five-way
+    classification in set algebra."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cur = (
+        orders.filter(F.col("o_orderkey") % 3 != 0)
+        .withColumn("valid_from", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    hist = (
+        orders.filter((F.col("o_orderkey") % 3 != 0) & (F.col("o_orderkey") % 5 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") - 500.0)
+        .withColumn("valid_from", F.lit("2023-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("is_current", F.lit(False))
+    )
+    target = hist.unionByName(cur)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice") + 1000.0
+        ),
+    )
+    return merge.merge_scd2(
+        target,
+        source,
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+        "2024-06-01 00:00:00",
+    ).orderBy("o_orderkey", "valid_from")
+
+
 def q_merge_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
     target, source = _merge_slices(spark, sf_dir)
     return merge.merge_ignore(target, source, ["o_orderkey"])
@@ -957,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latter promotes write_partitioned/write_bucketed from
         # pytest-only coverage to oracle-verified rows
         "line_dedup_docs": q_line_dedup_docs,
+        "merge_scd2_orders": q_merge_scd2,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
         "partitioned_events_by_type": q_partitioned_events,
@@ -2307,6 +2350,64 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS session_value
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        # SCD-2 merge: reconstruct the five-way classification in set
+        # algebra. cur/src/hist mirror q_merge_scd2's slices exactly.
+        "merge_scd2_orders": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ),
+            cur AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+            hist AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice - 500.0
+                       AS o_totalprice
+              FROM base WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+            ),
+            src AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice
+                          ELSE o_totalprice + 1000.0 END AS o_totalprice
+              FROM base WHERE o_orderkey % 2 = 0
+            ),
+            matched AS (
+              SELECT c.o_orderkey,
+                     c.o_orderstatus AS t_st, c.o_totalprice AS t_pr,
+                     s.o_orderstatus AS s_st, s.o_totalprice AS s_pr,
+                     (c.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+                      OR c.o_totalprice IS DISTINCT FROM s.o_totalprice)
+                       AS changed
+              FROM cur c JOIN src s USING (o_orderkey)
+            )
+            -- history passthrough
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   TIMESTAMP '2023-01-01' AS valid_from,
+                   TIMESTAMP '2024-01-01' AS valid_to,
+                   FALSE AS is_current
+            FROM hist
+            UNION ALL
+            -- current rows not in source, or matched-unchanged
+            SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+                   TIMESTAMP '2024-01-01', NULL, TRUE
+            FROM cur c
+            WHERE c.o_orderkey NOT IN (
+                    SELECT o_orderkey FROM matched WHERE changed)
+            UNION ALL
+            -- matched-changed: closed old version
+            SELECT o_orderkey, t_st, t_pr,
+                   TIMESTAMP '2024-01-01', TIMESTAMP '2024-06-01', FALSE
+            FROM matched WHERE changed
+            UNION ALL
+            -- matched-changed: new current version
+            SELECT o_orderkey, s_st, s_pr,
+                   TIMESTAMP '2024-06-01', NULL, TRUE
+            FROM matched WHERE changed
+            UNION ALL
+            -- brand-new keys
+            SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+                   TIMESTAMP '2024-06-01', NULL, TRUE
+            FROM src s
+            WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
+            ORDER BY o_orderkey, valid_from
         """,
         # Round 4: corpus-boilerplate + storage-layout families.
         # Same 10-token wrap as wrap_tokens_to_lines, same global

@@ -61,7 +61,8 @@ HEADLINE = [
     "embedding_source_profile",
     "salted_event_counts",
     "embedding_kmeans_clusters",
-    # round 4: corpus-boilerplate + storage-layout families
+    # round 4: corpus-boilerplate + storage-layout + SCD-2 families
+    "merge_scd2_orders",
     "line_dedup_docs",
     "dup_span_hotspots",
     "tfidf_top_terms",

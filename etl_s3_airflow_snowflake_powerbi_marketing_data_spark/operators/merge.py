@@ -131,3 +131,98 @@ def delta_merge(
         builder = builder.whenMatchedUpdateAll()
     builder.whenNotMatchedInsertAll().execute()
     return True
+
+
+def merge_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    load_ts,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    source_order_by=None,
+) -> DataFrame:
+    """SCD-2 history-keeping MERGE — the natural sibling of the
+    reference's SCD-1 upsert (`etl_s3_snowflake_d_item.py:71-79`
+    overwrites history; SCD-2 preserves it as validity intervals).
+
+    Target rows carry ``(keys, attrs, valid_from, valid_to,
+    is_current)``; ``valid_to IS NULL`` ⟺ ``is_current``. For each
+    source row:
+
+    - key absent in the current slice → INSERT as current
+      (``valid_from = load_ts``);
+    - key present and any ``compare_cols`` attribute differs
+      (null-safe) → CLOSE the current row (``valid_to = load_ts``,
+      not current) and INSERT the new version as current;
+    - key present, attributes equal → untouched.
+
+    Historical (already-closed) rows pass through verbatim.
+
+    Plan shape: ONE full-outer-ish decomposition on the merge keys —
+    current-slice ⋈ source (classify), plus the untouched-history
+    union. Every leg shuffles (or broadcasts — the daily-delta case)
+    on the same key columns, so Catalyst reuses one exchange per side;
+    nothing is row-by-row and no window over the data is needed.
+    ``load_ts`` must be a caller-supplied literal (retry-determinism:
+    a ``current_timestamp()`` here would version-split on task retry).
+    """
+    src = _dedup_source(source, keys, source_order_by)
+    attr_cols = [c for c in src.columns if c not in keys]
+    out_cols = [*keys, *attr_cols, valid_from_col, valid_to_col, current_col]
+
+    history = target.filter(~F.col(current_col)).select(*out_cols)
+    current = target.filter(F.col(current_col))
+
+    changed_cond = None
+    for c in compare_cols:
+        d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+        changed_cond = d if changed_cond is None else changed_cond | d
+
+    # Presence markers, not key-nullity: the null-safe join MATCHES
+    # null keys (see _key_cond), so a null-keyed current row must not
+    # be misread as "source-only".
+    j = (
+        current.withColumn("__t_present", F.lit(True))
+        .alias("t")
+        .join(
+            src.withColumn("__s_present", F.lit(True)).alias("s"),
+            on=_key_cond(keys),
+            how="full_outer",
+        )
+    )
+    t_key = F.col("t.__t_present")
+    s_key = F.col("s.__s_present")
+    matched = j.filter(t_key.isNotNull() & s_key.isNotNull())
+    unmatched_target = j.filter(s_key.isNull()).select(
+        *[F.col(f"t.{c}").alias(c) for c in out_cols]
+    )
+    new_keys = j.filter(t_key.isNull()).select(
+        *[F.col(f"s.{c}").alias(c) for c in [*keys, *attr_cols]]
+    )
+
+    unchanged = matched.filter(~changed_cond).select(
+        *[F.col(f"t.{c}").alias(c) for c in out_cols]
+    )
+    closed = matched.filter(changed_cond).select(
+        *[F.col(f"t.{c}").alias(c) for c in [*keys, *attr_cols, valid_from_col]],
+        F.lit(load_ts).cast("timestamp").alias(valid_to_col),
+        F.lit(False).alias(current_col),
+    )
+    new_versions = (
+        matched.filter(changed_cond)
+        .select(*[F.col(f"s.{c}").alias(c) for c in [*keys, *attr_cols]])
+        .unionByName(new_keys)
+        .withColumn(valid_from_col, F.lit(load_ts).cast("timestamp"))
+        .withColumn(valid_to_col, F.lit(None).cast("timestamp"))
+        .withColumn(current_col, F.lit(True))
+    )
+
+    return (
+        history.unionByName(unmatched_target.select(*out_cols))
+        .unionByName(unchanged.select(*out_cols))
+        .unionByName(closed.select(*out_cols))
+        .unionByName(new_versions.select(*out_cols))
+    )

@@ -130,3 +130,80 @@ def test_delta_merge_parity_with_join_merge(spark, tmp_path):
         merge.merge_write(merge.merge_update(tgt, src, ["key"]), path)
         got = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert got == expect
+
+
+def _scd2_target(spark):
+    # k1: current v2 + closed v1 history; k2: current only; k3: current only
+    rows = [
+        ("k1", "a", "2023-01-01 00:00:00", "2024-01-01 00:00:00", False),
+        ("k1", "b", "2024-01-01 00:00:00", None, True),
+        ("k2", "x", "2024-01-01 00:00:00", None, True),
+        ("k3", "y", "2024-01-01 00:00:00", None, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, val string, valid_from string, valid_to string, is_current boolean"
+    )
+    from pyspark.sql import functions as F
+
+    return df.withColumn("valid_from", F.col("valid_from").cast("timestamp")).withColumn(
+        "valid_to", F.col("valid_to").cast("timestamp")
+    )
+
+
+def test_merge_scd2_classification(spark):
+    # k1 changes (b -> c): close + new version. k2 unchanged. k3 not in
+    # source: untouched. k4 new: insert current. History passes through.
+    source = spark.createDataFrame(
+        [("k1", "c"), ("k2", "x"), ("k4", "z")], "key string, val string"
+    )
+    out = merge.merge_scd2(
+        _scd2_target(spark), source, ["key"], ["val"], "2024-06-01 00:00:00"
+    ).collect()
+    rows = {(r["key"], r["val"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"]) for r in out}
+    assert rows == {
+        ("k1", "a", "2023-01-01 00:00:00", "2024-01-01 00:00:00", False),
+        ("k1", "b", "2024-01-01 00:00:00", "2024-06-01 00:00:00", False),
+        ("k1", "c", "2024-06-01 00:00:00", "None", True),
+        ("k2", "x", "2024-01-01 00:00:00", "None", True),
+        ("k3", "y", "2024-01-01 00:00:00", "None", True),
+        ("k4", "z", "2024-06-01 00:00:00", "None", True),
+    }
+
+
+def test_merge_scd2_idempotent_on_rerun(spark):
+    # Re-running the SAME load produces no new versions: the changed
+    # rows became current last run, so they now compare equal.
+    source = spark.createDataFrame(
+        [("k1", "c"), ("k2", "x"), ("k4", "z")], "key string, val string"
+    )
+    once = merge.merge_scd2(
+        _scd2_target(spark), source, ["key"], ["val"], "2024-06-01 00:00:00"
+    )
+    twice = merge.merge_scd2(
+        once, source, ["key"], ["val"], "2024-07-01 00:00:00"
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_scd2_null_attr_change_detected(spark):
+    # null -> value and value -> null must both count as "changed"
+    # (null-safe comparison), and a null-keyed row must not be
+    # misclassified by the presence markers.
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [("k1", None, "2024-01-01 00:00:00", None, True),
+         (None, "nv", "2024-01-01 00:00:00", None, True)],
+        "key string, val string, valid_from string, valid_to string, is_current boolean",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp")).withColumn(
+        "valid_to", F.col("valid_to").cast("timestamp")
+    )
+    source = spark.createDataFrame(
+        [("k1", "now-set"), (None, "nv")], "key string, val string"
+    )
+    out = merge.merge_scd2(target, source, ["key"], ["val"], "2024-06-01 00:00:00")
+    got = {(r["key"], r["val"], r["is_current"]) for r in out.collect()}
+    assert ("k1", None, False) in got          # closed
+    assert ("k1", "now-set", True) in got      # new version
+    assert (None, "nv", True) in got           # null key matched, unchanged
+    assert len(got) == 3
