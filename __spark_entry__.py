@@ -813,6 +813,45 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py:
+    split_assign): 90/5/5 content-hash buckets, stable across engines
+    and cluster sizes — the assignment itself is the output, so the
+    oracle verifies every document's split, not just the counts."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.split_assign(
+            docs,
+            "doc_id",
+            {"train": 0.90, "val": 0.05, "test": 0.05},
+            salt="split2",
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators/sampling.py:
+    corpus_shuffle): contiguous 1..N training order from md5(salt||id),
+    ranked by the bucketed two-pass surrogate-key machinery — never a
+    single-partition window."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.corpus_shuffle(docs, "doc_id", salt="shuf1")
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    )
+
+
 def q_streaming_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events")
@@ -1000,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-only coverage to oracle-verified rows
         "line_dedup_docs": q_line_dedup_docs,
         "merge_scd2_orders": q_merge_scd2,
+        "doc_split_assign": q_split_assign,
+        "corpus_shuffle_order": q_corpus_shuffle,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
         "partitioned_events_by_type": q_partitioned_events,
@@ -2408,6 +2449,27 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
             ORDER BY o_orderkey, valid_from
+        """,
+        "doc_split_assign": """
+            SELECT doc_id,
+                   CASE
+                     WHEN ('0x' || substr(
+                            md5(concat('split2', CAST(doc_id AS VARCHAR))),
+                            1, 15))::BIGINT % 10000 < 9000 THEN 'train'
+                     WHEN ('0x' || substr(
+                            md5(concat('split2', CAST(doc_id AS VARCHAR))),
+                            1, 15))::BIGINT % 10000 < 9500 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "corpus_shuffle_order": """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                     ORDER BY md5(concat('shuf1', CAST(doc_id AS VARCHAR))),
+                              doc_id
+                   ) AS shuffle_pos
+            FROM documents ORDER BY doc_id
         """,
         # Round 4: corpus-boilerplate + storage-layout families.
         # Same 10-token wrap as wrap_tokens_to_lines, same global

@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "deterministic_sample", "stratified_sample"]
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "stratified_sample",
+    "curate_top_per_group",
+    "weighted_sample",
+    "split_assign",
+    "corpus_shuffle",
+]
 
 _BUCKETS = 10_000
 
@@ -154,3 +162,64 @@ def weighted_sample(
     return df.filter(
         hash_bucket(F.col(id_col), salt) < F.floor(w * _BUCKETS).cast("long")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — every row gets a
+    named split from its content hash, so the assignment is stable
+    across runs, engines, cluster sizes, and incremental loads (a new
+    document lands proportionally; existing documents never migrate,
+    which is what keeps eval sets uncontaminated over re-runs).
+
+    ``fractions`` maps split name → fraction; they must sum to 1 (to
+    bucket resolution). Buckets are carved cumulatively in the dict's
+    insertion order, so ``{"train": .9, "val": .05, "test": .05}``
+    assigns buckets [0,9000) / [9000,9500) / [9500,10000). Pure
+    map-side expression: no shuffle, no RNG, rides the scan.
+    """
+    cum = 0.0
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    for name, frac in fractions.items():
+        if frac <= 0:
+            raise ValueError(f"fraction for {name!r} must be positive")
+        cum += frac
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if abs(cum - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {cum}")
+    return df.withColumn(split_col, expr)
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training reproducibility:
+    every row gets a contiguous 1..N position in md5(salt || id) order
+    — a pseudo-random but reproducible permutation any engine can
+    recompute (same salt → same order, forever).
+
+    The global ranking reuses :func:`keys.ordered_surrogate_key` — the
+    bucketed two-pass row_number, NOT a single-partition window — and
+    md5's uniformity is exactly the "roughly uniform leading key" its
+    equal-width buckets want. At 100 TB this is the standard
+    pre-training shuffle: rank once, then range-partition readers by
+    position.
+    """
+    from .keys import ordered_surrogate_key  # noqa: PLC0415
+
+    hashed = df.withColumn(
+        "__shufkey", F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    )
+    return ordered_surrogate_key(
+        hashed, pos_col, order_by=["__shufkey", id_col]
+    ).drop("__shufkey")

@@ -427,3 +427,48 @@ def test_binned_quantile_sketch_within_bin_width(spark):
     assert ests == sorted(ests)
     re_out = sketches.binned_quantile_sketch(df.repartition(13), "v", n_bins=100)
     assert {r["quantile"]: r["est_value"] for r in re_out.collect()} == rows
+
+
+def test_split_assign_covers_all_rows_and_is_stable(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.split_assign(df, "doc_id", fr, salt="s")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000          # every row assigned
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]       # proportions ordered
+    # stability: re-running yields the identical assignment
+    again = sampling.split_assign(df, "doc_id", fr, salt="s")
+    assert out.exceptAll(again).count() == 0
+    # different salt → different assignment (namespacing works)
+    other = sampling.split_assign(df, "doc_id", fr, salt="t")
+    assert out.exceptAll(other).count() > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.split_assign(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_corpus_shuffle_is_permutation_matching_hash_order(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+    import hashlib
+
+    ids = list(range(100))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.corpus_shuffle(df, "doc_id", salt="z").collect()
+    }
+    assert sorted(out.values()) == list(range(1, 101))  # contiguous 1..N
+    expect_order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"z{i}".encode()).hexdigest(), i)
+    )
+    assert [out[i] for i in expect_order] == list(range(1, 101))
