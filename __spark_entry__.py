@@ -813,6 +813,17 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution (operators/dedup.py:
+    fuzzy_string_matches): near-identical part names within a brand
+    block at levenshtein <= 2 — blocked + length-banded, never
+    corpus-quadratic."""
+    part = load_table(spark, sf_dir, "part")
+    return dedup.fuzzy_string_matches(
+        part, "p_name", "p_partkey", "p_brand", max_distance=2
+    ).orderBy("id_a", "id_b")
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (operators/sampling.py:
     split_assign): 90/5/5 content-hash buckets, stable across engines
@@ -1041,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_scd2_orders": q_merge_scd2,
         "doc_split_assign": q_split_assign,
         "corpus_shuffle_order": q_corpus_shuffle,
+        "fuzzy_part_name_matches": q_fuzzy_part_names,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
         "partitioned_events_by_type": q_partitioned_events,
@@ -2449,6 +2461,23 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
             ORDER BY o_orderkey, valid_from
+        """,
+        "fuzzy_part_name_matches": """
+            WITH s AS (
+              SELECT CAST(p_partkey AS BIGINT) AS id,
+                     regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g')
+                       AS name,
+                     p_brand AS blk
+              FROM part
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.name AS name_a, b.name AS name_b,
+                   levenshtein(a.name, b.name) AS distance
+            FROM s a JOIN s b
+              ON a.blk = b.blk AND a.id < b.id
+             AND abs(length(a.name) - length(b.name)) <= 2
+            WHERE levenshtein(a.name, b.name) <= 2
+            ORDER BY id_a, id_b
         """,
         "doc_split_assign": """
             SELECT doc_id,

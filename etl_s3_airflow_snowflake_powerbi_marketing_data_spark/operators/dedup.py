@@ -670,3 +670,62 @@ def shared_gram_hotspots(
     return stats.orderBy(
         F.desc("n_docs"), F.desc("n_occurrences"), F.col("gram")
     ).limit(top)
+
+
+def fuzzy_string_matches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Edit-distance fuzzy matching within blocking keys — the
+    entity-resolution primitive (typo'd duplicate names, near-identical
+    product titles) that set-similarity dedup misses: one transposed
+    character barely moves n-gram Jaccard but is levenshtein 1-2.
+
+    Scale contract: candidate pairs form ONLY inside a block
+    (``block_col`` — a brand, a zip code, a sorted-token prefix), so
+    the join is block-quadratic, never corpus-quadratic; callers own
+    choosing blocks of bounded size, exactly the standard blocking
+    discipline of record linkage. Inside a block two prefilters prune
+    before the O(len²) levenshtein evaluates: ``id_a < id_b`` halves
+    the grid, and a length band (edit distance is >= the length gap,
+    so |len_a − len_b| > max_distance can't match) drops most of the
+    rest at the hash-join output.
+
+    Output: (id_a, id_b, name_a, name_b, distance), distance <=
+    ``max_distance``, pairs canonically ordered — deterministic and
+    engine-portable (levenshtein is the plain Wagner-Fischer distance
+    in both Spark and DuckDB).
+    """
+    norm = normalize_text(F.col(text_col))
+    side = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("name"),
+        F.length(norm).alias("len"),
+        F.col(block_col).alias("blk"),
+    )
+    a = side.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("len").alias("len_a"),
+        "blk",
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("len").alias("len_b"),
+        "blk",
+    )
+    pairs = a.join(b, "blk").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance)
+    )
+    return (
+        pairs.withColumn(
+            "distance", F.levenshtein("name_a", "name_b")
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

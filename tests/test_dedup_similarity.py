@@ -272,3 +272,51 @@ def test_kmeans_clusters_shape_and_determinism(spark, sf_dir):
     # plan: assignment is a projection — no join operator at all
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_fuzzy_string_matches_blocked(spark):
+    rows = [
+        (1, "red widget", "B1"),
+        (2, "red widgets", "B1"),   # distance 1, same block -> match
+        (3, "red widget", "B2"),    # identical text, DIFFERENT block -> no pair
+        (4, "blue bolt", "B1"),     # far from everything
+        (5, "red midget", "B1"),    # distance 1 from id 1, 2 from id 2
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string, brand string")
+    out = dedup.fuzzy_string_matches(df, "name", "pid", "brand", max_distance=2)
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    assert got == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
+
+
+def test_fuzzy_string_matches_length_band_is_lossless(spark):
+    # A pair whose length gap exceeds max_distance can never be within
+    # distance (edit distance >= length gap), so the prefilter must not
+    # drop any true match: brute-force check on a small block.
+    import itertools
+
+    names = ["abc", "abcd", "abcdef", "xbc", "abzzzc", "ab"]
+    rows = [(i, n, "B") for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "pid long, name string, brand string")
+    out = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in dedup.fuzzy_string_matches(
+            df, "name", "pid", "brand", max_distance=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {
+        (i, j): lev(names[i], names[j])
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 2
+    }
+    assert out == expect
