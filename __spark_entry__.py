@@ -813,6 +813,39 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed aggregation surface: per user a map<event_type,count>
+    built with map_from_entries over a SORTED entry array (map
+    iteration order is insertion order, so sorting the entries first
+    makes the serialized form canonical), emitted as to_json so the
+    output stays scalar for the harness and any engine can reproduce
+    the exact string."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("event_type"),
+                                F.col("n").cast("long").alias("n"),
+                            )
+                        )
+                    )
+                )
+            ).alias("type_counts_json"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance entity resolution (operators/dedup.py:
     fuzzy_string_matches): near-identical part names within a brand
@@ -1053,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": q_split_assign,
         "corpus_shuffle_order": q_corpus_shuffle,
         "fuzzy_part_name_matches": q_fuzzy_part_names,
+        "user_event_type_map": q_user_event_type_map,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
         "partitioned_events_by_type": q_partitioned_events,
@@ -2461,6 +2495,18 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
             ORDER BY o_orderkey, valid_from
+        """,
+        "user_event_type_map": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*) AS n
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id,
+                   '{' || string_agg(
+                     '"' || event_type || '":' || n, ','
+                     ORDER BY event_type) || '}' AS type_counts_json,
+                   CAST(SUM(n) AS BIGINT) AS n_events
+            FROM c GROUP BY user_id ORDER BY user_id
         """,
         "fuzzy_part_name_matches": """
             WITH s AS (
