@@ -68,6 +68,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "partitioned_events_by_type",
     "bucketed_segment_revenue",
+    "fuzzy_part_name_matches",
+    "corpus_shuffle_order",
 ]
 
 
