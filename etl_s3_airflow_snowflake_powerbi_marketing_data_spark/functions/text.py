@@ -368,7 +368,9 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
-    ex = df.select(
+    # _spread_if_narrow: tokenization + explode otherwise runs inside
+    # however few splits the scan yields (one, for a small file).
+    ex = _spread_if_narrow(df).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "term"

@@ -658,7 +658,11 @@ def shared_gram_hotspots(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    ex = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    # _spread: the shingling + explode is CPU-bound and otherwise runs
+    # inside however few splits the scan yields (one, for a small file).
+    ex = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    )
     stats = (
         ex.groupBy("gram")
         .agg(

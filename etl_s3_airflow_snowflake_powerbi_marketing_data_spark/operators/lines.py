@@ -70,7 +70,11 @@ def line_dedup_stats(
     the fingerprint. The md5 (not xxhash64) keeps accidental
     fingerprint collisions out of the dedup decision at corpus scale.
     """
-    ex = df.select(
+    from .dedup import _spread  # noqa: PLC0415
+
+    # _spread: the explode + md5 fingerprinting is CPU-bound and
+    # otherwise runs inside however few splits the scan yields.
+    ex = _spread(df, id_col).select(
         F.col(id_col), F.posexplode(lines_col).alias("line_idx", "line")
     ).withColumn("__fp", F.md5("line"))
     winners = ex.groupBy("__fp").agg(
