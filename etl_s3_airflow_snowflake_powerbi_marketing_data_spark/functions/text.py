@@ -230,6 +230,7 @@ def repetition_profile(
     Grams hash to 64 bits before the shuffle — the metrics depend only
     on gram equality, so the count aggregation never ships gram text.
     """
+    df = _spread_if_narrow(df)  # CPU-bound shingling vs few scan splits
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     k = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
@@ -273,7 +274,10 @@ def winnow_fingerprints(
     # recompute the full gram array per window — O(n^2) md5 calls. Each
     # intermediate column materializes once per row instead.
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    staged = df.select(F.col(id_col), norm.alias("__norm"))
+    # _spread_if_narrow: the per-char interpreted md5 HOF below is the
+    # most CPU-intense expression in the repo — it must not serialize
+    # on a split-starved scan.
+    staged = _spread_if_narrow(df).select(F.col(id_col), norm.alias("__norm"))
     n_grams = F.greatest(F.length("__norm") - F.lit(k - 1), F.lit(1))
     staged = staged.select(
         id_col,

@@ -46,7 +46,13 @@ def ngram_collisions(
     convention as :func:`dedup.word_shingles`), so nothing silently
     drops out of the audit.
     """
+    from .dedup import _spread  # noqa: PLC0415
+
     grams = F.explode(word_shingles(F.col(text_col), n)).alias("__g")
+    # Spread the CORPUS side before shingling: the explode + hash is
+    # CPU-bound and otherwise runs in however few splits the scan
+    # yields. The eval side is small by contract — no spread needed.
+    train = _spread(train, text_col)
     eval_sh = eval_df.select(F.col(id_col).alias("id"), grams).select(
         "id", F.xxhash64("__g").alias("__sh")
     )
