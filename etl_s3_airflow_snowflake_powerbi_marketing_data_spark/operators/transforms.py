@@ -144,3 +144,20 @@ def dedup_keep_first(
 def sort_desc(df: DataFrame, column: str) -> DataFrame:
     """P9 — global descending sort (range-partitioned exchange at scale)."""
     return df.orderBy(F.col(column).desc())
+
+
+def parse_raw_event_time(col: Column | str) -> Column:
+    """Parse the reference's RAW event_time text — ``M/D/YYYY H:MM``
+    with no zero padding (`event.csv:2` ``6/26/2017 11:23``;
+    README.md:34 documents the column as text) — into a proper
+    timestamp, the typing step the reference performs inside its fact
+    build (pandas ``to_datetime`` in `etl_s3_snowflake_f_events.py`).
+
+    Single-digit month/day/hour need the single-letter pattern
+    (``M/d/yyyy H:mm``); ``try_to_timestamp`` turns a malformed value
+    into NULL so a dead-letter filter can route it — never a job abort
+    mid-load at scale (plain ``to_timestamp`` raises under ANSI mode,
+    the Spark 4 default).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(c, F.lit("M/d/yyyy H:mm"))

@@ -23,8 +23,19 @@ def read_csv_inferred(
 ) -> DataFrame:
     """S1 raw-layer CSV load: header + schema inference (the reference's
     ``aql.load_file`` behavior, `etl_s3_snowflake_raw_event_ingest.py:46`),
-    plus the dotted-column rename (`:28`) applied at read time."""
-    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    plus the dotted-column rename (`:28`) applied at read time.
+
+    ``escape='"'`` reads RFC-4180 CSVs — the dialect of the reference's
+    real exports (pandas/S3 writers double embedded quotes): Spark's
+    default backslash escape mis-splits a quoted JSON payload at its
+    first comma, exactly the `event.payload` column S1 ingests.
+    """
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("escape", '"')
+        .csv(path)
+    )
     if rename:
         df = df.withColumnsRenamed(rename)
     return df
@@ -39,6 +50,7 @@ def read_csv_typed(
     return (
         spark.read.option("header", True)
         .option("mode", "FAILFAST")
+        .option("escape", '"')  # RFC-4180 doubled quotes (see above)
         .schema(schema)
         .csv(path)
     )
