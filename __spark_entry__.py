@@ -813,6 +813,46 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py:dedup_incremental) —
+    the daily-load posture: existing corpus = keys not divisible by 3;
+    incoming batch = the rest UNION a re-crawled slice (docs with
+    doc_id%10==1 re-tagged +100000 — identical content, new ids), so
+    both kill paths run: store-hit (content already ingested) and
+    batch-internal first-occurrence."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    existing = docs.filter(F.col("doc_id") % 3 != 0)
+    recrawl = docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).unionByName(recrawl)
+    return (
+        dedup.dedup_incremental(existing, incoming)
+        .select("doc_id", "fingerprint", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family rule filter with named per-rule flags
+    (functions/text.py:gopher_quality_flags): word-count bounds,
+    mean-word-length bounds, punctuation cap, stopword floor;
+    ``keep`` is the conjunction. Thresholds chosen so both the
+    word-count and stopword rules split this corpus non-trivially."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_fn.gopher_quality_flags(
+        docs,
+        min_words=20,
+        max_words=100_000,
+        min_mean_word_len=2.0,
+        max_mean_word_len=12.0,
+        max_punct_ratio=0.20,
+        min_stopword_ratio=0.05,
+    ).orderBy("doc_id")
+
+
 def q_user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-typed aggregation surface: per user a map<event_type,count>
     built with map_from_entries over a SORTED entry array (map
@@ -1087,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_order": q_corpus_shuffle,
         "fuzzy_part_name_matches": q_fuzzy_part_names,
         "user_event_type_map": q_user_event_type_map,
+        "dedup_incremental_docs": q_dedup_incremental,
+        "gopher_quality_flags": q_gopher_quality_flags,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
         "partitioned_events_by_type": q_partitioned_events,
@@ -2495,6 +2537,57 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
             ORDER BY o_orderkey, valid_from
+        """,
+        "dedup_incremental_docs": f"""
+            WITH fp AS (
+              SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint, lang, n_chars
+              FROM documents
+            ),
+            existing AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+            incoming AS (
+              SELECT * FROM fp WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 100000, fingerprint, lang, n_chars
+              FROM fp WHERE doc_id % 10 = 1
+            ),
+            firsts AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                           ORDER BY doc_id) AS rn
+              FROM incoming
+            )
+            SELECT doc_id, fingerprint, lang, n_chars
+            FROM firsts
+            WHERE rn = 1
+              AND fingerprint NOT IN (SELECT fingerprint FROM existing)
+            ORDER BY doc_id
+        """,
+        "gopher_quality_flags": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(({tokcount}) AS BIGINT) AS n_words,
+                     CASE WHEN ({tokcount}) = 0 THEN 0.0
+                          ELSE floor(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) * 1000000.0
+                               / ({tokcount})) / 1000000.0 END
+                       AS mean_word_len,
+                     floor(({punct_ratio}) * 1000000.0) / 1000000.0
+                       AS punct_ratio,
+                     floor(({stop_ratio}) * 1000000.0) / 1000000.0
+                       AS stopword_ratio
+              FROM documents
+            )
+            SELECT doc_id, n_words, mean_word_len, punct_ratio,
+                   stopword_ratio,
+                   (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+                   (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                     AS ok_word_len,
+                   (punct_ratio <= 0.20) AS ok_punct,
+                   (stopword_ratio >= 0.05) AS ok_stopwords,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                    AND (punct_ratio <= 0.20)
+                    AND (stopword_ratio >= 0.05)) AS keep
+            FROM m ORDER BY doc_id
         """,
         "user_event_type_map": """
             WITH c AS (

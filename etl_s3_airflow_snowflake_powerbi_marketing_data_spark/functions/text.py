@@ -403,3 +403,61 @@ def tfidf_top_terms(
             F.col("term_rank").cast("long").alias("term_rank"),
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.20,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Gopher/MassiveText-family rule filter with NAMED per-rule flags —
+    curation pipelines keep the per-rule booleans, not just the verdict,
+    because rule hit-rates are the primary corpus-drift monitor.
+
+    Rules (each a pure column expression, all thresholds caller-set):
+    word count bounds, mean word length bounds, punctuation-character
+    ratio cap, stopword-ratio floor. ``keep`` is the conjunction.
+    Map-only — no shuffle, rides the scan, and the flags push down to
+    nothing (they must be computed row-by-row at scan speed, which at
+    100 TB is exactly where you want the filter: before any shuffle).
+
+    ``mean_word_len`` is floor-truncated at 6 decimals BEFORE the
+    bounds compare so the flag decision is bit-identical across engines
+    (a raw double ratio could straddle a threshold differently on the
+    last ulp).
+    """
+    c = F.col(text_col)
+    n_words = token_count(c)
+    # total non-whitespace chars / words — char counting is exact
+    chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    mean_wl = trunc6(
+        F.when(n_words > 0, chars / n_words).otherwise(F.lit(0.0))
+    )
+    p_ratio = trunc6(punct_ratio(c))
+    s_ratio = trunc6(stopword_ratio(c))
+    flag_word_count = (n_words >= min_words) & (n_words <= max_words)
+    flag_word_len = (mean_wl >= min_mean_word_len) & (
+        mean_wl <= max_mean_word_len
+    )
+    flag_punct = p_ratio <= max_punct_ratio
+    flag_stop = s_ratio >= min_stopword_ratio
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        p_ratio.alias("punct_ratio"),
+        s_ratio.alias("stopword_ratio"),
+        flag_word_count.alias("ok_word_count"),
+        flag_word_len.alias("ok_word_len"),
+        flag_punct.alias("ok_punct"),
+        flag_stop.alias("ok_stopwords"),
+        (flag_word_count & flag_word_len & flag_punct & flag_stop).alias(
+            "keep"
+        ),
+    )

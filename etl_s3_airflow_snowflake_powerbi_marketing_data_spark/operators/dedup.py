@@ -755,3 +755,45 @@ def fuzzy_string_matches(
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def dedup_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the daily-load reality of corpus
+    ingestion: a new batch must dedup against ITSELF and against the
+    already-ingested corpus, without rewriting the corpus.
+
+    A row of ``incoming`` survives iff its normalized-text fingerprint
+    (1) appears nowhere in ``existing`` and (2) is the batch-first
+    occurrence (min id) within ``incoming``. Returns the surviving rows
+    with their fingerprint attached — the delta to append, plus the
+    fingerprints to add to the store.
+
+    Scale shape: at 100 TB the ``existing`` side is a persisted
+    FINGERPRINT STORE (16-byte md5 per doc, written by prior loads),
+    not the corpus itself — this function only reads ``existing``'s
+    text column to fingerprint it, so callers holding a store pass it
+    pre-fingerprinted via a 1-column frame named ``fingerprint``. Both
+    legs are fingerprint-keyed: one anti-join (broadcasts the DELTA
+    side — the small side — under AQE) and one batch-internal
+    min-survivor window bounded by per-fingerprint group size.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    if "fingerprint" in existing.columns and text_col not in existing.columns:
+        store = existing.select("fingerprint")
+    else:
+        store = existing.select(fp.alias("fingerprint"))
+    inc = incoming.withColumn("fingerprint", fp)
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    batch_first = (
+        inc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return batch_first.join(
+        store.distinct(), "fingerprint", "left_anti"
+    )

@@ -140,3 +140,59 @@ def test_tfidf_tie_breaks_on_term(spark):
         if r["doc_id"] == 1
     ]
     assert sorted(out, key=lambda t: t[1]) == [("aaa", 1), ("bbb", 2)]
+
+
+def test_dedup_incremental_kill_paths(spark):
+    # existing holds "A"; incoming holds a re-crawl of A (store-hit
+    # kill), a batch-internal dup pair (first-occurrence kill), and a
+    # genuinely new doc.
+    existing = spark.createDataFrame(
+        [(1, "doc alpha")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "Doc  ALPHA"),   # normalizes == existing -> killed
+            (11, "doc beta"),
+            (12, "doc beta"),     # batch dup -> 11 survives
+            (13, "doc gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_incremental(existing, incoming)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+
+def test_dedup_incremental_accepts_fingerprint_store(spark):
+    # At scale the existing side is a persisted fingerprint store, not
+    # the corpus — a 1-column frame named `fingerprint` works directly.
+    import hashlib
+
+    store = spark.createDataFrame(
+        [(hashlib.md5(b"doc alpha").hexdigest(),)], "fingerprint string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "doc alpha"), (11, "doc beta")], "doc_id long, text string"
+    )
+    out = dedup.dedup_incremental(store, incoming)
+    assert [r["doc_id"] for r in out.collect()] == [11]
+
+
+def test_gopher_quality_flags_rules(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day for all of us "
+            "to be here now with many more words to pass the gate"),
+        (2, "tiny doc"),                              # word-count fail
+        (3, "!!! ??? ... ;;; ::: !!! ??? ... ;;; ::: " * 3),  # punct fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_fn.gopher_quality_flags(
+            df, min_words=10, min_stopword_ratio=0.05
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["ok_punct"] is False and out[3]["keep"] is False
+    # per-rule flags stay independent: doc 2 fails count, not punct
+    assert out[2]["ok_punct"] is True
