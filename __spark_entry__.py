@@ -813,6 +813,43 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional table layer (sources/versioned.py — atomic
+    manifest commits over immutable parquet prefixes): commit v1 = the
+    merge target slice, commit v2 = the SCD-1 merge result, then read
+    BOTH snapshots back via time travel and aggregate each. The oracle
+    recomputes both states relationally from the orders view, so
+    equality proves commits are atomic snapshots: v1's aggregate is
+    undisturbed by v2's commit, and v2 equals the merge semantics."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    path = _scratch_path("versioned_tt", sf_dir)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    target, source = _merge_slices(spark, sf_dir)
+    v1 = vt.write_version(target, path)
+    merged = merge.merge_update(vt.read_version(spark, path, v1), source, ["o_orderkey"])
+    v2 = vt.write_version(merged, path)
+
+    def agg(version: int) -> DataFrame:
+        return (
+            vt.read_version(spark, path, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("version", F.lit(version).cast("long"))
+        )
+
+    return agg(v1).unionByName(agg(v2)).orderBy("version", "o_orderstatus")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (operators/dedup.py:dedup_incremental) —
     the daily-load posture: existing corpus = keys not divisible by 3;
@@ -1129,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_type_map": q_user_event_type_map,
         "dedup_incremental_docs": q_dedup_incremental,
         "gopher_quality_flags": q_gopher_quality_flags,
+        "versioned_orders_time_travel": q_versioned_time_travel,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
         "partitioned_events_by_type": q_partitioned_events,
@@ -2537,6 +2575,33 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
             ORDER BY o_orderkey, valid_from
+        """,
+        "versioned_orders_time_travel": """
+            WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            src AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            v2 AS (
+              SELECT * FROM tgt
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT * FROM src
+            )
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_price,
+                   CAST(1 AS BIGINT) AS version
+            FROM tgt GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_price,
+                   CAST(2 AS BIGINT) AS version
+            FROM v2 GROUP BY o_orderstatus
+            ORDER BY version, o_orderstatus
         """,
         "dedup_incremental_docs": f"""
             WITH fp AS (

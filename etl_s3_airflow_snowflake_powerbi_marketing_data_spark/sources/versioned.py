@@ -1,0 +1,166 @@
+"""Versioned parquet tables: atomic commits, snapshot isolation, time
+travel, rollback — the minimal transactional layer the reference gets
+from Snowflake (`CREATE OR REPLACE` + MERGE are atomic there) and we
+otherwise lack on plain parquet (SURVEY.md §4.2 item 1; the staging-swap
+writer in plans/pipeline.py is the unversioned special case).
+
+Design (the Delta/Iceberg core idea, reduced to its load-bearing part):
+
+- Data files are IMMUTABLE and append-only: every commit writes its
+  rows under a fresh ``data/v{N}-{nonce}/`` prefix; nothing is ever
+  rewritten or deleted in place.
+- A commit IS the atomic creation of ``_versions/{N:08d}.json`` — a
+  manifest listing the data prefixes that make up snapshot N. Creation
+  uses ``O_CREAT | O_EXCL`` (atomic on POSIX local FS and on HDFS
+  create; on S3 the equivalent is a conditional PUT), so two racing
+  writers can NOT both publish version N: the loser's exclusive create
+  fails and it retries at N+1 — optimistic concurrency, winner-decided
+  by the filesystem, no lock server.
+- Readers resolve a manifest FIRST, then scan exactly its prefixes:
+  a concurrent commit cannot change a running query's input set —
+  snapshot isolation for free, because manifests are immutable.
+- Rollback is a NEW commit whose manifest repeats an old version's
+  prefix list — history is preserved, never rewritten.
+
+Scale shape: manifests are O(commits) metadata (they list prefixes,
+not files — Spark's parquet reader lists the prefix contents), the
+data path is untouched Spark parquet I/O, and no operation here ever
+reads data to commit data. ``vacuum`` is the only deleter and keeps
+every prefix referenced by a retained manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_versions"
+_MAX_COMMIT_RETRIES = 100
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, _MANIFEST_DIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_manifest_dir(path), f"{version:08d}.json")
+
+
+def table_versions(path: str) -> list[int]:
+    """Committed versions, ascending. Partially-written data prefixes
+    without a manifest are invisible — they were never committed."""
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def _publish(path: str, manifest: dict) -> int:
+    """Atomically publish the next manifest; returns the version won.
+
+    The exclusive create is the commit point: everything before it is
+    invisible staging, everything after it is immutable history.
+    """
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    payload = dict(manifest)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        version = (table_versions(path) or [0])[-1] + 1
+        payload["version"] = version
+        try:
+            fd = os.open(
+                _manifest_path(path, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race for N — retry at N+1
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh)
+        return version
+    raise RuntimeError(f"could not win a commit after {_MAX_COMMIT_RETRIES} tries")
+
+
+def write_version(df: DataFrame, path: str, mode: str = "replace") -> int:
+    """Commit ``df`` as a new snapshot; returns the new version.
+
+    ``mode='replace'``: the new snapshot is exactly ``df``.
+    ``mode='append'``: the new snapshot is the previous one plus ``df``
+    (manifest = old prefixes + the new prefix; no data rewritten).
+    """
+    if mode not in ("replace", "append"):
+        raise ValueError(f"unknown mode {mode!r}")
+    nonce = uuid.uuid4().hex[:12]
+    versions = table_versions(path)
+    next_hint = (versions or [0])[-1] + 1
+    prefix = os.path.join("data", f"v{next_hint}-{nonce}")
+    df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+    prefixes = [prefix]
+    if mode == "append" and versions:
+        prefixes = _read_manifest(path, versions[-1])["prefixes"] + prefixes
+    return _publish(path, {"prefixes": prefixes, "mode": mode})
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: latest version by default, or time-travel to any
+    committed version. The manifest resolves before the scan plans, so
+    concurrent commits never change this query's inputs."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    m = _read_manifest(path, v)
+    return spark.read.parquet(*[os.path.join(path, p) for p in m["prefixes"]])
+
+
+def rollback(path: str, to_version: int) -> int:
+    """Commit a NEW version whose content is ``to_version``'s — history
+    stays intact (audits read every version ever committed)."""
+    m = _read_manifest(path, to_version)
+    return _publish(
+        path, {"prefixes": m["prefixes"], "rollback_of": to_version}
+    )
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[str]:
+    """Delete data prefixes referenced ONLY by expired manifests; keeps
+    the last ``keep_last`` versions readable. Returns removed prefixes.
+
+    The only destructive operation in the format — and it never touches
+    a prefix any retained manifest references, so retained time travel
+    stays intact.
+    """
+    import shutil  # noqa: PLC0415
+
+    versions = table_versions(path)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v)["prefixes"])
+    dead: set[str] = set()
+    for v in versions:
+        if v not in keep:
+            dead.update(_read_manifest(path, v)["prefixes"])
+            os.remove(_manifest_path(path, v))
+    removed = []
+    for p in sorted(dead - live):
+        shutil.rmtree(os.path.join(path, p), ignore_errors=True)
+        removed.append(p)
+    return removed

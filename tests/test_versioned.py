@@ -1,0 +1,105 @@
+"""Versioned parquet tables: atomic manifest commits, snapshot reads,
+time travel, append vs replace, rollback-preserving history, vacuum,
+and the optimistic-concurrency commit race."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import merge
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+    versioned as vt,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_write_read_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = vt.write_version(_df(spark, [(1, "a"), (2, "b")]), path)
+    v2 = vt.write_version(_df(spark, [(1, "a2"), (3, "c")]), path)
+    assert (v1, v2) == (1, 2)
+    assert vt.table_versions(path) == [1, 2]
+    # latest
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, path).collect()}
+    assert got == {1: "a2", 3: "c"}
+    # time travel
+    got1 = {r["k"]: r["v"] for r in vt.read_version(spark, path, 1).collect()}
+    assert got1 == {1: "a", 2: "b"}
+
+
+def test_append_mode_unions_snapshots(spark, tmp_path):
+    path = str(tmp_path / "t")
+    vt.write_version(_df(spark, [(1, "a")]), path)
+    vt.write_version(_df(spark, [(2, "b")]), path, mode="append")
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}
+    # v1 unchanged
+    assert {r["k"] for r in vt.read_version(spark, path, 1).collect()} == {1}
+
+
+def test_merge_then_rollback_preserves_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    vt.write_version(_df(spark, [(1, "a"), (2, "b")]), path)
+    merged = merge.merge_update(
+        vt.read_version(spark, path), _df(spark, [(2, "B"), (3, "C")]), ["k"]
+    )
+    v2 = vt.write_version(merged, path)
+    v3 = vt.rollback(path, 1)
+    assert (v2, v3) == (2, 3)
+    # latest == v1 content, but v2 still readable (history intact)
+    assert {r["v"] for r in vt.read_version(spark, path).collect()} == {"a", "b"}
+    assert {r["v"] for r in vt.read_version(spark, path, 2).collect()} == {
+        "a", "B", "C",
+    }
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    vt.write_version(_df(spark, [(1, "a")]), path)
+    snapshot = vt.read_version(spark, path, 1)
+    vt.write_version(_df(spark, [(9, "z")]), path)  # commit lands mid-"query"
+    # the already-resolved snapshot still reads v1's files only
+    assert {r["k"] for r in snapshot.collect()} == {1}
+
+
+def test_commit_race_one_winner_per_version(spark, tmp_path):
+    # Simulate the loser: pre-create the manifest the writer wants,
+    # forcing the O_EXCL retry path to land on the next version.
+    path = str(tmp_path / "t")
+    vt.write_version(_df(spark, [(1, "a")]), path)
+    os.makedirs(os.path.join(path, "_versions"), exist_ok=True)
+    with open(os.path.join(path, "_versions", "00000002.json"), "w") as fh:
+        fh.write('{"prefixes": [], "version": 2}')
+    v = vt.write_version(_df(spark, [(2, "b")]), path)
+    assert v == 3  # lost the race for 2, won 3
+    assert vt.table_versions(path) == [1, 2, 3]
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        vt.write_version(_df(spark, [(i, f"v{i}")]), path)
+    removed = vt.vacuum(path, keep_last=2)
+    assert removed  # v1/v2 data gone
+    assert vt.table_versions(path) == [3, 4]
+    assert {r["v"] for r in vt.read_version(spark, path, 3).collect()} == {"v2"}
+    assert {r["v"] for r in vt.read_version(spark, path, 4).collect()} == {"v3"}
+    with pytest.raises(ValueError):
+        vt.read_version(spark, path, 1)
+
+
+def test_uncommitted_data_is_invisible(spark, tmp_path):
+    path = str(tmp_path / "t")
+    vt.write_version(_df(spark, [(1, "a")]), path)
+    # a crashed writer left data but no manifest
+    _df(spark, [(99, "junk")]).write.parquet(
+        os.path.join(path, "data", "v9-deadbeef")
+    )
+    assert {r["k"] for r in vt.read_version(spark, path).collect()} == {1}
+    assert vt.table_versions(path) == [1]
