@@ -226,3 +226,31 @@ def merge_scd2(
         .unionByName(closed.select(*out_cols))
         .unionByName(new_versions.select(*out_cols))
     )
+
+
+def versioned_merge(
+    spark,
+    table_path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    update: bool,
+) -> int:
+    """Transactional MERGE without delta-spark: read the latest
+    snapshot of a versioned table (sources/versioned.py), apply the
+    join-based merge, commit the result as a new atomic version.
+    Returns the committed version.
+
+    Same call contract as :func:`delta_merge`; the difference is the
+    isolation story — here a concurrent reader keeps its resolved
+    snapshot (manifests are immutable) and a concurrent writer loses
+    the O_EXCL commit race and retries, so the merge is atomic and
+    isolated even on plain parquet. The data cost is the same full
+    rewrite ``merge_write`` documents — the version layer adds
+    atomicity, not row-level deltas; partition the table and merge
+    per-partition when the delta is small.
+    """
+    from ..sources import versioned as vt  # noqa: PLC0415
+
+    target = vt.read_version(spark, table_path)
+    fn = merge_update if update else merge_ignore
+    return vt.write_version(fn(target, source, keys), table_path)

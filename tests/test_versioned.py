@@ -103,3 +103,21 @@ def test_uncommitted_data_is_invisible(spark, tmp_path):
     )
     assert {r["k"] for r in vt.read_version(spark, path).collect()} == {1}
     assert vt.table_versions(path) == [1]
+
+
+def test_versioned_merge_contract(spark, tmp_path):
+    path = str(tmp_path / "t")
+    vt.write_version(_df(spark, [(1, "a"), (2, "b")]), path)
+    v2 = merge.versioned_merge(
+        spark, path, _df(spark, [(2, "B"), (3, "C")]), ["k"], update=True
+    )
+    assert v2 == 2
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}
+    v3 = merge.versioned_merge(
+        spark, path, _df(spark, [(3, "ignored"), (4, "D")]), ["k"], update=False
+    )
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, path, v3).collect()}
+    assert got == {1: "a", 2: "B", 3: "C", 4: "D"}
+    # pre-merge snapshot still intact
+    assert {r["v"] for r in vt.read_version(spark, path, 1).collect()} == {"a", "b"}
