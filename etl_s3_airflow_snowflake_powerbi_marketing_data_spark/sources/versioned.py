@@ -115,11 +115,20 @@ def write_version(df: DataFrame, path: str, mode: str = "replace") -> int:
 
 
 def read_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: latest version by default, or time-travel to any
     committed version. The manifest resolves before the scan plans, so
-    concurrent commits never change this query's inputs."""
+    concurrent commits never change this query's inputs.
+
+    ``merge_schema=True`` unions the schemas of a snapshot whose
+    appended prefixes evolved (new columns land as NULL in older
+    prefixes) — schema evolution without rewriting history, at the
+    cost of a footer read per prefix.
+    """
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -127,7 +136,10 @@ def read_version(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
-    return spark.read.parquet(*[os.path.join(path, p) for p in m["prefixes"]])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, p) for p in m["prefixes"]])
 
 
 def rollback(path: str, to_version: int) -> int:
