@@ -61,6 +61,49 @@ def _swap_write(result: DataFrame, path: str) -> None:
     os.replace(staging, path)
 
 
+# --- storage indirection: plain dirs vs the transactional layer ---------
+#
+# A warehouse bootstrapped with ``run_daily_pipeline(versioned=True)``
+# carries a marker file; every table write then COMMITS a version
+# (sources/versioned.py — atomic manifest, snapshot isolation, one
+# auditable version per daily cycle, time travel across days) instead
+# of the staging-dir swap, and every read resolves the latest
+# snapshot. Plain warehouses behave exactly as before.
+
+_VERSIONED_MARKER = ".versioned_warehouse"
+
+
+def _is_versioned_table(path: str) -> bool:
+    return os.path.exists(
+        os.path.join(os.path.dirname(path), _VERSIONED_MARKER)
+    )
+
+
+def _table_exists(path: str) -> bool:
+    if _is_versioned_table(path):
+        from ..sources import versioned as vt  # noqa: PLC0415
+
+        return bool(vt.table_versions(path))
+    return os.path.exists(path)
+
+
+def _read_tbl(spark: SparkSession, path: str) -> DataFrame:
+    if _is_versioned_table(path):
+        from ..sources import versioned as vt  # noqa: PLC0415
+
+        return vt.read_version(spark, path)
+    return spark.read.parquet(path)
+
+
+def _write_tbl(result: DataFrame, path: str) -> None:
+    if _is_versioned_table(path):
+        from ..sources import versioned as vt  # noqa: PLC0415
+
+        vt.write_version(result, path)
+        return
+    _swap_write(result, path)
+
+
 def _null_safe_cond(keys: tuple[str, ...]):
     cond = None
     for k in keys:
@@ -85,17 +128,17 @@ def _merge_into(
     are renumbered contiguously after the warehouse max (ordered by
     ``guid_order`` for determinism). Without this, each day's delta
     would re-number from 1 and collide with existing guids."""
-    if not os.path.exists(result_path):
-        _swap_write(fresh, result_path)
+    if not _table_exists(result_path):
+        _write_tbl(fresh, result_path)
         return
-    target = spark.read.parquet(result_path)
+    target = _read_tbl(spark, result_path)
     if guid_col is None:
         merged = (
             merge_update(target, fresh, list(keys))
             if update
             else merge_ignore(target, fresh, list(keys))
         )
-        _swap_write(merged, result_path)
+        _write_tbl(merged, result_path)
         return
 
     tgt_max = target.agg(F.max(guid_col)).first()[0] or 0
@@ -129,13 +172,13 @@ def _merge_into(
         merged = kept_old.unionByName(matched).unionByName(new_numbered)
     else:
         merged = target.unionByName(new_numbered)
-    _swap_write(merged, result_path)
+    _write_tbl(merged, result_path)
 
 
 def _stage_raw_ingest(spark: SparkSession, sf_dir: str, warehouse_dir: str) -> None:
     # Full replace, latest delta wins (S3 semantics,
     # `etl_s3_snowflake_raw_event_ingest.py:49-54`).
-    _swap_write(
+    _write_tbl(
         marketing.build_event_raw(spark, sf_dir),
         _table_dir(warehouse_dir, "event_raw"),
     )
@@ -259,18 +302,31 @@ def publish_catalog(
 
     for name in tables:
         declared = StructType.fromDDL(WAREHOUSE_SCHEMAS[name])
-        actual = spark.read.parquet(_table_dir(warehouse_dir, name)).schema
+        tdir = _table_dir(warehouse_dir, name)
+        actual = _read_tbl(spark, tdir).schema
         if actual != declared:
             raise ValueError(
                 f"schema drift in warehouse table {name!r}: declared "
                 f"{declared.simpleString()} but files contain "
                 f"{actual.simpleString()}"
             )
+        location = tdir
+        if _is_versioned_table(tdir):
+            # The catalog points at the LATEST published snapshot's
+            # data prefix (replace-mode snapshots hold exactly one);
+            # each daily publish re-registers, so the catalog tracks
+            # the last published version by construction.
+            from ..sources import versioned as vt  # noqa: PLC0415
+
+            prefixes = vt.snapshot_prefixes(tdir)
+            if len(prefixes) != 1:
+                continue  # append-mode history: address via views
+            location = os.path.join(tdir, prefixes[0])
         create_table_ddl(
             spark,
             f"{prefix}{name}",
             WAREHOUSE_SCHEMAS[name],
-            location=_table_dir(warehouse_dir, name),
+            location=location,
         )
 
 
@@ -285,13 +341,13 @@ def _stage_aggregated_views(
     # from persisted parquet so the stage is self-contained — it works
     # both in-process and as its own scheduler task / spark-submit.
     for name in WAREHOUSE_TABLES:
-        spark.read.parquet(
-            _table_dir(warehouse_dir, name)
+        _read_tbl(
+            spark, _table_dir(warehouse_dir, name)
         ).createOrReplaceTempView(name)
     marketing.register_warehouse_kpi_views(spark)
     if materialize_views:
         for view_name in marketing.WAREHOUSE_KPI_SQL:
-            _swap_write(
+            _write_tbl(
                 spark.table(view_name),
                 _table_dir(warehouse_dir, f"kpi_{view_name}"),
             )
@@ -390,6 +446,7 @@ def run_daily_pipeline(
     sf_dir: str,
     warehouse_dir: str,
     materialize_views: bool = False,
+    versioned: bool = False,
 ) -> dict[str, int]:
     """One daily cycle: ingest, build dims + fact, MERGE into the
     warehouse, refresh KPI views, publish the BI export. Returns
@@ -399,13 +456,26 @@ def run_daily_pipeline(
     ``kpi_<name>`` parquet table — the "answers always available" BI
     contract (SURVEY.md §3.3: the reference's views are recomputed on
     every Power BI read; materializing trades daily write cost for
-    zero-latency reads)."""
+    zero-latency reads).
+
+    ``versioned=True`` bootstraps the warehouse on the transactional
+    layer (sources/versioned.py): every table write commits one atomic
+    version per daily cycle — concurrent readers keep their snapshot
+    mid-cycle, any day's state stays time-travelable, and a crashed
+    cycle leaves only invisible uncommitted prefixes. The flag only
+    matters at bootstrap; an existing warehouse keeps its mode."""
+    if versioned:
+        os.makedirs(warehouse_dir, exist_ok=True)
+        marker = os.path.join(warehouse_dir, _VERSIONED_MARKER)
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("sources/versioned.py transactional warehouse\n")
     for stage in PIPELINE_STAGES:
         run_stage(spark, sf_dir, warehouse_dir, stage, materialize_views)
     publish_catalog(spark, warehouse_dir)
     export_bi(spark, warehouse_dir)
     return {
-        name: spark.read.parquet(_table_dir(warehouse_dir, name)).count()
+        name: _read_tbl(spark, _table_dir(warehouse_dir, name)).count()
         for name in WAREHOUSE_TABLES
     }
 

@@ -142,6 +142,16 @@ def read_version(
     return reader.parquet(*[os.path.join(path, p) for p in m["prefixes"]])
 
 
+def snapshot_prefixes(path: str, version: int | None = None) -> list[str]:
+    """Data prefixes (relative) making up a snapshot — the public
+    manifest accessor for tooling/catalog layers."""
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    return list(_read_manifest(path, v)["prefixes"])
+
+
 def rollback(path: str, to_version: int) -> int:
     """Commit a NEW version whose content is ``to_version``'s — history
     stays intact (audits read every version ever committed)."""

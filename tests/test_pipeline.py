@@ -280,3 +280,49 @@ def test_orchestration_surface():
     except ImportError:
         with pytest.raises(ImportError, match="apache-airflow"):
             orchestration.build_dag("/src", "/wh")
+
+
+def test_versioned_warehouse_two_days_time_travel(spark, tmp_path):
+    """The daily pipeline on the transactional layer: each cycle
+    commits one atomic version per warehouse table, so day-1 state
+    stays time-travelable after day-2's merge, re-runs stay idempotent
+    in CONTENT (they add auditable versions), and the published
+    catalog tracks the latest snapshot."""
+    import os
+    import shutil
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    wh = str(tmp_path / "vwh")
+    day1 = pipeline.run_daily_pipeline(spark, SF, wh, versioned=True)
+    fact_path = f"{wh}/f_events"
+    v_day1 = vt.table_versions(fact_path)[-1]
+
+    # day-2 source: one new event
+    events = load_table(spark, SF, "events")
+    max_id = events.agg(F.max("event_id")).first()[0]
+    new = events.orderBy("event_id").limit(1).withColumn(
+        "event_id", F.lit(max_id + 1).cast("long")
+    )
+    day2 = str(tmp_path / "day2src")
+    os.makedirs(day2)
+    new.write.parquet(f"{day2}/events.parquet")
+    shutil.copy(f"{SF}/part.parquet", f"{day2}/part.parquet")
+
+    day2_counts = pipeline.run_daily_pipeline(spark, day2, wh, versioned=True)
+    assert day2_counts["f_events"] == day1["f_events"] + 1
+
+    # time travel: day-1 fact snapshot is intact under day-2's commit
+    assert vt.read_version(spark, fact_path, v_day1).count() == day1["f_events"]
+    assert vt.read_version(spark, fact_path).count() == day1["f_events"] + 1
+
+    # catalog tracks the latest snapshot
+    assert (
+        spark.table("wh_f_events").count() == day1["f_events"] + 1
+    )
+
+    # no staging-swap leftovers; every table is a versioned table
+    assert not os.path.exists(fact_path + "__staging")
+    assert vt.table_versions(f"{wh}/d_item")
