@@ -283,6 +283,7 @@ def publish_catalog(
     warehouse_dir: str,
     tables: tuple[str, ...] = WAREHOUSE_TABLES,
     prefix: str = "wh_",
+    analyze: bool = False,
 ) -> None:
     """S5 — register every persisted warehouse table in the session
     CATALOG with its DECLARED schema (external over the parquet dirs,
@@ -328,6 +329,14 @@ def publish_catalog(
             WAREHOUSE_SCHEMAS[name],
             location=location,
         )
+        if analyze:
+            # CBO table stats (row count + size): what Catalyst's
+            # cost-based join reordering and broadcast decisions read
+            # for catalog-addressed tables — without stats every
+            # wh_-table join falls back to file-size heuristics.
+            spark.sql(
+                f"ANALYZE TABLE {prefix}{name} COMPUTE STATISTICS"
+            )
 
 
 def _stage_aggregated_views(

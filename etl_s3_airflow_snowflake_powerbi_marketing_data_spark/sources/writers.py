@@ -111,3 +111,37 @@ def write_jsonl_replace(df: DataFrame, path: str) -> None:
     :func:`readers.read_json` and an EXPLICIT schema (inference over
     JSONL at 100 TB costs a full extra pass)."""
     df.write.mode("overwrite").json(path)
+
+
+def write_sorted_replace(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    n_files: int | None = None,
+) -> None:
+    """Full-replace write with a RANGE-CLUSTERED layout: rows are
+    range-partitioned then sorted within partitions on ``sort_cols``,
+    so each output file covers a disjoint slice of the sort key's
+    domain and every file/row-group footer carries tight min/max stats.
+
+    This is the poor-man's Z-order for the 1-D case — the layout step
+    that turns parquet's stats-based row-group skipping from "usually
+    useless" (random layout → every file's min/max spans the domain)
+    into "reads only the matching slice" for range predicates on the
+    cluster key. Pure Spark: `repartitionByRange` (sampled, balanced
+    ranges) + `sortWithinPartitions`; the disjointness is asserted
+    from real parquet footers in tests/test_sources.py.
+
+    ``n_files`` pins the range count explicitly — an unpinned range
+    exchange is fair game for AQE coalescing on small inputs, which
+    would fold the clustering into one file.
+    """
+    n = n_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -326,3 +326,11 @@ def test_versioned_warehouse_two_days_time_travel(spark, tmp_path):
     # no staging-swap leftovers; every table is a versioned table
     assert not os.path.exists(fact_path + "__staging")
     assert vt.table_versions(f"{wh}/d_item")
+
+
+def test_publish_catalog_analyze_records_cbo_stats(spark, warehouse):
+    wh, _ = warehouse
+    pipeline.publish_catalog(spark, wh, analyze=True)
+    desc = spark.sql("DESCRIBE TABLE EXTENDED wh_f_events").collect()
+    stats = [r for r in desc if r["col_name"] == "Statistics"]
+    assert stats and "rows" in stats[0]["data_type"]

@@ -155,3 +155,42 @@ def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
     )
     back = readers.read_json(spark, path, schema).orderBy("k")
     assert [tuple(r) for r in back.collect()] == [(1, "x", None), (2, None, 7)]
+
+
+def test_write_sorted_replace_clusters_ranges(spark, tmp_path):
+    """The range-clustered layout must produce files whose min/max
+    stats on the sort key are DISJOINT — checked from the actual
+    parquet footers, which is what the reader's row-group skipping
+    consumes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 100_000).select(
+        (F.col("id") * 7919 % 100_000).alias("k"),  # shuffled domain
+        F.col("id").alias("payload"),
+    ).repartition(8)  # random layout in
+    path = str(tmp_path / "sorted_t")
+    writers.write_sorted_replace(df, path, ["k"])
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ki = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "k"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint slices of the key domain
+    # content unchanged
+    back = readers.read_parquet(spark, path)
+    assert back.count() == 100_000
+    assert back.agg(F.countDistinct("k")).first()[0] == 100_000
