@@ -813,6 +813,40 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout round-trip (sources/writers.py:
+    write_sorted_replace): persist events range-clustered on value —
+    each file covers a disjoint value slice with tight footer stats,
+    so the range predicate below reads only the matching files at
+    scale — then aggregate a value band per event type. The oracle
+    computes the same band from the unclustered view, proving the
+    clustering changes the layout, not the answer."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+
+    path = _scratch_path("range_cluster", sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    writers.write_sorted_replace(events, path, ["value"])
+    band = readers.read_parquet(spark, path).filter(
+        (F.col("value") >= 10.0) & (F.col("value") < 50.0)
+    )
+    return (
+        band.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("band_value"),
+            F.min("event_id").alias("min_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional table layer (sources/versioned.py — atomic
     manifest commits over immutable parquet prefixes): commit v1 = the
@@ -1167,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": q_dedup_incremental,
         "gopher_quality_flags": q_gopher_quality_flags,
         "versioned_orders_time_travel": q_versioned_time_travel,
+        "range_clustered_scan": q_range_clustered_scan,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
         "partitioned_events_by_type": q_partitioned_events,
@@ -2575,6 +2610,15 @@ def oracle_sql() -> dict[str, str]:
             FROM src s
             WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
             ORDER BY o_orderkey, valid_from
+        """,
+        "range_clustered_scan": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS band_value,
+                   MIN(event_id) AS min_event_id
+            FROM events
+            WHERE value >= 10.0 AND value < 50.0
+            GROUP BY event_type ORDER BY event_type
         """,
         "versioned_orders_time_travel": """
             WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
