@@ -733,7 +733,13 @@ def fuzzy_string_matches(
     # the corpus, and AQE can't fix this itself — it sizes from input
     # bytes and can't see the expansion. Measured at sf0.1 (8M
     # candidate pairs): 18.4 s block-keyed → ~2 s salted.
-    n_salts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Cap the fan-out: the build side replicates once per salt, so a
+    # 2000-partition cluster session must not mean 2000× replication —
+    # 64 salted slices of each block saturate any realistic executor
+    # count for a block-bounded workload.
+    n_salts = min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 64
+    )
     a = a.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_salts)).cast("int")
     ).repartition(n_salts, F.col("blk"), F.col("__salt"))
@@ -780,7 +786,10 @@ def dedup_incremental(
     pre-fingerprinted via a 1-column frame named ``fingerprint``. Both
     legs are fingerprint-keyed: one anti-join (broadcasts the DELTA
     side — the small side — under AQE) and one batch-internal
-    min-survivor window bounded by per-fingerprint group size.
+    ``min_by`` survivor aggregation — map-side combinable, so a
+    re-crawl storm that floods the batch with one hot fingerprint
+    combines per-partition instead of landing a whole group on one
+    task (a row_number window over the fingerprint could not split).
     """
     fp = F.md5(normalize_text(F.col(text_col)))
     if "fingerprint" in existing.columns and text_col not in existing.columns:
@@ -788,11 +797,14 @@ def dedup_incremental(
     else:
         store = existing.select(fp.alias("fingerprint"))
     inc = incoming.withColumn("fingerprint", fp)
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     batch_first = (
-        inc.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        inc.groupBy("fingerprint")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in inc.columns]), F.col(id_col)
+            ).alias("__row")
+        )
+        .select("__row.*")
     )
     return batch_first.join(
         store.distinct(), "fingerprint", "left_anti"

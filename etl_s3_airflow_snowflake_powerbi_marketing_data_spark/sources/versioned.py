@@ -70,16 +70,25 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _publish(path: str, manifest: dict) -> int:
+def _publish(path: str, manifest) -> int:
     """Atomically publish the next manifest; returns the version won.
 
     The exclusive create is the commit point: everything before it is
     invisible staging, everything after it is immutable history.
+
+    ``manifest`` is either a dict or a CALLABLE ``latest_version ->
+    dict``: commits whose content depends on the current snapshot
+    (append mode — its prefix list extends the latest manifest) must
+    REBUILD their payload on every retry, otherwise a loser would
+    publish a list missing the racing winner's prefix — the classic
+    lost update. Replace-mode payloads are state-independent, so a
+    plain dict is fine.
     """
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    payload = dict(manifest)
     for _ in range(_MAX_COMMIT_RETRIES):
-        version = (table_versions(path) or [0])[-1] + 1
+        latest = (table_versions(path) or [0])[-1]
+        version = latest + 1
+        payload = dict(manifest(latest) if callable(manifest) else manifest)
         payload["version"] = version
         try:
             fd = os.open(
@@ -104,14 +113,23 @@ def write_version(df: DataFrame, path: str, mode: str = "replace") -> int:
     if mode not in ("replace", "append"):
         raise ValueError(f"unknown mode {mode!r}")
     nonce = uuid.uuid4().hex[:12]
-    versions = table_versions(path)
-    next_hint = (versions or [0])[-1] + 1
+    next_hint = (table_versions(path) or [0])[-1] + 1
     prefix = os.path.join("data", f"v{next_hint}-{nonce}")
     df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
-    prefixes = [prefix]
-    if mode == "append" and versions:
-        prefixes = _read_manifest(path, versions[-1])["prefixes"] + prefixes
-    return _publish(path, {"prefixes": prefixes, "mode": mode})
+    if mode == "replace":
+        return _publish(path, {"prefixes": [prefix], "mode": mode})
+
+    # Append extends the LATEST manifest, so its prefix list must be
+    # rebuilt per commit attempt (see _publish): a racing appender that
+    # lost version N re-reads the winner's manifest before taking N+1,
+    # so no committed prefix is ever dropped.
+    def build(latest: int) -> dict:
+        prefixes = (
+            _read_manifest(path, latest)["prefixes"] if latest else []
+        ) + [prefix]
+        return {"prefixes": prefixes, "mode": mode}
+
+    return _publish(path, build)
 
 
 def read_version(

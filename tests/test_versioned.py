@@ -163,3 +163,45 @@ def test_streaming_versioned_merge_commits_per_batch(spark, tmp_path, sf_dir):
     )
     assert out2.count() == n_events
     assert len(vt.table_versions(table)) > len(versions) - 1  # history grew
+
+
+def test_append_race_does_not_lose_winners_prefixes(spark, tmp_path):
+    """Lost-update guard: an appender that loses the commit race must
+    rebuild its prefix list from the WINNER's manifest before retrying,
+    or the winner's data silently vanishes from the lineage."""
+    import json
+
+    path = str(tmp_path / "t")
+    vt.write_version(_df(spark, [(1, "a")]), path)
+
+    # Simulate a winner landing version 2 between our data write and
+    # our commit: monkey-patch the first table_versions call inside
+    # _publish is fragile; instead pre-commit the winner the way the
+    # race interleaves — our appender computed its data prefix while
+    # version 1 was latest, then the winner publishes 2.
+    orig_write = vt._publish
+
+    def racing_publish(p, manifest):
+        # winner commits an append of its own just before we do
+        if not getattr(racing_publish, "done", False):
+            racing_publish.done = True
+            win_prefix = "data/winner-prefix"
+            _df(spark, [(7, "w")]).write.parquet(
+                f"{p}/{win_prefix}"
+            )
+            base = vt.snapshot_prefixes(p)
+            with open(f"{p}/_versions/00000002.json", "w") as fh:
+                json.dump(
+                    {"prefixes": base + [win_prefix], "version": 2}, fh
+                )
+        return orig_write(p, manifest)
+
+    vt._publish, publish = racing_publish, vt._publish
+    try:
+        v = vt.write_version(_df(spark, [(2, "b")]), path, mode="append")
+    finally:
+        vt._publish = publish
+    assert v == 3
+    got = {r["k"]: r["v"] for r in vt.read_version(spark, path).collect()}
+    # all three writers' rows survive: v1, the winner's, and ours
+    assert got == {1: "a", 7: "w", 2: "b"}
