@@ -69,6 +69,10 @@ def line_dedup_stats(
     16-byte md5 line fingerprint — map-side combinable, one shuffle on
     the fingerprint. The md5 (not xxhash64) keeps accidental
     fingerprint collisions out of the dedup decision at corpus scale.
+    A boilerplate line present in a large fraction of all documents
+    makes its fingerprint a hot join key on the winners join-back —
+    that join is an ordinary shuffle join, so AQE's skew-join split
+    (on in the session factory) absorbs it.
     """
     from .dedup import _spread  # noqa: PLC0415
 

@@ -169,6 +169,8 @@ def merge_scd2(
     ``load_ts`` must be a caller-supplied literal (retry-determinism:
     a ``current_timestamp()`` here would version-split on task retry).
     """
+    if not compare_cols:
+        raise ValueError("merge_scd2 needs at least one compare column")
     src = _dedup_source(source, keys, source_order_by)
     attr_cols = [c for c in src.columns if c not in keys]
     out_cols = [*keys, *attr_cols, valid_from_col, valid_to_col, current_col]

@@ -185,7 +185,10 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
 
     The only destructive operation in the format — and it never touches
     a prefix any retained manifest references, so retained time travel
-    stays intact.
+    stays intact. Retention is the caller's isolation contract (as in
+    Delta's VACUUM): a reader still holding a manifest OLDER than the
+    retention window can fail mid-scan once its prefixes are removed —
+    size ``keep_last`` to exceed the longest-running reader.
     """
     import shutil  # noqa: PLC0415
 
