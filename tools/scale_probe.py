@@ -198,6 +198,13 @@ def main() -> None:
             ),
             "dup_span_hotspots": lambda: dedup.shared_gram_hotspots(df),
             "tfidf_top_terms": lambda: text_fn.tfidf_top_terms(df),
+            # incremental dedup: halves of the corpus as store/batch;
+            # replication multiplies cross-half exact duplicates, the
+            # adversarial case for the min_by batch-first survivor.
+            "dedup_incremental": lambda: dedup.dedup_incremental(
+                df.filter(F.col("doc_id") % 2 == 0),
+                df.filter(F.col("doc_id") % 2 == 1),
+            ),
         }
 
     results: dict[str, dict[str, float]] = {}
