@@ -70,6 +70,12 @@ HEADLINE = [
     "bucketed_segment_revenue",
     "fuzzy_part_name_matches",
     "corpus_shuffle_order",
+    # round 4, continued: runtime filter, hot-key join, sketch serving,
+    # corpus rarity
+    "bloom_semi_revenue",
+    "salted_join_rates",
+    "cms_user_counts",
+    "rare_token_ratio",
 ]
 
 

@@ -157,6 +157,66 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     )
 
 
+def rare_token_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_count: int = 2,
+) -> DataFrame:
+    """Cross-document rarity signal: per document, the fraction of its
+    tokens whose CORPUS-WIDE frequency is ≤ ``max_count``.
+
+    The per-doc profiles (``profile_documents``, ``repetition_profile``)
+    see one document at a time; this is the corpus-level complement —
+    a high rare-token share flags OCR noise, codes/hashes, and
+    boilerplate-stripped fragments (the Dolma/RefinedWeb "unigram
+    rarity" family), and it needs a corpus frequency table by
+    construction.
+
+    Plan: tokens materialize once (cached staged projection is not
+    needed — both consumers fold into one shuffle pair): one groupBy
+    over the vocabulary (map-side combined counts), one term-keyed join
+    of tokens→frequency (both sides partitioned on term — the exchange
+    is reused), one groupBy back to document grain. All counts are
+    integers; the final ratio is a single IEEE division, reproducible
+    across engines (``trunc6`` belt-and-braces for the value hash).
+
+    Output: (id_col, n_tokens, n_rare, rare_ratio) — empty documents
+    report ratio 0.0.
+    """
+    toks = _spread_if_narrow(df).select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    freq = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    per_doc = (
+        toks.join(freq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__tf") <= max_count, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+        )
+    )
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        trunc6(F.col("n_rare") / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            F.coalesce(ratio, F.lit(0.0)).alias("rare_ratio"),
+        )
+    )
+
+
 def _spread_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition only when the scan yields fewer splits than the
     session's parallelism (few/large row groups — the regex suite below

@@ -144,6 +144,87 @@ def hll_distinct(
     return hll_finalize(hll_registers(df, key_col, group_cols, p), group_cols, p)
 
 
+def cms_registers(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Count-min sketch registers: (``__row``, ``__cell``, ``cnt``).
+
+    Each input row increments one cell per hash row — cell_i =
+    xxhash64(i, key) mod width, the per-seed chained-prefix pattern the
+    MinHash signatures use. COUNT is associative, so the register build
+    is one groupBy over ≤ depth × width keys: map-side partials bound
+    the shuffle at O(partitions × depth × width) rows no matter how
+    many billions of events stream through — THE frequency structure
+    for keyspaces too large to hold exact per-key counters.
+
+    Registers are mergeable by cell-wise addition (sum two register
+    tables grouped on (__row, __cell)) — daily sketches roll up to
+    monthly without touching raw data, like ``hll_registers``.
+
+    Deterministic by construction (integer counts, fixed-seed hashing):
+    an independent implementation reproduces every register exactly —
+    unlike ``approx_count_distinct``-style merge-order-dependent state.
+    """
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth={depth} outside [1, 8]")
+    if not 64 <= width <= 1 << 20:
+        raise ValueError(f"width={width} outside [64, {1 << 20}]")
+    cells = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(cells).alias("__row", "__cell"))
+        .groupBy("__row", "__cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    registers: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query a CMS register table for every key in ``keys``:
+    estimate = min over hash rows of the key's cell count (Cormode &
+    Muthukrishnan 2005). Always ≥ the true count; equal unless every
+    hash row collides.
+
+    Output: (key_col, ``est_count`` long), one row per distinct key.
+
+    Plan: the register table is ≤ depth × width rows — it BROADCASTS to
+    the key side (keys explode to depth rows each, left-join on
+    (__row, __cell), min-combine). Nothing about the original data is
+    rescanned: this is the serving path — sketch once, answer point
+    queries from the sketch table forever.
+    """
+    cells = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+    probed = keys.select(key_col).distinct().select(
+        key_col, F.posexplode(cells).alias("__row", "__cell")
+    )
+    return (
+        probed.join(F.broadcast(registers), ["__row", "__cell"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+    )
+
+
 def binned_quantile_sketch(
     df: DataFrame,
     value_col: str,

@@ -68,3 +68,55 @@ def salted_agg(
     return phase1.groupBy(*group_by).agg(
         *[c.alias(name) for name, c in second.items()]
     )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key shuffle join: salt the probe side, replicate the build
+    side once per salt, join on (keys, salt).
+
+    AQE's skew-join splitting only helps when it SEES the skew (post
+    shuffle-stage statistics, sort-merge joins); a known-hot key — the
+    "null user", the default category, the boilerplate domain — is
+    better bounded up front: with salting no reducer ever owns more
+    than ~1/``n_salts`` of a key's probe rows.
+
+    The salt on the probe side is a content hash of the whole row
+    (retry-stable — recompute-after-failure lands every row on the same
+    salt; `rand()`/partition-id salts re-route rows on retry, the
+    SPARK-23207 bug class, exactly as documented for ``salted_agg``).
+    The build side replicates via an explode over ``sequence(0,
+    n_salts-1)`` — cost n_salts × |build|, which is the price of the
+    technique and why the build side must be the SMALL side (for a
+    build side too big to replicate, use AQE skew handling or split hot
+    keys out explicitly). ``n_salts`` is deliberately NOT derived from
+    the session's shuffle-partition count: the replication factor must
+    be a bounded constant, not scale with cluster width (the cap that
+    bit the fuzzy-match block join, operators/dedup.py).
+
+    Result is bit-identical to ``probe.join(build, on, how)`` — every
+    probe row meets every build row with its keys exactly once, because
+    the build replica set covers all salt values. Supported ``how``:
+    inner / left (forms where per-row match multiplicity is preserved
+    under build replication keyed by salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: use inner/left for salted joins")
+    if not 2 <= n_salts <= 256:
+        raise ValueError(f"n_salts={n_salts} outside [2, 256]")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts)
+    ).cast("int")
+    salted_probe = probe.withColumn("__salt", salt)
+    # explode cannot nest inside another expression (the cast) — stage it
+    replicated = build.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__s")
+    ).withColumn("__salt", F.col("__s").cast("int")).drop("__s")
+    return salted_probe.join(
+        replicated, [*on, "__salt"], how
+    ).drop("__salt")

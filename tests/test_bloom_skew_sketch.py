@@ -1,0 +1,269 @@
+"""Runtime-filter (bloom), hot-key salted join, count-min sketch, HLL
+merge rollup, and corpus rare-token ratio.
+
+The bloom/salted operators carry an exactness CONTRACT (result ==
+plain join, bit-for-bit); these tests pin it against Spark's own join
+on real testdata, with broadcast disabled where the salted path must
+exercise a genuine shuffle join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import text as text_fn
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+    bloom,
+    sketches,
+    skew,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# bloom
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    bitmap = bloom.build_bloom(keys, "o_orderkey", bloom.optimal_n_bits(500))
+    survivors = orders.filter(
+        bloom.might_contain(bitmap, F.col("o_orderkey"))
+    )
+    # every true member must survive the pre-filter
+    missed = keys.join(survivors, "o_orderkey", "left_anti").count()
+    assert missed == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    n_keys = keys.count()
+    bitmap = bloom.build_bloom(
+        keys, "o_orderkey", bloom.optimal_n_bits(n_keys, fpp=0.01)
+    )
+    non_members = orders.filter(F.col("o_orderkey") % 7 != 0)
+    n_non = non_members.count()
+    fp = non_members.filter(
+        bloom.might_contain(bitmap, F.col("o_orderkey"))
+    ).count()
+    # generous bound: 5x the design fpp covers small-sample variance
+    assert fp <= max(5, int(n_non * 0.05))
+
+
+def test_bloom_semi_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    got = bloom.bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", how="inner"
+    ).select("l_orderkey", "l_linenumber")
+    want = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "inner"
+    ).select("l_orderkey", "l_linenumber")
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+
+def test_bloom_semi_join_left_semi(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    got = bloom.bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", how="left_semi"
+    ).select("l_orderkey", "l_linenumber")
+    want = li.join(
+        urgent, li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+    assert _rows(got) == _rows(want)
+
+
+def test_bloom_validation():
+    with pytest.raises(ValueError, match="n_bits"):
+        bloom.build_bloom(None, "k", 100)  # not a multiple of 64
+    with pytest.raises(ValueError, match="fpp"):
+        bloom.optimal_n_bits(10, fpp=1.5)
+    assert bloom.optimal_n_bits(10_000, 0.01) % 64 == 0
+
+
+def test_bloom_filter_evaluates_before_join(spark, sf_dir):
+    """The membership test must sit in the probe-side Filter under the
+    join, not above it — that is the whole point of the runtime
+    filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    plan = bloom.bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey"
+    )._jdf.queryExecution().executedPlan().toString()
+    join_pos = min(
+        (plan.find(s) for s in ("Join", "HashJoin") if plan.find(s) != -1),
+        default=-1,
+    )
+    getbit_pos = plan.find("getbit")
+    assert getbit_pos != -1, plan
+    # physical plans print top-down: the filter appearing AFTER the
+    # join operator line means it executes BELOW (before) the join
+    assert join_pos != -1 and getbit_pos > join_pos, plan
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join_under_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    rates = spark.createDataFrame(
+        [("A", 2), ("N", 1), ("R", 3)], ["l_returnflag", "w"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a genuine shuffle join — the scenario salting exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = skew.salted_join(li, rates, ["l_returnflag"], n_salts=8)
+        want = li.join(rates, ["l_returnflag"], "inner")
+        assert _rows(got.select("l_orderkey", "l_returnflag", "w")) == _rows(
+            want.select("l_orderkey", "l_returnflag", "w")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", "b", "c"], "v": [1, 2, 3, 4]})
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"], "w": [10, 20]})
+    )
+    sp = skew.salted_join(probe, build, ["k"], n_salts=4, how="left")
+    rows = {(r.k, r.v): r.w for r in sp.collect()}
+    assert rows[("c", 4)] is None
+    assert rows[("a", 1)] == 10 and rows[("b", 3)] == 20
+    assert len(rows) == 4
+
+
+def test_salted_join_validation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError, match="how"):
+        skew.salted_join(li, li, ["l_orderkey"], how="full")
+    with pytest.raises(ValueError, match="n_salts"):
+        skew.salted_join(li, li, ["l_orderkey"], n_salts=1)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimates_upper_bound_exact_counts(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    regs = sketches.cms_registers(events, "user_id", depth=4, width=2048)
+    keys = events.select("user_id").distinct()
+    est = sketches.cms_point_estimates(regs, keys, "user_id", 4, 2048)
+    exact = events.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    joined = est.join(exact, "user_id").collect()
+    assert len(joined) == exact.count()
+    assert all(r.est_count >= r.true_count for r in joined)
+    # at sf0.001 cardinality ≪ width, so collisions are rare: the
+    # overwhelming majority of estimates are exact
+    exact_hits = sum(r.est_count == r.true_count for r in joined)
+    assert exact_hits >= 0.9 * len(joined)
+
+
+def test_cms_registers_merge_by_addition(spark, sf_dir):
+    """Sketch property: CMS(all) == cellwise-sum(CMS(half1), CMS(half2))."""
+    events = load_table(spark, sf_dir, "events")
+    h1 = events.filter(F.col("event_id") % 2 == 0)
+    h2 = events.filter(F.col("event_id") % 2 == 1)
+    whole = sketches.cms_registers(events, "user_id")
+    merged = (
+        sketches.cms_registers(h1, "user_id")
+        .unionByName(sketches.cms_registers(h2, "user_id"))
+        .groupBy("__row", "__cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert _rows(whole) == _rows(merged)
+
+
+def test_cms_validation(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="depth"):
+        sketches.cms_registers(events, "user_id", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        sketches.cms_registers(events, "user_id", width=10)
+
+
+def test_cms_generator_matches_spark(spark, sf_dir):
+    """The independent pure-Python CMS (tools/gen_expected.py) must
+    reproduce the live operator exactly at the alternate SF — the same
+    cross-validation the LSH/HLL expected-parquet oracles get."""
+    import __spark_entry__ as entrymod
+    from tools import gen_expected
+
+    expected = gen_expected.gen_cms_user_counts(sf_dir)
+    got = entrymod.q_cms_user_counts(spark, sf_dir).toPandas()
+    assert got.astype("int64").values.tolist() == (
+        expected.astype("int64").values.tolist()
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL merge rollup
+# ---------------------------------------------------------------------------
+
+
+def test_hll_daily_merge_equals_direct_sketch(spark, sf_dir):
+    """Register-MAX associativity: per-(type, day) sketches merged up
+    must equal the direct per-type sketch bit-for-bit."""
+    import __spark_entry__ as entrymod
+
+    merged = entrymod.q_hll_sketch_merge(spark, sf_dir).toPandas()
+    events = load_table(spark, sf_dir, "events")
+    direct = (
+        sketches.hll_distinct(events, "user_id", ["event_type"], p=10)
+        .orderBy("event_type")
+        .toPandas()
+    )
+    assert merged.values.tolist() == direct.values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# rare token ratio
+# ---------------------------------------------------------------------------
+
+
+def test_rare_token_ratio_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # 'the' x3 corpus, others rare
+            (2, "the dog sat"),
+            (3, "the qux"),
+            (4, "   "),                   # blank -> 0 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in text_fn.rare_token_ratio(docs, max_count=2).collect()
+    }
+    # corpus freqs: the=3, sat=2, cat=1, dog=1, qux=1
+    assert (out[1].n_tokens, out[1].n_rare) == (3, 2)      # cat, sat
+    assert (out[2].n_tokens, out[2].n_rare) == (3, 2)      # dog, sat
+    assert (out[3].n_tokens, out[3].n_rare) == (2, 1)      # qux
+    assert (out[4].n_tokens, out[4].n_rare, out[4].rare_ratio) == (0, 0, 0.0)
+    assert out[3].rare_ratio == 0.5

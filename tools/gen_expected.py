@@ -426,6 +426,38 @@ def gen_hll_users(sf_dir: str, p: int = 10) -> pd.DataFrame:
     )
 
 
+def gen_cms_user_counts(
+    sf_dir: str, depth: int = 4, width: int = 2048
+) -> pd.DataFrame:
+    """Independent count-min sketch mirroring
+    ``operators.sketches.cms_registers``/``cms_point_estimates``:
+    per-row cell = xxhash64(int i, long user_id) mod width (Spark's
+    seed-chained literal prefix), estimate = min cell count over hash
+    rows for the deterministic watchlist (user_id % 37 == 0)."""
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).to_pandas()
+    regs: list[dict[int, int]] = [{} for _ in range(depth)]
+    for u in ev.user_id:
+        for i in range(depth):
+            c = xxhash64(("int", i), int(u)) % width
+            regs[i][c] = regs[i].get(c, 0) + 1
+    watch = sorted({int(u) for u in ev.user_id if int(u) % 37 == 0})
+    rows = [
+        (
+            u,
+            min(
+                regs[i].get(xxhash64(("int", i), u) % width, 0)
+                for i in range(depth)
+            ),
+        )
+        for u in watch
+    ]
+    return pd.DataFrame(rows, columns=["user_id", "est_count"]).astype(
+        {"user_id": "int64", "est_count": "int64"}
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -448,6 +480,7 @@ def main() -> None:
         ("embedding_cosine_dups_lsh", gen_cosine_dups_lsh(vecs)),
         ("embedding_kmeans_clusters", gen_kmeans_clusters(vecs)),
         ("hll_distinct_users_by_type", gen_hll_users(sf_dir)),
+        ("cms_user_counts", gen_cms_user_counts(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
