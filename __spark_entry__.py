@@ -847,6 +847,47 @@ def q_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout round-trip (sources/writers.py:
+    write_zorder_replace): persist events bit-interleave-clustered on
+    (user_id, value) — every file covers a small hyper-rectangle of the
+    2-D key space, so the BOX predicate below skips most files on BOTH
+    dimensions at scale (the Delta OPTIMIZE ZORDER BY contract on plain
+    parquet; 1-D range clustering can only ever be tight on one column).
+    The oracle computes the same box from the unclustered view, proving
+    the curve changes layout, never answers."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+        writers,
+    )
+
+    path = _scratch_path("zorder_cluster", sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    writers.write_zorder_replace(
+        events, path, ["user_id", "value"], bits=10, n_files=16
+    )
+    box = readers.read_parquet(spark, path).filter(
+        (F.col("user_id") >= 100)
+        & (F.col("user_id") < 200)
+        & (F.col("value") >= 10.0)
+        & (F.col("value") < 60.0)
+    )
+    return (
+        box.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("box_value"),
+            F.min("event_id").alias("min_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional table layer (sources/versioned.py — atomic
     manifest commits over immutable parquet prefixes): commit v1 = the
@@ -1349,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4, continued: runtime-filter / hot-key-join / sketch-
         # serving / corpus-rarity families
         "bloom_semi_revenue": q_bloom_semi_revenue,
+        "zorder_clustered_scan": q_zorder_clustered_scan,
         "salted_join_rates": q_salted_join_rates,
         "cms_user_counts": q_cms_user_counts,
         "hll_sketch_merge_rollup": q_hll_sketch_merge,
@@ -3020,6 +3062,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_orderpriority = '1-URGENT'
               AND o.o_totalprice > 150000
             GROUP BY 1 ORDER BY 1
+        """,
+        # Z-order changes file layout, never answers.
+        "zorder_clustered_scan": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS box_value,
+                   MIN(event_id) AS min_event_id
+            FROM events
+            WHERE user_id >= 100 AND user_id < 200
+              AND value >= 10.0 AND value < 60.0
+            GROUP BY event_type ORDER BY event_type
         """,
         # Salted join == plain join, by construction (replica set covers
         # every salt value).

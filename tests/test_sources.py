@@ -194,3 +194,60 @@ def test_write_sorted_replace_clusters_ranges(spark, tmp_path):
     back = readers.read_parquet(spark, path)
     assert back.count() == 100_000
     assert back.agg(F.countDistinct("k")).first()[0] == 100_000
+
+
+def test_write_zorder_replace_clusters_both_dims(spark, tmp_path):
+    """The Z-order layout must give TIGHT per-file footer ranges on
+    BOTH clustering columns — the property 1-D range clustering cannot
+    provide (its second column spans the full domain in every file).
+    Checked from real parquet footers, the stats the reader's skipping
+    consumes; plus the layout must not change content."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        (F.col("id") * 7919 % 1000).alias("x"),     # shuffled 2-D domain
+        (F.col("id") * 104729 % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    path = str(tmp_path / "zorder_t")
+    writers.write_zorder_replace(df, path, ["x", "y"], bits=10, n_files=16)
+
+    def per_file_spans(col_name):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                i for i in range(len(md.schema))
+                if md.schema.column(i).name == col_name
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    sx, sy = per_file_spans("x"), per_file_spans("y")
+    assert len(sx) > 4
+    # 16 files over a 1000x1000 grid: the Z-curve gives each file a
+    # hyper-rectangle ~1/4 of each axis; random layout gives ~full
+    # domain per file on both axes. Average span must be well under
+    # the domain on BOTH columns.
+    assert sum(sx) / len(sx) < 600, sx
+    assert sum(sy) / len(sy) < 600, sy
+    # content unchanged
+    back = readers.read_parquet(spark, path)
+    assert back.count() == n
+    assert back.agg(F.countDistinct("payload")).first()[0] == n
+
+
+def test_write_zorder_validation(spark):
+    df = spark.range(4).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    with pytest.raises(ValueError, match="2-4 columns"):
+        writers.write_zorder_replace(df, "/tmp/none", ["a"])
+    with pytest.raises(ValueError, match="bits"):
+        writers.write_zorder_replace(df, "/tmp/none", ["a", "b"], bits=2)
