@@ -1395,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "hll_sketch_merge_rollup": q_hll_sketch_merge,
         "rare_token_ratio": q_rare_token_ratio,
+        "supplier_hierarchy_rollup": relational.supplier_hierarchy_rollup,
     }
 
 
@@ -3103,6 +3104,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "supplier_hierarchy_rollup": """
+            WITH RECURSIVE chain AS (
+              SELECT s_suppkey AS suppkey, s_suppkey AS cur, 0 AS depth
+              FROM supplier
+              UNION ALL
+              SELECT suppkey, cur // 10 AS cur, depth + 1 AS depth
+              FROM chain WHERE cur > 0
+            ),
+            depths AS (
+              SELECT suppkey, MAX(depth) AS depth_to_root
+              FROM chain GROUP BY suppkey
+            )
+            SELECT d.depth_to_root,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_acctbal,
+                   MIN(d.suppkey) AS min_suppkey,
+                   MAX(d.suppkey) AS max_suppkey
+            FROM depths d JOIN supplier s ON d.suppkey = s.s_suppkey
+            GROUP BY d.depth_to_root
+            ORDER BY d.depth_to_root
         """,
         "rare_token_ratio": """
             WITH toks AS (

@@ -953,3 +953,55 @@ def user_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4.x): walk a reporting
+    hierarchy to its root and roll up account balances per level.
+
+    The hierarchy is derived deterministically from the supplier table
+    (parent(k) = k DIV 10 — a fanout-10 tree rooted at 0), standing in
+    for the org-chart / BOM / referral-graph shape the reference's flat
+    SQL layer cannot express (SURVEY §2.5 lists recursion among the
+    absent classes). Both engines run the IDENTICAL recursive SQL, so
+    the oracle proves the full fixpoint semantics, not one unrolling.
+
+    Scale shape: each iteration is one join of the (shrinking) frontier
+    against nothing but itself (pure projection per step here — the
+    general form joins frontier to an edge table, shuffle on the edge
+    key). Depth is bounded by the key width (log10 of max key ≈ 6
+    levels), so the iteration count is O(log N), never data-sized.
+    """
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    )
+    view = f"__sup_hier_{abs(hash(sf_dir)) % 10**8}"
+    sup.createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            WITH RECURSIVE chain AS (
+              SELECT s_suppkey AS suppkey, s_suppkey AS cur, 0 AS depth
+              FROM {view}
+              UNION ALL
+              SELECT suppkey, cur DIV 10 AS cur, depth + 1 AS depth
+              FROM chain WHERE cur > 0
+            ),
+            depths AS (
+              SELECT suppkey, MAX(depth) AS depth_to_root
+              FROM chain GROUP BY suppkey
+            )
+            SELECT d.depth_to_root,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_acctbal,
+                   MIN(d.suppkey) AS min_suppkey,
+                   MAX(d.suppkey) AS max_suppkey
+            FROM depths d JOIN {view} s ON d.suppkey = s.s_suppkey
+            GROUP BY d.depth_to_root
+            ORDER BY d.depth_to_root
+        """)
+    finally:
+        # the temp view only needs to outlive plan ANALYSIS (the
+        # returned DataFrame is already resolved); drop it so repeated
+        # calls on shared sessions leave no residue
+        spark.catalog.dropTempView(view)
