@@ -1240,6 +1240,34 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraints (operators/quality.py) over
+    orders: all row-local checks fold into ONE aggregate pass; the
+    uniqueness check is one keyed aggregation; referential integrity is
+    one anti-join against customer. The priority in_set check is seeded
+    with a deliberately incomplete allowed set so the report exercises
+    a FAILING row, not just green ones."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        quality,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return quality.check_constraints(
+        orders,
+        {
+            "orderkey_unique": ("unique", "o_orderkey"),
+            "custkey_not_null": ("not_null", "o_custkey"),
+            "totalprice_range": ("range", "o_totalprice", 0.0, 1e6),
+            "status_in_set": ("in_set", "o_orderstatus", ["O", "F"]),
+            "priority_format": ("matches", "o_orderpriority", "[1-5]-[A-Z ]+"),
+            "custkey_refs_customer": (
+                "ref", "o_custkey", customer, "c_custkey"
+            ),
+        },
+    )
+
+
 def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency rarity signal (functions/text.py:
     rare_token_ratio): per-document share of tokens whose corpus-wide
@@ -1396,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch_merge_rollup": q_hll_sketch_merge,
         "rare_token_ratio": q_rare_token_ratio,
         "supplier_hierarchy_rollup": relational.supplier_hierarchy_rollup,
+        "order_quality_checks": q_order_quality_checks,
     }
 
 
@@ -3104,6 +3133,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "order_quality_checks": """
+            WITH row_local AS (
+              SELECT 'custkey_not_null' AS "constraint",
+                     'not_null' AS kind,
+                     COUNT(*) AS n_rows,
+                     SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       AS n_violations
+              FROM orders
+              UNION ALL
+              SELECT 'totalprice_range', 'range', COUNT(*),
+                     SUM(CASE WHEN o_totalprice IS NULL
+                              OR o_totalprice < 0.0
+                              OR o_totalprice > 1e6 THEN 1 ELSE 0 END)
+              FROM orders
+              UNION ALL
+              SELECT 'status_in_set', 'in_set', COUNT(*),
+                     SUM(CASE WHEN NOT (o_orderstatus IN ('O','F'))
+                              THEN 1 ELSE 0 END)
+              FROM orders
+              UNION ALL
+              SELECT 'priority_format', 'matches', COUNT(*),
+                     SUM(CASE WHEN NOT regexp_full_match(
+                              o_orderpriority, '(?:[1-5]-[A-Z ]+)')
+                              THEN 1 ELSE 0 END)
+              FROM orders
+              UNION ALL
+              SELECT 'orderkey_unique', 'unique', SUM(c),
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+              FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+              UNION ALL
+              SELECT 'custkey_refs_customer', 'ref',
+                     (SELECT COUNT(*) FROM orders),
+                     (SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey IS NOT NULL
+                        AND o.o_custkey NOT IN
+                            (SELECT c_custkey FROM customer))
+            )
+            SELECT "constraint", kind,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   n_violations = 0 AS passed
+            FROM row_local ORDER BY "constraint"
         """,
         "supplier_hierarchy_rollup": """
             WITH RECURSIVE chain AS (

@@ -1,0 +1,153 @@
+"""Declarative data-quality constraint checking (the Deequ/
+Great-Expectations core, engine-native).
+
+The reference pipeline trusts its loads blindly — the only validation
+in the repo is Airflow DAG-integrity boilerplate
+(/root/reference/astro-sdk-tutorial/tests/dags/test_dag_example.py);
+bad rows surface, if ever, in the Power BI layer. A warehouse engine
+owns this: constraints declared as data, evaluated in as few passes as
+the constraint mix allows, one violations row per constraint.
+
+Constraint forms (each a dict entry: name -> spec):
+
+- ``("not_null", col)``              — col IS NOT NULL
+- ``("unique", col)``                — no key occurs twice
+- ``("range", col, lo, hi)``         — lo <= col <= hi (inclusive)
+- ``("in_set", col, values)``        — col within an allowed set
+- ``("matches", col, regex)``        — full-match against a pattern
+- ``("ref", col, dim_df, dim_col)``  — referential integrity: every
+  non-null value exists in the dimension's key column
+
+Output: (constraint, kind, n_rows, n_violations, passed) — one row per
+constraint, ordered by name.
+
+Scale shape: every row-local constraint (not_null / range / in_set /
+matches) folds into ONE conditional-sum aggregate over a single scan —
+adding ten more such checks adds zero passes. ``unique`` needs its own
+keyed aggregation (count>1 per key, map-side combined, then a tiny
+violation count). ``ref`` is a left-anti join against the dimension —
+broadcast when the dim is small (AQE decides), i.e. the same cost as
+the join the data was loaded for. Nothing collects more than the
+per-constraint summary row.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ROW_LOCAL = {"not_null", "range", "in_set", "matches"}
+
+
+def _violation_expr(spec: tuple) -> Column:
+    kind = spec[0]
+    if kind == "not_null":
+        return F.col(spec[1]).isNull()
+    if kind == "range":
+        _, col, lo, hi = spec
+        c = F.col(col)
+        return c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))
+    if kind == "in_set":
+        _, col, values = spec
+        return ~F.col(col).isin(list(values))
+    if kind == "matches":
+        _, col, pattern = spec
+        return ~(F.col(col).rlike(f"^(?:{pattern})$"))
+    raise ValueError(f"unknown row-local constraint kind {kind!r}")
+
+
+def check_constraints(
+    df: DataFrame, constraints: dict[str, tuple]
+) -> DataFrame:
+    """Evaluate ``constraints`` against ``df``; see module docstring
+    for the spec forms and the pass structure."""
+    if not constraints:
+        raise ValueError("no constraints given")
+
+    row_local = {
+        n: s for n, s in constraints.items() if s[0] in _ROW_LOCAL
+    }
+    uniques = {n: s for n, s in constraints.items() if s[0] == "unique"}
+    refs = {n: s for n, s in constraints.items() if s[0] == "ref"}
+    unknown = set(constraints) - set(row_local) - set(uniques) - set(refs)
+    if unknown:
+        bad = {n: constraints[n][0] for n in unknown}
+        raise ValueError(f"unknown constraint kinds: {bad}")
+
+    parts: list[DataFrame] = []
+
+    if row_local:
+        # one scan, one aggregate row for ALL row-local checks
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(_violation_expr(s).cast("long")).alias(f"__v_{n}")
+            for n, s in row_local.items()
+        ]
+        one = df.agg(*aggs)
+        stack_pairs = ", ".join(
+            f"'{n}', '{s[0]}', __v_{n}" for n, s in row_local.items()
+        )
+        parts.append(
+            one.select(
+                F.expr(
+                    f"stack({len(row_local)}, {stack_pairs})"
+                    " AS (constraint, kind, n_violations)"
+                ),
+                F.col("__n").alias("n_rows"),
+            ).select("constraint", "kind", "n_rows", "n_violations")
+        )
+
+    for n, s in uniques.items():
+        col = s[1]
+        dup = (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+                F.sum("__c").cast("long").alias("n_rows"),
+            )
+        )
+        parts.append(
+            dup.select(
+                F.lit(n).alias("constraint"),
+                F.lit("unique").alias("kind"),
+                "n_rows",
+                F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            )
+        )
+
+    for n, s in refs.items():
+        _, col, dim_df, dim_col = s
+        orphans = (
+            df.filter(F.col(col).isNotNull())
+            .join(
+                dim_df.select(F.col(dim_col).alias(col)).distinct(),
+                col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        )
+        total = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        # both sides are 1-row aggregates — the cross join is a pair of
+        # broadcast scalars, keeping the whole check one lazy plan
+        parts.append(
+            total.crossJoin(orphans).select(
+                F.lit(n).alias("constraint"),
+                F.lit("ref").alias("kind"),
+                "n_rows",
+                "n_violations",
+            )
+        )
+
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    nv = F.coalesce(F.col("n_violations"), F.lit(0))  # empty-input SUM is null
+    return out.select(
+        "constraint",
+        "kind",
+        "n_rows",
+        nv.cast("long").alias("n_violations"),
+        (nv == 0).alias("passed"),
+    ).orderBy("constraint")

@@ -1,0 +1,84 @@
+"""Declarative constraint checker (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import quality
+
+
+def test_each_constraint_kind_counts_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 10.0, "O", 1),
+            (2, None, 20.0, "F", 1),        # not_null violation
+            (2, "c@x.io", -5.0, "O", 2),    # dup key + range violation
+            (3, "nope", 30.0, "Z", 99),     # matches + in_set + ref violation
+        ],
+        ["k", "email", "amount", "status", "ref_k"],
+    )
+    dim = spark.createDataFrame([(1,), (2,)], ["dk"])
+    out = {
+        r.constraint: r
+        for r in quality.check_constraints(
+            df,
+            {
+                "email_not_null": ("not_null", "email"),
+                "amount_range": ("range", "amount", 0.0, 100.0),
+                "status_in_set": ("in_set", "status", ["O", "F"]),
+                "email_format": ("matches", "email", r"[a-z]+@[a-z.]+"),
+                "k_unique": ("unique", "k"),
+                "ref_k_in_dim": ("ref", "ref_k", dim, "dk"),
+            },
+        ).collect()
+    }
+    assert len(out) == 6
+    assert (out["email_not_null"].n_violations, out["email_not_null"].passed) == (1, False)
+    assert out["amount_range"].n_violations == 1
+    assert out["status_in_set"].n_violations == 1
+    # null email: rlike(null) -> null -> not counted; 'nope' fails
+    assert out["email_format"].n_violations == 1
+    # both rows of the duplicated key count as violations
+    assert (out["k_unique"].n_violations, out["k_unique"].n_rows) == (2, 4)
+    assert out["ref_k_in_dim"].n_violations == 1
+    assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_all_green_passes(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 6.0)], ["k", "v"])
+    out = quality.check_constraints(
+        df,
+        {
+            "k_unique": ("unique", "k"),
+            "v_range": ("range", "v", 0.0, 10.0),
+        },
+    ).collect()
+    assert all(r.passed for r in out)
+
+
+def test_row_local_checks_share_one_aggregate(spark):
+    """Adding more row-local constraints must NOT add passes over the
+    data: they all fold into a single aggregate node."""
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    plan = quality.check_constraints(
+        df,
+        {
+            "a_nn": ("not_null", "a"),
+            "b_nn": ("not_null", "b"),
+            "a_range": ("range", "a", 0, 1000),
+            "b_range": ("range", "b", 0, 1000),
+        },
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # one scan feeding one aggregate — the Range source appears once
+    assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_validation_errors(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no constraints"):
+        quality.check_constraints(df, {})
+    with pytest.raises(ValueError, match="unknown constraint kinds"):
+        quality.check_constraints(df, {"x": ("bogus", "id")})

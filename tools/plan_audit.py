@@ -37,6 +37,9 @@ BOUNDED_BNLJ_OK = {
     "kpi_top_items_view_share": "1-row MAX(period) scalar subquery",
     "most_viewed_item_latest_period": "1-row MAX(period) scalar subquery",
     "high_value_order_customers": "1-row AVG(price) scalar subquery",
+    # operators/quality.py ref-constraint: two 1-row aggregates (total
+    # row count x orphan count) crossed into the summary row
+    "order_quality_checks": "1-row total x 1-row orphan-count scalars",
     "order_priority_daily_gapfill": (
         "domain-bounded calendar grid (|priorities| x |days|)"
     ),
