@@ -1425,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_token_ratio": q_rare_token_ratio,
         "supplier_hierarchy_rollup": relational.supplier_hierarchy_rollup,
         "order_quality_checks": q_order_quality_checks,
+        "daily_order_anomalies": relational.daily_order_anomalies,
     }
 
 
@@ -3133,6 +3134,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "daily_order_anomalies": """
+            WITH daily AS (
+              SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                       AS order_day,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1
+            ), scored AS (
+              SELECT order_day, n_orders,
+                     COUNT(*) OVER w AS n_baseline_days,
+                     SUM(n_orders) OVER w AS s,
+                     SUM(n_orders * n_orders) OVER w AS s2
+              FROM daily
+              WINDOW w AS (
+                ORDER BY datediff('day', DATE '1970-01-01',
+                                  CAST(order_day AS DATE))
+                RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING
+              )
+            )
+            SELECT order_day, n_orders,
+                   CAST(n_baseline_days AS BIGINT) AS n_baseline_days,
+                   floor((CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE))
+                         * 1e6) / 1e6 AS baseline_mean,
+                   floor(
+                     CASE WHEN greatest(
+                            CAST(s2 AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)),
+                            0.0) > 0
+                       THEN (CAST(n_orders AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE))
+                            / sqrt(greatest(
+                                CAST(s2 AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)
+                                - (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE))
+                                  * (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)),
+                                0.0))
+                     END * 1e6) / 1e6 AS z_score,
+                   COALESCE(abs(
+                     CASE WHEN greatest(
+                            CAST(s2 AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)),
+                            0.0) > 0
+                       THEN (CAST(n_orders AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE))
+                            / sqrt(greatest(
+                                CAST(s2 AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)
+                                - (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE))
+                                  * (CAST(s AS DOUBLE) / CAST(n_baseline_days AS DOUBLE)),
+                                0.0))
+                     END) > 2.0, FALSE) AS is_anomaly
+            FROM scored
+            WHERE n_baseline_days >= 14
+            ORDER BY order_day
         """,
         "order_quality_checks": """
             WITH row_local AS (

@@ -1005,3 +1005,59 @@ def supplier_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # returned DataFrame is already resolved); drop it so repeated
         # calls on shared sessions leave no residue
         spark.catalog.dropTempView(view)
+
+
+def daily_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags: per-day order counts scored against a
+    trailing 28-day baseline (mean + population std over the RANGE
+    frame, current day excluded), |z| > 2 flagged.
+
+    Determinism across engines is the design constraint: the frame
+    sums COUNTS (exact integers), the mean/variance come from the
+    closed-form (sum, sum-of-squares) pair — var = sumsq/n − mean² —
+    computed in ONE identical double expression on both sides, and the
+    z-score is floor-truncated. No engine-ordered float accumulation
+    anywhere (the reason stddev_samp/variance built-ins can never pass
+    a value-hash oracle).
+
+    Scale: the window runs over one row per DAY — bounded cardinality
+    at any input size (the rolling_weekly_revenue argument); everything
+    before it is one map-side-combinable daily aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("order_day")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    w = (
+        Window.orderBy(
+            F.datediff(F.col("order_day"), F.lit("1970-01-01"))
+        ).rangeBetween(-28, -1)  # trailing 4 weeks, EXCLUDING today
+    )
+    n = F.count("*").over(w)
+    s = F.sum("n_orders").over(w)
+    s2 = F.sum(F.col("n_orders") * F.col("n_orders")).over(w)
+    mean = s.cast("double") / n.cast("double")
+    # clamp at 0: catastrophic cancellation can yield a tiny negative,
+    # whose sqrt is engine-defined (NaN vs error) — clamped, both
+    # engines take the same zero-variance branch
+    var = F.greatest(
+        s2.cast("double") / n.cast("double") - mean * mean, F.lit(0.0)
+    )
+    z = F.when(
+        var > 0,
+        (F.col("n_orders").cast("double") - mean) / F.sqrt(var),
+    )
+    trunc = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        daily.select(
+            "order_day",
+            "n_orders",
+            n.alias("n_baseline_days"),
+            trunc(mean).alias("baseline_mean"),
+            trunc(z).alias("z_score"),
+            F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_anomaly"),
+        )
+        # need a full baseline window for a meaningful score
+        .filter(F.col("n_baseline_days") >= 14)
+        .orderBy("order_day")
+    )
