@@ -925,6 +925,61 @@ def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(v1).unionByName(agg(v2)).orderBy("version", "o_orderstatus")
 
 
+def q_versioned_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + OPTIMIZE on the versioned layer
+    (sources/versioned.py:delete_where/compact): build the table from
+    three per-status APPEND commits (so the snapshot holds three
+    prefixes), DELETE the cheap 'F' orders — only the F prefix is
+    rewritten, the other two ride into the new snapshot by reference
+    (asserted in tests/test_versioned.py) — then compact the survivors
+    into one fresh prefix. The query aggregates the pre-delete snapshot
+    AND the post-compact snapshot; the oracle recomputes both states
+    relationally, proving DELETE hits exactly the predicate rows (with
+    SQL three-valued semantics), compaction is content-identical, and
+    history stays time-travelable under both."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    path = _scratch_path("versioned_delc", sf_dir)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for status in ("O", "F", "P"):
+        vt.write_version(
+            orders.filter(F.col("o_orderstatus") == status),
+            path,
+            mode="append",
+        )
+    pre = vt.table_versions(path)[-1]
+    vt.delete_where(
+        spark, path, "o_orderstatus = 'F' AND o_totalprice < 100000"
+    )
+    post = vt.compact(spark, path)
+
+    def agg(version: int, label: str) -> DataFrame:
+        return (
+            vt.read_version(spark, path, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("snapshot", F.lit(label))
+        )
+
+    return (
+        agg(pre, "pre_delete")
+        .unionByName(agg(post, "post_compact"))
+        .orderBy("snapshot", "o_orderstatus")
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (operators/dedup.py:dedup_incremental) —
     the daily-load posture: existing corpus = keys not divisible by 3;
@@ -1426,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_hierarchy_rollup": relational.supplier_hierarchy_rollup,
         "order_quality_checks": q_order_quality_checks,
         "daily_order_anomalies": relational.daily_order_anomalies,
+        "versioned_delete_compact": q_versioned_delete_compact,
     }
 
 
@@ -3134,6 +3190,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        # DELETE removes exactly predicate-TRUE rows; compaction is
+        # content-identical — both snapshots recompute relationally.
+        "versioned_delete_compact": """
+            SELECT 'pre_delete' AS snapshot, o_orderstatus,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_price
+            FROM orders
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'post_compact', o_orderstatus,
+                   COUNT(*),
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            FROM orders
+            WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+            GROUP BY o_orderstatus
+            ORDER BY snapshot, o_orderstatus
         """,
         "daily_order_anomalies": """
             WITH daily AS (

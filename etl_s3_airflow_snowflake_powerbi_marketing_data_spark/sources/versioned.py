@@ -179,6 +179,86 @@ def rollback(path: str, to_version: int) -> int:
     )
 
 
+def delete_where(
+    spark: SparkSession, path: str, predicate: str
+) -> tuple[int, int]:
+    """Row-level DELETE, copy-on-write at PREFIX granularity (the Delta
+    file-pruned DELETE shape): prefixes containing no matching row are
+    carried into the new snapshot BY REFERENCE — only prefixes that
+    actually hold doomed rows are rewritten (minus those rows). Returns
+    (new_version, n_prefixes_rewritten).
+
+    SQL DELETE semantics: a row is deleted iff the predicate is TRUE —
+    rows where it evaluates NULL survive (``~pred`` alone would eat
+    them, the classic three-valued-logic bug).
+
+    Scale shape: one cheap existence probe per prefix (filter + LIMIT 1,
+    predicate pushed into the parquet scan so footer stats short-
+    circuit most prefixes), then one rewrite scan per AFFECTED prefix.
+    A delete touching 1% of prefixes rewrites 1% of the table; history
+    (old manifests) still sees every original prefix untouched.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    latest = versions[-1]
+    doomed = F.coalesce(F.expr(predicate), F.lit(False))
+    nonce = uuid.uuid4().hex[:12]
+    kept_prefixes: list[str] = []
+    rewritten = 0
+    for i, p in enumerate(snapshot_prefixes(path, latest)):
+        pdf = spark.read.parquet(os.path.join(path, p))
+        if pdf.filter(doomed).limit(1).count() == 0:
+            kept_prefixes.append(p)  # untouched — shared with history
+            continue
+        survivors = pdf.filter(~doomed)
+        new_p = os.path.join("data", f"v{latest + 1}-{nonce}-del{i}")
+        if survivors.limit(1).count() > 0:
+            survivors.write.mode("errorifexists").parquet(
+                os.path.join(path, new_p)
+            )
+            kept_prefixes.append(new_p)
+        rewritten += 1
+    v = _publish(
+        path,
+        {"prefixes": kept_prefixes, "mode": "delete", "predicate": predicate},
+    )
+    return v, rewritten
+
+
+def compact(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """OPTIMIZE: rewrite the CURRENT snapshot into one fresh prefix of
+    ~``target_bytes`` files and commit it as a new, content-identical
+    version. Many small prefixes/files — the debris a streaming sink or
+    frequent small commits leave behind — collapse into scan-friendly
+    files; time travel to the fragmented history still works, and
+    ``vacuum`` reclaims it when retention allows.
+
+    File count comes from the optimizer's size statistics (plan-only,
+    no extra job), floored at 1; the rewrite is one scan + one
+    round-robin exchange.
+    """
+    cur = read_version(spark, path)
+    try:
+        size = int(
+            cur._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = target_bytes
+    n_files = max(1, -(-size // target_bytes))
+    nonce = uuid.uuid4().hex[:12]
+    latest = table_versions(path)[-1]
+    prefix = os.path.join("data", f"v{latest + 1}-{nonce}-opt")
+    cur.repartition(n_files).write.mode("errorifexists").parquet(
+        os.path.join(path, prefix)
+    )
+    return _publish(path, {"prefixes": [prefix], "mode": "compact"})
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[str]:
     """Delete data prefixes referenced ONLY by expired manifests; keeps
     the last ``keep_last`` versions readable. Returns removed prefixes.

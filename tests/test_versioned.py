@@ -205,3 +205,77 @@ def test_append_race_does_not_lose_winners_prefixes(spark, tmp_path):
     got = {r["k"]: r["v"] for r in vt.read_version(spark, path).collect()}
     # all three writers' rows survive: v1, the winner's, and ours
     assert got == {1: "a", 7: "w", 2: "b"}
+
+
+def test_delete_where_rewrites_only_affected_prefixes(spark, tmp_path):
+    path = str(tmp_path / "t_del")
+    a = spark.createDataFrame([(1, "a"), (2, "a")], ["k", "grp"])
+    b = spark.createDataFrame([(3, "b"), (4, "b")], ["k", "grp"])
+    vt.write_version(a, path, mode="append")
+    vt.write_version(b, path, mode="append")
+    before = vt.snapshot_prefixes(path)
+
+    v, rewritten = vt.delete_where(spark, path, "k = 3")
+    after = vt.snapshot_prefixes(path, v)
+    # only the prefix holding k=3 was rewritten; the other is SHARED
+    assert rewritten == 1
+    assert before[0] in after
+    assert before[1] not in after
+    got = sorted(r.k for r in vt.read_version(spark, path).collect())
+    assert got == [1, 2, 4]
+    # history untouched: the pre-delete snapshot still reads fully
+    pre = vt.read_version(spark, path, v - 1)
+    assert sorted(r.k for r in pre.collect()) == [1, 2, 3, 4]
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE three-valued logic: predicate NULL -> row SURVIVES."""
+    path = str(tmp_path / "t_del_null")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], ["k", "v"]
+    )
+    vt.write_version(df, path)
+    vt.delete_where(spark, path, "v > 50.0")
+    got = sorted(r.k for r in vt.read_version(spark, path).collect())
+    assert got == [1, 2]  # k=2 (NULL predicate) survives
+
+
+def test_delete_where_can_empty_a_prefix(spark, tmp_path):
+    path = str(tmp_path / "t_del_all")
+    vt.write_version(
+        spark.createDataFrame([(1,), (2,)], ["k"]), path
+    )
+    v, rewritten = vt.delete_where(spark, path, "k >= 1")
+    assert rewritten == 1
+    # an all-deleted snapshot has NO prefixes — snapshot_prefixes is
+    # the emptiness probe (read_version on zero paths raises in the
+    # parquet reader, as it should: there is nothing to scan)
+    assert vt.snapshot_prefixes(path, v) == []
+    # history still holds the pre-delete rows
+    assert vt.read_version(spark, path, v - 1).count() == 2
+
+
+def test_compact_is_content_identical_and_reduces_files(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "t_opt")
+    # simulate small-commit debris: 5 append commits, many tiny files
+    for i in range(5):
+        vt.write_version(
+            spark.range(i * 10, (i + 1) * 10).repartition(4), path,
+            mode="append",
+        )
+    files_before = sum(
+        len(glob.glob(f"{path}/{p}/*.parquet"))
+        for p in vt.snapshot_prefixes(path)
+    )
+    v = vt.compact(spark, path)
+    prefixes = vt.snapshot_prefixes(path, v)
+    assert len(prefixes) == 1
+    files_after = len(glob.glob(f"{path}/{prefixes[0]}/*.parquet"))
+    assert files_after < files_before
+    got = sorted(r.id for r in vt.read_version(spark, path).collect())
+    assert got == list(range(50))
+    # fragmented history still time-travels
+    old = vt.read_version(spark, path, v - 1)
+    assert old.count() == 50
