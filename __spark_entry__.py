@@ -590,6 +590,17 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: COUNT registers maintained by
+    Structured Streaming (complete mode — micro-batch-order invariant),
+    watchlist point queries answered from the register table at read.
+    Must equal the batch CMS bit-for-bit, so the oracle reuses the
+    independent pure-Python expected output."""
+    return streaming_pipeline.run_cms_stream_to_memory(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted per-source curation: score every doc, keep the
     top 10 per source above a floor (operators/sampling.py:
@@ -1482,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_quality_checks": q_order_quality_checks,
         "daily_order_anomalies": relational.daily_order_anomalies,
         "versioned_delete_compact": q_versioned_delete_compact,
+        "streaming_cms_user_counts": q_streaming_cms,
     }
 
 
@@ -3190,6 +3202,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        # Streaming CMS must equal the batch CMS bit-for-bit (COUNT
+        # registers are micro-batch-order invariant).
+        "streaming_cms_user_counts": """
+            SELECT user_id, est_count
+            FROM read_parquet('/root/repo/expected/sf0.01/cms_user_counts.parquet')
+            ORDER BY user_id
         """,
         # DELETE removes exactly predicate-TRUE rows; compaction is
         # content-identical — both snapshots recompute relationally.

@@ -253,6 +253,51 @@ def run_hll_stream_to_memory(
     )
 
 
+def run_cms_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    depth: int = 4,
+    width: int = 2048,
+    query_name: str = "cms_registers_stream",
+) -> DataFrame:
+    """Streaming count-min sketch: maintain the (hash-row, cell) COUNT
+    registers as a Structured Streaming aggregation (complete mode —
+    COUNT is associative, so however the stream micro-batches, the
+    continuously-merged registers equal the batch registers over the
+    same rows), then answer the watchlist point queries in batch over
+    the register table. Same unification as ``run_hll_stream_to_memory``:
+    one sketch definition serves the batch AND streaming paths, so a
+    streaming frequency dashboard and a batch backfill can never
+    disagree. Output is bit-identical to batch
+    ``cms_point_estimates(cms_registers(...))`` on the same file, which
+    is what the oracle checks.
+    """
+    from ..operators.sketches import cms_point_estimates, cms_registers
+
+    stream = read_event_stream(spark, source_path)
+    regs = cms_registers(stream, "user_id", depth=depth, width=width)
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    watch = (
+        spark.read.parquet(source_path)
+        .select("user_id")
+        .filter(F.col("user_id") % 37 == 0)
+    )
+    return cms_point_estimates(
+        spark.table(query_name), watch, "user_id", depth=depth, width=width
+    ).orderBy("user_id")
+
+
 def streaming_enriched_brand_counts(
     events: DataFrame,
     items: DataFrame,
