@@ -1494,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_order_anomalies": relational.daily_order_anomalies,
         "versioned_delete_compact": q_versioned_delete_compact,
         "streaming_cms_user_counts": q_streaming_cms,
+        "nation_revenue_analytics": relational.nation_revenue_analytics,
     }
 
 
@@ -3202,6 +3203,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "nation_revenue_analytics": """
+            WITH per_nation AS (
+              SELECT n.n_name AS nation_name,
+                     ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n.n_name
+            )
+            SELECT nation_name,
+                   CAST(revenue AS DOUBLE) AS revenue,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   floor(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
+                   floor(cume_dist() OVER w * 1e6) / 1e6 AS cume
+            FROM per_nation
+            WINDOW w AS (ORDER BY revenue DESC, nation_name)
+            ORDER BY nation_name
         """,
         # Streaming CMS must equal the batch CMS bit-for-bit (COUNT
         # registers are micro-batch-order invariant).

@@ -128,6 +128,76 @@ def might_contain(
     return test
 
 
+def build_bloom_df(
+    df: DataFrame, key_col: str, n_bits: int, n_hashes: int = 3
+) -> DataFrame:
+    """Bloom bitmap as a ONE-ROW DataFrame with a dense
+    ``array<bigint>`` column ``__bloom`` — the broadcast-data form of
+    :func:`build_bloom`.
+
+    Why this exists: embedding the bitmap as a plan LITERAL
+    (``F.lit(words)``) folds the whole filter into generated code,
+    and codegen cost grows with the literal — measured 6× wall-time
+    growth at 10× build keys (a ~22K-element constant array compiled
+    into every stage). As broadcast DATA the bitmap costs the plan one
+    1-row broadcast join regardless of filter size — the same shape
+    Spark's own runtime bloom uses (an aggregate result consumed as a
+    scalar subquery). The array is assembled JVM-side from the sparse
+    (word, bits) aggregate; nothing is collected to the driver.
+    """
+    if n_bits % 64 != 0 or not 64 <= n_bits <= _MAX_BITS:
+        raise ValueError(
+            f"n_bits={n_bits} must be a multiple of 64 in [64, {_MAX_BITS}]"
+        )
+    n_words = n_bits // 64
+    pos = F.explode(
+        F.array(*_positions(F.col(key_col), n_bits, n_hashes))
+    ).alias("__pos")
+    sparse = (
+        df.select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.pmod(F.col("__pos"), F.lit(64)).cast("int").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), __b))").alias(
+                "__word"
+            )
+        )
+    )
+    # densify: full index range left-joined to the populated words
+    # (broadcast — the sparse side is ≤ n_words rows), then ONE sorted
+    # collect into the array. Linear in n_words; a map/element_at
+    # densify would be O(n_words²) per the map's linear-scan lookup.
+    idx = df.sparkSession.range(n_words).select(
+        F.col("id").cast("int").alias("__w")
+    )
+    dense = idx.join(F.broadcast(sparse), "__w", "left").select(
+        "__w", F.coalesce("__word", F.lit(0)).alias("__word")
+    )
+    return dense.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__w", "__word"))
+        ).alias("__s")
+    ).select(
+        F.transform(F.col("__s"), lambda e: e["__word"]).alias("__bloom")
+    )
+
+
+def might_contain_col(
+    bloom_col: Column, key: Column, n_bits: int, n_hashes: int = 3
+) -> Column:
+    """Membership test against a bitmap COLUMN (see
+    :func:`build_bloom_df`); same bit math as :func:`might_contain`."""
+    test = F.lit(True)
+    for p in _positions(key, n_bits, n_hashes):
+        word = F.element_at(bloom_col, (p / 64).cast("int") + F.lit(1))
+        bit = F.getbit(word, F.pmod(p, F.lit(64)).cast("int"))
+        test = test & (bit == 1)
+    return test
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -144,9 +214,12 @@ def bloom_semi_join(
     ``how`` ∈ {inner, left_semi}: the join forms whose results a
     probe-side pre-filter cannot change.
 
-    Sizing runs off a cheap distinct-count of the build keys (the build
-    side is the SMALL side by contract — a dim or a filtered key set;
-    this count is the same scan the filter aggregation makes).
+    Sizing runs off a cheap count of the build keys (the build side is
+    the SMALL side by contract — a dim or a filtered key set; dupes
+    only oversize the bitmap, so no distinct pass). The bitmap itself
+    rides as broadcast DATA — one 1-row broadcast join — never as a
+    plan literal, so the plan cost is independent of the filter size
+    (:func:`build_bloom_df`).
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(
@@ -154,14 +227,18 @@ def bloom_semi_join(
             "inner/left_semi semantics"
         )
     keys = build.select(build_key)
-    # plain count, not distinct().count(): duplicates in the build keys
-    # only OVERSIZE the bitmap (lower fpp), and skipping the distinct
-    # saves one shuffle job on the sizing pass
     n_keys = keys.count()
-    bitmap = build_bloom(
-        keys, build_key, optimal_n_bits(max(n_keys, 1), fpp), n_hashes
+    n_bits = optimal_n_bits(max(n_keys, 1), fpp)
+    bloom = build_bloom_df(keys, build_key, n_bits, n_hashes)
+    pre = (
+        probe.join(F.broadcast(bloom))
+        .filter(
+            might_contain_col(
+                F.col("__bloom"), F.col(probe_key), n_bits, n_hashes
+            )
+        )
+        .drop("__bloom")
     )
-    pre = probe.filter(might_contain(bitmap, F.col(probe_key), n_hashes))
     return pre.join(
         build, pre[probe_key] == build[build_key], how
     )

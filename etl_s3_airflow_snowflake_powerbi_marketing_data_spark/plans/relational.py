@@ -1061,3 +1061,39 @@ def daily_order_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_baseline_days") >= 14)
         .orderBy("order_day")
     )
+
+
+def nation_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-analytic window functions (ntile / percent_rank /
+    cume_dist) — the last unexercised window-function class (SURVEY
+    §2.5 lists the reference's window surface as DENSE_RANK only).
+
+    Deliberately computed over the NATION aggregate grain (≤ 25 rows):
+    these functions need a total order over their partition, so at
+    100 TB they belong on bounded post-aggregation grains — for
+    row-level global ranks use the bucketed two-pass rank
+    (operators/keys.py) or the quantile sketch instead (both
+    registered). The window here is cardinality-bounded by the nation
+    dimension, the same argument as the KPI trend frames.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("nation_name"))
+    trunc = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return per_nation.select(
+        "nation_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        trunc(F.percent_rank().over(w)).alias("pct_rank"),
+        trunc(F.cume_dist().over(w)).alias("cume"),
+    ).orderBy("nation_name")

@@ -40,6 +40,10 @@ BOUNDED_BNLJ_OK = {
     # operators/quality.py ref-constraint: two 1-row aggregates (total
     # row count x orphan count) crossed into the summary row
     "order_quality_checks": "1-row total x 1-row orphan-count scalars",
+    # operators/bloom.py: the bitmap rides as broadcast DATA (a 1-row
+    # array column crossed onto the probe) instead of a plan literal —
+    # codegen cost must not grow with filter size
+    "bloom_semi_revenue": "1-row broadcast bloom-bitmap cross join",
     "order_priority_daily_gapfill": (
         "domain-bounded calendar grid (|priorities| x |days|)"
     ),

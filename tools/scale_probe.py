@@ -205,6 +205,10 @@ def main() -> None:
                 df.filter(F.col("doc_id") % 2 == 0),
                 df.filter(F.col("doc_id") % 2 == 1),
             ),
+            # round 4b: replication multiplies every token's corpus
+            # frequency, so the rare set shrinks — but the plan cost
+            # must track the two term-keyed shuffles, nothing more.
+            "rare_token_ratio": lambda: text_fn.rare_token_ratio(df),
         }
 
     results: dict[str, dict[str, float]] = {}
@@ -281,6 +285,22 @@ def main() -> None:
             load_table(s, d, "embeddings")
         ),
     }
+    # round 4b: the new sketch/filter/quality/anomaly families — each
+    # has a boundedness argument the curve should confirm (CMS/HLL
+    # registers cap at sketch size, the anomaly window is per-day, the
+    # quality checks are one aggregate pass, the bloom build side is
+    # the replicated orders slice).
+    import __spark_entry__ as entrymod  # noqa: PLC0415
+
+    star_ops.update(
+        {
+            "cms_user_counts": entrymod.q_cms_user_counts,
+            "hll_sketch_merge_rollup": entrymod.q_hll_sketch_merge,
+            "daily_order_anomalies": relational.daily_order_anomalies,
+            "order_quality_checks": entrymod.q_order_quality_checks,
+            "bloom_semi_revenue": entrymod.q_bloom_semi_revenue,
+        }
+    )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
         for name, fn in star_ops.items():
             t0 = time.time()
