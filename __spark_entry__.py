@@ -1334,6 +1334,30 @@ def q_order_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (functions/udtfs.py): lateral sentence expansion of
+    the document corpus — the row→table extensibility API, with an
+    explicit-ASCII-whitespace split rule both engines reproduce. Output
+    summarized per document (sentence count, longest sentence) so the
+    oracle row stays compact while still proving every per-sentence
+    row (counts + max length pin the expansion)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        udtfs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = udtfs.split_sentences_table(spark, docs)
+    return (
+        sents.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.max("n_chars").cast("long").alias("max_sentence_chars"),
+            F.sum("n_chars").cast("long").alias("total_sentence_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency rarity signal (functions/text.py:
     rare_token_ratio): per-document share of tokens whose corpus-wide
@@ -1495,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_delete_compact": q_versioned_delete_compact,
         "streaming_cms_user_counts": q_streaming_cms,
         "nation_revenue_analytics": relational.nation_revenue_analytics,
+        "doc_sentences_udtf": q_doc_sentences_udtf,
     }
 
 
@@ -3203,6 +3228,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "doc_sentences_udtf": """
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_split_to_array(text,
+                       '[.!?]+[ \t' || chr(10) || chr(13) || chr(12)
+                       || chr(11) || ']+') AS l
+              FROM documents WHERE text IS NOT NULL
+            ), e AS (
+              SELECT doc_id, i,
+                     trim(l[i], ' ' || chr(9) || chr(10) || chr(13)
+                          || chr(12) || chr(11)) AS sentence
+              FROM s, UNNEST(generate_series(1, len(l))) AS t(i)
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sentences,
+                   CAST(MAX(length(sentence)) AS BIGINT)
+                     AS max_sentence_chars,
+                   CAST(SUM(length(sentence)) AS BIGINT)
+                     AS total_sentence_chars
+            FROM e WHERE length(sentence) > 0
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "nation_revenue_analytics": """
             WITH per_nation AS (
