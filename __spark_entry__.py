@@ -1334,6 +1334,63 @@ def q_order_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_attrs_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of the pivot at `event_type_pivot`):
+    wide per-part numeric columns to long (part, attr, value) rows —
+    Spark's native `unpivot` (one Expand node, no shuffle beyond the
+    scan; the portable UNION-ALL form is the oracle)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="attr",
+            valueColumnName="val",
+        )
+        .orderBy("p_partkey", "attr")
+    )
+
+
+def q_null_safe_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): events
+    bucketed by nullif(user_id % 5, 0) — a genuinely NULL-bearing key —
+    joined to a bucket dim where the NULL bucket must MATCH its NULL
+    dim row (a plain equi-join silently drops it, the classic bug this
+    operator exists to avoid). Spark plans `<=>` as an ordinary hash
+    join key (null-safe keys still hash-partition), so the shape is
+    broadcast-hash here and shuffle-hash at scale."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.select(
+        F.nullif(F.col("user_id") % 5, F.lit(0)).alias("bucket"),
+        "event_id",
+        "value",
+    )
+    dim = spark.createDataFrame(
+        [(None, "bucket-null"), (1, "bucket-1"), (2, "bucket-2"),
+         (3, "bucket-3"), (4, "bucket-4")],
+        "bucket long, bucket_label string",
+    )
+    joined = bucketed.join(
+        F.broadcast(dim), bucketed["bucket"].eqNullSafe(dim["bucket"])
+    )
+    return (
+        joined.groupBy("bucket_label")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min("event_id").alias("min_event_id"),
+        )
+        .orderBy("bucket_label")
+    )
+
+
 def q_doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (functions/udtfs.py): lateral sentence expansion of
     the document corpus — the row→table extensibility API, with an
@@ -1520,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_user_counts": q_streaming_cms,
         "nation_revenue_analytics": relational.nation_revenue_analytics,
         "doc_sentences_udtf": q_doc_sentences_udtf,
+        "part_attrs_unpivot": q_part_attrs_unpivot,
+        "null_safe_bucket_join": q_null_safe_bucket_join,
     }
 
 
@@ -3228,6 +3287,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "part_attrs_unpivot": """
+            SELECT p_partkey, 'p_size' AS attr,
+                   CAST(p_size AS DOUBLE) AS val
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice',
+                   CAST(p_retailprice AS DOUBLE)
+            FROM part
+            ORDER BY p_partkey, attr
+        """,
+        "null_safe_bucket_join": """
+            WITH b AS (
+              SELECT nullif(user_id % 5, 0) AS bucket, event_id, value
+              FROM events
+            ), dim(bucket, bucket_label) AS (
+              VALUES (NULL, 'bucket-null'), (1, 'bucket-1'),
+                     (2, 'bucket-2'), (3, 'bucket-3'), (4, 'bucket-4')
+            )
+            SELECT d.bucket_label,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_value,
+                   MIN(b.event_id) AS min_event_id
+            FROM b JOIN dim d ON b.bucket IS NOT DISTINCT FROM d.bucket
+            GROUP BY d.bucket_label
+            ORDER BY d.bucket_label
         """,
         "doc_sentences_udtf": """
             WITH s AS (
