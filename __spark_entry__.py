@@ -1334,6 +1334,21 @@ def q_order_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (operators/sketches.py:hll_pairwise_overlap):
+    audience overlap between every event-type pair — union by register
+    MAX, intersection by inclusion-exclusion — all from one register
+    table, the raw data scanned once. Oracle: the independent
+    pure-Python replica (tools/gen_expected.py:gen_hll_user_overlap)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    return sketches.hll_pairwise_overlap(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type", p=10
+    )
+
+
 def q_part_attrs_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt (the inverse of the pivot at `event_type_pivot`):
     wide per-part numeric columns to long (part, attr, value) rows —
@@ -1579,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sentences_udtf": q_doc_sentences_udtf,
         "part_attrs_unpivot": q_part_attrs_unpivot,
         "null_safe_bucket_join": q_null_safe_bucket_join,
+        "hll_user_overlap_by_type": q_hll_user_overlap,
     }
 
 
@@ -3287,6 +3303,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "hll_user_overlap_by_type": """
+            SELECT group_a, group_b, est_a, est_b, est_union,
+                   est_intersection
+            FROM read_parquet('/root/repo/expected/sf0.01/hll_user_overlap_by_type.parquet')
+            ORDER BY group_a, group_b
         """,
         "part_attrs_unpivot": """
             SELECT p_partkey, 'p_size' AS attr,

@@ -144,6 +144,88 @@ def hll_distinct(
     return hll_finalize(hll_registers(df, key_col, group_cols, p), group_cols, p)
 
 
+def hll_pairwise_overlap(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 10,
+) -> DataFrame:
+    """Audience-overlap estimates between every pair of groups: HLL
+    union via register MAX + inclusion-exclusion —
+    |A∩B| ≈ |A| + |B| − |A∪B| — all from ONE register table, no exact
+    distinct anywhere.
+
+    This is the sketch SET-ALGEBRA property: registers of A∪B are the
+    cell-wise MAX of A's and B's registers, so pairwise overlaps over
+    G groups cost one self-join of O(G × 2^p) register rows — at
+    100 TB the raw data is scanned once to build registers and never
+    again, however many pair queries follow. (Intersection via
+    inclusion-exclusion inherits the absolute error of the three
+    estimates; fine for overlap ANALYTICS, not for exact joins.)
+
+    Output: (group_a, group_b, est_a, est_b, est_union,
+    est_intersection) for group_a < group_b, floor-4-truncated like
+    ``hll_finalize``.
+    """
+    regs = hll_registers(df, key_col, [group_col], p)
+    singles = hll_finalize(regs, [group_col], p).select(
+        F.col(group_col).alias("__g"),
+        F.col("hll_estimate").alias("__est"),
+    )
+    # Union registers per pair: REPLICATE each group's registers onto
+    # every pair it belongs to, then MAX per (pair, bucket). An inner
+    # bucket-join of the two sides would silently DROP buckets set in
+    # only one sketch and underestimate the union — the register union
+    # must be an outer set union, which the union-then-max expresses
+    # without any outer join. The pair list is O(G²) rows (broadcast);
+    # the replicated registers are O(pairs × 2^p).
+    groups = regs.select(F.col(group_col).alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"))
+        .crossJoin(groups.select(F.col("__g").alias("group_b")))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    regs_a = F.broadcast(pairs).join(
+        regs, pairs["group_a"] == regs[group_col]
+    ).select("group_a", "group_b", "__bucket", "__rho")
+    regs_b = F.broadcast(pairs).join(
+        regs, pairs["group_b"] == regs[group_col]
+    ).select("group_a", "group_b", "__bucket", "__rho")
+    union_regs = (
+        regs_a.unionByName(regs_b)
+        .groupBy("group_a", "group_b", "__bucket")
+        .agg(F.max("__rho").alias("__rho"))
+    )
+    union_est = hll_finalize(union_regs, ["group_a", "group_b"], p).select(
+        "group_a", "group_b", F.col("hll_estimate").alias("est_union")
+    )
+    out = (
+        union_est.join(
+            singles.select(
+                F.col("__g").alias("group_a"), F.col("__est").alias("est_a")
+            ),
+            "group_a",
+        )
+        .join(
+            singles.select(
+                F.col("__g").alias("group_b"), F.col("__est").alias("est_b")
+            ),
+            "group_b",
+        )
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return out.select(
+        "group_a",
+        "group_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.floor(F.greatest(inter, F.lit(0.0)) * 1e4) / 1e4).alias(
+            "est_intersection"
+        ),
+    ).orderBy("group_a", "group_b")
+
+
 def cms_registers(
     df: DataFrame,
     key_col: str,

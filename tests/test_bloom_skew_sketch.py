@@ -267,3 +267,42 @@ def test_rare_token_ratio_fixture(spark):
     assert (out[3].n_tokens, out[3].n_rare) == (2, 1)      # qux
     assert (out[4].n_tokens, out[4].n_rare, out[4].rare_ratio) == (0, 0, 0.0)
     assert out[3].rare_ratio == 0.5
+
+
+# ---------------------------------------------------------------------------
+# HLL pairwise overlap
+# ---------------------------------------------------------------------------
+
+
+def test_hll_overlap_generator_matches_spark(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tools import gen_expected
+
+    expected = gen_expected.gen_hll_user_overlap(sf_dir)
+    got = entrymod.q_hll_user_overlap(spark, sf_dir).toPandas()
+    assert got.columns.tolist() == expected.columns.tolist()
+    for (_, g), (_, e) in zip(got.iterrows(), expected.iterrows()):
+        assert tuple(g[:2]) == tuple(e[:2])
+        for c in ("est_a", "est_b", "est_union", "est_intersection"):
+            assert abs(g[c] - e[c]) < 1e-9, (g, e)
+
+
+def test_hll_union_includes_one_sided_buckets(spark):
+    """The union sketch must be an outer set-union of registers: a
+    bucket set in only ONE group's sketch still raises the union
+    estimate (an inner bucket-join would drop it and the union would
+    underestimate — the bug class this test pins)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    # disjoint key ranges -> |A∩B| ≈ 0, |A∪B| ≈ |A|+|B|; with dropped
+    # one-sided buckets est_union would collapse toward max(est) and
+    # the intersection estimate would explode
+    df = spark.createDataFrame(
+        [(i, "A") for i in range(500)] + [(i + 10_000, "B") for i in range(500)],
+        ["uid", "grp"],
+    )
+    row = sketches.hll_pairwise_overlap(df, "uid", "grp", p=10).collect()[0]
+    assert row.est_union > 0.9 * (row.est_a + row.est_b)
+    assert row.est_intersection < 0.15 * min(row.est_a, row.est_b)

@@ -426,6 +426,63 @@ def gen_hll_users(sf_dir: str, p: int = 10) -> pd.DataFrame:
     )
 
 
+def gen_hll_user_overlap(sf_dir: str, p: int = 10) -> pd.DataFrame:
+    """Independent HLL pairwise-overlap mirror of
+    ``operators.sketches.hll_pairwise_overlap``: per-type registers,
+    union = cell-wise MAX, intersection = inclusion-exclusion on the
+    floor-4 estimates (same arithmetic order as the Spark plan)."""
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    m = 1 << p
+    sb = 64 - p
+    maxr = sb + 1
+    regs: dict[str, dict[int, int]] = {}
+    for t, u in zip(ev.event_type, ev.user_id):
+        h = xxhash64(int(u)) & M64
+        b = h >> sb
+        sfx = h & ((1 << sb) - 1)
+        rho = maxr if sfx == 0 else maxr - sfx.bit_length()
+        r = regs.setdefault(t, {})
+        if rho > r.get(b, 0):
+            r[b] = rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << maxr)
+
+    def est(r: dict[int, int]) -> float:
+        used = len(r)
+        s_used = sum(1 << (maxr - rho) for rho in r.values())
+        empties = m - used
+        s_total = float(s_used + empties * (1 << maxr))
+        e_raw = numerator / s_total
+        if e_raw <= 2.5 * m and empties > 0:
+            e = float(m) * math.log(float(m) / float(empties))
+        else:
+            e = e_raw
+        return math.floor(e * 1e4) / 1e4
+
+    types = sorted(regs)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            union = dict(regs[a])
+            for k, v in regs[b].items():
+                if v > union.get(k, 0):
+                    union[k] = v
+            ea, eb, eu = est(regs[a]), est(regs[b]), est(union)
+            inter = max(ea + eb - eu, 0.0)
+            rows.append(
+                (a, b, ea, eb, eu, math.floor(inter * 1e4) / 1e4)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "group_a", "group_b", "est_a", "est_b", "est_union",
+            "est_intersection",
+        ],
+    )
+
+
 def gen_cms_user_counts(
     sf_dir: str, depth: int = 4, width: int = 2048
 ) -> pd.DataFrame:
@@ -481,6 +538,7 @@ def main() -> None:
         ("embedding_kmeans_clusters", gen_kmeans_clusters(vecs)),
         ("hll_distinct_users_by_type", gen_hll_users(sf_dir)),
         ("cms_user_counts", gen_cms_user_counts(sf_dir)),
+        ("hll_user_overlap_by_type", gen_hll_user_overlap(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)

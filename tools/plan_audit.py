@@ -44,6 +44,10 @@ BOUNDED_BNLJ_OK = {
     # array column crossed onto the probe) instead of a plan literal —
     # codegen cost must not grow with filter size
     "bloom_semi_revenue": "1-row broadcast bloom-bitmap cross join",
+    # operators/sketches.py:hll_pairwise_overlap — the pair grid is a
+    # G×G cross of the DISTINCT group values (G = event types here),
+    # bounded by group cardinality, never by data size
+    "hll_user_overlap_by_type": "G x G group-pair grid over distinct groups",
     "order_priority_daily_gapfill": (
         "domain-bounded calendar grid (|priorities| x |days|)"
     ),
