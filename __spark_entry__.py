@@ -1334,6 +1334,18 @@ def q_order_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk —
+    Jégou et al. 2011): vectors compressed to m=8 one-byte codes,
+    queries answered by LUT-summed asymmetric distances over the CODES
+    — the compressed-domain scale path completing the similarity
+    ladder (brute force → LSH → IVF → PQ). Deterministic codebooks
+    (hash-sampled unit seeds), so the oracle is the independent
+    pure-Python replica."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketches.py:hll_pairwise_overlap):
     audience overlap between every event-type pair — union by register
@@ -1595,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_attrs_unpivot": q_part_attrs_unpivot,
         "null_safe_bucket_join": q_null_safe_bucket_join,
         "hll_user_overlap_by_type": q_hll_user_overlap,
+        "embedding_topk_pq": q_embedding_topk_pq,
     }
 
 
@@ -3303,6 +3316,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
             ORDER BY event_type
+        """,
+        "embedding_topk_pq": """
+            SELECT query_id, neighbor_id, pq_dist, rank
+            FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_pq.parquet')
+            ORDER BY query_id, rank
         """,
         "hll_user_overlap_by_type": """
             SELECT group_a, group_b, est_a, est_b, est_union,

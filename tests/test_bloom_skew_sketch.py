@@ -306,3 +306,50 @@ def test_hll_union_includes_one_sided_buckets(spark):
     row = sketches.hll_pairwise_overlap(df, "uid", "grp", p=10).collect()[0]
     assert row.est_union > 0.9 * (row.est_a + row.est_b)
     assert row.est_intersection < 0.15 * min(row.est_a, row.est_b)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_generator_matches_spark(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tools import gen_expected
+
+    expected = gen_expected.gen_pq_topk(gen_expected.load_embeddings(sf_dir))
+    got = entrymod.q_embedding_topk_pq(spark, sf_dir).toPandas()
+    assert got.columns.tolist() == expected.columns.tolist()
+    assert len(got) == len(expected)
+    for (_, g), (_, e) in zip(got.iterrows(), expected.iterrows()):
+        # g["rank"], not g.rank — .rank is the pandas Series method
+        assert (g["query_id"], g["neighbor_id"], g["rank"]) == (
+            e["query_id"], e["neighbor_id"], e["rank"],
+        )
+        assert abs(g["pq_dist"] - e["pq_dist"]) < 1e-12
+
+
+def test_pq_approximates_exact_ranking(spark, sf_dir):
+    """PQ distances are approximations, but the top-5 should overlap
+    the exact cosine top-5 substantially (codes compress 64 dims to 8
+    bytes; this pins that the approximation is meaningful, not noise)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        similarity,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    pq_top = similarity.pq_topk(emb, qs, k=5)
+    exact = similarity.brute_force_topk(emb, qs, k=5)
+    pq_sets = {}
+    for r in pq_top.collect():
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = tot = 0
+    for r in exact.collect():
+        tot += 1
+        if r.neighbor_id in pq_sets.get(r.query_id, set()):
+            hits += 1
+    assert hits / tot >= 0.3, f"recall@5 {hits}/{tot}"

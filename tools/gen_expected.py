@@ -426,6 +426,90 @@ def gen_hll_users(sf_dir: str, p: int = 10) -> pd.DataFrame:
     )
 
 
+def gen_pq_topk(
+    vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    train_sample: int = 512,
+    iters: int = 3,
+) -> pd.DataFrame:
+    """Independent PQ-ADC mirror of ``similarity.pq_topk``: Lloyd
+    codebooks trained on the hash-ordered sample, numpy encoding and
+    LUTs CALL-FOR-CALL identical to the engine kernels (numpy's
+    pairwise reductions differ from scalar folds, so sharing the numpy
+    formulas is what makes codes and LUT values bit-identical), the
+    distance fold and floor-6 truncation scalar like the engine's
+    expression."""
+    dsub = dim // m
+
+    def unit(v):
+        n = seq_norm(v)
+        return [float(x) / n for x in v]
+
+    hashed = sorted((xxhash64(i), i) for i, _ in vecs)
+    by_id = dict(vecs)
+    sample = np.array(
+        [unit(by_id[sid]) for _, sid in hashed[:train_sample]],
+        dtype=np.float64,
+    )
+    n_seed = min(ksub, len(sample))
+    books = np.empty((m, n_seed, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = sample[:, s * dsub : (s + 1) * dsub]
+        cs = xs[:n_seed].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(n_seed):
+                mask = a == c
+                if mask.any():
+                    cs[c] = xs[mask].mean(axis=0)
+        books[s] = cs
+
+    x = np.vstack([np.array(unit(v), dtype=np.float64) for _, v in vecs])
+    enc = np.empty((len(vecs), m), dtype=np.int64)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        enc[:, s] = d.argmin(axis=1)
+    codes = {i: enc[row] for row, (i, _) in enumerate(vecs)}
+
+    out = {"query_id": [], "neighbor_id": [], "pq_dist": [], "rank": []}
+    for row, (qid, _) in enumerate(vecs):
+        if qid >= 10:
+            continue
+        lut = [
+            ((x[row, s * dsub : (s + 1) * dsub][None, :] - books[s]) ** 2)
+            .sum(axis=1)
+            .tolist()
+            for s in range(m)
+        ]
+        scored = []
+        for nid, _ in vecs:
+            if nid == qid:
+                continue
+            acc = 0.0
+            for s in range(m):
+                acc += lut[s][codes[nid][s]]
+            scored.append((math.floor(acc * 1e6) / 1e6, nid))
+        scored.sort()
+        for rank, (d, nid) in enumerate(scored[:k], start=1):
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(nid)
+            out["pq_dist"].append(d)
+            out["rank"].append(rank)
+    return pd.DataFrame(out).astype(
+        {
+            "query_id": "int64",
+            "neighbor_id": "int64",
+            "pq_dist": "float64",
+            "rank": "int64",
+        }
+    )
+
+
 def gen_hll_user_overlap(sf_dir: str, p: int = 10) -> pd.DataFrame:
     """Independent HLL pairwise-overlap mirror of
     ``operators.sketches.hll_pairwise_overlap``: per-type registers,
@@ -539,6 +623,7 @@ def main() -> None:
         ("hll_distinct_users_by_type", gen_hll_users(sf_dir)),
         ("cms_user_counts", gen_cms_user_counts(sf_dir)),
         ("hll_user_overlap_by_type", gen_hll_user_overlap(sf_dir)),
+        ("embedding_topk_pq", gen_pq_topk(vecs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)

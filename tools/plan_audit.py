@@ -48,6 +48,10 @@ BOUNDED_BNLJ_OK = {
     # G×G cross of the DISTINCT group values (G = event types here),
     # bounded by group cardinality, never by data size
     "hll_user_overlap_by_type": "G x G group-pair grid over distinct groups",
+    # similarity.pq_topk — the ADC scan crosses the code stream with
+    # the broadcast query-LUT set (small by contract, like every
+    # query-set broadcast in the similarity family)
+    "embedding_topk_pq": "broadcast query-LUT cross join (ADC scan)",
     "order_priority_daily_gapfill": (
         "domain-bounded calendar grid (|priorities| x |days|)"
     ),
