@@ -78,6 +78,13 @@ HEADLINE = [
     "salted_join_rates",
     "cms_user_counts",
     "rare_token_ratio",
+    "hll_user_overlap_by_type",
+    "embedding_topk_pq",
+    "order_quality_checks",
+    "daily_order_anomalies",
+    "supplier_hierarchy_rollup",
+    "nation_revenue_analytics",
+    "doc_sentences_udtf",
 ]
 
 

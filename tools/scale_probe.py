@@ -299,6 +299,11 @@ def main() -> None:
             "daily_order_anomalies": relational.daily_order_anomalies,
             "order_quality_checks": entrymod.q_order_quality_checks,
             "bloom_semi_revenue": entrymod.q_bloom_semi_revenue,
+            # PQ: training is sample-bounded, encoding is a map stage,
+            # the ADC scan is linear in CODES — growth should track the
+            # corpus scan only
+            "embedding_topk_pq": entrymod.q_embedding_topk_pq,
+            "hll_user_overlap_by_type": entrymod.q_hll_user_overlap,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
