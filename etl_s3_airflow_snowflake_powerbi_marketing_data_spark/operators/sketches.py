@@ -167,7 +167,10 @@ def hll_pairwise_overlap(
     est_intersection) for group_a < group_b, floor-4-truncated like
     ``hll_finalize``.
     """
-    regs = hll_registers(df, key_col, [group_col], p)
+    # the register table feeds THREE consumers (per-group finalize and
+    # both sides of the pair replication) — materialize it once
+    # (G × ≤2^p rows) so the raw data is scanned exactly once, not 3×
+    regs = hll_registers(df, key_col, [group_col], p).localCheckpoint()
     singles = hll_finalize(regs, [group_col], p).select(
         F.col(group_col).alias("__g"),
         F.col("hll_estimate").alias("__est"),

@@ -41,6 +41,14 @@ _MANIFEST_DIR = "_versions"
 _MAX_COMMIT_RETRIES = 100
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A read-modify-write commit (DELETE / OPTIMIZE) found a version
+    committed after its base snapshot — publishing would silently drop
+    the concurrent writer's changes (lost update), so the operation
+    aborts instead. Retry against the new snapshot; the write-serializable
+    posture Delta calls a conflict."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, _MANIFEST_DIR)
 
@@ -221,11 +229,24 @@ def delete_where(
             )
             kept_prefixes.append(new_p)
         rewritten += 1
-    v = _publish(
-        path,
-        {"prefixes": kept_prefixes, "mode": "delete", "predicate": predicate},
-    )
-    return v, rewritten
+    def build(current_latest: int) -> dict:
+        # read-modify-write conflict detection: the survivor set was
+        # computed against ``latest`` — if anyone committed since,
+        # publishing would erase their changes (lost update). Abort;
+        # replace/append commits don't need this (their payloads are
+        # snapshot-independent or rebuilt per retry).
+        if current_latest != latest:
+            raise ConcurrentWriteError(
+                f"delete based on v{latest} but v{current_latest} is now "
+                "committed — rerun against the current snapshot"
+            )
+        return {
+            "prefixes": kept_prefixes,
+            "mode": "delete",
+            "predicate": predicate,
+        }
+
+    return _publish(path, build), rewritten
 
 
 def compact(
@@ -242,7 +263,8 @@ def compact(
     no extra job), floored at 1; the rewrite is one scan + one
     round-robin exchange.
     """
-    cur = read_version(spark, path)
+    latest = table_versions(path)[-1]
+    cur = read_version(spark, path, latest)
     try:
         size = int(
             cur._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -251,12 +273,23 @@ def compact(
         size = target_bytes
     n_files = max(1, -(-size // target_bytes))
     nonce = uuid.uuid4().hex[:12]
-    latest = table_versions(path)[-1]
     prefix = os.path.join("data", f"v{latest + 1}-{nonce}-opt")
     cur.repartition(n_files).write.mode("errorifexists").parquet(
         os.path.join(path, prefix)
     )
-    return _publish(path, {"prefixes": [prefix], "mode": "compact"})
+
+    def build(current_latest: int) -> dict:
+        # same read-modify-write conflict rule as delete_where: the
+        # rewrite captured snapshot ``latest``; a commit since then
+        # would be silently erased by publishing — abort instead
+        if current_latest != latest:
+            raise ConcurrentWriteError(
+                f"compaction based on v{latest} but v{current_latest} is "
+                "now committed — rerun against the current snapshot"
+            )
+        return {"prefixes": [prefix], "mode": "compact"}
+
+    return _publish(path, build)
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[str]:

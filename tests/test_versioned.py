@@ -279,3 +279,63 @@ def test_compact_is_content_identical_and_reduces_files(spark, tmp_path):
     # fragmented history still time-travels
     old = vt.read_version(spark, path, v - 1)
     assert old.count() == 50
+
+
+def test_delete_where_aborts_on_concurrent_commit(spark, tmp_path):
+    """Read-modify-write conflict: a commit landing between the delete's
+    snapshot read and its publish must ABORT the delete (publishing
+    would silently erase the concurrent writer's rows — lost update)."""
+    import json
+    import os
+
+    path = str(tmp_path / "t_del_conflict")
+    vt.write_version(spark.createDataFrame([(1,), (2,)], ["k"]), path)
+
+    real_publish = vt._publish
+    raced = {}
+
+    def racing_publish(p, manifest):
+        # simulate a concurrent appender winning a version first
+        if not raced:
+            raced["done"] = True
+            v = (vt.table_versions(p) or [0])[-1] + 1
+            os.makedirs(vt._manifest_dir(p), exist_ok=True)
+            with open(vt._manifest_path(p, v), "w") as fh:
+                json.dump({"prefixes": [], "version": v}, fh)
+        return real_publish(p, manifest)
+
+    vt._publish = racing_publish
+    try:
+        with pytest.raises(vt.ConcurrentWriteError):
+            vt.delete_where(spark, path, "k = 1")
+    finally:
+        vt._publish = real_publish
+    # nothing was clobbered: the racing commit is still the latest
+    assert vt.snapshot_prefixes(path) == []
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+    import json
+    import os
+
+    path = str(tmp_path / "t_opt_conflict")
+    vt.write_version(spark.createDataFrame([(1,), (2,)], ["k"]), path)
+
+    real_publish = vt._publish
+    raced = {}
+
+    def racing_publish(p, manifest):
+        if not raced:
+            raced["done"] = True
+            v = (vt.table_versions(p) or [0])[-1] + 1
+            os.makedirs(vt._manifest_dir(p), exist_ok=True)
+            with open(vt._manifest_path(p, v), "w") as fh:
+                json.dump({"prefixes": [], "version": v}, fh)
+        return real_publish(p, manifest)
+
+    vt._publish = racing_publish
+    try:
+        with pytest.raises(vt.ConcurrentWriteError):
+            vt.compact(spark, path)
+    finally:
+        vt._publish = real_publish
