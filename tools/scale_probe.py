@@ -113,6 +113,13 @@ def recall_probe(spark, sf_dir: str) -> dict:
         "topk_ivf_recall_at_5": topk_recall(
             similarity.ivf_topk(emb, queries, k=k)
         ),
+        # PQ is a lossy 32x compression scored in the compressed
+        # domain; on this near-orthogonal corpus (true neighbors at
+        # cosine ~0.35-0.45) recall is bounded by quantization error —
+        # tracked, not assumed, like the LSH/IVF numbers
+        "topk_pq_recall_at_5": topk_recall(
+            similarity.pq_topk(emb, queries, k=k)
+        ),
         "dup_pairs_exact": len(exact_pairs),
         "dup_pairs_lsh": len(lsh_pairs),
         "dup_pair_recall": round(
