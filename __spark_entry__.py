@@ -1346,6 +1346,18 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ index (operators/similarity.py:ivf_pq_topk —
+    FAISS IVFx,PQy): coarse cells cut the scanned fraction to
+    ~n_probe/n_cells, PQ codes shrink what IS scanned ~32×, and the ADC
+    join is keyed on cell so the shuffle carries only probed-cell
+    pairs. Oracle: the independent pure-Python replica."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketches.py:hll_pairwise_overlap):
     audience overlap between every event-type pair — union by register
@@ -1608,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_bucket_join": q_null_safe_bucket_join,
         "hll_user_overlap_by_type": q_hll_user_overlap,
         "embedding_topk_pq": q_embedding_topk_pq,
+        "embedding_topk_ivf_pq": q_embedding_topk_ivf_pq,
     }
 
 
@@ -3320,6 +3333,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_pq": """
             SELECT query_id, neighbor_id, pq_dist, rank
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_pq.parquet')
+            ORDER BY query_id, rank
+        """,
+        "embedding_topk_ivf_pq": """
+            SELECT query_id, neighbor_id, pq_dist, rank
+            FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_ivf_pq.parquet')
             ORDER BY query_id, rank
         """,
         "hll_user_overlap_by_type": """

@@ -956,3 +956,123 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    train_sample: int = 512,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF-PQ: the composed FAISS ``IVFx,PQy`` index — coarse cells cut
+    the scanned fraction to ~n_probe/n_cells, PQ codes shrink what IS
+    scanned ~32×. Together they answer ANN against data that fits
+    neither a full scan budget nor a vector-sized memory budget.
+
+    Coarse stage: the deterministic sampled-centroid literal and
+    cosine cell assignment of :func:`ivf_topk` (cell choice is a pure
+    projection). Fine stage: the trained subspace codebooks, Arrow
+    numpy encoding, and LUT-summed asymmetric distances of
+    :func:`pq_topk` — but the ADC join is keyed on ``cell``, so the
+    shuffle carries only (probed-cell, codes) pairs instead of the
+    all-pairs cross of the flat PQ scan.
+
+    Ranking is by compressed-domain distance (deterministic; the
+    pure-Python oracle replays cells, codes, LUTs, and the fold
+    call-for-call). Production variants exact-re-rank the top ~4k
+    candidates; composing :func:`brute_force_topk` over this output
+    does that here.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    dsub = dim // m
+    cent = _collect_centroids(
+        sampled_centroids(corpus, id_col, vec_col, n_cells)
+    )
+    centroid_lit = _centroid_literal(cent)
+    books = train_pq_codebooks(
+        corpus, id_col, vec_col, m, ksub, dim, train_sample, iters
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def encode_batches(it):
+        for pdf in it:
+            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
+            out = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["__id"],
+                    "cell": pdf["cell"],
+                    "codes": list(out),
+                }
+            )
+
+    def lut_batches(it):
+        for pdf in it:
+            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
+            rows = [
+                [
+                    (
+                        (x[i, s * dsub : (s + 1) * dsub][None, :] - books[s])
+                        ** 2
+                    ).sum(axis=1).tolist()
+                    for s in range(m)
+                ]
+                for i in range(len(x))
+            ]
+            yield pd.DataFrame({"query_id": pdf["__id"], "lut": rows})
+
+    corpus_u = with_unit_vector(corpus, vec_col, "__u")
+    codes = corpus_u.select(
+        F.col(id_col).alias("__id"),
+        "__u",
+        _nearest_cells(F.col(vec_col), centroid_lit, 1)[0].alias("cell"),
+    ).mapInPandas(
+        encode_batches,
+        f"neighbor_id {id_type}, cell int, codes array<int>",
+    )
+    q_u = with_unit_vector(queries, vec_col, "__u")
+    q_cells = q_u.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroid_lit, n_probe)
+        ).alias("cell"),
+    )
+    luts = q_u.select(F.col(id_col).alias("__id"), "__u").mapInPandas(
+        lut_batches, f"query_id {id_type}, lut array<array<double>>"
+    )
+    probe = q_cells.join(luts, "query_id")  # tiny × tiny
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, lut_s: F.element_at(lut_s, code + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(probe), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", trunc6(dist).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -353,3 +353,20 @@ def test_pq_approximates_exact_ranking(spark, sf_dir):
         if r.neighbor_id in pq_sets.get(r.query_id, set()):
             hits += 1
     assert hits / tot >= 0.3, f"recall@5 {hits}/{tot}"
+
+
+def test_ivf_pq_generator_matches_spark(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from tools import gen_expected
+
+    expected = gen_expected.gen_ivf_pq_topk(
+        gen_expected.load_embeddings(sf_dir)
+    )
+    got = entrymod.q_embedding_topk_ivf_pq(spark, sf_dir).toPandas()
+    assert got.columns.tolist() == expected.columns.tolist()
+    assert len(got) == len(expected)
+    for (_, g), (_, e) in zip(got.iterrows(), expected.iterrows()):
+        assert (g["query_id"], g["neighbor_id"], g["rank"]) == (
+            e["query_id"], e["neighbor_id"], e["rank"],
+        )
+        assert abs(g["pq_dist"] - e["pq_dist"]) < 1e-12

@@ -510,6 +510,108 @@ def gen_pq_topk(
     )
 
 
+def gen_ivf_pq_topk(
+    vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    train_sample: int = 512,
+    iters: int = 3,
+) -> pd.DataFrame:
+    """Independent IVF-PQ mirror of ``similarity.ivf_pq_topk``: the
+    sampled-centroid cosine cell machinery of ``gen_ivf_topk`` composed
+    with the trained-codebook numpy PQ of ``gen_pq_topk`` — candidates
+    come from the ``n_probe`` nearest cells, ranked by the
+    compressed-domain distance."""
+    dsub = dim // m
+
+    def unit(v):
+        n = seq_norm(v)
+        return [float(x) / n for x in v]
+
+    hashed = sorted((xxhash64(i), i) for i, _ in vecs)
+    by_id = dict(vecs)
+    centroids = [
+        (cell + 1, by_id[i]) for cell, (_, i) in enumerate(hashed[:n_cells])
+    ]
+
+    def probe(vec, probes):
+        sims = sorted(
+            ((cell, seq_cosine(vec, cv)) for cell, cv in centroids),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return [cell for cell, _ in sims[:probes]]
+
+    cell_members: dict[int, list[int]] = {}
+    for i, v in vecs:
+        cell_members.setdefault(probe(v, 1)[0], []).append(i)
+
+    sample = np.array(
+        [unit(by_id[sid]) for _, sid in hashed[:train_sample]],
+        dtype=np.float64,
+    )
+    n_seed = min(ksub, len(sample))
+    books = np.empty((m, n_seed, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = sample[:, s * dsub : (s + 1) * dsub]
+        cs = xs[:n_seed].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(n_seed):
+                mask = a == c
+                if mask.any():
+                    cs[c] = xs[mask].mean(axis=0)
+        books[s] = cs
+
+    x = np.vstack([np.array(unit(v), dtype=np.float64) for _, v in vecs])
+    enc = np.empty((len(vecs), m), dtype=np.int64)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        enc[:, s] = d.argmin(axis=1)
+    row_of = {i: row for row, (i, _) in enumerate(vecs)}
+
+    out = {"query_id": [], "neighbor_id": [], "pq_dist": [], "rank": []}
+    for qid, qv in vecs:
+        if qid >= 10:
+            continue
+        qrow = row_of[qid]
+        lut = [
+            ((x[qrow, s * dsub : (s + 1) * dsub][None, :] - books[s]) ** 2)
+            .sum(axis=1)
+            .tolist()
+            for s in range(m)
+        ]
+        cand: set[int] = set()
+        for cell in probe(qv, n_probe):
+            cand.update(cell_members.get(cell, []))
+        cand.discard(qid)
+        scored = []
+        for nid in cand:
+            acc = 0.0
+            for s in range(m):
+                acc += lut[s][enc[row_of[nid], s]]
+            scored.append((math.floor(acc * 1e6) / 1e6, nid))
+        scored.sort()
+        for rank, (d, nid) in enumerate(scored[:k], start=1):
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(nid)
+            out["pq_dist"].append(d)
+            out["rank"].append(rank)
+    return pd.DataFrame(out).astype(
+        {
+            "query_id": "int64",
+            "neighbor_id": "int64",
+            "pq_dist": "float64",
+            "rank": "int64",
+        }
+    )
+
+
 def gen_hll_user_overlap(sf_dir: str, p: int = 10) -> pd.DataFrame:
     """Independent HLL pairwise-overlap mirror of
     ``operators.sketches.hll_pairwise_overlap``: per-type registers,
@@ -624,6 +726,7 @@ def main() -> None:
         ("cms_user_counts", gen_cms_user_counts(sf_dir)),
         ("hll_user_overlap_by_type", gen_hll_user_overlap(sf_dir)),
         ("embedding_topk_pq", gen_pq_topk(vecs)),
+        ("embedding_topk_ivf_pq", gen_ivf_pq_topk(vecs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
