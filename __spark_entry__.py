@@ -1346,6 +1346,56 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_user_order_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform — the one Arrow API surface the other
+    pandas paths (grouped applyInPandas, mapInPandas, stateful) don't
+    cover: events and orders cogrouped per user key, one profile row
+    per key computed in pandas from BOTH sides (either may be absent —
+    full-outer cogroup semantics).
+
+    Determinism discipline: every cogroup-side value is an integer
+    (counts; order totals pre-converted to exact cents via decimal
+    ROUND_HALF_UP before the Arrow boundary), so pandas-side sums are
+    order-independent no matter how rows land in the batch. The oracle
+    is the equivalent full-outer join of two aggregates."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ukey"), "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ukey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).withColumn(
+        "price_cents", (F.col("price") * 100).cast("long")
+    ).drop("price")
+
+    def profile(key, ev_pdf, ord_pdf):
+        import pandas as pd  # noqa: PLC0415
+
+        return pd.DataFrame(
+            {
+                "ukey": [key[0]],
+                "n_events": [len(ev_pdf)],
+                "n_views": [int((ev_pdf["event_type"] == "view").sum())],
+                "n_purchases": [
+                    int((ev_pdf["event_type"] == "purchase").sum())
+                ],
+                "n_orders": [len(ord_pdf)],
+                "total_cents": [int(ord_pdf["price_cents"].sum())],
+            }
+        )
+
+    out = (
+        events.groupBy("ukey")
+        .cogroup(orders.groupBy("ukey"))
+        .applyInPandas(
+            profile,
+            "ukey long, n_events long, n_views long, n_purchases long, "
+            "n_orders long, total_cents long",
+        )
+    )
+    return out.orderBy("ukey")
+
+
 def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ index (operators/similarity.py:ivf_pq_topk —
     FAISS IVFx,PQy): coarse cells cut the scanned fraction to
@@ -1621,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_user_overlap_by_type": q_hll_user_overlap,
         "embedding_topk_pq": q_embedding_topk_pq,
         "embedding_topk_ivf_pq": q_embedding_topk_ivf_pq,
+        "user_order_cogroup_profile": q_user_order_cogroup,
     }
 
 
@@ -3334,6 +3385,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, pq_dist, rank
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_pq.parquet')
             ORDER BY query_id, rank
+        """,
+        "user_order_cogroup_profile": """
+            WITH e AS (
+              SELECT user_id AS ukey,
+                     COUNT(*) AS n_events,
+                     SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS n_views,
+                     SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS n_purchases
+              FROM events GROUP BY user_id
+            ), o AS (
+              SELECT o_custkey AS ukey,
+                     COUNT(*) AS n_orders,
+                     SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS total_cents
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT COALESCE(e.ukey, o.ukey) AS ukey,
+                   CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+                   CAST(COALESCE(e.n_views, 0) AS BIGINT) AS n_views,
+                   CAST(COALESCE(e.n_purchases, 0) AS BIGINT) AS n_purchases,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(o.total_cents, 0) AS BIGINT) AS total_cents
+            FROM e FULL OUTER JOIN o ON e.ukey = o.ukey
+            ORDER BY ukey
         """,
         "embedding_topk_ivf_pq": """
             SELECT query_id, neighbor_id, pq_dist, rank

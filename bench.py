@@ -80,6 +80,7 @@ HEADLINE = [
     "rare_token_ratio",
     "hll_user_overlap_by_type",
     "embedding_topk_pq",
+    "embedding_topk_ivf_pq",
     "order_quality_checks",
     "daily_order_anomalies",
     "supplier_hierarchy_rollup",
