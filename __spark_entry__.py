@@ -1346,6 +1346,16 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (functions/text.py:hashed_features): BoW folded
+    into 256 signed-hash dims — vocabulary-free featurization, md5-
+    indexed so BOTH engines compute identical indexes/signs and the
+    oracle is plain SQL."""
+    return text_fn.hashed_features(
+        load_table(spark, sf_dir, "documents"), dim=256
+    ).orderBy("doc_id", "feature_index")
+
+
 def q_user_order_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped pandas transform — the one Arrow API surface the other
     pandas paths (grouped applyInPandas, mapInPandas, stateful) don't
@@ -1672,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_pq": q_embedding_topk_pq,
         "embedding_topk_ivf_pq": q_embedding_topk_ivf_pq,
         "user_order_cogroup_profile": q_user_order_cogroup,
+        "doc_hashed_features": q_doc_hashed_features,
     }
 
 
@@ -3385,6 +3396,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, pq_dist, rank
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_pq.parquet')
             ORDER BY query_id, rank
+        """,
+        "doc_hashed_features": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, md5(term) AS h
+              FROM toks WHERE length(term) > 0
+            )
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substring(h, 1, 8)) AS UBIGINT) % 256
+                        AS BIGINT) AS feature_index,
+                   CAST(SUM(CASE WHEN
+                          CAST(('0x' || substring(h, 9, 1)) AS UBIGINT) % 2
+                            = 0
+                          THEN 1 ELSE -1 END) AS BIGINT) AS weight
+            FROM nz
+            GROUP BY doc_id, feature_index
+            HAVING SUM(CASE WHEN
+                     CAST(('0x' || substring(h, 9, 1)) AS UBIGINT) % 2 = 0
+                     THEN 1 ELSE -1 END) != 0
+            ORDER BY doc_id, feature_index
         """,
         "user_order_cogroup_profile": """
             WITH e AS (

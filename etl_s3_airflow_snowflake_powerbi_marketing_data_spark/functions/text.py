@@ -217,6 +217,50 @@ def rare_token_ratio(
     )
 
 
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    bag-of-words folded into a fixed ``dim``-dimensional sparse vector
+    with a signed hash — the deterministic featurizer that bridges the
+    text family to the similarity family (hashed vectors feed sparse
+    dot products, LSH banding, or PQ without a vocabulary table).
+
+    Index and sign derive from md5 (index = first 8 hex digits mod dim,
+    sign = parity of the 9th) rather than xxhash64 — md5 is the one
+    hash every engine computes identically, so the whole operator stays
+    EXACTLY SQL-expressible and the oracle needs no expected file.
+
+    Output: sparse (id, feature_index, weight) rows, zero entries
+    absent. Plan: explode → one map-side-combinable groupBy on
+    (id, index) — vocabulary size never matters, which is the point of
+    the trick.
+    """
+    toks = _spread_if_narrow(df).select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    h = F.md5(F.col("term"))
+    idx = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(id_col, idx.alias("feature_index"), sign.alias("__s"))
+        .groupBy(id_col, "feature_index")
+        .agg(F.sum("__s").cast("long").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
 def _spread_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition only when the scan yields fewer splits than the
     session's parallelism (few/large row groups — the regex suite below
