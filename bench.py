@@ -86,6 +86,8 @@ HEADLINE = [
     "supplier_hierarchy_rollup",
     "nation_revenue_analytics",
     "doc_sentences_udtf",
+    "user_order_cogroup_profile",
+    "doc_hashed_features",
 ]
 
 
