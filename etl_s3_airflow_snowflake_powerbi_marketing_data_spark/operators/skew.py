@@ -117,6 +117,14 @@ def salted_join(
     replicated = build.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__s")
     ).withColumn("__salt", F.col("__s").cast("int")).drop("__s")
+    # Pin the SHUFFLE-HASH shape salting exists for: without the hint
+    # the planner may broadcast whichever side its size estimate says
+    # fits — at small SF that was the PROBE side (measured: a 600K-row
+    # probe broadcast), the exact inversion of the operator's intent,
+    # and a broadcast join has no reducer skew for salting to fix in
+    # the first place. shuffle_hash on the replicated side keeps the
+    # join a (keys, salt)-partitioned hash join with the bounded
+    # replica set as the build side at every scale.
     return salted_probe.join(
-        replicated, [*on, "__salt"], how
+        replicated.hint("shuffle_hash"), [*on, "__salt"], how
     ).drop("__salt")
