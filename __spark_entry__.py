@@ -1533,19 +1533,80 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Rotation of the driver's 50-entry CORRECTNESS window (VERDICT r04 #1):
+# the driver grades the FIRST 50 names of queries(), and rounds 1-4 all
+# graded the identical 50. This round the front 50 holds 8 regression
+# canaries (one per long-graded family: star build, the four KPI views,
+# merge, LSH dedup, HLL) plus 42 round-3/4 queries the driver has NEVER
+# graded. The remaining ungraded 27 rotate in next round; every query not
+# in this round's window stays verified by tools/check_oracles.py on a
+# vanilla session (the judge's local gate).
+_R5_FRONT_50 = [
+    # canaries (graded green r01-r04; keep one per family)
+    "fact_events",
+    "kpi_view_count_by_period",
+    "kpi_item_view_rank_by_period",
+    "kpi_most_viewed_item_latest_period",
+    "kpi_top_event_type_by_period",
+    "merge_update_orders",
+    "minhash_lsh_dups",
+    "hll_distinct_users_by_type",
+    # never-driver-graded (r3/r4 families, per VERDICT r04 list)
+    "versioned_orders_time_travel",
+    "versioned_delete_compact",
+    "merge_scd2_orders",
+    "bloom_semi_revenue",
+    "salted_join_rates",
+    "cms_user_counts",
+    "streaming_cms_user_counts",
+    "hll_user_overlap_by_type",
+    "hll_sketch_merge_rollup",
+    "supplier_hierarchy_rollup",
+    "order_quality_checks",
+    "doc_sentences_udtf",
+    "embedding_topk_pq",
+    "embedding_topk_ivf_pq",
+    "embedding_topk_ivf",
+    "fuzzy_part_name_matches",
+    "line_dedup_docs",
+    "tfidf_top_terms",
+    "rare_token_ratio",
+    "dup_span_hotspots",
+    "doc_hashed_features",
+    "gopher_quality_flags",
+    "dedup_incremental_docs",
+    "dedup_near_docs",
+    "exact_dup_groups",
+    "embedding_kmeans_clusters",
+    "weighted_sample_docs",
+    "doc_split_assign",
+    "corpus_shuffle_order",
+    "user_order_cogroup_profile",
+    "nation_revenue_analytics",
+    "nation_trade_volume",
+    "daily_order_anomalies",
+    "dim_item",
+    "dim_user",
+    "dim_parameter",
+    "range_clustered_scan",
+    "zorder_clustered_scan",
+    "partitioned_events_by_type",
+    "bucketed_segment_revenue",
+    "orc_roundtrip_flags",
+    "jsonl_roundtrip_docs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered most-important-first, and — per VERDICT r02 — arranged so
-    ONE representative of EVERY operator family sits inside the first
-    50 entries (the driver's CORRECTNESS report window): the r02 report
-    truncated positions 51-76, which silently dropped the only
-    full-outer / cube / grouping-sets / pivot / percentile / set-ops /
-    frame / as-of / interval-join representatives. Variants with a
-    surviving front-50 sibling fill the tail. The O(N^2) exact
-    similarity baselines (brute top-k, all-pairs cosine) are NOT
+    """Registry of every implemented query/operator (SURVEY §2 + the
+    training-data extensions), reordered so the driver's 50-entry
+    CORRECTNESS window (_R5_FRONT_50) grades the round-3/4 additions it
+    has never seen, with 8 long-green canaries retained. The O(N^2)
+    exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
     test_dedup_similarity.py); every registered similarity query is
     subquadratic by plan (asserted in tests/test_plan_quality.py)."""
-    return {
+    all_q = {
         # --- 1-50: one representative per operator family ------------
         # star-schema builds (SURVEY §2.2 P1-P9; dim_user/dim_parameter/
         # dim_item are shape-siblings of dim_event → tail)
@@ -1692,6 +1753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_order_cogroup_profile": q_user_order_cogroup,
         "doc_hashed_features": q_doc_hashed_features,
     }
+    ordered = {name: all_q[name] for name in _R5_FRONT_50}
+    ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
+    assert len(ordered) == len(all_q)
+    return ordered
 
 
 # ---------------------------------------------------------------------------
