@@ -505,10 +505,12 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer nation x ship-month revenue, for pairs where the two
     nations differ.
 
-    Join strategy at scale: lineitem joins supplier (broadcast — 10K
-    rows/SF) and nation twice (broadcast — 25 rows, aliased per role);
-    the ONLY real shuffle is lineitem ⋈ orders on orderkey, after which
-    the groupBy is map-side combinable. Six-way join, one shuffle.
+    Join strategy at scale: lineitem joins nation twice (broadcast —
+    25 fixed rows, aliased per role); supplier and customer grow with
+    SF so they carry no hint — AQE broadcasts them wherever they fit
+    and falls back to shuffle at scale. The unavoidable shuffle is
+    lineitem ⋈ orders on orderkey, after which the groupBy is map-side
+    combinable.
     Extends the reference's single inner-equi-join surface (SURVEY
     §2.5 — "joins beyond inner-equi" absent there) with the multi-role
     dim pattern (same nation table joined under two aliases).
@@ -535,12 +537,12 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        # customer is NOT force-broadcast: it grows 150K rows/SF, a
-        # driver-memory hazard at large SF. Let AQE pick broadcast vs
-        # shuffle from measured size; only the truly fixed-size dims
-        # (supplier 10K/SF is borderline-acceptable, nation 25 rows)
-        # are pinned.
+        # supplier and customer are NOT force-broadcast: both grow
+        # linearly with data volume (10K and 150K rows/SF) — a pinned
+        # broadcast is a driver-memory hazard at large SF. AQE still
+        # broadcasts them from measured size at any SF where they fit;
+        # only the truly fixed-size nation dim (25 rows) is pinned.
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))

@@ -118,18 +118,18 @@ def test_pack_and_decontam_plan_shape(spark):
 
 
 def test_nation_trade_volume_broadcasts_all_dims(spark):
-    """Q7-shape: the fixed-size dims (supplier, nation x2) must
-    broadcast. customer grows 150K rows/SF so it is deliberately NOT
-    pinned (a forced broadcast is a driver-memory hazard at large SF) —
-    AQE may still pick broadcast at tiny SF or shuffle at scale, both
-    fine. lineitem x orders may shuffle (the one legitimate shuffle at
-    scale) — either way, never a nested-loop/cartesian plan."""
+    """Q7-shape: the fixed-size nation dim (two aliased roles) must
+    broadcast. supplier (10K rows/SF) and customer (150K rows/SF) grow
+    linearly so neither is pinned (a forced broadcast is a driver-memory
+    hazard at large SF) — AQE may still pick broadcast at tiny SF or
+    shuffle at scale, both fine. lineitem x orders may shuffle (the one
+    legitimate shuffle at scale) — either way, never a
+    nested-loop/cartesian plan."""
     plan = _plan(relational.nation_trade_volume(spark, SF))
     n_broadcast = plan.count("BroadcastHashJoin")
     n_shuffle = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
-    assert n_broadcast >= 3
+    assert n_broadcast >= 2  # the two nation roles, at minimum
     assert n_broadcast + n_shuffle == 5
-    assert n_shuffle <= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -137,15 +137,21 @@ def test_nation_trade_volume_broadcasts_all_dims(spark):
 def test_no_pinned_broadcast_of_scale_growing_tables():
     """Broadcast hints may only pin genuinely fixed-size dims (nation
     25 rows, region 5, 1-row/`O(groups)` aggregates). customer (150K
-    rows/SF), orders, and lineitem grow linearly with data volume — a
-    pinned ``F.broadcast`` of any of them is a driver/executor OOM at
-    large SF regardless of what AQE would have chosen. Assert at the
+    rows/SF), supplier (10K rows/SF), orders, and lineitem grow
+    linearly with data volume — a pinned ``F.broadcast`` of any of
+    them is a driver/executor OOM at large SF regardless of what AQE
+    would have chosen. Assert at the
     source level so no future query reintroduces the hazard; AQE
     remains free to broadcast them at small SF where they fit."""
     import pathlib
 
     src = pathlib.Path(relational.__file__).read_text()
-    for bad in ("F.broadcast(cust", "F.broadcast(orders", "F.broadcast(li"):
+    for bad in (
+        "F.broadcast(cust",
+        "F.broadcast(orders",
+        "F.broadcast(li",
+        "F.broadcast(supp",
+    ):
         assert bad not in src, f"scale-growing table pinned broadcast: {bad}"
 
 
