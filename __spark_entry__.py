@@ -386,8 +386,15 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the production-quality knobs on: Lloyd-trained
+    coarse centroids (train_iters=2) and 8-probe search — measured
+    recall@5 0.48 → 0.82 on the sf0.1 corpus (RECALL_PROBE.json)
+    versus the untrained 4-probe config. Training is iters × (one scan
+    + one (cell, dim) shuffle), driver state O(cells × dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_probe=8, train_iters=2
+    )
 
 
 def q_order_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,9 +1348,13 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the compressed-domain scale path completing the similarity
     ladder (brute force → LSH → IVF → PQ). Deterministic codebooks
     (hash-sampled unit seeds), so the oracle is the independent
-    pure-Python replica."""
+    pure-Python replica. refine_factor=10 adds the FAISS exact re-rank
+    of the ADC top-50 shortlist: recall@5 0.40 → 0.92
+    (RECALL_PROBE.json) for one config-bounded broadcast join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, refine_factor=10
+    )
 
 
 def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,10 +1430,17 @@ def q_embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAISS IVFx,PQy): coarse cells cut the scanned fraction to
     ~n_probe/n_cells, PQ codes shrink what IS scanned ~32×, and the ADC
     join is keyed on cell so the shuffle carries only probed-cell
-    pairs. Oracle: the independent pure-Python replica."""
+    pairs. Oracle: the independent pure-Python replica. Quality knobs
+    on: trained coarse centroids + 8 probes + exact re-rank of the ADC
+    top-80 shortlist — recall@5 0.40 → 0.82 (RECALL_PROBE.json)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_probe=8,
+        train_iters=2,
+        refine_factor=16,
     )
 
 
@@ -3466,7 +3484,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "embedding_topk_pq": """
-            SELECT query_id, neighbor_id, pq_dist, rank
+            SELECT query_id, neighbor_id, cosine_sim, rank
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_pq.parquet')
             ORDER BY query_id, rank
         """,
@@ -3520,7 +3538,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ukey
         """,
         "embedding_topk_ivf_pq": """
-            SELECT query_id, neighbor_id, pq_dist, rank
+            SELECT query_id, neighbor_id, cosine_sim, rank
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_ivf_pq.parquet')
             ORDER BY query_id, rank
         """,

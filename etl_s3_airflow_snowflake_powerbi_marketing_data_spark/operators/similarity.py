@@ -791,6 +791,48 @@ def _scalar_unit(vec) -> list[float]:
     return [float(x) / n for x in vec]
 
 
+def _refine_topk(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a compressed-domain shortlist — the
+    standard FAISS ``refine`` step (``IndexRefineFlat``): the
+    approximate index proposes ~refine_factor×k candidates per query,
+    then the candidates' ORIGINAL vectors are fetched and re-scored
+    with true cosine so quantization error cannot misorder the final
+    top-k. Output matches :func:`lsh_topk`/:func:`ivf_topk`:
+    (query_id, neighbor_id, cosine_sim, rank).
+
+    Scale shape: the shortlist is O(queries × refine_factor × k) rows —
+    bounded by CONFIG, not corpus size — so it joins the corpus
+    broadcast; one corpus-side probe scan, no extra shuffle of the
+    corpus."""
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    sl = shortlist.join(qvec, "query_id")  # tiny x tiny
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    rescored = nvec.join(F.broadcast(sl), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        trunc6(cosine(F.col("__qv"), F.col("__nv"))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -849,6 +891,7 @@ def pq_topk(
     dim: int = 64,
     train_sample: int = 512,
     iters: int = 3,
+    refine_factor: int = 0,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) — Jégou et al., "Product quantization for nearest neighbor
@@ -877,6 +920,14 @@ def pq_topk(
     broadcast; the only shuffle is the final per-query top-k. Compose
     with IVF cells to cut the scanned fraction — this operator is the
     compressed scorer.
+
+    ``refine_factor > 0`` adds the FAISS refine step: the ADC pass
+    keeps only a top-(refine_factor × k) shortlist per query, which is
+    then re-ranked by TRUE cosine over the original vectors
+    (:func:`_refine_topk`) — measured recall@5 rises 0.40 → 0.92 at
+    refine_factor=10 on the sf0.1 corpus (RECALL_PROBE.json) for one
+    extra config-bounded broadcast join. Output columns switch from
+    ``pq_dist`` to ``cosine_sim`` accordingly.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -951,6 +1002,13 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id")
     )
+    if refine_factor > 0:
+        shortlist = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= refine_factor * k)
+            .select("query_id", "neighbor_id")
+        )
+        return _refine_topk(shortlist, corpus, queries, k, id_col, vec_col)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -971,6 +1029,8 @@ def ivf_pq_topk(
     dim: int = 64,
     train_sample: int = 512,
     iters: int = 3,
+    train_iters: int = 0,
+    refine_factor: int = 0,
 ) -> DataFrame:
     """IVF-PQ: the composed FAISS ``IVFx,PQy`` index — coarse cells cut
     the scanned fraction to ~n_probe/n_cells, PQ codes shrink what IS
@@ -985,18 +1045,27 @@ def ivf_pq_topk(
     shuffle carries only (probed-cell, codes) pairs instead of the
     all-pairs cross of the flat PQ scan.
 
-    Ranking is by compressed-domain distance (deterministic; the
-    pure-Python oracle replays cells, codes, LUTs, and the fold
-    call-for-call). Production variants exact-re-rank the top ~4k
-    candidates; composing :func:`brute_force_topk` over this output
-    does that here.
+    ``train_iters > 0`` Lloyd-refines the coarse centroids
+    (:func:`train_ivf_centroids`) so probed cells cover more true
+    neighbors; ``refine_factor > 0`` exact-re-ranks the ADC
+    top-(refine_factor × k) shortlist per query with true cosine
+    (:func:`_refine_topk`, output columns ``cosine_sim``/``rank``) —
+    the two standard FAISS quality knobs, both config-bounded.
+    Without them, ranking is by compressed-domain distance
+    (deterministic; the pure-Python oracle replays cells, codes, LUTs,
+    and the fold call-for-call either way).
     """
     import numpy as np  # noqa: PLC0415
 
     dsub = dim // m
-    cent = _collect_centroids(
-        sampled_centroids(corpus, id_col, vec_col, n_cells)
-    )
+    if train_iters > 0:
+        cent = train_ivf_centroids(
+            corpus, id_col, vec_col, n_cells, train_iters
+        )
+    else:
+        cent = _collect_centroids(
+            sampled_centroids(corpus, id_col, vec_col, n_cells)
+        )
     centroid_lit = _centroid_literal(cent)
     books = train_pq_codebooks(
         corpus, id_col, vec_col, m, ksub, dim, train_sample, iters
@@ -1071,6 +1140,13 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id")
     )
+    if refine_factor > 0:
+        shortlist = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= refine_factor * k)
+            .select("query_id", "neighbor_id")
+        )
+        return _refine_topk(shortlist, corpus, queries, k, id_col, vec_col)
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)

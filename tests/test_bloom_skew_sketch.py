@@ -326,7 +326,7 @@ def test_pq_generator_matches_spark(spark, sf_dir):
         assert (g["query_id"], g["neighbor_id"], g["rank"]) == (
             e["query_id"], e["neighbor_id"], e["rank"],
         )
-        assert abs(g["pq_dist"] - e["pq_dist"]) < 1e-12
+        assert abs(g["cosine_sim"] - e["cosine_sim"]) < 1e-12
 
 
 def test_pq_approximates_exact_ranking(spark, sf_dir):
@@ -369,4 +369,4 @@ def test_ivf_pq_generator_matches_spark(spark, sf_dir):
         assert (g["query_id"], g["neighbor_id"], g["rank"]) == (
             e["query_id"], e["neighbor_id"], e["rank"],
         )
-        assert abs(g["pq_dist"] - e["pq_dist"]) < 1e-12
+        assert abs(g["cosine_sim"] - e["cosine_sim"]) < 1e-12

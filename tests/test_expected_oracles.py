@@ -84,7 +84,19 @@ def test_generators_match_spark_on_alternate_sf(spark, sf_dir):
             similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5),
         ),
         (
+            # registered config: trained coarse centroids + 8 probes
             gen_expected.gen_ivf_topk(vecs),
+            similarity.ivf_topk(
+                emb,
+                emb.filter(F.col("vec_id") < 10),
+                k=5,
+                n_probe=8,
+                train_iters=2,
+            ),
+        ),
+        (
+            # untrained 4-probe variant still mirrored (train_iters=0)
+            gen_expected.gen_ivf_topk(vecs, n_probe=4, train_iters=0),
             similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5),
         ),
         (

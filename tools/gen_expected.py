@@ -255,11 +255,27 @@ def gen_lsh_topk(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
     return _rank_topk(scored, k)
 
 
-def gen_ivf_topk(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
-    k, n_cells, n_probe = 5, 16, 4
-    hashed = sorted((xxhash64(i), i) for i, _ in vecs)
+def gen_ivf_topk(
+    vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    train_iters: int = 2,
+) -> pd.DataFrame:
+    """Mirror of the REGISTERED ``q_embedding_topk_ivf`` config:
+    Lloyd-trained coarse centroids (``_lloyd_centroids``) + 8-probe
+    search. ``train_iters=0`` reproduces the untrained hash-sample
+    centroids."""
     by_id = dict(vecs)
-    centroids = [(cell + 1, by_id[i]) for cell, (_, i) in enumerate(hashed[:n_cells])]
+    if train_iters > 0:
+        cent = _lloyd_centroids(vecs, n_cells, train_iters)
+        centroids = sorted(cent.items())
+    else:
+        hashed = sorted((xxhash64(i), i) for i, _ in vecs)
+        centroids = [
+            (cell + 1, by_id[i])
+            for cell, (_, i) in enumerate(hashed[:n_cells])
+        ]
 
     def probe(vec: list[float], probes: int) -> list[int]:
         sims = sorted(
@@ -297,14 +313,15 @@ def _decimal12(x: float):
     )
 
 
-def gen_kmeans_clusters(
-    vecs: list[tuple[int, list[float]]], n_cells: int = 8, iters: int = 3
-) -> pd.DataFrame:
-    """Independent Lloyd k-means mirroring operators/similarity.py
-    semantics: smallest-id-hash seeds, cosine assignment with
-    (sim DESC, cell ASC) tie-break, per-dim means accumulated in
-    decimal-12 with one float division, empty cells keep their
-    centroid."""
+def _lloyd_centroids(
+    vecs: list[tuple[int, list[float]]], n_cells: int, iters: int
+) -> dict[int, list[float]]:
+    """Independent Lloyd trainer mirroring
+    ``similarity.train_ivf_centroids`` semantics: smallest-id-hash
+    seeds, cosine assignment with (sim DESC, cell ASC) tie-break,
+    per-dim means accumulated in decimal-12 with one float division,
+    empty cells keep their centroid. Shared by the kmeans, trained-IVF
+    and trained-IVF-PQ replicas."""
     hashed = sorted((xxhash64(i), i) for i, _ in vecs)
     by_id = dict(vecs)
     cent: dict[int, list[float]] = {
@@ -329,6 +346,22 @@ def gen_kmeans_clusters(
                 float(sum(_decimal12(v[d]) for v in vs)) / n
                 for d in range(len(vs[0]))
             ]
+    return cent
+
+
+def gen_kmeans_clusters(
+    vecs: list[tuple[int, list[float]]], n_cells: int = 8, iters: int = 3
+) -> pd.DataFrame:
+    """Independent Lloyd k-means mirroring operators/similarity.py
+    semantics (see ``_lloyd_centroids``)."""
+    cent = _lloyd_centroids(vecs, n_cells, iters)
+
+    def best(v: list[float]) -> int:
+        return min(
+            ((c, seq_cosine(v, cv)) for c, cv in cent.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[0]
+
     out = {"vec_id": [], "cell": [], "centroid_sim": []}
     for i, v in sorted(vecs):
         fv = [float(x) for x in v]
@@ -434,6 +467,7 @@ def gen_pq_topk(
     dim: int = 64,
     train_sample: int = 512,
     iters: int = 3,
+    refine_factor: int = 10,
 ) -> pd.DataFrame:
     """Independent PQ-ADC mirror of ``similarity.pq_topk``: Lloyd
     codebooks trained on the hash-ordered sample, numpy encoding and
@@ -476,8 +510,9 @@ def gen_pq_topk(
         enc[:, s] = d.argmin(axis=1)
     codes = {i: enc[row] for row, (i, _) in enumerate(vecs)}
 
-    out = {"query_id": [], "neighbor_id": [], "pq_dist": [], "rank": []}
-    for row, (qid, _) in enumerate(vecs):
+    score_col = "cosine_sim" if refine_factor > 0 else "pq_dist"
+    out = {"query_id": [], "neighbor_id": [], score_col: [], "rank": []}
+    for row, (qid, qv) in enumerate(vecs):
         if qid >= 10:
             continue
         lut = [
@@ -495,16 +530,29 @@ def gen_pq_topk(
                 acc += lut[s][codes[nid][s]]
             scored.append((math.floor(acc * 1e6) / 1e6, nid))
         scored.sort()
-        for rank, (d, nid) in enumerate(scored[:k], start=1):
+        if refine_factor > 0:
+            # FAISS refine: exact-cosine re-rank of the ADC shortlist,
+            # mirroring similarity._refine_topk (trunc6 seq cosine on
+            # the ORIGINAL vectors, ties to the smaller id).
+            ranked = sorted(
+                (
+                    (trunc6(seq_cosine(qv, by_id[nid])), nid)
+                    for _, nid in scored[: refine_factor * k]
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        else:
+            ranked = scored[:k]
+        for rank, (d, nid) in enumerate(ranked, start=1):
             out["query_id"].append(qid)
             out["neighbor_id"].append(nid)
-            out["pq_dist"].append(d)
+            out[score_col].append(d)
             out["rank"].append(rank)
     return pd.DataFrame(out).astype(
         {
             "query_id": "int64",
             "neighbor_id": "int64",
-            "pq_dist": "float64",
+            score_col: "float64",
             "rank": "int64",
         }
     )
@@ -514,12 +562,14 @@ def gen_ivf_pq_topk(
     vecs: list[tuple[int, list[float]]],
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     m: int = 16,
     ksub: int = 64,
     dim: int = 64,
     train_sample: int = 512,
     iters: int = 3,
+    train_iters: int = 2,
+    refine_factor: int = 16,
 ) -> pd.DataFrame:
     """Independent IVF-PQ mirror of ``similarity.ivf_pq_topk``: the
     sampled-centroid cosine cell machinery of ``gen_ivf_topk`` composed
@@ -534,9 +584,13 @@ def gen_ivf_pq_topk(
 
     hashed = sorted((xxhash64(i), i) for i, _ in vecs)
     by_id = dict(vecs)
-    centroids = [
-        (cell + 1, by_id[i]) for cell, (_, i) in enumerate(hashed[:n_cells])
-    ]
+    if train_iters > 0:
+        centroids = sorted(_lloyd_centroids(vecs, n_cells, train_iters).items())
+    else:
+        centroids = [
+            (cell + 1, by_id[i])
+            for cell, (_, i) in enumerate(hashed[:n_cells])
+        ]
 
     def probe(vec, probes):
         sims = sorted(
@@ -575,7 +629,8 @@ def gen_ivf_pq_topk(
         enc[:, s] = d.argmin(axis=1)
     row_of = {i: row for row, (i, _) in enumerate(vecs)}
 
-    out = {"query_id": [], "neighbor_id": [], "pq_dist": [], "rank": []}
+    score_col = "cosine_sim" if refine_factor > 0 else "pq_dist"
+    out = {"query_id": [], "neighbor_id": [], score_col: [], "rank": []}
     for qid, qv in vecs:
         if qid >= 10:
             continue
@@ -597,16 +652,26 @@ def gen_ivf_pq_topk(
                 acc += lut[s][enc[row_of[nid], s]]
             scored.append((math.floor(acc * 1e6) / 1e6, nid))
         scored.sort()
-        for rank, (d, nid) in enumerate(scored[:k], start=1):
+        if refine_factor > 0:
+            ranked = sorted(
+                (
+                    (trunc6(seq_cosine(qv, by_id[nid])), nid)
+                    for _, nid in scored[: refine_factor * k]
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        else:
+            ranked = scored[:k]
+        for rank, (d, nid) in enumerate(ranked, start=1):
             out["query_id"].append(qid)
             out["neighbor_id"].append(nid)
-            out["pq_dist"].append(d)
+            out[score_col].append(d)
             out["rank"].append(rank)
     return pd.DataFrame(out).astype(
         {
             "query_id": "int64",
             "neighbor_id": "int64",
-            "pq_dist": "float64",
+            score_col: "float64",
             "rank": "int64",
         }
     )

@@ -46,9 +46,11 @@ def recall_probe(spark, sf_dir: str) -> dict:
     operators. Documented targets on THIS corpus (true neighbors sit
     at cosine ~0.35-0.45, the near-orthogonal regime that is
     worst-case for hyperplane LSH): topk_lsh >= 0.7 (32 bits /
-    8 bands), topk_ivf >= 0.4 (4-probe of 16 unsampled cells),
-    dup-pair recall >= 0.8 at the 0.4 threshold (12x4-bit banding;
-    see cosine_dup_pairs_lsh docstring for the collision math).
+    8 bands), topk_ivf / topk_pq / topk_ivf_pq >= 0.8 (trained coarse
+    centroids, 8-probe, FAISS exact re-rank of the ADC shortlist —
+    the registered round-5 configs), dup-pair recall >= 0.8 at the
+    0.4 threshold (12x4-bit banding; see cosine_dup_pairs_lsh
+    docstring for the collision math).
     """
     import numpy as np  # noqa: PLC0415
     import pyarrow.parquet as pq  # noqa: PLC0415
@@ -110,14 +112,26 @@ def recall_probe(spark, sf_dir: str) -> dict:
         "topk_lsh_recall_at_5": topk_recall(
             similarity.lsh_topk(emb, queries, k=k)
         ),
+        # registered configs (round 5): trained coarse centroids +
+        # 8 probes for IVF, FAISS exact re-rank of the ADC shortlist
+        # for PQ / IVF-PQ — targets >= 0.8 for all three
         "topk_ivf_recall_at_5": topk_recall(
+            similarity.ivf_topk(emb, queries, k=k, n_probe=8, train_iters=2)
+        ),
+        "topk_pq_recall_at_5": topk_recall(
+            similarity.pq_topk(emb, queries, k=k, refine_factor=10)
+        ),
+        "topk_ivf_pq_recall_at_5": topk_recall(
+            similarity.ivf_pq_topk(
+                emb, queries, k=k, n_probe=8, train_iters=2, refine_factor=16
+            )
+        ),
+        # the raw compressed-domain configs, kept for reference so the
+        # quality the knobs buy stays measured
+        "topk_ivf_unrefined_recall_at_5": topk_recall(
             similarity.ivf_topk(emb, queries, k=k)
         ),
-        # PQ is a lossy 32x compression scored in the compressed
-        # domain; on this near-orthogonal corpus (true neighbors at
-        # cosine ~0.35-0.45) recall is bounded by quantization error —
-        # tracked, not assumed, like the LSH/IVF numbers
-        "topk_pq_recall_at_5": topk_recall(
+        "topk_pq_unrefined_recall_at_5": topk_recall(
             similarity.pq_topk(emb, queries, k=k)
         ),
         "dup_pairs_exact": len(exact_pairs),
