@@ -3600,7 +3600,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_analytics": """
             WITH per_nation AS (
               SELECT n.n_name AS nation_name,
-                     ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                    AS DECIMAL(18,6))), 2)
                        AS revenue
               FROM lineitem l
               JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -61,10 +61,17 @@ def split_sentences_table(spark, df, text_col: str = "text"):
     view = f"__udtf_in_{abs(hash(tuple(df.columns))) % 10**8}"
     df.createOrReplaceTempView(view)
     try:
-        cols = ", ".join(f"d.{c}" for c in df.columns if c != text_col)
+        # backtick-quote every column (names with spaces/keywords stay
+        # valid SQL) and omit the carried list entirely when the input
+        # has ONLY the text column — 'SELECT , s.*' is a syntax error
+        def q(c: str) -> str:
+            return "`" + c.replace("`", "``") + "`"
+
+        carried = [f"d.{q(c)}" for c in df.columns if c != text_col]
+        select_list = ", ".join([*carried, "s.*"])
         return spark.sql(
-            f"SELECT {cols}, s.* FROM {view} d, "
-            f"LATERAL {name}(d.{text_col}) s"
+            f"SELECT {select_list} FROM {view} d, "
+            f"LATERAL {name}(d.{q(text_col)}) s"
         )
     finally:
         spark.catalog.dropTempView(view)

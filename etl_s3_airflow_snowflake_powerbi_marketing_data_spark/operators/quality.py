@@ -33,6 +33,8 @@ per-constraint summary row.
 
 from __future__ import annotations
 
+import re
+
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -65,6 +67,15 @@ def check_constraints(
     for the spec forms and the pass structure."""
     if not constraints:
         raise ValueError("no constraints given")
+    # Constraint names flow into SQL string literals ('{n}' in the
+    # stack() expression) and into __v_{n} column aliases — restrict
+    # them to identifier characters up front so a quote/space/hyphen
+    # can neither break nor inject into the generated expression.
+    bad_names = [n for n in constraints if not re.fullmatch(r"[A-Za-z0-9_]+", n)]
+    if bad_names:
+        raise ValueError(
+            f"constraint names must match [A-Za-z0-9_]+: {bad_names}"
+        )
 
     row_local = {
         n: s for n, s in constraints.items() if s[0] in _ROW_LOCAL

@@ -90,6 +90,16 @@ def salted_join(
     (retry-stable — recompute-after-failure lands every row on the same
     salt; `rand()`/partition-id salts re-route rows on retry, the
     SPARK-23207 bug class, exactly as documented for ``salted_agg``).
+    Known limitation of that choice: BYTE-IDENTICAL duplicate probe
+    rows hash to the same salt, so a hot key whose skew comes from
+    exact duplicate floods still funnels into one reducer — the
+    ~1/``n_salts`` reducer bound holds only for rows that differ
+    somewhere outside the join keys. The retry-stable fix is upstream,
+    not here: carry a pre-existing uniquifier (source offset, file
+    rowid, event id) in the probe row so duplicates aren't
+    byte-identical. Every deterministic in-operator disambiguator
+    (partition id + row position) re-routes rows on task retry, which
+    is the exact bug class the content hash exists to avoid.
     The build side replicates via an explode over ``sequence(0,
     n_salts-1)`` — cost n_salts × |build|, which is the price of the
     technique and why the build side must be the SMALL side (for a

@@ -1082,7 +1082,15 @@ def nation_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Revenue accumulates in DECIMAL (the repo-wide sum discipline —
+    # see nation_trade_volume): the per-row product is bit-identical
+    # IEEE on every engine, and the decimal sum is exact and
+    # order-independent, so the rounded value feeding the tie-sensitive
+    # ntile/percent_rank below can never flip at a .xx5 boundary from
+    # partition-order float accumulation (ADVICE r04).
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
     per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)

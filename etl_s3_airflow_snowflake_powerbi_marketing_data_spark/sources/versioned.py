@@ -187,6 +187,18 @@ def rollback(path: str, to_version: int) -> int:
     )
 
 
+def _remove_prefixes(path: str, prefixes: list[str]) -> None:
+    """Best-effort removal of data prefixes written for a commit that
+    aborted: nothing references them (the conflict check fires before
+    the manifest is published) and ``vacuum`` only reclaims prefixes of
+    EXPIRED manifests, so without this they would be orphaned forever
+    (ADVICE r04)."""
+    import shutil  # noqa: PLC0415
+
+    for p in prefixes:
+        shutil.rmtree(os.path.join(path, p), ignore_errors=True)
+
+
 def delete_where(
     spark: SparkSession, path: str, predicate: str
 ) -> tuple[int, int]:
@@ -215,6 +227,7 @@ def delete_where(
     doomed = F.coalesce(F.expr(predicate), F.lit(False))
     nonce = uuid.uuid4().hex[:12]
     kept_prefixes: list[str] = []
+    fresh_prefixes: list[str] = []
     rewritten = 0
     for i, p in enumerate(snapshot_prefixes(path, latest)):
         pdf = spark.read.parquet(os.path.join(path, p))
@@ -228,6 +241,7 @@ def delete_where(
                 os.path.join(path, new_p)
             )
             kept_prefixes.append(new_p)
+            fresh_prefixes.append(new_p)
         rewritten += 1
     def build(current_latest: int) -> dict:
         # read-modify-write conflict detection: the survivor set was
@@ -246,7 +260,15 @@ def delete_where(
             "predicate": predicate,
         }
 
-    return _publish(path, build), rewritten
+    try:
+        return _publish(path, build), rewritten
+    except ConcurrentWriteError:
+        # the rewrite prefixes were written BEFORE the conflict check;
+        # on abort no manifest references them and vacuum only removes
+        # prefixes of EXPIRED manifests — delete them here or they are
+        # orphaned on disk forever
+        _remove_prefixes(path, fresh_prefixes)
+        raise
 
 
 def compact(
@@ -289,7 +311,13 @@ def compact(
             )
         return {"prefixes": [prefix], "mode": "compact"}
 
-    return _publish(path, build)
+    try:
+        return _publish(path, build)
+    except ConcurrentWriteError:
+        # same orphan rule as delete_where: the compacted prefix exists
+        # on disk but no manifest will ever reference it — remove it
+        _remove_prefixes(path, [prefix])
+        raise
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[str]:

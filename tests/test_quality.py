@@ -82,3 +82,13 @@ def test_validation_errors(spark):
         quality.check_constraints(df, {})
     with pytest.raises(ValueError, match="unknown constraint kinds"):
         quality.check_constraints(df, {"x": ("bogus", "id")})
+
+
+def test_constraint_names_restricted_to_identifiers(spark):
+    """Names flow into stack() string literals and __v_ aliases —
+    quotes/spaces/hyphens must be rejected up front, not silently
+    generate broken or injectable SQL (ADVICE r04)."""
+    df = spark.range(3)
+    for bad in ("a b", "a-b", "a'b", "a`b", ""):
+        with pytest.raises(ValueError, match="constraint names"):
+            quality.check_constraints(df, {bad: ("not_null", "id")})

@@ -312,6 +312,17 @@ def test_delete_where_aborts_on_concurrent_commit(spark, tmp_path):
         vt._publish = real_publish
     # nothing was clobbered: the racing commit is still the latest
     assert vt.snapshot_prefixes(path) == []
+    # and the aborted rewrite left NO orphaned prefixes behind: every
+    # data prefix on disk is referenced by some manifest (ADVICE r04 —
+    # vacuum never reclaims unreferenced prefixes)
+    referenced = set()
+    for v in vt.table_versions(path):
+        referenced.update(vt._read_manifest(path, v)["prefixes"])
+    on_disk = {
+        os.path.join("data", d)
+        for d in os.listdir(os.path.join(path, "data"))
+    }
+    assert on_disk <= referenced
 
 
 def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
@@ -339,3 +350,12 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
             vt.compact(spark, path)
     finally:
         vt._publish = real_publish
+    # the aborted compaction's prefix was removed, not orphaned
+    referenced = set()
+    for v in vt.table_versions(path):
+        referenced.update(vt._read_manifest(path, v)["prefixes"])
+    on_disk = {
+        os.path.join("data", d)
+        for d in os.listdir(os.path.join(path, "data"))
+    }
+    assert on_disk <= referenced
