@@ -22,73 +22,15 @@ from pyspark.sql import functions as F
 
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
 
-HEADLINE = [
-    "kpi_view_count_by_period",
-    "kpi_item_view_rank_by_period",
-    "kpi_most_viewed_item_latest_period",
-    "kpi_top_event_type_by_period",
-    "fact_events",
-    "merge_update_orders",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers_per_segment",
-    "user_sessions",
-    "running_daily_revenue",
-    "events_last_order",
-    "purchases_in_browse_sessions",
-    "part_name_features",
-    "text_profile",
-    "doc_winnow_fingerprints",
-    "dedup_exact_docs",
-    "ngram_jaccard_dups",
-    "minhash_lsh_dups",
-    "simhash_near_dups",
-    "embedding_topk_lsh",
-    "embedding_cosine_dups_lsh",
-    "media_features",
-    "doc_pack_sequences",
-    "decontaminate_eval_docs",
-    "repetition_profile",
-    "stratified_mix_sample",
-    "kpi_view_trend_by_period",
-    "kpi_top_items_view_share",
-    "nation_trade_volume",
-    "redact_pii_docs",
-    "vocab_top_terms",
-    "conversion_funnel",
-    "curate_top_docs_per_source",
-    "hll_distinct_users_by_type",
-    "rolling_weekly_revenue",
-    "chunk_documents",
-    "embedding_source_profile",
-    "salted_event_counts",
-    "embedding_kmeans_clusters",
-    # round 4: corpus-boilerplate + storage-layout + SCD-2 families
-    "merge_scd2_orders",
-    "line_dedup_docs",
-    "dup_span_hotspots",
-    "tfidf_top_terms",
-    "partitioned_events_by_type",
-    "bucketed_segment_revenue",
-    "fuzzy_part_name_matches",
-    "corpus_shuffle_order",
-    # round 4, continued: runtime filter, hot-key join, sketch serving,
-    # corpus rarity
-    "bloom_semi_revenue",
-    "salted_join_rates",
-    "cms_user_counts",
-    "rare_token_ratio",
-    "hll_user_overlap_by_type",
-    "embedding_topk_pq",
-    "embedding_topk_ivf_pq",
-    "order_quality_checks",
-    "daily_order_anomalies",
-    "supplier_hierarchy_rollup",
-    "nation_revenue_analytics",
-    "doc_sentences_udtf",
-    "user_order_cogroup_profile",
-    "doc_hashed_features",
-]
+# Round 5: bench EVERY registered query (VERDICT r04 item 4 — the
+# versioned layer, storage-layout scans, ORC/JSONL round trips,
+# quantile sketches, the streaming family, and the dim builds had no
+# recorded wall time through round 4). The list is derived from the
+# registry at runtime so a newly added query can never silently ship
+# un-benched; the registry's order (canaries first, then the newest
+# families) doubles as the sweep order.
+def headline_queries() -> list[str]:
+    return list(entrymod.queries())
 
 
 def force(df) -> None:
@@ -100,6 +42,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     qs = entrymod.queries()
+    names = headline_queries()
 
     # Warm-up: JVM + parquet footer caches, not charged to any query.
     force(qs["pricing_summary"](spark, sf_dir))
@@ -127,7 +70,7 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     for _ in range(max(1, repeat)):
-        for name in HEADLINE:
+        for name in names:
             t0 = time.time()
             force(qs[name](spark, sf_dir))
             dt = round(time.time() - t0, 3)

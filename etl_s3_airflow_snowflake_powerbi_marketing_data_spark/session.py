@@ -9,11 +9,29 @@ session timezone keeps timestamps oracle-comparable.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+_WAREHOUSE_DIR: str | None = None
+
+
+def _process_warehouse_dir() -> str:
+    """Per-process managed-table warehouse under the system temp dir,
+    removed at interpreter exit — so bench/pytest runs leave no
+    ``spark-warehouse/`` residue at the repo root (ADVICE r04 hygiene
+    class). One dir per process: the warehouse location is fixed at
+    session start, and getOrCreate may reuse the session anyway."""
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix=f"spark_wh_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
+    return _WAREHOUSE_DIR
 
 
 def get_spark(
@@ -66,6 +84,7 @@ def get_spark(
         # Spark's parquet reader refuses; read as long and convert in
         # tables.load_table (sub-microsecond parts are zero, so lossless).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", _process_warehouse_dir())
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -298,6 +298,103 @@ def run_cms_stream_to_memory(
     ).orderBy("user_id")
 
 
+def _run_register_stream_to_versioned(
+    regs: DataFrame, table_path: str, checkpoint_dir: str | None
+) -> None:
+    """Drive a complete-mode register aggregation into the versioned
+    table layer: every micro-batch delivers the FULL recomputed
+    register table (complete mode), which ``foreachBatch`` commits as
+    ONE atomic version — so readers always see a consistent register
+    snapshot, a crashed batch leaves only an invisible uncommitted
+    prefix, and the per-batch history is time-travelable (the sketch
+    as of any ingest point). This is the production shape the
+    memory-sink runners (right for oracles, not for pipelines) stand
+    in for."""
+    import tempfile  # noqa: PLC0415
+
+    from ..sources import versioned as vt  # noqa: PLC0415
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sketch_vckpt_")
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        vt.write_version(batch, table_path)
+
+    q = (
+        regs.writeStream.outputMode("complete")
+        .foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_hll_stream_to_versioned(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    p: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``run_hll_stream_to_memory`` with the registers landing in the
+    versioned table layer (one atomic version per micro-batch) instead
+    of a memory sink; the estimate is finalized from the LATEST
+    committed register version — store registers, finalize at read
+    time. Register MAX is micro-batch-order invariant, so the final
+    version's registers are bit-identical to the memory-sink and batch
+    paths over the same rows (pinned in tests)."""
+    from ..operators.sketches import hll_finalize, hll_registers  # noqa: PLC0415
+    from ..sources import versioned as vt  # noqa: PLC0415
+
+    stream = read_event_stream(spark, source_path)
+    regs = hll_registers(stream, "user_id", ["event_type"], p)
+    _run_register_stream_to_versioned(regs, table_path, checkpoint_dir)
+    return hll_finalize(
+        vt.read_version(spark, table_path), ["event_type"], p
+    ).orderBy("event_type")
+
+
+def run_cms_stream_to_versioned(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    depth: int = 4,
+    width: int = 2048,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``run_cms_stream_to_memory`` with the COUNT registers landing in
+    the versioned table layer (one atomic version per micro-batch);
+    point queries answered from the LATEST committed register version.
+    COUNT registers are micro-batch-order invariant, so the final
+    version equals the memory-sink and batch registers bit-for-bit
+    (pinned in tests)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..operators.sketches import (  # noqa: PLC0415
+        cms_point_estimates,
+        cms_registers,
+    )
+    from ..sources import versioned as vt  # noqa: PLC0415
+
+    stream = read_event_stream(spark, source_path)
+    regs = cms_registers(stream, "user_id", depth=depth, width=width)
+    _run_register_stream_to_versioned(regs, table_path, checkpoint_dir)
+    watch = (
+        spark.read.parquet(source_path)
+        .select("user_id")
+        .filter(F.col("user_id") % 37 == 0)
+    )
+    return cms_point_estimates(
+        vt.read_version(spark, table_path),
+        watch,
+        "user_id",
+        depth=depth,
+        width=width,
+    ).orderBy("user_id")
+
+
 def streaming_enriched_brand_counts(
     events: DataFrame,
     items: DataFrame,

@@ -334,3 +334,81 @@ def test_streaming_warehouse_merge_idempotent(spark, tmp_path):
     )
     assert sorted(r["event_id"] for r in out2.collect()) == [1, 2, 3, 4]
     assert out2.count() == 4
+
+
+def test_sketch_streams_to_versioned_layer(spark, tmp_path):
+    """Production-shaped sketch sinks: the streaming HLL/CMS registers
+    land in the versioned table layer via foreachBatch — one atomic
+    version per micro-batch. Across >= 2 micro-batches the FINAL
+    version's registers (finalized) must equal the memory-sink path
+    bit-for-bit (register MAX/COUNT are micro-batch-order invariant),
+    and the intermediate version must equal the batch sketch over the
+    first file alone (time travel to an ingest point)."""
+    import datetime as dt
+    import os
+    import time
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+        pipeline as sp,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def _write(path, rows):
+        spark.createDataFrame(
+            [(i, base, i % 7, "view" if i % 2 else "buy", float(i), "{}")
+             for i in rows],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    src = str(tmp_path / "stream")
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    batches = [list(range(1, 40)), list(range(30, 80))]
+    for i, rows in enumerate(batches):
+        f = str(tmp_path / f"b{i}")
+        _write(f, rows)
+        part = [p for p in os.listdir(f) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    # --- HLL ---
+    tbl = str(tmp_path / "hll_regs")
+    via_versioned = sp.run_hll_stream_to_versioned(
+        spark, src + "/*", tbl, checkpoint_dir=str(tmp_path / "ck_hll")
+    ).collect()
+    via_memory = sp.run_hll_stream_to_memory(
+        spark, src + "/*", query_name="hll_vs_versioned_test"
+    ).collect()
+    assert [tuple(r) for r in via_versioned] == [tuple(r) for r in via_memory]
+    versions = vt.table_versions(tbl)
+    assert len(versions) >= 2  # one atomic commit per micro-batch
+    # time travel: the first version's registers ARE the batch sketch
+    # over the first file alone
+    first_regs = vt.read_version(spark, tbl, versions[0])
+    first_batch = sketches.hll_registers(
+        spark.read.parquet(os.path.join(src, "000.parquet")),
+        "user_id",
+        ["event_type"],
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(first_regs) == canon(first_batch)
+
+    # --- CMS ---
+    tbl2 = str(tmp_path / "cms_regs")
+    cms_versioned = sp.run_cms_stream_to_versioned(
+        spark, src + "/*", tbl2, checkpoint_dir=str(tmp_path / "ck_cms")
+    ).collect()
+    cms_memory = sp.run_cms_stream_to_memory(
+        spark, src + "/*", query_name="cms_vs_versioned_test"
+    ).collect()
+    assert [tuple(r) for r in cms_versioned] == [tuple(r) for r in cms_memory]
+    assert len(vt.table_versions(tbl2)) >= 2

@@ -250,12 +250,21 @@ def main() -> None:
         "events": "event_id",
         "orders": "o_orderkey",
         "embeddings": "vec_id",
+        # round 5: part/supplier replicate too — duplicate-heavy load
+        # for the fuzzy-match block join and deeper data under the
+        # recursive hierarchy rollup
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
     }
     for t in os.listdir(sf_dir):
         link = os.path.join(star_dir, t)
-        if t.removesuffix(".parquet") not in replicated and not os.path.exists(
-            link
-        ):
+        if t.removesuffix(".parquet") in replicated:
+            # a stale symlink from an earlier probe run would make the
+            # replicated overwrite write THROUGH the link into the
+            # read-only testdata — drop it first
+            if os.path.islink(link):
+                os.remove(link)
+        elif not os.path.exists(link):
             os.symlink(os.path.join(sf_dir, t), link)
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
         load_table,
@@ -327,15 +336,48 @@ def main() -> None:
             "hll_user_overlap_by_type": entrymod.q_hll_user_overlap,
         }
     )
+    # round 5 (VERDICT r04 item 6): the five un-probed families.
+    # Boundedness arguments the curves should confirm: the fuzzy-match
+    # candidate set is blocked+length-banded (duplicate-heavy part
+    # replication is its adversarial case — candidate counts recorded
+    # below); the salted join's build replication is a bounded
+    # constant; the hierarchy rollup's rounds scale with DEPTH, not
+    # row count; versioned DELETE+OPTIMIZE rewrite is copy-on-write at
+    # prefix granularity; IVF-PQ's shuffle is bounded by probed cells.
+    star_ops.update(
+        {
+            "fuzzy_part_name_matches": entrymod.q_fuzzy_part_names,
+            "salted_join_rates": entrymod.q_salted_join_rates,
+            "supplier_hierarchy_rollup": relational.supplier_hierarchy_rollup,
+            "versioned_delete_compact": entrymod.q_versioned_delete_compact,
+            "embedding_topk_ivf_pq": entrymod.q_embedding_topk_ivf_pq,
+        }
+    )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
         for name, fn in star_ops.items():
             t0 = time.time()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
 
+    # candidate-count evidence for the fuzzy-match prefilter: output
+    # pair counts at 1x vs Nx (the length-band+block design should
+    # grow pairs ~N^2 ONLY within true duplicate groups, never explode
+    # toward all-pairs of the replicated table)
+    fuzzy_rows = {
+        tag: entrymod.q_fuzzy_part_names(spark, d).count()
+        for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]
+    }
     for name, r in results.items():
         r["growth"] = round(r[f"{replicas}x"] / max(r["1x"], 0.01), 1)
-    print(json.dumps({"replicas": replicas, "seconds": results}))
+    print(
+        json.dumps(
+            {
+                "replicas": replicas,
+                "seconds": results,
+                "fuzzy_match_pairs": fuzzy_rows,
+            }
+        )
+    )
     spark.stop()
 
 
