@@ -1357,6 +1357,17 @@ def q_embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy filter (functions/text.py:
+    unigram_surprisal): mean unigram surprisal -ln(tf/N) per document
+    under the corpus's own unigram LM, floor-truncated per TERM so all
+    aggregation is exact decimal; head/middle/tail banding selects the
+    mid-perplexity slice. Thresholds split this corpus non-trivially."""
+    return text_fn.unigram_surprisal(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing (functions/text.py:hashed_features): BoW folded
     into 256 signed-hash dims — vocabulary-free featurization, md5-
@@ -1770,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_pq": q_embedding_topk_ivf_pq,
         "user_order_cogroup_profile": q_user_order_cogroup,
         "doc_hashed_features": q_doc_hashed_features,
+        # round 5: CCNet-family perplexity-proxy scoring
+        "doc_unigram_surprisal": q_doc_unigram_surprisal,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3511,6 +3524,47 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substring(h, 9, 1)) AS UBIGINT) % 2 = 0
                      THEN 1 ELSE -1 END) != 0
             ORDER BY doc_id, feature_index
+        """,
+        "doc_unigram_surprisal": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, term FROM toks WHERE length(term) > 0
+            ), freq AS (
+              SELECT term, COUNT(*) AS tf FROM nz GROUP BY term
+            ), total AS (
+              SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM freq
+            ), term_s AS (
+              SELECT term,
+                     floor(-ln(CAST(tf AS DOUBLE) / n) * 1e6) / 1e6 AS s
+              FROM freq, total
+            ), per_doc AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_tokens,
+                     SUM(CAST(s AS DECIMAL(28,6))) AS ssum
+              FROM nz JOIN term_s USING (term)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens * 1e6)
+                              / 1e6,
+                            0.0) AS mean_surprisal,
+                   CASE
+                     WHEN COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
+                                         * 1e6) / 1e6, 0.0) < 3.401
+                       THEN 'head'
+                     WHEN COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
+                                         * 1e6) / 1e6, 0.0) > 3.404
+                       THEN 'tail'
+                     ELSE 'middle'
+                   END AS ppl_band
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY doc_id
         """,
         "user_order_cogroup_profile": """
             WITH e AS (

@@ -157,6 +157,76 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     )
 
 
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_max: float = 3.401,
+    tail_min: float = 3.404,
+) -> DataFrame:
+    """CCNet-style perplexity-proxy scoring: per document, the mean
+    unigram surprisal -ln(tf/N) of its tokens under the corpus's own
+    unigram language model, plus the head/middle/tail band CCNet uses
+    to keep the mid-perplexity slice (head = suspiciously predictable
+    boilerplate, tail = noise/OCR/code soup).
+
+    Determinism discipline (the tfidf precedent): the ONE transcendental
+    per distinct term — ln of an exactly-representable IEEE ratio — is
+    floor-truncated to 6 decimals immediately, so every downstream
+    aggregate is exact decimal arithmetic and the per-doc mean cannot
+    drift with partition order; the band compare runs on the truncated
+    mean, never a raw double.
+
+    Plan (the rare_token_ratio shape): one vocabulary groupBy (map-side
+    combined), a 1-row total-token scalar broadcast onto the vocab, one
+    term-keyed join of tokens→surprisal, one groupBy back to document
+    grain. Nothing scales beyond the two term-keyed shuffles at 100 TB.
+
+    Output: (id_col, n_tokens, mean_surprisal, ppl_band); empty
+    documents report surprisal 0.0 / band 'head'. Default thresholds
+    sit at the synthetic corpus's quartiles (its tiny vocabulary
+    concentrates surprisal near 3.40) so the banding is non-trivial at
+    every test SF; real corpora pass their own CCNet cutoffs. The band
+    derives from the already-truncated mean, so it can never disagree
+    across engines when the mean matches.
+    """
+    toks = _spread_if_narrow(df).select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    freq = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    total = freq.agg(F.sum("__tf").cast("double").alias("__n"))
+    term_s = freq.crossJoin(F.broadcast(total)).select(
+        "term",
+        trunc6(-F.log(F.col("__tf").cast("double") / F.col("__n"))).alias(
+            "__s"
+        ),
+    )
+    per_doc = (
+        toks.join(term_s, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("__s").cast("decimal(28,6)")).alias("__sum"),
+        )
+    )
+    mean = trunc6(F.col("__sum").cast("double") / F.col("n_tokens"))
+    docs = df.select(id_col).distinct()
+    out = docs.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(mean, F.lit(0.0)).alias("mean_surprisal"),
+    )
+    band = (
+        F.when(F.col("mean_surprisal") < head_max, F.lit("head"))
+        .when(F.col("mean_surprisal") > tail_min, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return out.withColumn("ppl_band", band)
+
+
 def rare_token_ratio(
     df: DataFrame,
     text_col: str = "text",

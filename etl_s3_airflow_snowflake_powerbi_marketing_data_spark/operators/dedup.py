@@ -692,38 +692,43 @@ def fuzzy_string_matches(
     (``block_col`` — a brand, a zip code, a sorted-token prefix), so
     the join is block-quadratic, never corpus-quadratic; callers own
     choosing blocks of bounded size, exactly the standard blocking
-    discipline of record linkage. Inside a block two prefilters prune
-    before the O(len²) levenshtein evaluates: ``id_a < id_b`` halves
-    the grid, and a length band (edit distance is >= the length gap,
-    so |len_a − len_b| > max_distance can't match) drops most of the
-    rest at the hash-join output.
+    discipline of record linkage.
+
+    The O(len²) levenshtein runs once per DISTINCT (block, name) value
+    pair, not per record pair: duplicate-heavy corpora (the r5 scale
+    probe: 10× replicated part names → 104× more output pairs) would
+    otherwise re-evaluate the identical distance for every copy. The
+    distinct-value pairs are length-band prefiltered (edit distance >=
+    the length gap) and the matched value pairs are then expanded back
+    to id-canonical record pairs with two (block, name)-keyed joins —
+    work that is OUTPUT-bound, the irreducible cost of pair
+    enumeration. Within the value self-pair (name_a == name_b,
+    distance 0) the expansion enumerates each duplicate-record group's
+    id pairs exactly once.
 
     Output: (id_a, id_b, name_a, name_b, distance), distance <=
-    ``max_distance``, pairs canonically ordered — deterministic and
-    engine-portable (levenshtein is the plain Wagner-Fischer distance
-    in both Spark and DuckDB).
+    ``max_distance``, pairs canonically ordered by id — deterministic
+    and engine-portable (levenshtein is the plain Wagner-Fischer
+    distance in both Spark and DuckDB), and row-identical to the
+    record-pair formulation.
     """
     norm = normalize_text(F.col(text_col))
-    side = df.select(
-        F.col(id_col).alias("id"),
+    recs = df.select(
+        F.col(id_col).alias("rid"),
         norm.alias("name"),
-        F.length(norm).alias("len"),
         F.col(block_col).alias("blk"),
     )
-    a = side.select(
-        F.col("id").alias("id_a"),
-        F.col("name").alias("name_a"),
-        F.col("len").alias("len_a"),
-        "blk",
+    vals = recs.select("blk", "name").distinct().withColumn(
+        "len", F.length("name")
     )
-    b = side.select(
-        F.col("id").alias("id_b"),
-        F.col("name").alias("name_b"),
-        F.col("len").alias("len_b"),
-        "blk",
+    a = vals.select(
+        F.col("name").alias("name_a"), F.col("len").alias("len_a"), "blk"
     )
-    # The quadratic pair expansion — and its O(len²) levenshtein per
-    # pair — runs INSIDE the join tasks, and a block-keyed exchange
+    b = vals.select(
+        F.col("name").alias("name_b"), F.col("len").alias("len_b"), "blk"
+    )
+    # The quadratic value-pair expansion — and its O(len²) levenshtein
+    # per pair — runs INSIDE the join tasks, and a block-keyed exchange
     # caps parallelism at |blocks| (25 brands here), serializing the
     # expansion. Salt the block key: the a-side gets a retry-stable
     # content-hash salt, the b-side replicates across all salts (the
@@ -731,17 +736,15 @@ def fuzzy_string_matches(
     # twin), so parallelism becomes |blocks| × n_salts and every pair
     # still forms exactly once. No broadcast pin: both sides grow with
     # the corpus, and AQE can't fix this itself — it sizes from input
-    # bytes and can't see the expansion. Measured at sf0.1 (8M
-    # candidate pairs): 18.4 s block-keyed → ~2 s salted.
-    # Cap the fan-out: the build side replicates once per salt, so a
-    # 2000-partition cluster session must not mean 2000× replication —
-    # 64 salted slices of each block saturate any realistic executor
-    # count for a block-bounded workload.
+    # bytes and can't see the expansion. Fan-out capped at 64 salted
+    # slices: a 2000-partition cluster session must not mean 2000×
+    # build replication.
     n_salts = min(
         int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 64
     )
     a = a.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_salts)).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(F.col("name_a")), F.lit(n_salts)).cast("int"),
     ).repartition(n_salts, F.col("blk"), F.col("__salt"))
     b = b.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -751,15 +754,42 @@ def fuzzy_string_matches(
     # repartition is exempt from AQE partition coalescing — the
     # join-inserted exchange would be coalesced to one partition here
     # (tiny input bytes), re-serializing the expansion the salt exists
-    # to spread.
-    pairs = a.join(b, ["blk", "__salt"]).filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance)
-    )
-    return (
-        pairs.withColumn("distance", F.levenshtein("name_a", "name_b"))
+    # to spread. name_a <= name_b keeps the value self-pair (equal
+    # names — exact duplicate records, distance 0) exactly once.
+    matched = (
+        a.join(b, ["blk", "__salt"])
+        .filter(
+            (F.col("name_a") <= F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance)
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("distance") <= max_distance)
-        .select("id_a", "id_b", "name_a", "name_b", "distance")
+        .select("blk", "name_a", "name_b", "distance")
+    )
+    ra = recs.select(
+        "blk", F.col("name").alias("name_a"), F.col("rid").alias("ra")
+    )
+    rb = recs.select(
+        "blk", F.col("name").alias("name_b"), F.col("rid").alias("rb")
+    )
+    # expansion: output-bound; for the self-pair each unordered record
+    # pair would form twice (ra,rb)/(rb,ra) — the ra < rb guard keeps
+    # one; cross-name pairs keep every combination and canonicalize by
+    # id below (names swap with the ids so name_x stays id_x's name)
+    expanded = (
+        matched.join(ra, ["blk", "name_a"])
+        .join(rb, ["blk", "name_b"])
+        .filter(
+            (F.col("name_a") < F.col("name_b")) | (F.col("ra") < F.col("rb"))
+        )
+    )
+    swap = F.col("ra") > F.col("rb")
+    return expanded.select(
+        F.least("ra", "rb").alias("id_a"),
+        F.greatest("ra", "rb").alias("id_b"),
+        F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
+        F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
+        "distance",
     )
 
 

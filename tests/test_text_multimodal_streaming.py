@@ -412,3 +412,27 @@ def test_sketch_streams_to_versioned_layer(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in cms_versioned] == [tuple(r) for r in cms_memory]
     assert len(vt.table_versions(tbl2)) >= 2
+
+
+def test_unigram_surprisal_values_and_bands(spark):
+    """Hand-computed check: corpus tokens a,a,a,b,a → N=5, s(a)=-ln(4/5),
+    s(b)=-ln(1/5), each floor-truncated at 6 decimals BEFORE the mean;
+    empty docs report 0.0/'head'."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b a"), (3, "   ")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_surprisal"], r["ppl_band"])
+        for r in text_fn.unigram_surprisal(
+            df, head_max=0.5, tail_min=1.0
+        ).collect()
+    }
+    s_a = math.floor(-math.log(4 / 5) * 1e6) / 1e6
+    s_b = math.floor(-math.log(1 / 5) * 1e6) / 1e6
+    m1 = math.floor(s_a * 3 / 3 * 1e6) / 1e6
+    m2 = math.floor((s_a + s_b) / 2 * 1e6) / 1e6
+    assert got[1] == (3, m1, "head")       # 0.223143 < 0.5
+    assert got[2] == (2, m2, "middle")     # 0.916290 in [0.5, 1.0]
+    assert got[3] == (0, 0.0, "head")      # empty doc
