@@ -213,7 +213,10 @@ def unigram_surprisal(
         )
     )
     mean = trunc6(F.col("__sum").cast("double") / F.col("n_tokens"))
-    docs = df.select(id_col).distinct()
+    # id_col is unique per document (the corpus-table contract every
+    # doc operator here assumes) — no distinct, the left join alone
+    # restores token-less documents
+    docs = df.select(id_col)
     out = docs.join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),

@@ -62,6 +62,11 @@ BOUNDED_BNLJ_OK = {
     "numeric_column_profile": "1-row multi-column stats, stack unpivot",
     "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
     "tfidf_top_terms": "1-row corpus-size (N) scalar for the idf term",
+    # functions/text.py:unigram_surprisal — the same 1-row N scalar,
+    # broadcast onto the vocabulary for the per-term -ln(tf/N)
+    "doc_unigram_surprisal": (
+        "1-row total-token (N) scalar for the per-term surprisal"
+    ),
     # corpus shuffle reuses ordered_surrogate_key (same 1-row bounds)
     "corpus_shuffle_order": "1-row min/max bounds for surrogate-key buckets",
 }
