@@ -1051,6 +1051,12 @@ def ivf_pq_topk(
     top-(refine_factor × k) shortlist per query with true cosine
     (:func:`_refine_topk`, output columns ``cosine_sim``/``rank``) —
     the two standard FAISS quality knobs, both config-bounded.
+    Residual encoding (quantizing x − centroid, FAISS's third knob)
+    was measured and deliberately NOT adopted: on this near-orthogonal
+    corpus the coarse centroids explain little variance, and the
+    residual-PQ shortlist recall came out WORSE (0.72 vs 0.82 raw at
+    identical probe/refine settings) while adding a per-(query, cell)
+    LUT cost — revisit only for corpora with real cluster structure.
     Without them, ranking is by compressed-domain distance
     (deterministic; the pure-Python oracle replays cells, codes, LUTs,
     and the fold call-for-call either way).

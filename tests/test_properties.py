@@ -162,3 +162,54 @@ def test_line_dedup_matches_set_model(spark, docs):
     for i, ls in rows:
         assert out[i]["n_lines"] == len(ls)
         assert out[i]["n_kept"] == expect_kept[i]
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    blocks=st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_fuzzy_matches_equal_bruteforce(spark, names, blocks):
+    """The distinct-value fuzzy formulation (levenshtein once per
+    distinct name pair, expansion back to id pairs) must be
+    row-identical to the naive record-pair model — including exact
+    duplicate records (distance 0), id-canonical ordering, and names
+    aligned to their ids. The tiny 'ab ' alphabet forces heavy
+    duplicate and near-duplicate collisions."""
+    import re
+
+    rows = [(i, n, f"B{i % blocks}") for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "rid long, name string, blk string")
+    got = {
+        (r.id_a, r.id_b, r.name_a, r.name_b, r.distance)
+        for r in dedup.fuzzy_string_matches(
+            df, "name", "rid", "blk", max_distance=1
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    want = set()
+    for i, (ia, na, ba) in enumerate(rows):
+        for ib, nb, bb in rows[i + 1:]:
+            if ba != bb:
+                continue
+            d = lev(norm(na), norm(nb))
+            if d <= 1:
+                want.add((ia, ib, norm(na), norm(nb), d))
+    assert got == want

@@ -106,6 +106,43 @@ def recall_probe(spark, sf_dir: str) -> dict:
         .toPandas()
         .itertuples()
     }
+
+    # Candidate fraction of the registered lsh_topk config (32 bits /
+    # 8 bands): the share of the corpus each query must exact-score.
+    # This is the honest cost axis of the banded-LSH recall knob — on
+    # a near-orthogonal corpus more bands buy recall almost linearly
+    # in scanned fraction (measured 64/16 → recall 0.92 at ~0.6
+    # fraction), which is why the high-recall serving paths here are
+    # IVF/PQ + exact re-rank, not wider LSH.
+    bits, bands = 32, 8
+    bpb = bits // bands
+    import hashlib
+    import struct
+
+    planes = []
+    for seed in range(bits):
+        row = []
+        for i in range(mat.shape[1]):
+            h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+            (w,) = struct.unpack("<Q", h[:8])
+            row.append((w / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    sig_bits = (mat @ np.array(planes).T) > 0
+    sig = np.zeros(len(ids), dtype=np.int64)
+    for b in range(bits):
+        sig |= sig_bits[:, b].astype(np.int64) << b
+    mask = (1 << bpb) - 1
+    cand_counts = []
+    for qi in q_rows:
+        cand = set()
+        for b in range(bands):
+            key = (sig[qi] >> (b * bpb)) & mask
+            cand.update(
+                np.where(((sig >> (b * bpb)) & mask) == key)[0].tolist()
+            )
+        cand.discard(int(qi))
+        cand_counts.append(len(cand) / (len(ids) - 1))
+    lsh_candidate_fraction = round(float(np.mean(cand_counts)), 3)
     return {
         "sf_dir": sf_dir,
         "n_vectors": int(len(ids)),
@@ -134,6 +171,7 @@ def recall_probe(spark, sf_dir: str) -> dict:
         "topk_pq_unrefined_recall_at_5": topk_recall(
             similarity.pq_topk(emb, queries, k=k)
         ),
+        "lsh_candidate_fraction": lsh_candidate_fraction,
         "dup_pairs_exact": len(exact_pairs),
         "dup_pairs_lsh": len(lsh_pairs),
         "dup_pair_recall": round(
