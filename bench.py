@@ -20,7 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from pyspark.sql import functions as F
 
-from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import (
+    get_spark,
+    release_persisted_rdds,
+)
 
 # Round 5: bench EVERY registered query (VERDICT r04 item 4 — the
 # versioned layer, storage-layout scans, ORC/JSONL round trips,
@@ -76,6 +79,10 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+            # drop the localCheckpoint blocks iterative operators pin:
+            # left in place they accumulate across the ~240-execution
+            # sweep and GC pressure bleeds into later measurements
+            release_persisted_rdds(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -91,3 +91,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_persisted_rdds(spark: SparkSession) -> int:
+    """Unpersist every RDD still pinned in block storage — the
+    localCheckpoint blocks that iterative/multi-consumer operators
+    (connected components, Lloyd training, the HLL overlap register
+    table) leave behind after their results are consumed. A long
+    session sweeping many queries (bench, the oracle gate) accumulates
+    these (measured: 10 pinned RDDs after 4 queries) until the
+    executor store pressures GC and later measurements read slow.
+    Returns the number released. Safe between queries: each query
+    rebuilds its own plan from source data."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    for rdd in list(jmap.values()):
+        rdd.unpersist(False)
+        n += 1
+    return n

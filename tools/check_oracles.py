@@ -17,7 +17,10 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entrymod
-from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import (
+    get_spark,
+    release_persisted_rdds,
+)
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import TABLE_NAMES
 
 
@@ -90,6 +93,10 @@ def main() -> None:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            # drop localCheckpoint blocks iterative operators pin, so
+            # the 120-query sweep doesn't accumulate block-store
+            # pressure (same hygiene as bench.py)
+            release_persisted_rdds(spark)
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
