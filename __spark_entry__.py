@@ -761,6 +761,49 @@ def q_bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution (sources/readers.py:
+    read_parquet_evolved): two generations of the same table land in
+    one prefix — the older files written WITHOUT o_orderstatus, the
+    newer ones with it — and a mergeSchema scan unions the footers so
+    old rows surface the added column as NULL. The aggregate groups on
+    coalesce(status, '<pre_evolution>'), so the oracle (which rebuilds
+    both generations relationally) verifies that NULL-backfill
+    semantics, not just row counts."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+    )
+
+    path = _scratch_path("schema_evo", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # overwrite then append: the two generations share ONE flat prefix
+    # with heterogeneous footers (re-runs stay idempotent because the
+    # first write clears the dir)
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    evolved = readers.read_parquet_evolved(spark, path)
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre_evolution>")).alias(
+                "status"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC interop round-trip: full-replace a lineitem projection as
     ORC (sources/writers.py:write_orc_replace), scan it back with the
@@ -1781,8 +1824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_pq": q_embedding_topk_ivf_pq,
         "user_order_cogroup_profile": q_user_order_cogroup,
         "doc_hashed_features": q_doc_hashed_features,
-        # round 5: CCNet-family perplexity-proxy scoring
+        # round 5: CCNet-family perplexity-proxy scoring + additive
+        # schema evolution
         "doc_unigram_surprisal": q_doc_unigram_surprisal,
+        "schema_evolution_read": q_schema_evolution_read,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3524,6 +3569,22 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substring(h, 9, 1)) AS UBIGINT) % 2 = 0
                      THEN 1 ELSE -1 END) != 0
             ORDER BY doc_id, feature_index
+        """,
+        "schema_evolution_read": """
+            WITH evolved AS (
+              SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+              FROM orders WHERE o_orderkey % 2 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 2 = 1
+            )
+            SELECT COALESCE(o_orderstatus, '<pre_evolution>') AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_price
+            FROM evolved
+            GROUP BY status
+            ORDER BY status
         """,
         "doc_unigram_surprisal": """
             WITH toks AS (

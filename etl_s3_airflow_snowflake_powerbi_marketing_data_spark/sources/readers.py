@@ -62,6 +62,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: one scan over a prefix whose parquet files
+    were written under DIFFERENT (additively evolved) schemas — the
+    routine state of any long-lived 100 TB table whose pipeline gained
+    columns over time. ``mergeSchema`` unions the footers' schemas at
+    planning time (a footer-only pass, no data read) and older files
+    surface the added columns as NULL.
+
+    Deliberately a separate reader from :func:`read_parquet`: schema
+    merging reads every file footer up front, which on a
+    million-file table is real planning latency — curated tables whose
+    schema is known should keep the default single-footer fast path and
+    pay the merge only where evolution actually happened.
+
+    Additive evolution only (columns added / dropped); files that
+    CHANGED a column's type still fail the scan — that contract break
+    belongs to a rewrite migration, not a silent cast at read time.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """JSON-lines read with explicit schema (inference over JSON at
     100 TB means a full extra pass — always pass the schema)."""

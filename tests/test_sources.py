@@ -251,3 +251,26 @@ def test_write_zorder_validation(spark):
         writers.write_zorder_replace(df, "/tmp/none", ["a"])
     with pytest.raises(ValueError, match="bits"):
         writers.write_zorder_replace(df, "/tmp/none", ["a", "b"], bits=2)
+
+
+def test_read_parquet_evolved_null_backfill(spark, tmp_path):
+    """Additive schema evolution: older files lack the added column;
+    the mergeSchema scan surfaces it as NULL for them, and the default
+    reader (single-footer fast path) is documented NOT to see the
+    union — pin both behaviors."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        readers,
+    )
+
+    path = str(tmp_path / "evo")
+    spark.createDataFrame([(1, 10.0)], "k long, v double").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, 20.0, "new")], "k long, v double, tag string"
+    ).write.mode("append").parquet(path)
+
+    evolved = readers.read_parquet_evolved(spark, path)
+    assert set(evolved.columns) == {"k", "v", "tag"}
+    rows = {r.k: r.tag for r in evolved.collect()}
+    assert rows == {1: None, 2: "new"}
