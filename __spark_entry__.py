@@ -986,6 +986,54 @@ def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(v1).unionByName(agg(v2)).orderBy("version", "o_orderstatus")
 
 
+def q_versioned_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge (sources/versioned.py:purge_where):
+    build the table from two APPEND commits, purge every order of the
+    lowest-keyed 1% of customers, then aggregate BOTH versions of the
+    purged table — the v1 aggregate proves the erasure reached history
+    (time travel can no longer see the purged customers), v2 proves the
+    current snapshot matches plain-relational expectations. Oracle
+    recomputes both version states with the purge applied throughout."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    path = _scratch_path("versioned_purge", sf_dir)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    vt.write_version(
+        orders.filter(F.col("o_orderkey") % 2 == 0), path, mode="append"
+    )
+    vt.write_version(
+        orders.filter(F.col("o_orderkey") % 2 == 1), path, mode="append"
+    )
+    vt.purge_where(spark, path, "o_custkey % 100 = 0")
+
+    def agg(version: int, label: str) -> DataFrame:
+        return (
+            vt.read_version(spark, path, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("snapshot", F.lit(label))
+        )
+
+    return (
+        agg(1, "v1_history")
+        .unionByName(agg(2, "v2_current"))
+        .select("snapshot", "o_orderstatus", "n_orders", "total_price")
+        .orderBy("snapshot", "o_orderstatus")
+    )
+
+
 def q_versioned_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE + OPTIMIZE on the versioned layer
     (sources/versioned.py:delete_where/compact): build the table from
@@ -1828,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema evolution
         "doc_unigram_surprisal": q_doc_unigram_surprisal,
         "schema_evolution_read": q_schema_evolution_read,
+        "versioned_purge_history": q_versioned_purge_history,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3569,6 +3618,31 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substring(h, 9, 1)) AS UBIGINT) % 2 = 0
                      THEN 1 ELSE -1 END) != 0
             ORDER BY doc_id, feature_index
+        """,
+        "versioned_purge_history": """
+            WITH purged AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders
+              WHERE NOT COALESCE(o_custkey % 100 = 0, FALSE)
+            ), v1 AS (
+              SELECT * FROM purged WHERE o_orderkey % 2 = 0
+            ), v2 AS (
+              SELECT * FROM purged
+            ), a1 AS (
+              SELECT 'v1_history' AS snapshot, o_orderstatus,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS total_price
+              FROM v1 GROUP BY o_orderstatus
+            ), a2 AS (
+              SELECT 'v2_current' AS snapshot, o_orderstatus,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS total_price
+              FROM v2 GROUP BY o_orderstatus
+            )
+            SELECT * FROM a1 UNION ALL SELECT * FROM a2
+            ORDER BY snapshot, o_orderstatus
         """,
         "schema_evolution_read": """
             WITH evolved AS (

@@ -320,6 +320,98 @@ def compact(
         raise
 
 
+def purge_where(
+    spark: SparkSession, path: str, predicate: str
+) -> tuple[int, int]:
+    """Right-to-be-forgotten purge: remove predicate-TRUE rows from
+    EVERY retained version, history included — the compliance operation
+    :func:`delete_where` is not. A DELETE commits a new snapshot but
+    older manifests still reference the original prefixes, so time
+    travel (and any reader pinned to an old version) keeps serving the
+    doomed rows; GDPR-class erasure has to rewrite history.
+
+    Mechanics: every prefix referenced by ANY manifest that holds a
+    matching row is rewritten without those rows (prefixes holding
+    none are untouched — the same footer-probe pruning as DELETE);
+    then every manifest is atomically rewritten (temp file + rename)
+    to reference the purged prefixes, and the originals are removed.
+    Version numbers, history shape, and non-matching rows are
+    preserved exactly; only the purged rows vanish from all of them.
+
+    Concurrency contract: this is a STOP-THE-WORLD maintenance
+    operation (like Delta's VACUUM): run it with writers quiesced. It
+    still takes the optimistic guard — if any commit lands between the
+    snapshot read and the manifest rewrite, it aborts with
+    ``ConcurrentWriteError`` and removes its staged prefixes — but
+    readers holding pre-purge manifests can fail mid-scan once the old
+    prefixes are deleted, exactly the retention caveat of ``vacuum``.
+
+    NULL semantics match DELETE: a row is purged iff the predicate is
+    TRUE; NULL-evaluating rows survive. Returns
+    (n_prefixes_rewritten, n_manifests_updated).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    versions = table_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    latest = versions[-1]
+    doomed = F.coalesce(F.expr(predicate), F.lit(False))
+    all_prefixes: list[str] = []
+    for v in versions:
+        for pref in _read_manifest(path, v)["prefixes"]:
+            if pref not in all_prefixes:
+                all_prefixes.append(pref)
+    nonce = uuid.uuid4().hex[:12]
+    mapping: dict[str, str | None] = {}
+    staged: list[str] = []
+    for i, pref in enumerate(all_prefixes):
+        pdf = spark.read.parquet(os.path.join(path, pref))
+        if pdf.filter(doomed).limit(1).count() == 0:
+            continue  # untouched — contains nothing to erase
+        survivors = pdf.filter(~doomed)
+        new_pref = os.path.join("data", f"purge-{nonce}-{i}")
+        if survivors.limit(1).count() > 0:
+            survivors.write.mode("errorifexists").parquet(
+                os.path.join(path, new_pref)
+            )
+            mapping[pref] = new_pref
+            staged.append(new_pref)
+        else:
+            mapping[pref] = None  # prefix emptied entirely
+    if not mapping:
+        return 0, 0
+    if table_versions(path)[-1] != latest:
+        _remove_prefixes(path, staged)
+        raise ConcurrentWriteError(
+            f"purge based on v{latest} but a newer version is committed — "
+            "quiesce writers and rerun"
+        )
+    n_manifests = 0
+    for v in versions:
+        m = _read_manifest(path, v)
+        new_list = []
+        touched = False
+        for pref in m["prefixes"]:
+            if pref in mapping:
+                touched = True
+                if mapping[pref] is not None:
+                    new_list.append(mapping[pref])
+            else:
+                new_list.append(pref)
+        if not touched:
+            continue
+        m["prefixes"] = new_list
+        m["purged"] = True
+        tmp = _manifest_path(path, v) + f".tmp-{nonce}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, _manifest_path(path, v))  # atomic on POSIX
+        n_manifests += 1
+    _remove_prefixes(path, list(mapping))
+    return len(mapping), n_manifests
+
+
 def vacuum(path: str, keep_last: int = 2) -> list[str]:
     """Delete data prefixes referenced ONLY by expired manifests; keeps
     the last ``keep_last`` versions readable. Returns removed prefixes.
