@@ -113,6 +113,63 @@ def write_jsonl_replace(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int = 100_000,
+    shuffle_col: str | None = None,
+) -> dict:
+    """Export a prepared corpus as size-bounded parquet shards plus a
+    ``manifest.json`` — the handoff format an LLM dataloader consumes
+    (the WebDataset posture: fixed-size shards a loader can assign to
+    workers without listing or footer-reading the whole dataset).
+
+    ``maxRecordsPerFile`` bounds every shard; with ``shuffle_col`` the
+    rows are range-partitioned on it first (pass a deterministic
+    position — e.g. ``sampling.corpus_shuffle``'s output — so shard
+    membership is reproducible across runs; never ``rand()``). The
+    manifest records per-shard row counts read from the parquet
+    FOOTERS (metadata-only, no data scan) and the schema, so a loader
+    can size epochs and split work without opening a single shard.
+
+    Returns the manifest dict (also written to ``path/_manifest.json``
+    — the underscore prefix keeps it invisible to Spark/Hadoop scans of
+    the shard directory, like ``_SUCCESS``).
+    """
+    import json as _json  # noqa: PLC0415
+    import os as _os  # noqa: PLC0415
+
+    writer = df
+    if shuffle_col is not None:
+        writer = df.repartitionByRange(shuffle_col).sortWithinPartitions(
+            shuffle_col
+        )
+    (
+        writer.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+    import pyarrow.parquet as _pq  # noqa: PLC0415
+
+    shards = []
+    for name in sorted(_os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = _pq.ParquetFile(_os.path.join(path, name)).metadata
+        shards.append({"file": name, "rows": md.num_rows})
+    manifest = {
+        "format": "parquet",
+        "max_records_per_file": max_records_per_file,
+        "n_shards": len(shards),
+        "total_rows": sum(sh["rows"] for sh in shards),
+        "schema": df.schema.jsonValue(),
+        "shards": shards,
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest
+
+
 def write_sorted_replace(
     df: DataFrame,
     path: str,

@@ -274,3 +274,32 @@ def test_read_parquet_evolved_null_backfill(spark, tmp_path):
     assert set(evolved.columns) == {"k", "v", "tag"}
     rows = {r.k: r.tag for r in evolved.collect()}
     assert rows == {1: None, 2: "new"}
+
+
+def test_write_training_shards_manifest(spark, tmp_path):
+    """Shard export: every shard respects the row bound, the manifest's
+    footer-read counts sum to the dataset size, and shard membership is
+    reproducible when keyed on a deterministic position column."""
+    import json
+    import os
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        writers,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("pos"), (F.col("id") * 2).alias("payload")
+    )
+    path = str(tmp_path / "shards")
+    manifest = writers.write_training_shards(
+        df, path, max_records_per_file=100, shuffle_col="pos"
+    )
+    assert manifest["total_rows"] == 1000
+    assert manifest["n_shards"] >= 10
+    assert all(sh["rows"] <= 100 for sh in manifest["shards"])
+    on_disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert on_disk["total_rows"] == 1000
+    # the loader contract: reading the shards back equals the input
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert {r.pos for r in back.collect()} == set(range(1000))
