@@ -597,6 +597,23 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_hll_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped streaming sketch sink (streaming/pipeline.py:
+    run_hll_stream_to_versioned): the register table lands as one
+    atomic versioned-table commit per micro-batch via foreachBatch,
+    and the estimate is finalized from the LATEST committed version.
+    Register MAX is micro-batch-order invariant, so the result must be
+    bit-identical to both the memory-sink stream and the batch sketch —
+    the oracle reuses the independent pure-Python expected output."""
+    path = _scratch_path("hll_vsink", sf_dir)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(path, ignore_errors=True)  # fresh register table per run
+    return streaming_pipeline.run_hll_stream_to_versioned(
+        spark, table_path(sf_dir, "events"), path
+    )
+
+
 def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming count-min sketch: COUNT registers maintained by
     Structured Streaming (complete mode — micro-batch-order invariant),
@@ -1877,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_surprisal": q_doc_unigram_surprisal,
         "schema_evolution_read": q_schema_evolution_read,
         "versioned_purge_history": q_versioned_purge_history,
+        "streaming_hll_versioned": q_streaming_hll_versioned,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -2880,6 +2898,12 @@ def oracle_sql() -> dict[str, str]:
         # Streaming registers == batch registers (MAX is micro-batch-
         # order invariant), so the same expected file verifies both.
         "streaming_hll_users": """
+            SELECT event_type, hll_estimate, buckets_used
+            FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
+        """,
+        # versioned-sink variant must equal the same expected output
+        # (register MAX is micro-batch-order AND sink-order invariant)
+        "streaming_hll_versioned": """
             SELECT event_type, hll_estimate, buckets_used
             FROM read_parquet('/root/repo/expected/sf0.01/hll_distinct_users_by_type.parquet')
         """,
