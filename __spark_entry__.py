@@ -1421,6 +1421,42 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch re-aggregation — the quantile sibling of
+    q_hll_sketch_merge: per-day histogram registers over GLOBAL bin
+    edges (operators/sketches.py:histogram_registers), rolled UP to
+    per-month registers by SUMMING counts (integer addition is
+    associative — the merged registers equal direct per-month registers
+    bit-for-bit), then per-month quantiles extracted from the merged
+    registers (histogram_quantiles). The oracle computes the per-month
+    histogram DIRECTLY from raw rows, so a green row proves the rollup
+    introduced no error. This is how a 100 TB percentile dashboard
+    re-aggregates day → month → total over O(groups × n_bins) register
+    rows without ever re-scanning events."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.date_trunc("day", F.col("o_orderdate"))
+    )
+    daily = sketches.histogram_registers(
+        orders, "o_totalprice", ["day"], n_bins=1000
+    )
+    merged = (
+        daily.withColumn("month", F.date_trunc("month", F.col("day")))
+        .groupBy("month", "bin")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+        )
+    )
+    return sketches.histogram_quantiles(
+        merged, ["month"], quantiles=(0.25, 0.5, 0.75, 0.9, 0.99), n_bins=1000
+    )
+
+
 def q_order_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraints (operators/quality.py) over
     orders: all row-local checks fold into ONE aggregate pass; the
@@ -1895,6 +1931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": q_schema_evolution_read,
         "versioned_purge_history": q_versioned_purge_history,
         "streaming_hll_versioned": q_streaming_hll_versioned,
+        # round 5: mergeable histogram-quantile rollup (day -> month),
+        # completing the every-sketch-is-mergeable story (HLL max-merge,
+        # CMS sum-merge, histogram sum-merge)
+        "quantile_sketch_merge_rollup": q_quantile_sketch_merge,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4001,6 +4041,49 @@ def oracle_sql() -> dict[str, str]:
                      0.0) AS rare_ratio
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # Direct per-month histogram from raw rows: equality with the
+        # Spark day->month register rollup proves count-sum merge
+        # introduced no error (same global edges, integer counts).
+        "quantile_sketch_merge_rollup": """
+            WITH b AS (
+              SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+              FROM orders
+            ),
+            h AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     CASE WHEN b.mx = b.mn THEN 0
+                          ELSE LEAST(CAST(floor((o_totalprice - b.mn)
+                                 / ((b.mx - b.mn) / 1000.0)) AS BIGINT),
+                               999)
+                     END AS bin,
+                     COUNT(*) AS cnt
+              FROM orders, b GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT month, bin,
+                     SUM(cnt) OVER (PARTITION BY month ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(cnt) OVER (PARTITION BY month) AS n
+              FROM h
+            ),
+            q AS (
+              SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE)
+                AS quantile
+            ),
+            sel AS (
+              SELECT c.month, q.quantile, MIN(c.bin) AS bin,
+                     CAST(MIN(c.n) AS BIGINT) AS n_rows
+              FROM q JOIN c ON c.cum >= CEIL(q.quantile * c.n)
+              GROUP BY 1, 2
+            )
+            SELECT month, quantile, bin,
+                   (SELECT mn FROM b) + (bin + 1)
+                     * (((SELECT mx FROM b) - (SELECT mn FROM b)) / 1000.0)
+                     AS est_value,
+                   n_rows
+            FROM sel ORDER BY month, quantile
         """,
     }
     return oracles

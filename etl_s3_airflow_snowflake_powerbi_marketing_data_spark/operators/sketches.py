@@ -397,3 +397,109 @@ def binned_quantile_sketch(
         .select("quantile", F.col("bin"), est.alias("est_value"))
         .orderBy("quantile")
     )
+
+def histogram_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Per-group fixed-width histogram REGISTERS over GLOBAL bin edges
+    — the mergeable form of ``binned_quantile_sketch``.
+
+    The edges come from one corpus-wide min/max pass (1-row broadcast),
+    so every group's registers share the same bin geometry. That makes
+    the registers ASSOCIATIVE under addition: summing day registers
+    yields the month registers bit-for-bit (counts are integers — no
+    float anywhere), which is what lets a 100 TB rollup hierarchy
+    (day → month → total) re-aggregate O(groups × n_bins) register rows
+    instead of re-scanning raw data — the additive sibling of the HLL
+    register-MAX rollup (``hll_registers``).
+
+    Scale shape: one bounds aggregate, one binning scan (pure
+    projection against the broadcast bounds), one groupBy over
+    (groups × ≤ n_bins) keys with map-side combine. Returns
+    (*group_cols, bin, cnt, __mn, __mx).
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(n_bins)
+    binned = df.join(F.broadcast(bounds)).select(
+        *group_cols,
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("__mn")) / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+        "__mn",
+        "__mx",
+    )
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count("*").alias("cnt"),
+        F.first("__mn").alias("__mn"),
+        F.first("__mx").alias("__mx"),
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Quantile extraction from histogram registers (the finalize half,
+    like ``hll_finalize``): per-group cumulative window over ≤ n_bins
+    register rows — bounded by the SKETCH, not the data — then
+    selection of the first bin whose cumulative count reaches
+    ceil(q·N). Single-IEEE-op edge reconstruction, identical to
+    ``binned_quantile_sketch`` so a SQL engine computing the same
+    formula lands on the same doubles. Returns
+    (*group_cols, quantile, bin, est_value, n_rows).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "__n", F.sum("cnt").over(wall)
+    )
+    q = cum.select(
+        *group_cols,
+        F.explode(F.array(*[F.lit(float(x)) for x in quantiles])).alias(
+            "quantile"
+        ),
+        "bin",
+        "cum",
+        "__mn",
+        "__mx",
+        "__n",
+    ).filter(F.col("cum") >= F.ceil(F.col("quantile") * F.col("__n")))
+    est = F.col("__mn") + (F.col("bin") + 1) * (
+        (F.col("__mx") - F.col("__mn")) / F.lit(n_bins)
+    )
+    return (
+        q.groupBy(*group_cols, "quantile")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+            F.first("__n").alias("__n"),
+        )
+        .select(
+            *group_cols,
+            "quantile",
+            "bin",
+            est.alias("est_value"),
+            F.col("__n").cast("long").alias("n_rows"),
+        )
+        .orderBy(*group_cols, "quantile")
+    )

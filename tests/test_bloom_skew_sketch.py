@@ -370,3 +370,73 @@ def test_ivf_pq_generator_matches_spark(spark, sf_dir):
             e["query_id"], e["neighbor_id"], e["rank"],
         )
         assert abs(g["cosine_sim"] - e["cosine_sim"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantile rollup
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_registers_merge_equals_direct(spark, sf_dir):
+    """Count-SUM associativity (the histogram analog of the HLL
+    register-MAX test): per-day registers rolled up to months must
+    equal registers computed directly per month, bit-for-bit, because
+    every group shares the same global bin edges."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "day", F.date_trunc("day", F.col("o_orderdate"))
+    )
+    daily = sketches.histogram_registers(
+        orders, "o_totalprice", ["day"], n_bins=100
+    )
+    merged = (
+        daily.withColumn("month", F.date_trunc("month", F.col("day")))
+        .groupBy("month", "bin")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+        )
+    )
+    monthly = orders.withColumn(
+        "month", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    direct = sketches.histogram_registers(
+        monthly, "o_totalprice", ["month"], n_bins=100
+    )
+    cols = ["month", "bin", "cnt", "__mn", "__mx"]
+    assert _rows(merged.select(*cols)) == _rows(direct.select(*cols))
+
+
+def test_histogram_quantiles_micro_fixture(spark):
+    """Hand-computed: values 0..9 in one group, 10 bins over [0, 9] —
+    bin width 0.9, value v lands in bin min(floor(v/0.9), 9).
+    q=0.5 -> ceil(0.5*10)=5th value; cumulative counts reach 5 at
+    bin 4 (values 0..4 occupy bins 0,1,2,3,4), est = 0 + 5*0.9 = 4.5."""
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(10)], "grp string, v double"
+    )
+    hist = sketches.histogram_registers(df, "v", ["grp"], n_bins=10)
+    out = sketches.histogram_quantiles(
+        hist, ["grp"], quantiles=(0.5,), n_bins=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["grp"] == "g"
+    assert r["bin"] == 4
+    assert r["est_value"] == pytest.approx(4.5)
+    assert r["n_rows"] == 10
+
+
+def test_histogram_constant_column_single_bin(spark):
+    """mx == mn degenerate case: everything lands in bin 0 and every
+    quantile returns the lower edge reconstruction without a 0-width
+    division poisoning the plan."""
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5, "grp string, v double"
+    )
+    hist = sketches.histogram_registers(df, "v", ["grp"], n_bins=10)
+    out = sketches.histogram_quantiles(
+        hist, ["grp"], quantiles=(0.5, 0.99), n_bins=10
+    ).collect()
+    assert [r["bin"] for r in out] == [0, 0]
+    assert all(r["n_rows"] == 5 for r in out)

@@ -56,6 +56,9 @@ BOUNDED_BNLJ_OK = {
         "domain-bounded calendar grid (|priorities| x |days|)"
     ),
     "order_price_quantile_sketch": "1-row min/max/count bounds aggregate",
+    # histogram_registers shares bin edges via the same 1-row bounds
+    # broadcast (global edges are what make the registers mergeable)
+    "quantile_sketch_merge_rollup": "1-row min/max global-bin-edge bounds",
     "rolling_weekly_revenue": "1-row bounds for the day spine",
     "doc_pack_sequences": "1-row min/max bounds for bucket math",
     "csv_ingest_rollup": "1-row corpus-stats aggregate",
