@@ -389,6 +389,9 @@ def main() -> None:
             "supplier_hierarchy_rollup": relational.supplier_hierarchy_rollup,
             "versioned_delete_compact": entrymod.q_versioned_delete_compact,
             "embedding_topk_ivf_pq": entrymod.q_embedding_topk_ivf_pq,
+            # mergeable histogram rollup: register rows cap at
+            # groups x n_bins, so growth should track the binning scan
+            "quantile_sketch_merge_rollup": entrymod.q_quantile_sketch_merge,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
