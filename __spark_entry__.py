@@ -1457,6 +1457,31 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/skew.py:
+    key_distribution_profile) over the two hottest join keys in the
+    schema — events.user_id (the fact-side probe key) and
+    orders.o_custkey (the dimension-side build key). Output is an
+    order-of-magnitude histogram bounded by ~log10(N) rows per source,
+    so profiling a 100 TB key column moves one map-side-combined
+    groupBy and returns a handful of rows."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        skew,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        skew.key_distribution_profile(events, "user_id", "events.user_id")
+        .unionByName(
+            skew.key_distribution_profile(
+                orders, "o_custkey", "orders.o_custkey"
+            )
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 def q_order_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraints (operators/quality.py) over
     orders: all row-local checks fold into ONE aggregate pass; the
@@ -1935,6 +1960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # completing the every-sketch-is-mergeable story (HLL max-merge,
         # CMS sum-merge, histogram sum-merge)
         "quantile_sketch_merge_rollup": q_quantile_sketch_merge,
+        # round 5: join-strategy diagnostic (order-of-magnitude key
+        # frequency histogram over the two hottest join keys)
+        "join_key_skew_profile": q_join_key_skew_profile,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4084,6 +4112,27 @@ def oracle_sql() -> dict[str, str]:
                      AS est_value,
                    n_rows
             FROM sel ORDER BY month, quantile
+        """,
+        "join_key_skew_profile": """
+            WITH e AS (
+              SELECT user_id AS k, COUNT(*) AS cnt
+              FROM events GROUP BY 1
+            ), o AS (
+              SELECT o_custkey AS k, COUNT(*) AS cnt
+              FROM orders GROUP BY 1
+            ), u AS (
+              SELECT 'events.user_id' AS source, cnt FROM e
+              UNION ALL
+              SELECT 'orders.o_custkey' AS source, cnt FROM o
+            )
+            SELECT source,
+                   CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS bucket,
+                   COUNT(*) AS n_keys,
+                   CAST(SUM(cnt) AS BIGINT) AS rows_in_bucket,
+                   MAX(cnt) AS max_cnt
+            FROM u
+            GROUP BY source, bucket
+            ORDER BY source, bucket
         """,
     }
     return oracles

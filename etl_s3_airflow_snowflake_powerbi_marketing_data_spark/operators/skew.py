@@ -138,3 +138,50 @@ def salted_join(
     return salted_probe.join(
         replicated.hint("shuffle_hash"), [*on, "__salt"], how
     ).drop("__salt")
+
+
+def key_distribution_profile(
+    df: DataFrame, key_col: str, source: str
+) -> DataFrame:
+    """Join-key skew diagnostic — the profile you run BEFORE picking a
+    join strategy (broadcast vs shuffle vs salted) for a 100 TB join.
+
+    Per-key counts are folded into an order-of-magnitude histogram
+    (bucket = decimal digit count of the key's row count), so the
+    output is bounded by ~log10(N) rows regardless of key cardinality:
+    a clean power-law fingerprint of the key column. A heavy tail in
+    the top bucket (few keys, huge max_cnt) says salt or AQE-skew-split
+    the join; millions of singleton keys says the shuffle is fine.
+
+    Scale shape: one groupBy over the key (map-side combined partial
+    counts — the same shuffle the join itself would do, so the profile
+    costs no more than one pass of the join's build side), then a
+    second groupBy over ≤ ~20 digit buckets. The digit-count bucket is
+    pure integer/string arithmetic — deterministic across engines,
+    unlike floor(log2(x)) whose transcendental boundary cases can
+    differ in the last ulp.
+
+    Returns (source, bucket, n_keys, rows_in_bucket, max_cnt).
+    """
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count("*").alias("__cnt")
+    )
+    return (
+        per_key.groupBy(
+            F.length(F.col("__cnt").cast("string")).cast("long").alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("__cnt").cast("long").alias("rows_in_bucket"),
+            F.max("__cnt").alias("max_cnt"),
+        )
+        .select(
+            F.lit(source).alias("source"),
+            "bucket",
+            "n_keys",
+            "rows_in_bucket",
+            "max_cnt",
+        )
+    )

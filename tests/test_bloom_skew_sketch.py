@@ -440,3 +440,31 @@ def test_histogram_constant_column_single_bin(spark):
     ).collect()
     assert [r["bin"] for r in out] == [0, 0]
     assert all(r["n_rows"] == 5 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profile
+# ---------------------------------------------------------------------------
+
+
+def test_key_distribution_profile_fixture(spark):
+    """Hand-computed: keys a(x12), b(x3), c(x1), NULL(x100). Digit
+    buckets: cnt 1 and 3 -> bucket 1 (two keys, 4 rows, max 3);
+    cnt 12 -> bucket 2; cnt 100 -> bucket 3. The NULL hot key — the
+    canonical skew culprit — must be counted as a key group, not
+    dropped."""
+    rows = (
+        [("a",)] * 12 + [("b",)] * 3 + [("c",)] + [(None,)] * 100
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {
+        r["bucket"]: r
+        for r in skew.key_distribution_profile(df, "k", "t.k").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_keys"] == 2
+    assert out[1]["rows_in_bucket"] == 4
+    assert out[1]["max_cnt"] == 3
+    assert out[2]["n_keys"] == 1 and out[2]["max_cnt"] == 12
+    assert out[3]["n_keys"] == 1 and out[3]["rows_in_bucket"] == 100
+    assert all(r["source"] == "t.k" for r in out.values())
