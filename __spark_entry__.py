@@ -1457,6 +1457,47 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD-2 dimension that
+    q_merge_scd2 builds (operators/merge.py:scd2_point_in_time) — the
+    consuming side of history-keeping: every dimension key probed at
+    two as-of instants, one inside the injected 2023 history window
+    and one after the merge's load_ts, returning the version valid at
+    each instant (NULL attributes where the key had no version yet).
+    The oracle wraps the same five-way merge set-algebra in a CTE and
+    applies the interval lookup in SQL."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        merge as merge_ops,
+    )
+
+    dim = q_merge_scd2(spark, sf_dir)
+    probes = (
+        dim.select("o_orderkey")
+        .distinct()
+        .select(
+            "o_orderkey",
+            F.explode(
+                F.array(
+                    F.lit("2023-06-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-07-01 00:00:00").cast("timestamp"),
+                )
+            ).alias("as_of"),
+        )
+    )
+    out = merge_ops.scd2_point_in_time(dim, probes, ["o_orderkey"], "as_of")
+    # comparator hygiene: nullable boolean canonicalizes as None
+    # (Spark) vs NaN (DuckDB/pandas), and float NaN never equals
+    # itself — carry the flag as string and the no-version price as a
+    # -1.0 sentinel (real prices are positive)
+    return (
+        out.withColumn("is_current", F.col("is_current").cast("string"))
+        .withColumn(
+            "o_totalprice", F.coalesce(F.col("o_totalprice"), F.lit(-1.0))
+        )
+        .orderBy("o_orderkey", "as_of")
+    )
+
+
 def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic (operators/skew.py:
     key_distribution_profile) over the two hottest join keys in the
@@ -1963,6 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: join-strategy diagnostic (order-of-magnitude key
         # frequency histogram over the two hottest join keys)
         "join_key_skew_profile": q_join_key_skew_profile,
+        # round 5: the consuming side of SCD-2 history keeping
+        "scd2_point_in_time": q_scd2_point_in_time,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4133,6 +4176,77 @@ def oracle_sql() -> dict[str, str]:
             FROM u
             GROUP BY source, bucket
             ORDER BY source, bucket
+        """,
+        # The five-way SCD-2 merge algebra (same as merge_scd2_orders)
+        # wrapped as a CTE, probed at two as-of instants per key.
+        "scd2_point_in_time": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ),
+            cur AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+            hist AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice - 500.0
+                       AS o_totalprice
+              FROM base WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+            ),
+            src AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice
+                          ELSE o_totalprice + 1000.0 END AS o_totalprice
+              FROM base WHERE o_orderkey % 2 = 0
+            ),
+            matched AS (
+              SELECT c.o_orderkey,
+                     c.o_orderstatus AS t_st, c.o_totalprice AS t_pr,
+                     s.o_orderstatus AS s_st, s.o_totalprice AS s_pr,
+                     (c.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+                      OR c.o_totalprice IS DISTINCT FROM s.o_totalprice)
+                       AS changed
+              FROM cur c JOIN src s USING (o_orderkey)
+            ),
+            scd AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     TIMESTAMP '2023-01-01' AS valid_from,
+                     TIMESTAMP '2024-01-01' AS valid_to,
+                     FALSE AS is_current
+              FROM hist
+              UNION ALL
+              SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+                     TIMESTAMP '2024-01-01', NULL, TRUE
+              FROM cur c
+              WHERE c.o_orderkey NOT IN (
+                      SELECT o_orderkey FROM matched WHERE changed)
+              UNION ALL
+              SELECT o_orderkey, t_st, t_pr,
+                     TIMESTAMP '2024-01-01', TIMESTAMP '2024-06-01',
+                     FALSE
+              FROM matched WHERE changed
+              UNION ALL
+              SELECT o_orderkey, s_st, s_pr,
+                     TIMESTAMP '2024-06-01', NULL, TRUE
+              FROM matched WHERE changed
+              UNION ALL
+              SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+                     TIMESTAMP '2024-06-01', NULL, TRUE
+              FROM src s
+              WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM cur)
+            ),
+            probes AS (
+              SELECT o_orderkey,
+                     unnest([TIMESTAMP '2023-06-01',
+                             TIMESTAMP '2024-07-01']) AS as_of
+              FROM (SELECT DISTINCT o_orderkey FROM scd)
+            )
+            SELECT p.o_orderkey, p.as_of,
+                   s.o_orderstatus,
+                   COALESCE(s.o_totalprice, -1.0) AS o_totalprice,
+                   CAST(s.is_current AS VARCHAR) AS is_current
+            FROM probes p
+            LEFT JOIN scd s
+              ON p.o_orderkey = s.o_orderkey
+             AND s.valid_from <= p.as_of
+             AND (s.valid_to IS NULL OR p.as_of < s.valid_to)
+            ORDER BY p.o_orderkey, p.as_of
         """,
     }
     return oracles

@@ -256,3 +256,56 @@ def versioned_merge(
     target = vt.read_version(spark, table_path)
     fn = merge_update if update else merge_ignore
     return vt.write_version(fn(target, source, keys), table_path)
+
+
+def scd2_point_in_time(
+    dim: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    as_of_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time lookup against an SCD-2 dimension — the consuming
+    side of :func:`merge_scd2`: for each probe row (keys + an as-of
+    timestamp), return the dimension version whose validity interval
+    covers it (``valid_from <= as_of < valid_to``, open-ended for the
+    current version). SCD-2 interval disjointness guarantees at most
+    one match per probe; probes before the key's first version (or for
+    unknown keys) keep NULL attributes via the left join.
+
+    Plan shape: an EQUI-join on the merge keys with the interval
+    predicate as a residual filter — Catalyst plans a shuffle/broadcast
+    hash join on the keys, never a BNLJ, and each key's comparison set
+    is its own version count (small by SCD-2 construction), so the
+    lookup scales with facts + dim versions, not their product.
+    """
+    # Probes often derive from the dimension itself (e.g. "every key
+    # at these instants"), which makes df[col] references ambiguous
+    # under shared lineage — rename the dim side to unique names so
+    # the join condition is unambiguous by construction.
+    d = dim
+    for c in dim.columns:
+        d = d.withColumnRenamed(c, f"__d_{c}")
+    cond = None
+    for k in keys:
+        eq = F.col(k) == F.col(f"__d_{k}")
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (F.col(f"__d_{valid_from_col}") <= F.col(as_of_col))
+        & (
+            F.col(f"__d_{valid_to_col}").isNull()
+            | (F.col(as_of_col) < F.col(f"__d_{valid_to_col}"))
+        )
+    )
+    attr_cols = [
+        c
+        for c in dim.columns
+        if c not in {*keys, valid_from_col, valid_to_col}
+    ]
+    return probes.join(d, cond, "left").select(
+        *keys,
+        as_of_col,
+        *[F.col(f"__d_{c}").alias(c) for c in attr_cols],
+    )

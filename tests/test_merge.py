@@ -207,3 +207,46 @@ def test_merge_scd2_null_attr_change_detected(spark):
     assert ("k1", "now-set", True) in got      # new version
     assert (None, "nv", True) in got           # null key matched, unchanged
     assert len(got) == 3
+
+
+def test_scd2_point_in_time_lookup(spark):
+    """Interval lookup: mid-history probe returns the closed version,
+    post-merge probe returns current, pre-first-version probe returns
+    NULL attributes, and interval disjointness yields exactly one row
+    per probe."""
+    from pyspark.sql import functions as F
+
+    dim = _scd2_target(spark)
+    probes = spark.createDataFrame(
+        [
+            ("k1", "2023-06-01 00:00:00"),  # inside closed v1
+            ("k1", "2024-06-01 00:00:00"),  # current v2
+            ("k2", "2022-01-01 00:00:00"),  # before first version
+            ("k9", "2024-06-01 00:00:00"),  # unknown key
+        ],
+        "key string, as_of string",
+    ).withColumn("as_of", F.col("as_of").cast("timestamp"))
+    out = merge.scd2_point_in_time(dim, probes, ["key"], "as_of")
+    assert out.count() == 4  # one row per probe, no interval overlap
+    got = {
+        (r["key"], str(r["as_of"])): (r["val"], r["is_current"])
+        for r in out.collect()
+    }
+    assert got[("k1", "2023-06-01 00:00:00")] == ("a", False)
+    assert got[("k1", "2024-06-01 00:00:00")] == ("b", True)
+    assert got[("k2", "2022-01-01 00:00:00")] == (None, None)
+    assert got[("k9", "2024-06-01 00:00:00")] == (None, None)
+
+
+def test_scd2_point_in_time_boundary_semantics(spark):
+    """valid_from is inclusive, valid_to exclusive: a probe exactly at
+    the version flip must land on the NEW version only."""
+    from pyspark.sql import functions as F
+
+    dim = _scd2_target(spark)
+    probes = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:00")], "key string, as_of string"
+    ).withColumn("as_of", F.col("as_of").cast("timestamp"))
+    out = merge.scd2_point_in_time(dim, probes, ["key"], "as_of").collect()
+    assert len(out) == 1
+    assert out[0]["val"] == "b" and out[0]["is_current"] is True
