@@ -1498,6 +1498,34 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-time CDC over the versioned layer (sources/versioned.py:
+    change_feed): commit v1 = the merge target slice, v2 = the SCD-1
+    merge result minus a deterministic 1/97 key slice (so the feed
+    exercises deletes, not just the merge's inserts/updates), then
+    diff the snapshots into insert / delete / update_preimage /
+    update_postimage rows. The oracle recomputes both version states
+    relationally and classifies the same four ways in set algebra."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    path = _scratch_path("versioned_cdc", sf_dir)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(path, ignore_errors=True)  # fresh table per run
+    target, source = _merge_slices(spark, sf_dir)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    v1 = vt.write_version(target.select(*cols), path)
+    merged = merge.merge_update(
+        vt.read_version(spark, path, v1), source.select(*cols), ["o_orderkey"]
+    )
+    v2 = vt.write_version(merged.filter(F.col("o_orderkey") % 97 != 0), path)
+    return vt.change_feed(spark, path, ["o_orderkey"], v1, v2).orderBy(
+        "o_orderkey", "change_type"
+    )
+
+
 def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic (operators/skew.py:
     key_distribution_profile) over the two hottest join keys in the
@@ -2006,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_key_skew_profile": q_join_key_skew_profile,
         # round 5: the consuming side of SCD-2 history keeping
         "scd2_point_in_time": q_scd2_point_in_time,
+        # round 5: read-time CDC between committed versions
+        "versioned_change_feed": q_versioned_change_feed,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4247,6 +4277,45 @@ def oracle_sql() -> dict[str, str]:
              AND s.valid_from <= p.as_of
              AND (s.valid_to IS NULL OR p.as_of < s.valid_to)
             ORDER BY p.o_orderkey, p.as_of
+        """,
+        # v1/v2 recomputed relationally; the same four-way CDC
+        # classification in set algebra.
+        "versioned_change_feed": """
+            WITH v1 AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 3 <> 0
+            ), src AS (
+              SELECT o_orderkey, o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice
+              FROM orders WHERE o_orderkey % 2 = 0
+            ), merged AS (
+              SELECT * FROM v1
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT * FROM src
+            ), v2 AS (
+              SELECT * FROM merged WHERE o_orderkey % 97 <> 0
+            ), upd AS (
+              SELECT o.o_orderkey,
+                     o.o_orderstatus AS o_st, o.o_totalprice AS o_pr,
+                     n.o_orderstatus AS n_st, n.o_totalprice AS n_pr
+              FROM v1 o JOIN v2 n USING (o_orderkey)
+              WHERE o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+            )
+            SELECT 'insert' AS change_type,
+                   n.o_orderkey, n.o_orderstatus, n.o_totalprice
+            FROM v2 n
+            WHERE n.o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+            UNION ALL
+            SELECT 'delete', o.o_orderkey, o.o_orderstatus, o.o_totalprice
+            FROM v1 o
+            WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM v2)
+            UNION ALL
+            SELECT 'update_preimage', o_orderkey, o_st, o_pr FROM upd
+            UNION ALL
+            SELECT 'update_postimage', o_orderkey, n_st, n_pr FROM upd
+            ORDER BY o_orderkey, change_type
         """,
     }
     return oracles

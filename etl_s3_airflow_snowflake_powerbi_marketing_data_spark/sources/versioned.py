@@ -36,6 +36,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_versions"
 _MAX_COMMIT_RETRIES = 100
@@ -440,3 +441,68 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
         shutil.rmtree(os.path.join(path, p), ignore_errors=True)
         removed.append(p)
     return removed
+
+
+def change_feed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """CDC between two committed versions — what changed from one
+    snapshot to another, in Delta change-data-feed vocabulary:
+    ``insert`` (key only in the newer snapshot), ``delete`` (key only
+    in the older), ``update_preimage``/``update_postimage`` (key in
+    both with any non-key attribute differing, null-safe); unchanged
+    keys emit nothing.
+
+    Plain-parquet versioning stores no row-level deltas at write time
+    (Delta's CDF does), so the feed is COMPUTED at read time: one
+    full-outer join of the two snapshots co-shuffled on the row keys,
+    then a map-side conditional-struct explode — one pass, no
+    per-change-type re-join. Cost at 100 TB is one co-partitioned join
+    of two snapshots; for tables where that read-time cost is too hot,
+    capture the feed once and commit it as its own versioned table.
+    """
+    old = read_version(spark, path, from_version)
+    new = read_version(spark, path, to_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "change_feed requires matching snapshot schemas; use "
+            "merge_schema reads + an explicit projection first"
+        )
+    cols = old.columns
+    attrs = [c for c in cols if c not in keys]
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+    cond = None
+    for k in keys:
+        eq = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full")
+
+    def side_struct(change: str, prefix: str):
+        return F.struct(
+            F.lit(change).alias("change_type"),
+            *[F.col(f"{prefix}{c}").alias(c) for c in cols],
+        )
+
+    # presence markers: a full-outer miss leaves the whole side null;
+    # keys are non-null per side by join construction, so a null key
+    # column IS the miss marker (null-keyed rows never match anyway
+    # and surface as one insert + one delete, which is correct CDC)
+    in_old = F.col(f"__o_{keys[0]}").isNotNull()
+    in_new = F.col(f"__n_{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in attrs:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    events = F.array(
+        F.when(in_new & ~in_old, side_struct("insert", "__n_")),
+        F.when(in_old & ~in_new, side_struct("delete", "__o_")),
+        F.when(in_old & in_new & changed, side_struct("update_preimage", "__o_")),
+        F.when(in_old & in_new & changed, side_struct("update_postimage", "__n_")),
+    )
+    return j.select(
+        F.explode(F.filter(events, lambda x: x.isNotNull())).alias("__c")
+    ).select("__c.*")

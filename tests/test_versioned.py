@@ -433,3 +433,51 @@ def test_purge_where_aborts_on_concurrent_commit(spark, tmp_path):
     assert sorted(r.k for r in vt.read_version(spark, path, 1).collect()) == [1, 2]
     on_disk = os.listdir(os.path.join(path, "data"))
     assert not [d for d in on_disk if d.startswith("purge-")]
+
+
+def test_change_feed_four_way_classification(spark, tmp_path):
+    """insert / delete / update pre+post / unchanged-silent, plus a
+    null-attribute flip counting as an update (null-safe compare)."""
+    path = str(tmp_path / "t")
+    vt.write_version(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "keep")], "k long, v string"
+        ),
+        path,
+    )
+    vt.write_version(
+        spark.createDataFrame(
+            # 1 updated, 2 deleted, 3 null->value update, 4 unchanged,
+            # 5 inserted
+            [(1, "a2"), (3, "now"), (4, "keep"), (5, "new")],
+            "k long, v string",
+        ),
+        path,
+    )
+    rows = sorted(
+        tuple(r)
+        for r in vt.change_feed(spark, path, ["k"], 1, 2).collect()
+    )
+    assert rows == sorted(
+        [
+            ("update_preimage", 1, "a"),
+            ("update_postimage", 1, "a2"),
+            ("delete", 2, "b"),
+            ("update_preimage", 3, None),
+            ("update_postimage", 3, "now"),
+            ("insert", 5, "new"),
+        ]
+    )
+
+
+def test_change_feed_schema_mismatch_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    vt.write_version(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )
+    vt.write_version(
+        spark.createDataFrame([(1, "a", 9)], "k long, v string, w long"),
+        path,
+    )
+    with pytest.raises(ValueError, match="matching snapshot schemas"):
+        vt.change_feed(spark, path, ["k"], 1, 2)
