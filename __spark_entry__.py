@@ -1498,6 +1498,40 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation (operators/sampling.py:
+    token_budget_select): rank documents by type-token ratio
+    (trunc6-deterministic quality proxy) and keep the best docs until
+    the running token count reaches 50% of the corpus — "the top N
+    tokens by quality", the mix-sizing primitive. The banded two-pass
+    running sum reproduces the oracle's global ORDER BY cumsum without
+    a global window."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "ttr",
+            F.floor(F.col("n_distinct") / F.col("n_tokens") * 1e6) / 1e6,
+        )
+    )
+    return sampling.token_budget_select(
+        base, "doc_id", "ttr", "n_tokens", budget_fraction=0.5
+    ).orderBy("doc_id")
+
+
 def q_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-time CDC over the versioned layer (sources/versioned.py:
     change_feed): commit v1 = the merge target slice, v2 = the SCD-1
@@ -2036,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_point_in_time": q_scd2_point_in_time,
         # round 5: read-time CDC between committed versions
         "versioned_change_feed": q_versioned_change_feed,
+        # round 5: quality-ranked selection up to a global token budget
+        "token_budget_select": q_token_budget_select,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4316,6 +4352,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'update_postimage', o_orderkey, n_st, n_pr FROM upd
             ORDER BY o_orderkey, change_type
+        """,
+        # global ORDER BY (ttr DESC, doc_id) running token sum, kept
+        # while <= 50% of corpus tokens — the Spark side reproduces
+        # this with the banded two-pass cumsum.
+        "token_budget_select": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, term FROM toks WHERE length(term) > 0
+            ), s AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     COUNT(DISTINCT term) AS n_distinct
+              FROM nz GROUP BY doc_id
+            ), q AS (
+              SELECT doc_id, n_tokens, n_distinct,
+                     floor(CAST(n_distinct AS DOUBLE) / n_tokens * 1e6)
+                       / 1e6 AS ttr
+              FROM s WHERE n_tokens > 0
+            ), sel AS (
+              SELECT doc_id, n_tokens, n_distinct, ttr,
+                     SUM(n_tokens) OVER (ORDER BY ttr DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM q
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_distinct AS BIGINT) AS n_distinct, ttr,
+                   CAST(cum AS BIGINT) AS cum_n_tokens
+            FROM sel
+            WHERE cum <= floor(
+                    (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM q) * 0.5)
+            ORDER BY doc_id
         """,
     }
     return oracles

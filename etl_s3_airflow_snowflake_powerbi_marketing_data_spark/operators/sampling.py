@@ -28,6 +28,7 @@ __all__ = [
     "weighted_sample",
     "split_assign",
     "corpus_shuffle",
+    "token_budget_select",
 ]
 
 _BUCKETS = 10_000
@@ -223,3 +224,82 @@ def corpus_shuffle(
     return ordered_surrogate_key(
         hashed, pos_col, order_by=["__shufkey", id_col]
     ).drop("__shufkey")
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    budget_fraction: float,
+    n_bands: int = 1000,
+) -> DataFrame:
+    """Quality-ranked selection up to a global token budget — "give me
+    the best ``budget_fraction`` of the corpus, by tokens": rows are
+    taken in (score DESC, id ASC) order while the running sum of
+    ``weight_col`` stays within ``floor(total_weight ·
+    budget_fraction)``. The curation primitive for sizing a training
+    mix ("the top N billion tokens by quality").
+
+    Scale shape — a global ORDER BY + running sum with NO global
+    window: scores (required in [0, 1]; clamped) are banded by
+    ``floor(score · n_bands)``, and the running sum decomposes into
+    (a) per-band weight totals, a groupBy over ≤ n_bands rows whose
+    strictly-better-band prefix is a window over the ≤ n_bands band
+    rows, broadcast back, plus (b) an intra-band running sum windowed
+    per band. Band concatenation in DESC order with (score DESC, id)
+    inside each band IS the global order, because floor is monotone.
+    The per-band window is the only data-sized stage; a score
+    distribution concentrated in one band degrades toward a global
+    window — pick n_bands to spread it (same caveat class as any
+    partitioned window).
+
+    Returns the selected rows with ``cum_<weight_col>`` (the running
+    total, integer-exact) appended.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if not 0.0 < budget_fraction <= 1.0:
+        raise ValueError("budget_fraction must be in (0, 1]")
+    score = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
+    banded = df.withColumn(
+        "__band",
+        F.least(
+            F.floor(score * F.lit(n_bands)), F.lit(n_bands - 1)
+        ).cast("long"),
+    )
+    band_w = Window.orderBy(F.col("__band").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    band_prefix = (
+        banded.groupBy("__band")
+        .agg(F.sum(weight_col).alias("__bw"))
+        .select(
+            "__band",
+            (F.sum("__bw").over(band_w) - F.col("__bw")).alias("__prior"),
+        )
+    )
+    total = df.agg(
+        F.sum(F.col(weight_col)).cast("double").alias("__total")
+    )
+    in_band = (
+        Window.partitionBy("__band")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_name = f"cum_{weight_col}"
+    out = (
+        banded.join(F.broadcast(band_prefix), "__band")
+        .withColumn(
+            cum_name,
+            (F.col("__prior") + F.sum(weight_col).over(in_band)).cast(
+                "long"
+            ),
+        )
+        .join(F.broadcast(total))
+        .filter(
+            F.col(cum_name)
+            <= F.floor(F.col("__total") * F.lit(budget_fraction))
+        )
+    )
+    return out.drop("__band", "__prior", "__total")

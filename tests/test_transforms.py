@@ -472,3 +472,55 @@ def test_corpus_shuffle_is_permutation_matching_hash_order(spark):
         ids, key=lambda i: (hashlib.md5(f"z{i}".encode()).hexdigest(), i)
     )
     assert [out[i] for i in expect_order] == list(range(1, 101))
+
+
+def test_token_budget_select_matches_global_order(spark):
+    """Banded two-pass running sum == global (score DESC, id) cumsum:
+    hand-computed fixture with scores straddling band boundaries and a
+    budget that cuts mid-corpus. total=100, budget floor(100*0.55)=55;
+    order by score desc: d(0.9,w30,cum30), a(0.51,w20,cum50),
+    b(0.505,w25,cum75 — OVER), so selection = {d, a}."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0.51, 20),
+            ("b", 0.505, 25),
+            ("c", 0.2, 25),
+            ("d", 0.9, 30),
+        ],
+        "id string, score double, w long",
+    )
+    out = sampling.token_budget_select(
+        df, "id", "score", "w", budget_fraction=0.55
+    )
+    got = {r["id"]: r["cum_w"] for r in out.collect()}
+    assert got == {"d": 30, "a": 50}
+
+
+def test_token_budget_select_ties_break_by_id(spark):
+    """Equal scores: id ASC decides who fits the last budget slot."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [("x", 0.5, 10), ("y", 0.5, 10)], "id string, score double, w long"
+    )
+    out = sampling.token_budget_select(
+        df, "id", "score", "w", budget_fraction=0.5
+    ).collect()
+    assert [(r["id"], r["cum_w"]) for r in out] == [("x", 10)]
+
+
+def test_token_budget_select_validates_fraction(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a", 0.5, 1)], "id string, score double, w long")
+    with _pt.raises(ValueError, match="budget_fraction"):
+        sampling.token_budget_select(df, "id", "score", "w", 0.0)
