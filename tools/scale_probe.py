@@ -392,6 +392,18 @@ def main() -> None:
             # mergeable histogram rollup: register rows cap at
             # groups x n_bins, so growth should track the binning scan
             "quantile_sketch_merge_rollup": entrymod.q_quantile_sketch_merge,
+            # SCD-2 lookup: equi-join + interval residual — growth
+            # tracks probes + dim versions, never their product
+            "scd2_point_in_time": entrymod.q_scd2_point_in_time,
+            # read-time CDC: one co-partitioned full-outer join of two
+            # snapshots — growth tracks the snapshots
+            "versioned_change_feed": entrymod.q_versioned_change_feed,
+            # banded two-pass running sum — no global window; growth
+            # tracks the tokenizing scan
+            "token_budget_select": entrymod.q_token_budget_select,
+            # map-side-combined per-key counts into <= ~20 digit
+            # buckets — growth tracks the scan
+            "join_key_skew_profile": entrymod.q_join_key_skew_profile,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
