@@ -289,7 +289,9 @@ def scd2_point_in_time(
         d = d.withColumnRenamed(c, f"__d_{c}")
     cond = None
     for k in keys:
-        eq = F.col(k) == F.col(f"__d_{k}")
+        # null-safe, matching merge_scd2's key discipline: a dim that
+        # maintains a null-keyed version history must be probe-able
+        eq = F.col(k).eqNullSafe(F.col(f"__d_{k}"))
         cond = eq if cond is None else cond & eq
     cond = (
         cond

@@ -261,30 +261,40 @@ def token_budget_select(
 
     if not 0.0 < budget_fraction <= 1.0:
         raise ValueError("budget_fraction must be in (0, 1]")
-    score = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
-    banded = df.withColumn(
+    # NULL scores rank last (lowest quality) instead of silently
+    # vanishing in the band join while still inflating the total; the
+    # clamped score drives BOTH the band and the intra-band order so
+    # the two stay one consistent global ordering.
+    score = F.least(
+        F.greatest(F.coalesce(F.col(score_col), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    banded = df.withColumn("__score", score).withColumn(
         "__band",
         F.least(
-            F.floor(score * F.lit(n_bands)), F.lit(n_bands - 1)
+            F.floor(F.col("__score") * F.lit(n_bands)), F.lit(n_bands - 1)
         ).cast("long"),
     )
     band_w = Window.orderBy(F.col("__band").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    all_w = Window.orderBy(F.col("__band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # one <= n_bands-row frame carries BOTH the strictly-better-band
+    # prefix and the corpus total — no separate full-corpus total scan
     band_prefix = (
         banded.groupBy("__band")
         .agg(F.sum(weight_col).alias("__bw"))
         .select(
             "__band",
             (F.sum("__bw").over(band_w) - F.col("__bw")).alias("__prior"),
+            F.sum("__bw").over(all_w).cast("double").alias("__total"),
         )
-    )
-    total = df.agg(
-        F.sum(F.col(weight_col)).cast("double").alias("__total")
     )
     in_band = (
         Window.partitionBy("__band")
-        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .orderBy(F.col("__score").desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum_name = f"cum_{weight_col}"
@@ -296,10 +306,9 @@ def token_budget_select(
                 "long"
             ),
         )
-        .join(F.broadcast(total))
         .filter(
             F.col(cum_name)
             <= F.floor(F.col("__total") * F.lit(budget_fraction))
         )
     )
-    return out.drop("__band", "__prior", "__total")
+    return out.drop("__band", "__score", "__prior", "__total")

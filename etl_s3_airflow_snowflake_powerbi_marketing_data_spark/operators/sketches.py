@@ -425,7 +425,13 @@ def histogram_registers(
         F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
     )
     width = (F.col("__mx") - F.col("__mn")) / F.lit(n_bins)
-    binned = df.join(F.broadcast(bounds)).select(
+    # NULL values fall outside every bin, matching the bounds aggregate
+    # (min/max skip NULLs) — without this filter they'd form a NULL-bin
+    # register that histogram_quantiles would sort first and count into
+    # __n, shifting every quantile.
+    binned = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(bounds)
+    ).select(
         *group_cols,
         F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
         .otherwise(

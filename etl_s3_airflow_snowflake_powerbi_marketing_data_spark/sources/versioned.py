@@ -474,8 +474,14 @@ def change_feed(
         )
     cols = old.columns
     attrs = [c for c in cols if c not in keys]
-    o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
-    n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+        F.lit(True).alias("__o_present"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+        F.lit(True).alias("__n_present"),
+    )
     cond = None
     for k in keys:
         eq = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
@@ -488,12 +494,13 @@ def change_feed(
             *[F.col(f"{prefix}{c}").alias(c) for c in cols],
         )
 
-    # presence markers: a full-outer miss leaves the whole side null;
-    # keys are non-null per side by join construction, so a null key
-    # column IS the miss marker (null-keyed rows never match anyway
-    # and surface as one insert + one delete, which is correct CDC)
-    in_old = F.col(f"__o_{keys[0]}").isNotNull()
-    in_new = F.col(f"__n_{keys[0]}").isNotNull()
+    # presence markers: a full-outer miss leaves the whole side null,
+    # but a null KEY column cannot be the miss marker — the join is
+    # null-safe, so null-keyed rows DO match across versions (the same
+    # discipline merge_scd2's __present markers exist for). A literal
+    # TRUE per side survives iff that side matched.
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     changed = F.lit(False)
     for c in attrs:
         changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))

@@ -468,3 +468,17 @@ def test_key_distribution_profile_fixture(spark):
     assert out[2]["n_keys"] == 1 and out[2]["max_cnt"] == 12
     assert out[3]["n_keys"] == 1 and out[3]["rows_in_bucket"] == 100
     assert all(r["source"] == "t.k" for r in out.values())
+
+
+def test_histogram_registers_ignore_null_values(spark):
+    """NULL values fall outside every bin (matching the min/max bounds
+    that skip them) — they must not form a NULL-bin register that
+    shifts quantiles."""
+    rows = [("g", None)] * 5 + [("g", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    hist = sketches.histogram_registers(df, "v", ["grp"], n_bins=10)
+    assert hist.filter(F.col("bin").isNull()).count() == 0
+    out = sketches.histogram_quantiles(
+        hist, ["grp"], quantiles=(0.5,), n_bins=10
+    ).collect()
+    assert out[0]["n_rows"] == 10 and out[0]["bin"] == 4

@@ -250,3 +250,22 @@ def test_scd2_point_in_time_boundary_semantics(spark):
     out = merge.scd2_point_in_time(dim, probes, ["key"], "as_of").collect()
     assert len(out) == 1
     assert out[0]["val"] == "b" and out[0]["is_current"] is True
+
+
+def test_scd2_point_in_time_null_key_probeable(spark):
+    """A dim maintaining a null-keyed version history (merge_scd2's
+    null-safe key discipline) must be probe-able with a null key."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(None, "nv", "2024-01-01 00:00:00", None, True)],
+        "key string, val string, valid_from string, valid_to string,"
+        " is_current boolean",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp")).withColumn(
+        "valid_to", F.col("valid_to").cast("timestamp")
+    )
+    probes = spark.createDataFrame(
+        [(None, "2024-06-01 00:00:00")], "key string, as_of string"
+    ).withColumn("as_of", F.col("as_of").cast("timestamp"))
+    out = merge.scd2_point_in_time(dim, probes, ["key"], "as_of").collect()
+    assert len(out) == 1 and out[0]["val"] == "nv"

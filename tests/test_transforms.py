@@ -524,3 +524,24 @@ def test_token_budget_select_validates_fraction(spark):
     df = spark.createDataFrame([("a", 0.5, 1)], "id string, score double, w long")
     with _pt.raises(ValueError, match="budget_fraction"):
         sampling.token_budget_select(df, "id", "score", "w", 0.0)
+
+
+def test_token_budget_select_null_score_ranks_last(spark):
+    """NULL scores clamp to 0 (lowest quality): the row stays rankable
+    and its weight stays in the corpus total instead of silently
+    inflating everyone else's budget."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None, 100), ("b", 0.9, 60), ("c", 0.8, 40)],
+        "id string, score double, w long",
+    )
+    out = sampling.token_budget_select(
+        df, "id", "score", "w", budget_fraction=0.5
+    )
+    # total = 200, budget = 100: b (cum 60) fits, c (cum 100) fits,
+    # a (cum 200) does not — and a is not silently dropped pre-filter
+    got = sorted((r["id"], r["cum_w"]) for r in out.collect())
+    assert got == [("b", 60), ("c", 100)]

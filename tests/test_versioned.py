@@ -481,3 +481,25 @@ def test_change_feed_schema_mismatch_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="matching snapshot schemas"):
         vt.change_feed(spark, path, ["k"], 1, 2)
+
+
+def test_change_feed_null_keyed_rows_tracked(spark, tmp_path):
+    """Null-keyed rows match null-safely across versions (the same
+    discipline merge's _key_cond documents) — an attribute flip on the
+    NULL key must surface as an update, not vanish."""
+    path = str(tmp_path / "t")
+    vt.write_version(
+        spark.createDataFrame([(None, "a"), (1, "x")], "k long, v string"),
+        path,
+    )
+    vt.write_version(
+        spark.createDataFrame([(None, "b"), (1, "x")], "k long, v string"),
+        path,
+    )
+    rows = sorted(
+        tuple(r)
+        for r in vt.change_feed(spark, path, ["k"], 1, 2).collect()
+    )
+    assert rows == sorted(
+        [("update_preimage", None, "a"), ("update_postimage", None, "b")]
+    )

@@ -59,9 +59,6 @@ BOUNDED_BNLJ_OK = {
     # histogram_registers shares bin edges via the same 1-row bounds
     # broadcast (global edges are what make the registers mergeable)
     "quantile_sketch_merge_rollup": "1-row min/max global-bin-edge bounds",
-    # token_budget_select crosses the 1-row corpus-total-weight
-    # aggregate onto the banded rows to evaluate the budget predicate
-    "token_budget_select": "1-row corpus-total budget bound",
     "rolling_weekly_revenue": "1-row bounds for the day spine",
     "doc_pack_sequences": "1-row min/max bounds for bucket math",
     "csv_ingest_rollup": "1-row corpus-stats aggregate",
