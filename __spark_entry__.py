@@ -1498,6 +1498,17 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding outlier flags (operators/similarity.py:
+    embedding_outliers): distance to the source centroid vs 2× the
+    source mean distance — the corrupt-vector filter that runs before
+    semantic dedup / ANN indexing. Decimal-exact aggregates and trunc6
+    before the flag comparison keep the verdict engine-reproducible."""
+    return similarity.embedding_outliers(
+        load_table(spark, sf_dir, "embeddings"), factor=2.0
+    ).orderBy("vec_id")
+
+
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget curation (operators/sampling.py:
     token_budget_select): rank documents by type-token ratio
@@ -2072,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_change_feed": q_versioned_change_feed,
         # round 5: quality-ranked selection up to a global token budget
         "token_budget_select": q_token_budget_select,
+        # round 5: corrupt-vector filter (distance-to-centroid flags)
+        "embedding_outliers": q_embedding_outliers,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3123,7 +3136,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             d AS (
               SELECT label, i - 1 AS pos,
-                     CAST(SUM(CAST(embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                     CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
                        / COUNT(embedding[i]) AS c
               FROM embeddings,
                    (SELECT unnest(range(1,
@@ -4387,6 +4400,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum <= floor(
                     (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM q) * 0.5)
             ORDER BY doc_id
+        """,
+        # same decimal-exact centroid + sequential per-vector fold as
+        # embedding_source_profile, extended with the distance pass
+        "embedding_outliers": """
+            WITH d AS (
+              SELECT label, i - 1 AS pos,
+                     CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+                          AS DOUBLE) / COUNT(embedding[i]) AS c
+              FROM embeddings,
+                   (SELECT unnest(range(1,
+                      (SELECT max(len(embedding)) FROM embeddings) + 1))
+                      AS i)
+              WHERE embedding[i] IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            cent AS (
+              SELECT label, list(c ORDER BY pos) AS cvec
+              FROM d GROUP BY label
+            ),
+            dist AS (
+              -- per-row sqrt truncated IMMEDIATELY (trunc6 rule), so
+              -- the group mean sums exact 6-decimal values in DECIMAL.
+              -- list_reduce with a prepended 0.0 is the explicit
+              -- left-to-right double fold — bit-identical to Spark's
+              -- F.aggregate; list_sum's accumulation order is not
+              SELECT e.vec_id, e.label,
+                     floor(sqrt(list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(range(1, len(e.embedding) + 1),
+                           i -> (CAST(e.embedding[i] AS DOUBLE)
+                                 - cent.cvec[i])
+                                * (CAST(e.embedding[i] AS DOUBLE)
+                                   - cent.cvec[i]))),
+                       (a, x) -> a + x)) * 1e6) / 1e6 AS dist
+              FROM embeddings e JOIN cent USING (label)
+            ),
+            stats AS (
+              SELECT label,
+                     floor(CAST(SUM(CAST(dist AS DECIMAL(28,6)))
+                                AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                       AS avg_dist
+              FROM dist GROUP BY label
+            )
+            SELECT t.vec_id, t.label, t.dist, s.avg_dist,
+                   t.dist > 2.0 * s.avg_dist AS is_outlier
+            FROM dist t JOIN stats s USING (label)
+            ORDER BY t.vec_id
         """,
     }
     return oracles

@@ -1158,3 +1158,73 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    factor: float = 2.0,
+) -> DataFrame:
+    """Per-source embedding outlier detection — flag vectors whose L2
+    distance to their source centroid exceeds ``factor ×`` the source's
+    mean distance: the corrupt-embedding / wrong-batch filter a
+    training pipeline runs before semantic dedup or ANN indexing
+    (a zeroed, truncated, or mis-normalized vector lands far from its
+    source's centroid).
+
+    Scale shape: centroids are one posexplode → (group, dim)-keyed
+    mean (the exchange carries O(groups × dims) rows, map-side
+    combined); they come back as a per-group ARRAY via a broadcast
+    join (O(groups) rows), so the distance pass is map-only — a
+    sequential ``zip_with``/``aggregate`` fold per vector, no shuffle.
+    The per-group mean distance is one more decimal-exact aggregate.
+
+    Determinism discipline (same as ``embedding_profile``): per-vector
+    folds are sequential HOFs (element order fixed in any engine),
+    cross-row sums accumulate in DECIMAL(38,12), and both the distance
+    and the group mean are floor-truncated at 1e-6 BEFORE the flag
+    comparison, so the outlier verdict is bit-reproducible.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+
+    dims = df.select(
+        F.col(group_col), F.posexplode(vec).alias("pos", "x")
+    )
+    centroid = dims.groupBy(group_col, "pos").agg(
+        (dsum(F.col("x")) / F.count("*")).alias("c")
+    )
+    cent_arr = centroid.groupBy(group_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("__cvec")
+    )
+    sq = F.zip_with(vec, F.col("__cvec"), lambda x, c: (x - c) * (x - c))
+    # truncate each distance IMMEDIATELY (per-row transcendental →
+    # trunc6, the repo-wide rule): the group mean then sums exact
+    # 6-decimal values in DECIMAL(28,6), so it can never land a last
+    # ulp from a floor boundary the way a raw-double sum can
+    dist = t6(F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)))
+    with_dist = df.join(F.broadcast(cent_arr), group_col).select(
+        F.col(id_col), F.col(group_col), dist.alias("__dist")
+    )
+    dsum6 = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    stats = with_dist.groupBy(group_col).agg(
+        t6(dsum6(F.col("__dist")) / F.count("*")).alias("__avg")
+    )
+    return (
+        with_dist.join(F.broadcast(stats), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.col("__dist").alias("dist"),
+            F.col("__avg").alias("avg_dist"),
+            (
+                F.col("__dist") > F.lit(factor) * F.col("__avg")
+            ).alias("is_outlier"),
+        )
+    )

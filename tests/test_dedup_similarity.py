@@ -320,3 +320,30 @@ def test_fuzzy_string_matches_length_band_is_lossless(spark):
         if lev(names[i], names[j]) <= 2
     }
     assert out == expect
+
+
+def test_embedding_outliers_flags_injected_vector(spark):
+    """Four tight vectors around [1,0] plus one at [9,0]: the far
+    vector's centroid distance exceeds 2x the group mean; the tight
+    ones stay unflagged. A second group with identical vectors has
+    avg_dist 0 and flags nothing (0 > 2*0 is false)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        similarity,
+    )
+
+    rows = [
+        (1, "s", [1.0, 0.0]),
+        (2, "s", [1.1, 0.0]),
+        (3, "s", [0.9, 0.0]),
+        (4, "s", [1.0, 0.1]),
+        (5, "s", [9.0, 0.0]),
+        (6, "t", [2.0, 2.0]),
+        (7, "t", [2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in similarity.embedding_outliers(df).collect()}
+    assert out[5]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in (1, 2, 3, 4, 6, 7))
+    assert out[6]["dist"] == 0.0 and out[6]["avg_dist"] == 0.0
