@@ -404,6 +404,9 @@ def main() -> None:
             # map-side-combined per-key counts into <= ~20 digit
             # buckets — growth tracks the scan
             "join_key_skew_profile": entrymod.q_join_key_skew_profile,
+            # centroids are an O(groups x dims) exchange; the distance
+            # pass is map-only against the broadcast centroid arrays
+            "embedding_outliers": entrymod.q_embedding_outliers,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
