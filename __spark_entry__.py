@@ -1498,6 +1498,15 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contextual (bigram) LM self-scoring (functions/text.py:
+    bigram_surprisal) — the sequence-coherence quality signal the
+    unigram scorer can't provide."""
+    return text_fn.bigram_surprisal(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding outlier flags (operators/similarity.py:
     embedding_outliers): distance to the source centroid vs 2× the
@@ -2085,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": q_token_budget_select,
         # round 5: corrupt-vector filter (distance-to-centroid flags)
         "embedding_outliers": q_embedding_outliers,
+        # round 5: sequence-coherence quality (bigram LM self-scoring)
+        "doc_bigram_surprisal": q_doc_bigram_surprisal,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4447,6 +4458,46 @@ def oracle_sql() -> dict[str, str]:
                    t.dist > 2.0 * s.avg_dist AS is_outlier
             FROM dist t JOIN stats s USING (label)
             ORDER BY t.vec_id
+        """,
+        # bigram model from list-slice zips; per-bigram ln truncated
+        # immediately, decimal per-doc sums (unigram precedent)
+        "doc_bigram_surprisal": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS t
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                         i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+                FROM tk WHERE len(t) >= 2
+              )
+            ), c12 AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+            ), c1 AS (
+              SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+            ), s AS (
+              SELECT w1, w2,
+                     floor(-ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                           * 1e6) / 1e6 AS s
+              FROM c12 JOIN c1 USING (w1)
+            ), per_doc AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     SUM(CAST(s AS DECIMAL(28,6))) AS ss
+              FROM bg JOIN s USING (w1, w2) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   COALESCE(floor(CAST(p.ss AS DOUBLE) / p.n_bigrams
+                                  * 1e6) / 1e6,
+                            0.0) AS mean_bigram_surprisal
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }
     return oracles

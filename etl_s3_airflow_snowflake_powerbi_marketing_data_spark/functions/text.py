@@ -230,6 +230,79 @@ def unigram_surprisal(
     return out.withColumn("ppl_band", band)
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contextual LM scoring — the bigram refinement of
+    :func:`unigram_surprisal`: per document, the mean conditional
+    surprisal -ln P(w2 | w1) of its bigrams under the corpus's own
+    bigram model, P(w2|w1) = c(w1,w2) / c(w1,·). Catches the failure
+    mode unigram frequency cannot: token soup where every word is
+    common but the SEQUENCE is incoherent (shuffled text, interleaved
+    columns, OCR transposition) scores high here and normal here-and-
+    there prose scores low. (A production CCNet pipeline fits a 5-gram
+    KenLM; within one corpus, bigram-with-no-backoff is the exact
+    self-scoring analog — every doc bigram exists in the corpus model
+    by construction, so no backoff leg is ever taken.)
+
+    Determinism discipline (the unigram precedent): the one
+    transcendental per distinct bigram — ln of an exactly-computed
+    IEEE ratio of two counts — truncates to 6 decimals immediately;
+    per-doc sums then accumulate exact DECIMAL(28,6).
+
+    Plan: bigrams come from a shuffle-free zip of two array slices
+    (map-only per doc), the model is one (w1,w2) groupBy whose w1
+    totals re-aggregate the MODEL rows (never the corpus), and docs
+    join the model on the bigram key — two pair-keyed shuffles at any
+    scale, the same shape as the unigram/tfidf family.
+
+    Output: (id_col, n_bigrams, mean_bigram_surprisal); documents with
+    < 2 tokens report 0 bigrams / 0.0 surprisal.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(tk, F.lit(1), n1),
+        F.slice(tk, F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        _spread_if_narrow(df)
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    model = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        trunc6(
+            -F.log(
+                F.col("__c12").cast("double") / F.col("__c1").cast("double")
+            )
+        ).alias("__s"),
+    )
+    per_doc = (
+        bg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.col("__s").cast("decimal(28,6)")).alias("__sum"),
+        )
+    )
+    mean = trunc6(F.col("__sum").cast("double") / F.col("n_bigrams"))
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(mean, F.lit(0.0)).alias("mean_bigram_surprisal"),
+    )
+
+
 def rare_token_ratio(
     df: DataFrame,
     text_col: str = "text",

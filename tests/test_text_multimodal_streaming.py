@@ -436,3 +436,23 @@ def test_unigram_surprisal_values_and_bands(spark):
     assert got[1] == (3, m1, "head")       # 0.223143 < 0.5
     assert got[2] == (2, m2, "middle")     # 0.916290 in [0.5, 1.0]
     assert got[3] == (0, 0.0, "head")      # empty doc
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """doc1 'a b a c', doc2 'a b': model c(a,b)=2, c(b,a)=1, c(a,c)=1,
+    c(a,.)=3, c(b,.)=1 -> s(a,b)=trunc6(ln(3/2))=0.405465, s(b,a)=0,
+    s(a,c)=trunc6(ln 3)=1.098612. doc1 mean=(0.405465+0+1.098612)/3 =
+    0.501359; doc2 mean=0.405465; a 1-token doc has 0 bigrams."""
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in text_fn.bigram_surprisal(df).collect()
+    }
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_bigram_surprisal"] == 0.501359
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["mean_bigram_surprisal"] == 0.405465
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["mean_bigram_surprisal"] == 0.0
