@@ -1507,6 +1507,15 @@ def q_doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (functions/text.py: source_unigram_divergence) —
+    the corpus-drift / mixture-monitoring signal."""
+    return text_fn.source_unigram_divergence(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("source_a", "source_b")
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding outlier flags (operators/similarity.py:
     embedding_outliers): distance to the source centroid vs 2× the
@@ -2096,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         # round 5: sequence-coherence quality (bigram LM self-scoring)
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
+        # round 5: corpus-drift monitor (pairwise source JS divergence)
+        "source_unigram_divergence": q_source_divergence,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4498,6 +4509,59 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN per_doc p USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # shared-support JSD identity: private-word mass reduces to
+        # exact integer count sums times ln2; per-shared-word terms
+        # truncate immediately, decimal-sum after (repo discipline)
+        "source_unigram_divergence": """
+            WITH tok AS (
+              SELECT source AS src,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS w
+              FROM documents
+            ), counts AS (
+              SELECT src, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ), totals AS (
+              SELECT src, SUM(c) AS t FROM counts GROUP BY 1
+            ), shared AS (
+              SELECT a.src AS sa, b.src AS sb,
+                     floor((
+                         (CAST(a.c AS DOUBLE) / CAST(ta.t AS DOUBLE))
+                         * ln(2.0 * (CAST(a.c AS DOUBLE) / CAST(ta.t AS DOUBLE))
+                              / ((CAST(a.c AS DOUBLE) / CAST(ta.t AS DOUBLE))
+                                 + (CAST(b.c AS DOUBLE) / CAST(tb.t AS DOUBLE))))
+                       + (CAST(b.c AS DOUBLE) / CAST(tb.t AS DOUBLE))
+                         * ln(2.0 * (CAST(b.c AS DOUBLE) / CAST(tb.t AS DOUBLE))
+                              / ((CAST(a.c AS DOUBLE) / CAST(ta.t AS DOUBLE))
+                                 + (CAST(b.c AS DOUBLE) / CAST(tb.t AS DOUBLE))))
+                     ) * 1e6) / 1e6 AS term,
+                     a.c AS ca, b.c AS cb
+              FROM counts a
+              JOIN counts b ON a.w = b.w AND a.src < b.src
+              JOIN totals ta ON ta.src = a.src
+              JOIN totals tb ON tb.src = b.src
+            ), agg AS (
+              SELECT sa, sb, COUNT(*) AS n_shared,
+                     SUM(CAST(term AS DECIMAL(28,6))) AS s,
+                     SUM(ca) AS cca, SUM(cb) AS ccb
+              FROM shared GROUP BY 1, 2
+            ), grid AS (
+              SELECT a.src AS sa, a.t AS ta, b.src AS sb, b.t AS tb
+              FROM totals a JOIN totals b ON a.src < b.src
+            )
+            SELECT g.sa AS source_a, g.sb AS source_b,
+                   CAST(COALESCE(n.n_shared, 0) AS BIGINT) AS n_shared_terms,
+                   floor(0.5 * (
+                     ((1.0 - CAST(COALESCE(n.cca, 0) AS DOUBLE)
+                             / CAST(g.ta AS DOUBLE))
+                      + (1.0 - CAST(COALESCE(n.ccb, 0) AS DOUBLE)
+                               / CAST(g.tb AS DOUBLE))) * 0.693147
+                     + COALESCE(CAST(n.s AS DOUBLE), 0.0)
+                   ) * 1e6) / 1e6 AS js_divergence
+            FROM grid g
+            LEFT JOIN agg n ON n.sa = g.sa AND n.sb = g.sb
+            ORDER BY 1, 2
         """,
     }
     return oracles

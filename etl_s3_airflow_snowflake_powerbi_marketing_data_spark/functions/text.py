@@ -303,6 +303,122 @@ def bigram_surprisal(
     )
 
 
+def source_unigram_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-drift monitor: the Jensen-Shannon divergence (nats)
+    between every pair of per-source unigram distributions. This is
+    the standard mixture-monitoring signal of a training-data
+    pipeline — which sources say the same things (JSD ~ 0), which are
+    lexically disjoint (JSD ~ ln 2), and how a re-crawl drifted from
+    the previous snapshot when the snapshot id is passed as
+    ``source_col``.
+
+    Identity used: with P, Q the two distributions and shared support
+    S, ``JSD = 0.5 * [ sum_S ( p·ln(2p/(p+q)) + q·ln(2q/(p+q)) )
+    + (1 - P(S))·ln2 + (1 - Q(S))·ln2 ]`` — words private to one
+    source contribute exactly their mass times ln 2, so only the
+    SHARED support is ever joined and the private tails reduce to two
+    exact integer count sums. Per-shared-word terms (each ≥ 0 by the
+    log-sum inequality) truncate to 6 decimals immediately and
+    aggregate as exact DECIMAL; the private-mass legs divide exact
+    long sums once at the end (the repo-wide determinism discipline).
+
+    Plan: one token explode into a (source, word) count aggregation
+    (output bounded by vocab × sources), one word-keyed model
+    self-join filtered to source_a < source_b (≤ |pairs| rows per
+    word), and the pair grid crosses the per-source TOTALS frame with
+    itself — an S×S nested-loop over O(sources) rows, bounded by
+    source cardinality and never by corpus size (the same justified
+    shape as the HLL pairwise-overlap grid) — so pairs that share NO
+    vocabulary still report their exact JSD of ln 2. Every
+    post-explode stage is bounded by vocabulary or source
+    cardinality, not corpus size.
+
+    Output: (source_a, source_b, n_shared_terms, js_divergence),
+    one row per unordered pair of sources with ≥ 1 token.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    tok = _spread_if_narrow(df).select(
+        F.col(source_col).alias("__src"), F.explode(tk).alias("__w")
+    )
+    counts = tok.groupBy("__src", "__w").agg(F.count("*").alias("__c"))
+    totals = counts.groupBy("__src").agg(F.sum("__c").alias("__t"))
+    side_a = counts.select(
+        F.col("__src").alias("source_a"),
+        F.col("__w"),
+        F.col("__c").alias("__ca"),
+    )
+    side_b = counts.select(
+        F.col("__src").alias("source_b"),
+        F.col("__w"),
+        F.col("__c").alias("__cb"),
+    )
+    ta = totals.select(
+        F.col("__src").alias("source_a"), F.col("__t").alias("__ta")
+    )
+    tb = totals.select(
+        F.col("__src").alias("source_b"), F.col("__t").alias("__tb")
+    )
+    pa = F.col("__ca").cast("double") / F.col("__ta").cast("double")
+    pb = F.col("__cb").cast("double") / F.col("__tb").cast("double")
+    term = trunc6(
+        pa * F.log(F.lit(2.0) * pa / (pa + pb))
+        + pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    )
+    shared = (
+        side_a.join(side_b, "__w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(ta, "source_a")
+        .join(tb, "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_terms"),
+            F.sum(term.cast("decimal(28,6)")).alias("__s"),
+            F.sum("__ca").alias("__cca"),
+            F.sum("__cb").alias("__ccb"),
+        )
+    )
+    # Pair grid: an S×S cross of the tiny per-source totals frame —
+    # bounded by source cardinality, justified in tools/plan_audit.py
+    # like the HLL pair grid (a literal-key equi-join constant-folds
+    # into the same nested loop, so say what it is).
+    grid = ta.crossJoin(tb).where(F.col("source_a") < F.col("source_b"))
+    ln2 = F.lit(0.693147)
+    only_mass = (
+        F.lit(1.0)
+        - F.coalesce(F.col("__cca"), F.lit(0)).cast("double")
+        / F.col("__ta").cast("double")
+    ) + (
+        F.lit(1.0)
+        - F.coalesce(F.col("__ccb"), F.lit(0)).cast("double")
+        / F.col("__tb").cast("double")
+    )
+    jsd = trunc6(
+        F.lit(0.5)
+        * (
+            only_mass * ln2
+            + F.coalesce(F.col("__s").cast("double"), F.lit(0.0))
+        )
+    )
+    return (
+        grid.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared_terms", F.lit(0))
+            .cast("long")
+            .alias("n_shared_terms"),
+            jsd.alias("js_divergence"),
+        )
+    )
+
+
 def rare_token_ratio(
     df: DataFrame,
     text_col: str = "text",

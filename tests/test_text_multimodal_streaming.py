@@ -456,3 +456,25 @@ def test_bigram_surprisal_hand_computed(spark):
     assert out[2]["mean_bigram_surprisal"] == 0.405465
     assert out[3]["n_bigrams"] == 0
     assert out[3]["mean_bigram_surprisal"] == 0.0
+
+
+def test_source_divergence_hand_computed(spark):
+    """A='x x y' (x:2,y:1,T=3), B='x z' (x:1,z:1,T=2), C='q'. Shared
+    support of (A,B) is {x}: pa=2/3, pb=1/2, term=trunc6((2/3)ln(8/7)
+    +(1/2)ln(6/7))=0.011945; private mass (1-2/3)+(1-1/2); JSD =
+    trunc6(0.5*(0.8333...*0.693147+0.011945)) = 0.294783. Disjoint
+    pairs (A,C),(B,C) must still appear, at exactly ln2 = 0.693147."""
+    df = spark.createDataFrame(
+        [(1, "x x", "A"), (2, "y", "A"), (3, "x z", "B"), (4, "q", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in text_fn.source_unigram_divergence(df).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out[("A", "B")]["n_shared_terms"] == 1
+    assert out[("A", "B")]["js_divergence"] == 0.294783
+    for pair in [("A", "C"), ("B", "C")]:
+        assert out[pair]["n_shared_terms"] == 0
+        assert out[pair]["js_divergence"] == 0.693147

@@ -48,6 +48,10 @@ BOUNDED_BNLJ_OK = {
     # G×G cross of the DISTINCT group values (G = event types here),
     # bounded by group cardinality, never by data size
     "hll_user_overlap_by_type": "G x G group-pair grid over distinct groups",
+    # functions/text.source_unigram_divergence — same pattern: the
+    # pair grid crosses the per-source TOTALS frame with itself,
+    # bounded by source cardinality, never by corpus size
+    "source_unigram_divergence": "S x S source-pair grid over totals",
     # similarity.pq_topk — the ADC scan crosses the code stream with
     # the broadcast query-LUT set (small by contract, like every
     # query-set broadcast in the similarity family)
