@@ -268,6 +268,18 @@ def main() -> None:
             # frequency, so the rare set shrinks — but the plan cost
             # must track the two term-keyed shuffles, nothing more.
             "rare_token_ratio": lambda: text_fn.rare_token_ratio(df),
+            # round 5: LM self-scoring — replication leaves the
+            # unigram/bigram MODEL size constant (same vocabulary),
+            # so cost must track the doc-side scan + model join only.
+            "unigram_surprisal": lambda: text_fn.unigram_surprisal(df),
+            "bigram_surprisal": lambda: text_fn.bigram_surprisal(df),
+            # round 5: sources and vocabulary are both unchanged by
+            # replication, so every post-explode stage (counts, pair
+            # join, S×S grid) is constant-size — growth must track
+            # the token explode alone.
+            "source_divergence": lambda: text_fn.source_unigram_divergence(
+                df
+            ),
         }
 
     results: dict[str, dict[str, float]] = {}
@@ -407,6 +419,10 @@ def main() -> None:
             # centroids are an O(groups x dims) exchange; the distance
             # pass is map-only against the broadcast centroid arrays
             "embedding_outliers": entrymod.q_embedding_outliers,
+            # covariance moments map-side-combine to O(dim^2) rows per
+            # task before the only shuffle; projection is map-only —
+            # growth must track the two scans
+            "embedding_pca_project": entrymod.q_embedding_pca,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
