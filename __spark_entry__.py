@@ -1516,6 +1516,16 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of the embeddings table
+    (operators/similarity.py: pca_project) — one-scan integer-exact
+    covariance moments, driver eigh, broadcast-literal projection.
+    Oracle = call-for-call numpy replica (gen_expected)."""
+    return similarity.pca_project(
+        load_table(spark, sf_dir, "embeddings"), n_components=4
+    ).orderBy("vec_id", "component")
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding outlier flags (operators/similarity.py:
     embedding_outliers): distance to the source centroid vs 2× the
@@ -2107,6 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
         # round 5: corpus-drift monitor (pairwise source JS divergence)
         "source_unigram_divergence": q_source_divergence,
+        # round 5: distributed PCA over embeddings (expected-file oracle)
+        "embedding_pca_project": q_embedding_pca,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3139,6 +3151,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cell, centroid_sim
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_kmeans_clusters.parquet')
             ORDER BY vec_id
+        """,
+        "embedding_pca_project": """
+            SELECT vec_id, component, value
+            FROM read_parquet('/root/repo/expected/sf0.01/embedding_pca_project.parquet')
+            ORDER BY vec_id, component
         """,
         "embedding_source_profile": """
             WITH v AS (

@@ -1228,3 +1228,146 @@ def embedding_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 4,
+    whiten: bool = False,
+) -> DataFrame:
+    """Distributed PCA projection of an embedding column — the
+    dimensionality-reduction / whitening step an embedding pipeline
+    runs before clustering or coarse quantization (sklearn
+    ``PCA(n_components, whiten)`` semantics, re-expressed for a corpus
+    that does not fit one machine).
+
+    Scale shape: the covariance moments come from ONE scan — each row
+    explodes its upper-triangle second-moment terms (dim·(dim+1)/2 per
+    vector) straight into a hash aggregate, so map-side partial
+    aggregation collapses every task to O(dim²) rows before the only
+    shuffle, which carries #tasks × O(dim²) rows regardless of corpus
+    size. Driver work is the O(dim²) moment collect + one ``eigh`` of
+    the dim×dim matrix (same bounded-driver-state argument as the
+    k-means/PQ trainers above); the projection pass is a shuffle-free
+    map with the mean and component matrix folded in as broadcast
+    literals.
+
+    Determinism (this is what makes the pure-Python expected-oracle
+    replica, tools/gen_expected.py:gen_pca_project, exact): float32
+    products are EXACT in double (24-bit significands), each term is
+    floor-scaled to a 1e-12 integer grid, and the moment sums
+    accumulate those integers in DECIMAL(38,0) — exact and
+    order-independent, so the covariance matrix handed to ``eigh`` is
+    bit-identical on every run and both sides of the oracle run the
+    same LAPACK on it. Components order by descending eigenvalue
+    (ties: ascending component index) and pin sign so the
+    largest-|loading| coordinate is positive; per-row projections are
+    sequential ``F.aggregate`` folds (mirrored fold order in the
+    replica) truncated to 6 decimals.
+
+    Output: (id_col, component, value) — ``n_components`` rows per
+    input row, exploded to scalars for the driver contract. Rows with
+    a NULL or wrong-width vector are dropped (documented, counted
+    nowhere better than the caller's own quality checks).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).filter(
+        F.col("d") > 0
+    ).first()
+    if dim_row is None:
+        raise ValueError("pca_project: no non-empty vectors")
+    dim = dim_row["d"]
+    if not 1 <= n_components <= dim:
+        raise ValueError(f"n_components={n_components} outside [1, {dim}]")
+    clean = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+
+    vec = F.col(vec_col)
+    scaled = lambda c: F.floor(c * F.lit(1e12))  # noqa: E731
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    # first moments ride along as (i, -1) terms of the same explode,
+    # so ONE scan feeds the single O(dim²)-row aggregate
+    firsts = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.lit(-1).alias("j"),
+            scaled(F.element_at(vec, i + 1).cast("double")).alias("v"),
+        ),
+    )
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(dim - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    scaled(
+                        F.element_at(vec, i + 1).cast("double")
+                        * F.element_at(vec, j + 1).cast("double")
+                    ).alias("v"),
+                ),
+            ),
+        )
+    )
+    moments = (
+        clean.select(F.explode(F.concat(firsts, pairs)).alias("__m"))
+        .groupBy(F.col("__m.i").alias("i"), F.col("__m.j").alias("j"))
+        .agg(
+            F.sum(F.col("__m.v").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    n_rows = next(int(r["n"]) for r in moments if r["j"] == -1)
+    if n_rows < 2:
+        raise ValueError("pca_project: need >= 2 vectors")
+    mu = np.zeros(dim)
+    second = np.zeros((dim, dim))
+    for r in moments:
+        v = float(int(r["s"])) / 1e12
+        if r["j"] == -1:
+            mu[r["i"]] = v / n_rows
+        else:
+            second[r["i"], r["j"]] = v
+            second[r["j"], r["i"]] = v
+    cov = (second - n_rows * np.outer(mu, mu)) / (n_rows - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(-eigvals, kind="stable")[:n_components]
+    comps = []
+    for k in order:
+        v = eigvecs[:, k]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        if whiten and eigvals[k] > 0:
+            v = v / np.sqrt(eigvals[k])
+        comps.append([float(x) for x in v])
+
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(vec, mu_lit, lambda x, m: x.cast("double") - m)
+    projections = F.array(
+        *[
+            trunc6(
+                F.aggregate(
+                    F.zip_with(
+                        centered,
+                        F.array(*[F.lit(c) for c in comp]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for comp in comps
+        ]
+    )
+    return clean.select(
+        F.col(id_col), F.posexplode(projections).alias("component", "value")
+    ).select(
+        id_col, F.col("component").cast("long").alias("component"), "value"
+    )

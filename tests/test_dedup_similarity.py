@@ -347,3 +347,37 @@ def test_embedding_outliers_flags_injected_vector(spark):
     assert out[5]["is_outlier"] is True
     assert all(out[i]["is_outlier"] is False for i in (1, 2, 3, 4, 6, 7))
     assert out[6]["dist"] == 0.0 and out[6]["avg_dist"] == 0.0
+
+
+def test_pca_project_semantics(spark):
+    """Semantic gate the mirrored replica cannot provide (an ordering
+    bug would be mirrored): components come out in DESCENDING
+    explained-variance order, the dominant axis of an anisotropic
+    cloud is recovered (component 0 separates the two x-stretched
+    blobs), and projections are mean-centered (each component sums to
+    ~0)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pts = np.concatenate(
+        [
+            rng.normal([10.0, 0.0, 0.0], [1.0, 0.2, 0.1], (40, 3)),
+            rng.normal([-10.0, 0.0, 0.0], [1.0, 0.2, 0.1], (40, 3)),
+        ]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.pca_project(df, n_components=3).toPandas()
+    assert len(out) == 80 * 3
+    by_comp = {
+        k: g["value"].to_numpy() for k, g in out.groupby("component")
+    }
+    var = [by_comp[k].var() for k in range(3)]
+    assert var[0] > var[1] > var[2]
+    # the x-axis dominates: component 0 must split the two blobs
+    c0 = out[out["component"] == 0].sort_values("vec_id")["value"].to_numpy()
+    assert (c0[:40] > 0).all() != (c0[40:] > 0).all()
+    for k in range(3):
+        assert abs(by_comp[k].sum()) < 1e-2 * len(by_comp[k])

@@ -107,6 +107,10 @@ def test_generators_match_spark_on_alternate_sf(spark, sf_dir):
             gen_expected.gen_kmeans_clusters(vecs),
             similarity.kmeans_clusters(emb),
         ),
+        (
+            gen_expected.gen_pca_project(vecs),
+            similarity.pca_project(emb),
+        ),
     ]
     for expected, spark_df in pairs:
         got = spark_df.toPandas()

@@ -677,6 +677,66 @@ def gen_ivf_pq_topk(
     )
 
 
+def gen_pca_project(
+    vecs: list[tuple[int, list[float]]],
+    n_components: int = 4,
+    whiten: bool = False,
+) -> pd.DataFrame:
+    """Mirror of operators/similarity.py:pca_project, call for call:
+    floor-scaled 1e-12 integer moment sums (exact, order-independent),
+    the identical covariance formula, the same ``np.linalg.eigh`` on
+    the bit-identical matrix, descending-eigenvalue stable order,
+    largest-|loading|-positive sign pinning, and sequential projection
+    folds truncated to 6 decimals."""
+    import numpy as np  # noqa: PLC0415
+
+    dim = len(vecs[0][1])
+    n_rows = len(vecs)
+    first_sums = [0] * dim
+    second_sums: dict[tuple[int, int], int] = {}
+    for _, v in vecs:
+        fv = [float(x) for x in v]
+        for i in range(dim):
+            first_sums[i] += math.floor(fv[i] * 1e12)
+            for j in range(i, dim):
+                second_sums[(i, j)] = second_sums.get((i, j), 0) + math.floor(
+                    fv[i] * fv[j] * 1e12
+                )
+    mu = np.zeros(dim)
+    second = np.zeros((dim, dim))
+    for i in range(dim):
+        mu[i] = (float(first_sums[i]) / 1e12) / n_rows
+    for (i, j), s in second_sums.items():
+        val = float(s) / 1e12
+        second[i, j] = val
+        second[j, i] = val
+    cov = (second - n_rows * np.outer(mu, mu)) / (n_rows - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(-eigvals, kind="stable")[:n_components]
+    comps = []
+    for k in order:
+        vec = eigvecs[:, k]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        if whiten and eigvals[k] > 0:
+            vec = vec / np.sqrt(eigvals[k])
+        comps.append([float(x) for x in vec])
+
+    out = {"vec_id": [], "component": [], "value": []}
+    for i, v in sorted(vecs):
+        centered = [float(x) - mu[d] for d, x in enumerate(v)]
+        for k, comp in enumerate(comps):
+            acc = 0.0
+            for a, b in zip(centered, comp):
+                acc = acc + a * b
+            out["vec_id"].append(i)
+            out["component"].append(k)
+            out["value"].append(trunc6(acc))
+    return pd.DataFrame(out).astype(
+        {"vec_id": "int64", "component": "int64", "value": "float64"}
+    )
+
+
 def gen_hll_user_overlap(sf_dir: str, p: int = 10) -> pd.DataFrame:
     """Independent HLL pairwise-overlap mirror of
     ``operators.sketches.hll_pairwise_overlap``: per-type registers,
@@ -792,6 +852,7 @@ def main() -> None:
         ("hll_user_overlap_by_type", gen_hll_user_overlap(sf_dir)),
         ("embedding_topk_pq", gen_pq_topk(vecs)),
         ("embedding_topk_ivf_pq", gen_ivf_pq_topk(vecs)),
+        ("embedding_pca_project", gen_pca_project(vecs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
