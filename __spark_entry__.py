@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+    bpe,
     multimodal,
     text as text_fn,
 )
@@ -1516,6 +1517,16 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer pipeline (functions/bpe.py): driver-side training
+    on a deterministic hash-ordered sample, Arrow-batched map-only
+    apply. Oracle = an INDEPENDENT Counter-based pure-Python BPE in
+    gen_expected (two implementations agreeing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_merges(docs)
+    return bpe.bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection of the embeddings table
     (operators/similarity.py: pca_project) — one-scan integer-exact
@@ -2119,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_unigram_divergence": q_source_divergence,
         # round 5: distributed PCA over embeddings (expected-file oracle)
         "embedding_pca_project": q_embedding_pca,
+        # round 5: BPE train (sampled, driver) + tokenize (map-only)
+        "doc_bpe_tokens": q_doc_bpe_tokens,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3156,6 +3169,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, component, value
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_pca_project.parquet')
             ORDER BY vec_id, component
+        """,
+        "doc_bpe_tokens": """
+            SELECT doc_id, n_words, n_bpe_tokens
+            FROM read_parquet('/root/repo/expected/sf0.01/doc_bpe_tokens.parquet')
+            ORDER BY doc_id
         """,
         "embedding_source_profile": """
             WITH v AS (

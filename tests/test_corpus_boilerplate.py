@@ -196,3 +196,21 @@ def test_gopher_quality_flags_rules(spark):
     assert out[3]["ok_punct"] is False and out[3]["keep"] is False
     # per-rule flags stay independent: doc 2 fails count, not punct
     assert out[2]["ok_punct"] is True
+
+
+def test_bpe_train_and_encode_hand_computed():
+    """'low'x3 + 'lower'x2: round-1 pairs (l,o) and (o,w) tie at 5,
+    lexicographic tie-break picks (l,o); then (lo,w) at 5, then
+    (low,</w>) at 3, then the three 2-count pairs tie and (e,r) wins.
+    Greedy apply: 'low' collapses to a single token, 'lowest' to
+    low|e|s|t|</w> = 5."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import bpe
+
+    merges = bpe.train_merges_on_texts(["low low low", "lower lower"], 4)
+    assert merges == [
+        ("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "r"),
+    ]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe.encode_word("low", ranks) == 1
+    assert bpe.encode_word("lowest", ranks) == 5
+    assert bpe.encode_word("", ranks) == 1  # bare </w>

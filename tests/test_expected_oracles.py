@@ -138,3 +138,15 @@ def test_hll_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     assert canon(got) == canon(expected)
     # sanity: the estimator is actually close at sf0.001 (15 users/type)
     assert (got["err_pct"] < 15.0).all()
+
+
+def test_bpe_generator_matches_spark_on_alternate_sf(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    expected = gen_expected.gen_bpe_tokens(sf_dir)
+    got = entrymod.q_doc_bpe_tokens(spark, sf_dir).toPandas()
+    assert _canon(got) == _canon(expected)
+    # sanity: merges actually compress — fewer BPE tokens than chars,
+    # more than words (the </w>-terminated lower bound)
+    assert (got["n_bpe_tokens"] >= got["n_words"]).all()
+    assert got["n_bpe_tokens"].sum() < expected["n_words"].sum() * 8

@@ -737,6 +737,94 @@ def gen_pca_project(
     )
 
 
+def _bpe_train(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
+    """INDEPENDENT BPE trainer (Counter-based, written separately from
+    functions/bpe.py on purpose — two implementations agreeing is a
+    stronger gate than one mirrored one). Same pinned semantics:
+    whitespace words lowercased, </w> end marker, merge the most
+    frequent pair per round (ties: lexicographically smallest), stop
+    when no pair repeats."""
+    from collections import Counter  # noqa: PLC0415
+
+    wf: Counter = Counter()
+    for t in texts:
+        for w in (t or "").strip().lower().split():
+            wf[tuple(w) + ("</w>",)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for sym, c in wf.items():
+            for p in zip(sym, sym[1:]):
+                pc[p] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        merges.append(best)
+        new: Counter = Counter()
+        for sym, c in wf.items():
+            s = list(sym)
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new[tuple(out)] += c
+        wf = new
+    return merges
+
+
+def _bpe_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    s = list(word) + ["</w>"]
+    while len(s) > 1:
+        cand = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(s, s[1:]))
+            if p in ranks
+        ]
+        if not cand:
+            break
+        _, i = min(cand)
+        s[i : i + 2] = [s[i] + s[i + 1]]
+    return len(s)
+
+
+def gen_bpe_tokens(
+    sf_dir: str, n_merges: int = 50, sample_docs: int = 500
+) -> pd.DataFrame:
+    """Expected output of functions/bpe.py end to end: the training
+    sample is the ``sample_docs`` lowest xxhash64(doc_id) documents
+    (ties: ascending id — mirrored via tools/pyxxh64, which pytest
+    pins bit-for-bit against Spark's xxhash64)."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    ordered = sorted(
+        (xxhash64(int(r.doc_id)), int(r.doc_id), r.text)
+        for r in docs.itertuples()
+    )
+    merges = _bpe_train([t for _, _, t in ordered[:sample_docs]], n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict[str, int] = {}
+    out = {"doc_id": [], "n_words": [], "n_bpe_tokens": []}
+    for r in docs.itertuples():
+        words = (r.text or "").strip().lower().split()
+        total = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = _bpe_count(w, ranks)
+            total += cache[w]
+        out["doc_id"].append(int(r.doc_id))
+        out["n_words"].append(len(words))
+        out["n_bpe_tokens"].append(total)
+    return pd.DataFrame(out).astype(
+        {"doc_id": "int64", "n_words": "int64", "n_bpe_tokens": "int64"}
+    )
+
+
 def gen_hll_user_overlap(sf_dir: str, p: int = 10) -> pd.DataFrame:
     """Independent HLL pairwise-overlap mirror of
     ``operators.sketches.hll_pairwise_overlap``: per-type registers,
@@ -853,6 +941,7 @@ def main() -> None:
         ("embedding_topk_pq", gen_pq_topk(vecs)),
         ("embedding_topk_ivf_pq", gen_ivf_pq_topk(vecs)),
         ("embedding_pca_project", gen_pca_project(vecs)),
+        ("doc_bpe_tokens", gen_bpe_tokens(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
