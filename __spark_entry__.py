@@ -25,6 +25,7 @@ from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
     dedup,
     merge,
     similarity,
+    timeseries,
 )
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
     marketing,
@@ -1517,6 +1518,28 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_daily_revenue_interpolated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear gap interpolation (operators/timeseries.py:
+    interpolate_daily) over per-priority daily revenue — the neighbor-
+    aware imputation the LOCF gapfill query can't express. Observed
+    values are exact decimal sums cast once to double; interpolated
+    days carry is_interpolated=true."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return timeseries.interpolate_daily(
+        daily, "priority", "day", "revenue"
+    ).orderBy("priority", "day")
+
+
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer pipeline (functions/bpe.py): driver-side training
     on a deterministic hash-ordered sample, Arrow-batched map-only
@@ -2132,6 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_project": q_embedding_pca,
         # round 5: BPE train (sampled, driver) + tokenize (map-only)
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        # round 5: neighbor-aware linear gap interpolation
+        "daily_revenue_interpolated": q_daily_revenue_interpolated,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3174,6 +3199,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_bpe_tokens
             FROM read_parquet('/root/repo/expected/sf0.01/doc_bpe_tokens.parquet')
             ORDER BY doc_id
+        """,
+        # neighbor windows mirror Spark's last/first ignorenulls over
+        # the same ROWS frames; interpolation formula term-for-term
+        "daily_revenue_interpolated": """
+            WITH daily AS (
+              SELECT o_orderpriority AS priority,
+                     date_trunc('day', o_orderdate) AS day,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                          AS DOUBLE) AS v
+              FROM orders GROUP BY 1, 2
+            ), bounds AS (
+              SELECT priority, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1
+            ), cal AS (
+              SELECT priority,
+                     unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM bounds
+            ), j AS (
+              SELECT c.priority, c.day, d.v
+              FROM cal c LEFT JOIN daily d
+                ON d.priority = c.priority AND d.day = c.day
+            ), w AS (
+              SELECT priority, day, v,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY priority ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN day END
+                                IGNORE NULLS) OVER (
+                       PARTITION BY priority ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS pd,
+                     first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY priority ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     ) AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN day END
+                                 IGNORE NULLS) OVER (
+                       PARTITION BY priority ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     ) AS nd
+              FROM j
+            )
+            SELECT priority, day,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE floor((pv + (nv - pv) *
+                          (CAST(date_diff('day', pd, day) AS DOUBLE)
+                           / CAST(date_diff('day', pd, nd) AS DOUBLE)))
+                          * 1e6) / 1e6
+                   END AS revenue,
+                   (v IS NULL) AS is_interpolated
+            FROM w
+            ORDER BY priority, day
         """,
         "embedding_source_profile": """
             WITH v AS (

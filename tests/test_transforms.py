@@ -545,3 +545,33 @@ def test_token_budget_select_null_score_ranks_last(spark):
     # a (cum 200) does not — and a is not silently dropped pre-filter
     got = sorted((r["id"], r["cum_w"]) for r in out.collect())
     assert got == [("b", 60), ("c", 100)]
+
+
+def test_interpolate_daily_hand_computed(spark):
+    """Gap day1->day4 (10.0 -> 16.0): day2 = 10 + 6*(1/3) = 12.0,
+    day3 = 14.0 (exactly representable doubles). A single-observation
+    key yields a one-day calendar, observed, not interpolated."""
+    from datetime import datetime
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        timeseries,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("A", datetime(2024, 1, 1), 10.0),
+            ("A", datetime(2024, 1, 4), 16.0),
+            ("B", datetime(2024, 2, 1), 5.0),
+        ],
+        "k string, day timestamp, v double",
+    )
+    out = {
+        (r["k"], r["day"].day): (r["v"], r["is_interpolated"])
+        for r in timeseries.interpolate_daily(df, "k", "day", "v").collect()
+    }
+    assert out[("A", 1)] == (10.0, False)
+    assert out[("A", 2)] == (12.0, True)
+    assert out[("A", 3)] == (14.0, True)
+    assert out[("A", 4)] == (16.0, False)
+    assert out[("B", 1)] == (5.0, False)
+    assert len(out) == 5
