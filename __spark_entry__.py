@@ -1518,6 +1518,19 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source content overlap via k-minimum-values sketches
+    (operators/sketches.py: kmv_source_overlap) — literal shared
+    phrasing, the complement of the distributional JS divergence."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    return sketches.kmv_source_overlap(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("source_a", "source_b")
+
+
 def q_daily_revenue_interpolated(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2157,6 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         # round 5: neighbor-aware linear gap interpolation
         "daily_revenue_interpolated": q_daily_revenue_interpolated,
+        # round 5: KMV sketch pairwise source content overlap
+        "kmv_source_overlap": q_kmv_source_overlap,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3199,6 +3214,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_bpe_tokens
             FROM read_parquet('/root/repo/expected/sf0.01/doc_bpe_tokens.parquet')
             ORDER BY doc_id
+        """,
+        # md5 digests rank identically on both engines (lexicographic
+        # hex), so the KMV sketches — and therefore the estimates —
+        # are exact mirrors, not approximations of each other
+        "kmv_source_overlap": """
+            WITH toks AS (
+              SELECT source AS src,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ), grams AS (
+              SELECT src,
+                     unnest(list_distinct(list_transform(
+                       range(0, greatest(len(tk) - 4, 1)),
+                       i -> array_to_string(
+                              list_slice(tk, i + 1, i + 5), ' ')
+                     ))) AS g
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT src, md5(g) AS h FROM grams
+            ), sk AS (
+              SELECT src, h FROM (
+                SELECT src, h,
+                       row_number() OVER (
+                         PARTITION BY src ORDER BY h) AS r
+                FROM sh
+              ) WHERE r <= 256
+            ), srcs AS (
+              SELECT DISTINCT src FROM sk
+            ), grid AS (
+              SELECT a.src AS sa, b.src AS sb
+              FROM srcs a JOIN srcs b ON a.src < b.src
+            ), pr AS (
+              SELECT g.sa, g.sb, s.h, COUNT(*) AS cnt
+              FROM grid g JOIN sk s ON s.src = g.sa OR s.src = g.sb
+              GROUP BY 1, 2, 3
+            ), kept AS (
+              SELECT sa, sb, cnt,
+                     row_number() OVER (
+                       PARTITION BY sa, sb ORDER BY h) AS r
+              FROM pr
+            )
+            SELECT sa AS source_a, sb AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+                   CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_common,
+                   floor(CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+                     AS jaccard_est
+            FROM kept WHERE r <= 256
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         # neighbor windows mirror Spark's last/first ignorenulls over
         # the same ROWS frames; interpolation formula term-for-term

@@ -509,3 +509,98 @@ def histogram_quantiles(
         )
         .orderBy(*group_cols, "quantile")
     )
+
+
+def kmv_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values sketch of every source's word-``n``-gram set,
+    combined pairwise into content-overlap (Jaccard) estimates — the
+    "which sources crawl the same text" diagnostic that complements
+    the distributional JS divergence (functions/text.py): JSD sees
+    word-frequency drift, KMV sees literal shared phrasing. Sketch
+    algebra makes it cheap: each source is reduced to its ``k``
+    lexicographically-smallest md5(shingle) digests (md5 as the
+    uniform permutation — deterministic AND expressible in the DuckDB
+    oracle, unlike xxhash64), and any number of pairwise estimates
+    combine sketch rows only.
+
+    Estimator: for pair (a, b), take the ``k`` smallest digests of
+    sketch(a) ∪ sketch(b); J ≈ |those present in both| / |those kept|.
+    When a union is smaller than ``k`` the sketch IS the union and the
+    estimate is exact — including the exact 0.0 for disjoint sources.
+
+    Scale shape: one (source, digest)-keyed distinct (map-side
+    combinable), then the per-source row_number≤k filter which Spark
+    rewrites to WindowGroupLimit — each task keeps ≤ k rows per source
+    BEFORE the shuffle, so the sort never sees a source's full
+    distinct-shingle set (the curate_top_per_group discipline). Every
+    later stage touches only sketch rows: ≤ k·|sources| joined onto
+    the S×S pair grid (grid justified in tools/plan_audit.py), ≤ 2k
+    rows per pair through the bounded ranking window.
+
+    Output: (source_a, source_b, n_union_sketch, n_common,
+    jaccard_est), one row per unordered source pair.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from .dedup import _spread, word_shingles  # noqa: PLC0415
+
+    sh = (
+        _spread(df, text_col)
+        .select(
+            F.col(source_col).alias("__src"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+        )
+        .select("__src", F.md5(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+    w_src = Window.partitionBy("__src").orderBy("__h")
+    sketch = (
+        sh.withColumn("__r", F.row_number().over(w_src))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    srcs = sketch.select("__src").distinct()
+    a = srcs.select(F.col("__src").alias("source_a"))
+    b = srcs.select(F.col("__src").alias("source_b"))
+    grid = a.crossJoin(b).where(F.col("source_a") < F.col("source_b"))
+    members = grid.select(
+        "source_a",
+        "source_b",
+        F.explode(F.array("source_a", "source_b")).alias("__src"),
+    )
+    pair_rows = (
+        sketch.join(members, "__src")
+        .groupBy("source_a", "source_b", "__h")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w_pair = Window.partitionBy("source_a", "source_b").orderBy("__h")
+    kept = pair_rows.withColumn(
+        "__r", F.row_number().over(w_pair)
+    ).filter(F.col("__r") <= k)
+    return (
+        kept.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_union_sketch"),
+            F.sum((F.col("__cnt") == 2).cast("long")).alias("n_common"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_union_sketch",
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.floor(
+                    F.col("n_common").cast("double")
+                    / F.col("n_union_sketch").cast("double")
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("jaccard_est"),
+        )
+    )

@@ -482,3 +482,47 @@ def test_histogram_registers_ignore_null_values(spark):
         hist, ["grp"], quantiles=(0.5,), n_bins=10
     ).collect()
     assert out[0]["n_rows"] == 10 and out[0]["bin"] == 4
+
+
+def test_kmv_source_overlap_exact_when_under_k(spark):
+    """Unigram shingles, sets smaller than k: the sketch IS the union,
+    so estimates are exact Jaccard. A={a,b,c}, B={b,c,d}: J=2/4=0.5;
+    C={x} is disjoint from both: J=0.0 with the pair still present."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "A"), (2, "b c d", "B"), (3, "x", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in sketches.kmv_source_overlap(df, n=1, k=16).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab["n_union_sketch"], ab["n_common"]) == (4, 2)
+    assert ab["jaccard_est"] == 0.5
+    for pair in [("A", "C"), ("B", "C")]:
+        assert out[pair]["n_common"] == 0
+        assert out[pair]["jaccard_est"] == 0.0
+
+
+def test_kmv_sketch_caps_at_k(spark):
+    """Two sources sharing ALL 40 unigrams, k=8: the union sketch has
+    exactly 8 rows, all common -> estimate 1.0 (identical sources look
+    identical through any k)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    words = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, words, "A"), (2, words, "B")],
+        "doc_id long, text string, source string",
+    )
+    row = sketches.kmv_source_overlap(df, n=1, k=8).collect()[0]
+    assert row["n_union_sketch"] == 8
+    assert row["n_common"] == 8
+    assert row["jaccard_est"] == 1.0

@@ -306,3 +306,19 @@ def test_partitioned_events_query_prunes_partitions(spark, tmp_path):
     )
     plan = _plan(back.groupBy(F.date_trunc("day", "ts")).count())
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_kmv_sketch_rank_pushes_to_window_group_limit(spark):
+    # The per-source row_number<=k filter must rewrite to
+    # WindowGroupLimit (map-side partial top-k) — without it the sort
+    # sees every source's full distinct-shingle set, the 100 TB
+    # killer. The pair grid stays a justified tiny nested loop; no
+    # cartesian anywhere.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(sketches.kmv_source_overlap(docs))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

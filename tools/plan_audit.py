@@ -52,6 +52,10 @@ BOUNDED_BNLJ_OK = {
     # pair grid crosses the per-source TOTALS frame with itself,
     # bounded by source cardinality, never by corpus size
     "source_unigram_divergence": "S x S source-pair grid over totals",
+    # operators/sketches.kmv_source_overlap — the S×S grid crosses the
+    # distinct-source frame with itself; everything downstream touches
+    # only ≤ k-row-per-source sketch rows
+    "kmv_source_overlap": "S x S source-pair grid over sketch sources",
     # similarity.pq_topk — the ADC scan crosses the code stream with
     # the broadcast query-LUT set (small by contract, like every
     # query-set broadcast in the similarity family)
