@@ -2172,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_interpolated": q_daily_revenue_interpolated,
         # round 5: KMV sketch pairwise source content overlap
         "kmv_source_overlap": q_kmv_source_overlap,
+        # round 5: day-over-day event-mix drift (temporal JSD)
+        "event_type_drift_daily": relational.event_type_drift_daily,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3214,6 +3216,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_bpe_tokens
             FROM read_parquet('/root/repo/expected/sf0.01/doc_bpe_tokens.parquet')
             ORDER BY doc_id
+        """,
+        # same shared-support JSD identity as source_unigram_divergence,
+        # keyed by consecutive days instead of source pairs
+        "event_type_drift_daily": """
+            WITH counts AS (
+              SELECT date_trunc('day', ts) AS day, event_type AS typ,
+                     COUNT(*) AS c
+              FROM events GROUP BY 1, 2
+            ), totals AS (
+              SELECT day, SUM(c) AS t FROM counts GROUP BY 1
+            ), cur AS (
+              SELECT c.day, c.typ, c.c AS ca, t.t AS ta
+              FROM counts c JOIN totals t USING (day)
+            ), prev AS (
+              SELECT c.day + INTERVAL 1 DAY AS day, c.typ,
+                     c.c AS cb, t.t AS tb
+              FROM counts c JOIN totals t USING (day)
+            ), shared AS (
+              SELECT cur.day,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared_types,
+                     SUM(CAST(floor((
+                         (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                         * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                              / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                                 + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+                       + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                         * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                              / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                                 + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+                     ) * 1e6) / 1e6 AS DECIMAL(28,6))) AS s,
+                     SUM(ca) AS cca, SUM(cb) AS ccb
+              FROM cur JOIN prev ON cur.day = prev.day
+                                AND cur.typ = prev.typ
+              GROUP BY 1
+            ), day_pairs AS (
+              SELECT a.day, a.t AS ta, b.tb
+              FROM totals a JOIN (
+                SELECT day + INTERVAL 1 DAY AS day, t AS tb FROM totals
+              ) b USING (day)
+            )
+            SELECT p.day,
+                   CAST(COALESCE(n.n_shared_types, 0) AS BIGINT)
+                     AS n_shared_types,
+                   floor(0.5 * (
+                     ((1.0 - CAST(COALESCE(n.cca, 0) AS DOUBLE)
+                             / CAST(p.ta AS DOUBLE))
+                      + (1.0 - CAST(COALESCE(n.ccb, 0) AS DOUBLE)
+                               / CAST(p.tb AS DOUBLE))) * 0.693147
+                     + COALESCE(CAST(n.s AS DOUBLE), 0.0)
+                   ) * 1e6) / 1e6 AS jsd_vs_prev
+            FROM day_pairs p
+            LEFT JOIN shared n USING (day)
+            ORDER BY p.day
         """,
         # md5 digests rank identically on both engines (lexicographic
         # hex), so the KMV sketches — and therefore the estimates —

@@ -1107,3 +1107,93 @@ def nation_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc(F.percent_rank().over(w)).alias("pct_rank"),
         trunc(F.cume_dist().over(w)).alias("cume"),
     ).orderBy("nation_name")
+
+
+def event_type_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day event-type distribution drift: the Jensen-Shannon
+    divergence (nats) between each day's event-type mix and the
+    previous day's — the temporal sibling of the corpus-level
+    source-pair divergence (functions/text.py:
+    source_unigram_divergence) and the number an ops monitor alerts
+    on when a client release or tracking bug shifts the event mix.
+
+    Same shared-support identity and determinism discipline: types
+    present on both days contribute trunc6'd per-type terms summed in
+    exact DECIMAL; types private to one day reduce to exact integer
+    count sums times ln 2. Every post-aggregation stage is bounded by
+    |event types| × |days| — domain, not event volume; the only
+    data-sized stage is the one (day, type)-keyed count aggregation.
+
+    Output: (day, n_shared_types, jsd_vs_prev), one row per day that
+    has a preceding day with events.
+    """
+    from ..functions.text import trunc6  # noqa: PLC0415
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("event_type").alias("typ"),
+    ).agg(F.count("*").alias("c"))
+    totals = counts.groupBy("day").agg(F.sum("c").alias("t"))
+    cur = counts.join(totals, "day").select(
+        "day", "typ", F.col("c").alias("ca"), F.col("t").alias("ta")
+    )
+    prev = (
+        counts.join(totals, "day")
+        .select(
+            (F.col("day") + F.expr("interval 1 day")).alias("day"),
+            "typ",
+            F.col("c").alias("cb"),
+            F.col("t").alias("tb"),
+        )
+    )
+    pa = F.col("ca").cast("double") / F.col("ta").cast("double")
+    pb = F.col("cb").cast("double") / F.col("tb").cast("double")
+    term = trunc6(
+        pa * F.log(F.lit(2.0) * pa / (pa + pb))
+        + pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    )
+    shared = (
+        cur.join(prev, ["day", "typ"])
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_types"),
+            F.sum(term.cast("decimal(28,6)")).alias("s"),
+            F.sum("ca").alias("cca"),
+            F.sum("cb").alias("ccb"),
+        )
+    )
+    day_pairs = totals.join(
+        totals.select(
+            (F.col("day") + F.expr("interval 1 day")).alias("day"),
+            F.col("t").alias("tb"),
+        ),
+        "day",
+    ).select("day", F.col("t").alias("ta"), "tb")
+    only_mass = (
+        F.lit(1.0)
+        - F.coalesce(F.col("cca"), F.lit(0)).cast("double")
+        / F.col("ta").cast("double")
+    ) + (
+        F.lit(1.0)
+        - F.coalesce(F.col("ccb"), F.lit(0)).cast("double")
+        / F.col("tb").cast("double")
+    )
+    jsd = trunc6(
+        F.lit(0.5)
+        * (
+            only_mass * F.lit(0.693147)
+            + F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        )
+    )
+    return (
+        day_pairs.join(shared, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_shared_types", F.lit(0))
+            .cast("long")
+            .alias("n_shared_types"),
+            jsd.alias("jsd_vs_prev"),
+        )
+        .orderBy("day")
+    )

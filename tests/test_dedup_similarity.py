@@ -381,3 +381,20 @@ def test_pca_project_semantics(spark):
     assert (c0[:40] > 0).all() != (c0[40:] > 0).all()
     for k in range(3):
         assert abs(by_comp[k].sum()) < 1e-2 * len(by_comp[k])
+
+
+def test_pca_whiten_unit_variance(spark):
+    """whiten=True divides each component by sqrt(eigenvalue), so the
+    projected sample variance (ddof=1, matching the covariance
+    denominator) is ~1 on every kept component."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pts = (rng.normal(0, [5.0, 2.0, 0.5], (120, 3))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.pca_project(df, n_components=3, whiten=True).toPandas()
+    for k, g in out.groupby("component"):
+        assert abs(g["value"].var(ddof=1) - 1.0) < 0.05, k
