@@ -213,3 +213,124 @@ def test_fuzzy_matches_equal_bruteforce(spark, names, blocks):
             if d <= 1:
                 want.add((ia, ib, norm(na), norm(nb), d))
     assert got == want
+
+
+@given(
+    srcs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=3,
+    ),
+)
+@SETTINGS
+def test_kmv_overlap_exact_when_k_covers_union(spark, srcs):
+    """With k >= |union| the KMV sketch IS the union, so every pair's
+    estimate must equal the exact Jaccard of the unigram-shingle sets
+    (floor-truncated), and n_union/n_common must be the exact set
+    sizes."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    rows = [
+        (i, " ".join(words), f"s{i}")
+        for i, words in enumerate(srcs)
+    ]
+    sets = {f"s{i}": set(words) for i, words in enumerate(srcs)}
+    out = sketches.kmv_source_overlap(
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ),
+        n=1,
+        k=64,
+    ).collect()
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    import math
+
+    for r in out:
+        a, b = sets[r["source_a"]], sets[r["source_b"]]
+        union, common = len(a | b), len(a & b)
+        assert r["n_union_sketch"] == union
+        assert r["n_common"] == common
+        assert r["jaccard_est"] == math.floor(common / union * 1e6) / 1e6
+
+
+@given(
+    text=st.lists(
+        st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=20
+    ),
+    other=st.lists(
+        st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=20
+    ),
+)
+@SETTINGS
+def test_source_divergence_bounds_and_identity(spark, text, other):
+    """JSD is bounded by [0, ln 2]; identical sources score exactly
+    0.0 (every shared term has pa == pb so each log is ln 1)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    t1, t2 = " ".join(text), " ".join(other)
+    df = spark.createDataFrame(
+        [(1, t1, "A"), (2, t2, "B"), (3, t1, "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["js_divergence"]
+        for r in text_fn.source_unigram_divergence(df).collect()
+    }
+    assert out[("A", "C")] == 0.0
+    for v in out.values():
+        assert 0.0 <= v <= 0.693148
+
+
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_interpolate_daily_matches_python_model(spark, obs):
+    """Every output day matches the exact Python mirror of the
+    interpolation formula; observed days pass through bit-unchanged."""
+    import math
+    from datetime import datetime, timedelta
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        timeseries,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("k", base + timedelta(days=d), v) for d, v in sorted(obs.items())
+    ]
+    out = {
+        (r["day"] - base).days: (r["v"], r["is_interpolated"])
+        for r in timeseries.interpolate_daily(
+            spark.createDataFrame(rows, "k string, day timestamp, v double"),
+            "k",
+            "day",
+            "v",
+        ).collect()
+    }
+    days = sorted(obs)
+    assert set(out) == set(range(days[0], days[-1] + 1))
+    for d in range(days[0], days[-1] + 1):
+        if d in obs:
+            assert out[d] == (obs[d], False)
+        else:
+            p = max(x for x in days if x < d)
+            n = min(x for x in days if x > d)
+            expect = obs[p] + (obs[n] - obs[p]) * ((d - p) / (n - p))
+            assert out[d] == (math.floor(expect * 1e6) / 1e6, True)

@@ -280,6 +280,10 @@ def main() -> None:
             "source_divergence": lambda: text_fn.source_unigram_divergence(
                 df
             ),
+            # round 5: KMV sketches are ≤ k rows per source however
+            # big the corpus — growth must track the shingle distinct,
+            # with WindowGroupLimit keeping the rank map-side
+            "kmv_source_overlap": lambda: sketches.kmv_source_overlap(df),
         }
 
     results: dict[str, dict[str, float]] = {}
@@ -423,6 +427,10 @@ def main() -> None:
             # task before the only shuffle; projection is map-only —
             # growth must track the two scans
             "embedding_pca_project": entrymod.q_embedding_pca,
+            # post-agg stages bounded by types x days; replication
+            # multiplies per-cell counts, not cells — growth must
+            # track the (day, type) count aggregation alone
+            "event_type_drift_daily": entrymod.relational.event_type_drift_daily,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
