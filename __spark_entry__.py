@@ -1518,6 +1518,21 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection (operators/dedup.py:
+    minhash_incremental): even doc_ids play the already-indexed
+    SIGNATURE store (text never re-read — the production index
+    posture), odd ids the incoming batch. Oracle = pure-Python mirror
+    (gen_expected) at sf0.01."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = dedup.minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return dedup.minhash_incremental(
+        store, docs.filter(F.col("doc_id") % 2 == 1)
+    ).orderBy("doc_id")
+
+
 def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source content overlap via k-minimum-values sketches
     (operators/sketches.py: kmv_source_overlap) — literal shared
@@ -2174,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_source_overlap": q_kmv_source_overlap,
         # round 5: day-over-day event-mix drift (temporal JSD)
         "event_type_drift_daily": relational.event_type_drift_daily,
+        # round 5: incremental near-dup vs a persisted signature store
+        "minhash_incremental_docs": q_minhash_incremental,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3215,6 +3232,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": """
             SELECT doc_id, n_words, n_bpe_tokens
             FROM read_parquet('/root/repo/expected/sf0.01/doc_bpe_tokens.parquet')
+            ORDER BY doc_id
+        """,
+        "minhash_incremental_docs": """
+            SELECT doc_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/minhash_incremental_docs.parquet')
             ORDER BY doc_id
         """,
         # same shared-support JSD identity as source_unigram_divergence,

@@ -328,10 +328,13 @@ def minhash_lsh_candidates(
     return _banded_candidates(sigs, bands, rows_per_band)
 
 
-def _banded_candidates(
+def _band_keys(
     sigs: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    banded = sigs.select(
+    """(id, band, band_hash) rows — one per signature band; the LSH
+    bucket key both the batch self-join and the incremental
+    batch-vs-store join shuffle on."""
+    return sigs.select(
         "id",
         F.posexplode(
             F.transform(
@@ -352,6 +355,12 @@ def _banded_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def _banded_candidates(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    banded = _band_keys(sigs, bands, rows_per_band)
     left = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
     right = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
     return (
@@ -838,4 +847,151 @@ def dedup_incremental(
     )
     return batch_first.join(
         store.distinct(), "fingerprint", "left_anti"
+    )
+
+
+def minhash_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup detection — the daily-load posture of
+    :func:`dedup_incremental`, lifted from exact fingerprints to
+    MinHash-LSH: each incoming document is checked against the
+    already-indexed corpus AND against its own batch without ever
+    recomputing the historical index.
+
+    The store is SIGNATURES, not text: when ``existing`` carries a
+    ``signature`` column (array<bigint>, written by a prior load via
+    :func:`minhash_signatures`) its text is never read — the exact
+    production shape, where the index is ~0.5 KB/doc however big the
+    documents are. Verification therefore uses the signature-estimated
+    Jaccard (fraction of matching MinHash components — the estimator
+    the signatures exist to provide; integer equality comparisons, no
+    float hashing) rather than exact shingle Jaccard, which would
+    require storing every historical shingle set.
+
+    A batch doc is flagged against the store if ANY banded bucket
+    collides with a store signature and the component match fraction
+    clears ``threshold``; within the batch, against any smaller-id
+    batch doc the same way (greedy first-occurrence survivorship —
+    chains spanning loads resolve over successive loads, same
+    contract as the exact incremental). Shuffles are band-bucket
+    joins only: batch×store collisions and batch×batch collisions,
+    never all-pairs against the corpus.
+
+    Output: one row per incoming doc — (id_col, matched_store_id,
+    matched_batch_id, keep), -1 sentinels for "no match" (all-integer
+    output: nothing for an oracle to flake on).
+    """
+    rpb = num_hashes // bands
+    if "signature" in existing.columns:
+        key = id_col if id_col in existing.columns else "id"
+        store_sigs = existing.select(
+            F.col(key).alias("id"), "signature"
+        )
+    else:
+        store_sigs = minhash_signatures(
+            existing, text_col, id_col, num_hashes, shingle_n
+        )
+    inc_sigs = minhash_signatures(
+        incoming, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
+
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__sig_a"), F.col("__sig_b"), lambda a, b: a == b
+            ),
+            lambda x: x,
+        )
+    )
+    verified = matches.cast("double") >= F.lit(threshold * num_hashes)
+
+    inc_b = _band_keys(inc_sigs, bands, rpb).select(
+        F.col("id").alias("__ia"), "band", "band_hash"
+    )
+    store_b = _band_keys(store_sigs, bands, rpb).select(
+        F.col("id").alias("__ib"), "band", "band_hash"
+    )
+    store_hits = (
+        inc_b.join(store_b, ["band", "band_hash"])
+        .select("__ia", "__ib")
+        .distinct()
+        .join(
+            inc_sigs.select(
+                F.col("id").alias("__ia"),
+                F.col("signature").alias("__sig_a"),
+            ),
+            "__ia",
+        )
+        .join(
+            store_sigs.select(
+                F.col("id").alias("__ib"),
+                F.col("signature").alias("__sig_b"),
+            ),
+            "__ib",
+        )
+        .filter(verified)
+        .groupBy("__ia")
+        .agg(F.min("__ib").alias("matched_store_id"))
+    )
+    batch_hits = (
+        inc_b.join(
+            inc_b.select(
+                F.col("__ia").alias("__ib"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("__ib") < F.col("__ia"))
+        .select("__ia", "__ib")
+        .distinct()
+        .join(
+            inc_sigs.select(
+                F.col("id").alias("__ia"),
+                F.col("signature").alias("__sig_a"),
+            ),
+            "__ia",
+        )
+        .join(
+            inc_sigs.select(
+                F.col("id").alias("__ib"),
+                F.col("signature").alias("__sig_b"),
+            ),
+            "__ib",
+        )
+        .filter(verified)
+        .groupBy("__ia")
+        .agg(F.min("__ib").alias("matched_batch_id"))
+    )
+    return (
+        inc_sigs.select(F.col("id").alias(id_col))
+        .join(
+            store_hits.select(F.col("__ia").alias(id_col), "matched_store_id"),
+            id_col,
+            "left",
+        )
+        .join(
+            batch_hits.select(F.col("__ia").alias(id_col), "matched_batch_id"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("matched_store_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_store_id"),
+            F.coalesce("matched_batch_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_batch_id"),
+            (
+                F.col("matched_store_id").isNull()
+                & F.col("matched_batch_id").isNull()
+            ).alias("keep"),
+        )
     )

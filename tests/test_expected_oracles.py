@@ -111,6 +111,15 @@ def test_generators_match_spark_on_alternate_sf(spark, sf_dir):
             gen_expected.gen_pca_project(vecs),
             similarity.pca_project(emb),
         ),
+        (
+            gen_expected.gen_minhash_incremental(docs_pdf),
+            dedup.minhash_incremental(
+                dedup.minhash_signatures(
+                    docs.filter(F.col("doc_id") % 2 == 0)
+                ),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            ),
+        ),
     ]
     for expected, spark_df in pairs:
         got = spark_df.toPandas()

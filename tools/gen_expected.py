@@ -112,6 +112,89 @@ def gen_minhash(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def gen_minhash_incremental(
+    docs: pd.DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> pd.DataFrame:
+    """Mirror of operators/dedup.py:minhash_incremental over the
+    registered even/odd doc_id split: even ids are the signature
+    store, odd ids the incoming batch; verification is the
+    signature-component match fraction (pure integer equality)."""
+    rpb = num_hashes // bands
+    sets = shingle_hash_sets(docs, 3)
+    sigs = {
+        d: [
+            min(xxhash64(("int", i), h) for h in hs)
+            for i in range(num_hashes)
+        ]
+        for d, hs in sets.items()
+    }
+
+    def band_keys(sig: list[int]) -> list[tuple[int, int]]:
+        return [
+            (
+                b,
+                xxhash64(
+                    ",".join(str(x) for x in sig[b * rpb : (b + 1) * rpb])
+                ),
+            )
+            for b in range(bands)
+        ]
+
+    store = {d: s for d, s in sigs.items() if d % 2 == 0}
+    batch = {d: s for d, s in sigs.items() if d % 2 == 1}
+    store_buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in store.items():
+        for key in band_keys(s):
+            store_buckets.setdefault(key, []).append(d)
+    batch_buckets: dict[tuple[int, int], list[int]] = {}
+    for d, s in batch.items():
+        for key in band_keys(s):
+            batch_buckets.setdefault(key, []).append(d)
+
+    def est_ok(a: list[int], b: list[int]) -> bool:
+        matches = sum(1 for x, y in zip(a, b) if x == y)
+        return matches >= threshold * num_hashes
+
+    out = {
+        "doc_id": [],
+        "matched_store_id": [],
+        "matched_batch_id": [],
+        "keep": [],
+    }
+    for d in sorted(batch):
+        s = batch[d]
+        store_cands = {
+            c for key in band_keys(s) for c in store_buckets.get(key, [])
+        }
+        batch_cands = {
+            c
+            for key in band_keys(s)
+            for c in batch_buckets.get(key, [])
+            if c < d
+        }
+        ms = min(
+            (c for c in store_cands if est_ok(s, store[c])), default=-1
+        )
+        mb = min(
+            (c for c in batch_cands if est_ok(s, batch[c])), default=-1
+        )
+        out["doc_id"].append(d)
+        out["matched_store_id"].append(ms)
+        out["matched_batch_id"].append(mb)
+        out["keep"].append(ms == -1 and mb == -1)
+    return pd.DataFrame(out).astype(
+        {
+            "doc_id": "int64",
+            "matched_store_id": "int64",
+            "matched_batch_id": "int64",
+            "keep": "bool",
+        }
+    )
+
+
 # --- simhash_near_dups -------------------------------------------------
 
 
@@ -942,6 +1025,7 @@ def main() -> None:
         ("embedding_topk_ivf_pq", gen_ivf_pq_topk(vecs)),
         ("embedding_pca_project", gen_pca_project(vecs)),
         ("doc_bpe_tokens", gen_bpe_tokens(sf_dir)),
+        ("minhash_incremental_docs", gen_minhash_incremental(docs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
