@@ -1518,6 +1518,24 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_doc_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank calibration of the quality score
+    (operators/sketches.py: histogram_percentile_rank) — step-ECDF
+    over mergeable histogram registers, no per-group sort."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text_fn.quality_score(F.col("text")).alias("score"),
+    )
+    return sketches.histogram_percentile_rank(
+        docs, "score", ["source"]
+    ).orderBy("doc_id")
+
+
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup detection (operators/dedup.py:
     minhash_incremental): even doc_ids play the already-indexed
@@ -2191,6 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_drift_daily": relational.event_type_drift_daily,
         # round 5: incremental near-dup vs a persisted signature store
         "minhash_incremental_docs": q_minhash_incremental,
+        # round 5: per-source quality calibration (histogram ECDF)
+        "doc_quality_percentile": q_doc_quality_percentile,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3238,6 +3258,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/minhash_incremental_docs.parquet')
             ORDER BY doc_id
+        """,
+        # global bin edges (one min/max), per-source register cumsum,
+        # join rows back by (source, bin) — mirrors the engine's
+        # histogram geometry expression for expression
+        "doc_quality_percentile": f"""
+            WITH s AS (
+              SELECT doc_id, source, {quality} AS score FROM documents
+            ), b AS (
+              SELECT min(score) AS mn, max(score) AS mx FROM s
+            ), binned AS (
+              SELECT s.doc_id, s.source, s.score,
+                     CAST(CASE WHEN b.mx = b.mn THEN 0
+                          ELSE least(floor((s.score - b.mn)
+                                           / ((b.mx - b.mn) / 1000)), 999)
+                     END AS BIGINT) AS bin
+              FROM s, b
+            ), regs AS (
+              SELECT source, bin, COUNT(*) AS cnt
+              FROM binned GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, bin,
+                     SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS c,
+                     SUM(cnt) OVER (PARTITION BY source) AS t
+              FROM regs
+            )
+            SELECT d.doc_id, d.source, d.score, d.bin,
+                   floor(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) * 1e6)
+                     / 1e6 AS pct_rank
+            FROM binned d JOIN cum USING (source, bin)
+            ORDER BY d.doc_id
         """,
         # same shared-support JSD identity as source_unigram_divergence,
         # keyed by consecutive days instead of source pairs

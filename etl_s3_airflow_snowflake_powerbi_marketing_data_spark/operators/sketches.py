@@ -604,3 +604,79 @@ def kmv_source_overlap(
             ).alias("jaccard_est"),
         )
     )
+
+
+def histogram_percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Per-group percentile rank (step-ECDF) of ``value_col`` via the
+    mergeable histogram registers — the calibration step that makes
+    heterogeneous per-source quality scores comparable before mixing
+    (source A's 0.6 may be its 95th percentile while source B's is
+    median; mixing on raw scores silently over-samples the laxer
+    scale). Rank-normalization WITHOUT per-group sorts: an exact
+    per-group percent_rank needs a data-sized sorted window per group,
+    the classic 100 TB killer — the ECDF over ≤ ``n_bins`` registers
+    is the sketch-resolution answer (same geometry as
+    :func:`histogram_registers`, so day registers roll up to month
+    ECDFs for free).
+
+    Every row gets ``pct_rank`` = fraction of its group with a bin ≤
+    its own (right-continuous step ECDF at histogram resolution; ties
+    within a bin share a rank). Integer register counts divide once at
+    the end — deterministic, floor-truncated to 6 decimals. NULL
+    values are dropped (the registers' own contract).
+
+    Scale shape: one bounds aggregate, the register build (groups ×
+    ≤ n_bins keys, map-side combine), a bounded cumulative window over
+    register rows, and one (group, bin)-keyed join back to the rows —
+    AQE broadcasts the register side, which is sketch-sized at any
+    corpus size.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    hist = histogram_registers(df, value_col, group_cols, n_bins)
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(wcum).alias("__cum"),
+        F.sum("cnt").over(wall).alias("__tot"),
+    )
+    bounds = hist.select("__mn", "__mx").distinct()
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(n_bins)
+    bin_expr = (
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.col("__mn")) / width),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("long")
+    )
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(bounds))
+        .withColumn("bin", bin_expr)
+        .drop("__mn", "__mx")
+    )
+    pct = (
+        F.floor(
+            F.col("__cum").cast("double")
+            / F.col("__tot").cast("double")
+            * 1000000.0
+        )
+        / 1000000.0
+    )
+    return rows.join(cum, [*group_cols, "bin"]).select(
+        *df.columns, "bin", pct.alias("pct_rank")
+    )

@@ -526,3 +526,27 @@ def test_kmv_sketch_caps_at_k(spark):
     assert row["n_union_sketch"] == 8
     assert row["n_common"] == 8
     assert row["jaccard_est"] == 1.0
+
+
+def test_histogram_percentile_rank_hand_computed(spark):
+    """Global edges [0,1], 1000 bins. Source A scores 0.0/0.25/1.0 ->
+    bins 0/250/999 -> ECDF 1/3, 2/3, 1.0 (floor-truncated); source B's
+    single 0.5 is its own 100th percentile."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 0.0), (2, "A", 0.25), (3, "A", 1.0), (4, "B", 0.5)],
+        "doc_id long, source string, score double",
+    )
+    out = {
+        r["doc_id"]: (r["bin"], r["pct_rank"])
+        for r in sketches.histogram_percentile_rank(
+            df, "score", ["source"]
+        ).collect()
+    }
+    assert out[1] == (0, 0.333333)
+    assert out[2] == (250, 0.666666)
+    assert out[3] == (999, 1.0)
+    assert out[4] == (500, 1.0)

@@ -56,6 +56,10 @@ BOUNDED_BNLJ_OK = {
     # distinct-source frame with itself; everything downstream touches
     # only ≤ k-row-per-source sketch rows
     "kmv_source_overlap": "S x S source-pair grid over sketch sources",
+    # sketches.histogram_percentile_rank — the register build and the
+    # row re-binning each cross the 1-row global min/max bounds
+    # aggregate onto their scan (same class as the quantile sketches)
+    "doc_quality_percentile": "1-row min/max global-bin-edge bounds",
     # similarity.pq_topk — the ADC scan crosses the code stream with
     # the broadcast query-LUT set (small by contract, like every
     # query-set broadcast in the similarity family)

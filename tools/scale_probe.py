@@ -284,6 +284,13 @@ def main() -> None:
             # big the corpus — growth must track the shingle distinct,
             # with WindowGroupLimit keeping the rank map-side
             "kmv_source_overlap": lambda: sketches.kmv_source_overlap(df),
+            # round 5: replication multiplies cross-half near-dup
+            # density quadratically — the band-bucket joins must keep
+            # candidate growth bounded by real collisions
+            "minhash_incremental": lambda: dedup.minhash_incremental(
+                dedup.minhash_signatures(df.filter(F.col("doc_id") % 2 == 0)),
+                df.filter(F.col("doc_id") % 2 == 1),
+            ),
         }
 
     results: dict[str, dict[str, float]] = {}
