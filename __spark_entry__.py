@@ -1518,6 +1518,20 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass Pearson correlation pairs over the lineitem
+    numeric columns (operators/quality.py: numeric_corr_pairs) —
+    decimal-exact moments, double formula, trunc6."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        quality,
+    )
+
+    return quality.numeric_corr_pairs(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).orderBy("col_a", "col_b")
+
+
 def q_doc_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percentile-rank calibration of the quality score
     (operators/sketches.py: histogram_percentile_rank) — step-ECDF
@@ -2211,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_docs": q_minhash_incremental,
         # round 5: per-source quality calibration (histogram ECDF)
         "doc_quality_percentile": q_doc_quality_percentile,
+        # round 5: one-pass exact Pearson correlation matrix
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3258,6 +3274,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/minhash_incremental_docs.parquet')
             ORDER BY doc_id
+        """,
+        # decimal-exact moments (inputs are 2-dec TPC-H values, so the
+        # DECIMAL(18,6) casts are exact on both engines), double
+        # Pearson formula term-for-term, trunc6
+        "lineitem_corr_matrix": """
+            WITH m AS (
+              SELECT COUNT(*) AS n,
+                SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s1,
+                SUM(CAST(l_quantity AS DECIMAL(19,6))
+                    * CAST(l_quantity AS DECIMAL(19,6))) AS q1,
+                SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS s2,
+                SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                    * CAST(l_extendedprice AS DECIMAL(19,6))) AS q2,
+                SUM(CAST(l_discount AS DECIMAL(18,6))) AS s3,
+                SUM(CAST(l_discount AS DECIMAL(19,6))
+                    * CAST(l_discount AS DECIMAL(19,6))) AS q3,
+                SUM(CAST(l_tax AS DECIMAL(18,6))) AS s4,
+                SUM(CAST(l_tax AS DECIMAL(19,6))
+                    * CAST(l_tax AS DECIMAL(19,6))) AS q4,
+                SUM(CAST(l_quantity AS DECIMAL(19,6))
+                    * CAST(l_extendedprice AS DECIMAL(19,6))) AS p12,
+                SUM(CAST(l_quantity AS DECIMAL(19,6))
+                    * CAST(l_discount AS DECIMAL(19,6))) AS p13,
+                SUM(CAST(l_quantity AS DECIMAL(19,6))
+                    * CAST(l_tax AS DECIMAL(19,6))) AS p14,
+                SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                    * CAST(l_discount AS DECIMAL(19,6))) AS p23,
+                SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                    * CAST(l_tax AS DECIMAL(19,6))) AS p24,
+                SUM(CAST(l_discount AS DECIMAL(19,6))
+                    * CAST(l_tax AS DECIMAL(19,6))) AS p34
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ), p AS (
+              SELECT * FROM (VALUES
+                ('l_quantity', 'l_extendedprice', 1, 2),
+                ('l_quantity', 'l_discount', 1, 3),
+                ('l_quantity', 'l_tax', 1, 4),
+                ('l_extendedprice', 'l_discount', 2, 3),
+                ('l_extendedprice', 'l_tax', 2, 4),
+                ('l_discount', 'l_tax', 3, 4)
+              ) AS t(col_a, col_b, ia, ib)
+            ), w AS (
+              SELECT col_a, col_b, CAST(m.n AS BIGINT) AS n,
+                CAST(m.n AS DOUBLE)
+                  * CASE WHEN ia = 1 AND ib = 2 THEN CAST(p12 AS DOUBLE)
+                         WHEN ia = 1 AND ib = 3 THEN CAST(p13 AS DOUBLE)
+                         WHEN ia = 1 AND ib = 4 THEN CAST(p14 AS DOUBLE)
+                         WHEN ia = 2 AND ib = 3 THEN CAST(p23 AS DOUBLE)
+                         WHEN ia = 2 AND ib = 4 THEN CAST(p24 AS DOUBLE)
+                         ELSE CAST(p34 AS DOUBLE) END
+                  - (CASE ia WHEN 1 THEN CAST(s1 AS DOUBLE)
+                             WHEN 2 THEN CAST(s2 AS DOUBLE)
+                             WHEN 3 THEN CAST(s3 AS DOUBLE)
+                             ELSE CAST(s4 AS DOUBLE) END)
+                    * (CASE ib WHEN 1 THEN CAST(s1 AS DOUBLE)
+                               WHEN 2 THEN CAST(s2 AS DOUBLE)
+                               WHEN 3 THEN CAST(s3 AS DOUBLE)
+                               ELSE CAST(s4 AS DOUBLE) END) AS cov,
+                CAST(m.n AS DOUBLE)
+                  * (CASE ia WHEN 1 THEN CAST(q1 AS DOUBLE)
+                             WHEN 2 THEN CAST(q2 AS DOUBLE)
+                             WHEN 3 THEN CAST(q3 AS DOUBLE)
+                             ELSE CAST(q4 AS DOUBLE) END)
+                  - (CASE ia WHEN 1 THEN CAST(s1 AS DOUBLE)
+                             WHEN 2 THEN CAST(s2 AS DOUBLE)
+                             WHEN 3 THEN CAST(s3 AS DOUBLE)
+                             ELSE CAST(s4 AS DOUBLE) END)
+                    * (CASE ia WHEN 1 THEN CAST(s1 AS DOUBLE)
+                               WHEN 2 THEN CAST(s2 AS DOUBLE)
+                               WHEN 3 THEN CAST(s3 AS DOUBLE)
+                               ELSE CAST(s4 AS DOUBLE) END) AS va,
+                CAST(m.n AS DOUBLE)
+                  * (CASE ib WHEN 1 THEN CAST(q1 AS DOUBLE)
+                             WHEN 2 THEN CAST(q2 AS DOUBLE)
+                             WHEN 3 THEN CAST(q3 AS DOUBLE)
+                             ELSE CAST(q4 AS DOUBLE) END)
+                  - (CASE ib WHEN 1 THEN CAST(s1 AS DOUBLE)
+                             WHEN 2 THEN CAST(s2 AS DOUBLE)
+                             WHEN 3 THEN CAST(s3 AS DOUBLE)
+                             ELSE CAST(s4 AS DOUBLE) END)
+                    * (CASE ib WHEN 1 THEN CAST(s1 AS DOUBLE)
+                               WHEN 2 THEN CAST(s2 AS DOUBLE)
+                               WHEN 3 THEN CAST(s3 AS DOUBLE)
+                               ELSE CAST(s4 AS DOUBLE) END) AS vb
+              FROM p, m
+            )
+            SELECT col_a, col_b,
+                   CASE WHEN va <= 0 OR vb <= 0 THEN 0.0
+                        ELSE floor(greatest(-1.0, least(1.0,
+                               cov / (sqrt(va) * sqrt(vb)))) * 1e6)
+                             / 1e6 END AS corr,
+                   n
+            FROM w
+            ORDER BY col_a, col_b
         """,
         # global bin edges (one min/max), per-source register cumsum,
         # join rows back by (source, bin) — mirrors the engine's

@@ -162,3 +162,81 @@ def check_constraints(
         nv.cast("long").alias("n_violations"),
         (nv == 0).alias("passed"),
     ).orderBy("constraint")
+
+
+def numeric_corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact Pearson correlation for every pair of numeric columns in
+    ONE aggregation pass — the profiling sibling of
+    ``plans.relational.numeric_column_profile`` (which stops at
+    per-column stats) and the BI correlation panel over a fact table.
+
+    Determinism discipline: every moment (sum, sum of squares, sum of
+    cross products) accumulates in EXACT decimal — inputs cast to
+    DECIMAL(18,6) once, products therefore exact DECIMAL(37,12) —
+    so the aggregates are order-independent; the Pearson formula then
+    runs in doubles on those exact sums (single cast each, identical
+    IEEE ops in the SQL oracle) and truncates to 6 decimals. A
+    zero-variance column (constants — e.g. TPC-H o_shippriority)
+    reports 0.0 against everything rather than NULL/NaN, keeping the
+    output hash-comparable.
+
+    Scale shape: one map-side-combinable aggregate producing a single
+    row of 2k + k(k-1)/2 + 1 moments (k = len(cols) — driver-bounded
+    by the column list, never the data), then a constant-size unpivot
+    to (col_a, col_b, corr, n) pair rows. Rows where ANY of the
+    columns is NULL are excluded up front (listwise deletion, the
+    standard correlation-matrix contract), so every pair shares the
+    same n.
+    """
+    if len(cols) < 2:
+        raise ValueError("numeric_corr_pairs needs >= 2 columns")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    clean = df.na.drop(subset=cols)
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(dec(a) * dec(b)).alias(f"p_{a}_{b}"))
+    row = clean.agg(*aggs)
+
+    n = F.col("n").cast("double")
+    d = lambda name: F.col(name).cast("double")  # noqa: E731
+
+    def corr(a: str, b: str) -> Column:
+        cov = n * d(f"p_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+        va = n * d(f"q_{a}") - d(f"s_{a}") * d(f"s_{a}")
+        vb = n * d(f"q_{b}") - d(f"s_{b}") * d(f"s_{b}")
+        # clamp before truncating: sqrt rounding can land |r| a few
+        # ulps past 1, and floor-truncation would then report the
+        # out-of-range -1.000001
+        r = F.greatest(
+            F.lit(-1.0),
+            F.least(F.lit(1.0), cov / (F.sqrt(va) * F.sqrt(vb))),
+        )
+        return F.when(
+            (va <= 0) | (vb <= 0), F.lit(0.0)
+        ).otherwise(F.floor(r * 1000000.0) / 1000000.0)
+
+    out = row.select(
+        F.col("n").cast("long").alias("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        corr(a, b).alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("__p"),
+    )
+    return out.select(
+        F.col("__p.col_a").alias("col_a"),
+        F.col("__p.col_b").alias("col_b"),
+        F.col("__p.corr").alias("corr"),
+        "n",
+    )

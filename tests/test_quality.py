@@ -92,3 +92,31 @@ def test_constraint_names_restricted_to_identifiers(spark):
     for bad in ("a b", "a-b", "a'b", "a`b", ""):
         with pytest.raises(ValueError, match="constraint names"):
             quality.check_constraints(df, {bad: ("not_null", "id")})
+
+
+def test_numeric_corr_pairs_hand_computed(spark):
+    """y = 2x -> exactly 1.0 (sqrt(144) is exact); z = -x -> -1.0;
+    constant column -> 0.0 against everything (zero-variance rule);
+    a row with any NULL is excluded listwise (n = 3 for all pairs)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        quality,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, -1.0, 7.0),
+            (2.0, 4.0, -2.0, 7.0),
+            (3.0, 6.0, -3.0, 7.0),
+            (9.0, None, 9.0, 9.0),
+        ],
+        "x double, y double, z double, w double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): (r["corr"], r["n"])
+        for r in quality.numeric_corr_pairs(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert out[("x", "y")] == (1.0, 3)
+    assert out[("x", "z")] == (-1.0, 3)
+    assert out[("y", "z")] == (-1.0, 3)
+    for pair in [("x", "w"), ("y", "w"), ("z", "w")]:
+        assert out[pair] == (0.0, 3)
