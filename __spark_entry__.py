@@ -28,6 +28,7 @@ from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
     timeseries,
 )
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+    behavior,
     marketing,
     relational,
 )
@@ -2227,6 +2228,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_percentile": q_doc_quality_percentile,
         # round 5: one-pass exact Pearson correlation matrix
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        # round 5: behavioral marketing pack — cohort retention, RFM
+        # segmentation, journey Markov matrix, basket affinity, OLS
+        # trend fitting (plans/behavior.py)
+        "retention_cohorts": behavior.retention_cohorts,
+        "rfm_segments": behavior.rfm_segments,
+        "event_transition_matrix": behavior.event_transition_matrix,
+        "frequent_item_pairs": behavior.frequent_item_pairs,
+        "nation_revenue_trend": behavior.nation_revenue_trend,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4983,6 +4992,158 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN agg n ON n.sa = g.sa AND n.sb = g.sb
             ORDER BY 1, 2
+        """,
+        "retention_cohorts": """
+            WITH first_seen AS (
+              SELECT user_id,
+                     date_trunc('week', MIN(CAST(ts AS TIMESTAMP)))
+                       AS cohort_week
+              FROM events GROUP BY user_id
+            ), activity AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('week', CAST(ts AS TIMESTAMP)) AS active_week
+              FROM events
+            ), cells AS (
+              SELECT f.cohort_week,
+                     CAST(datediff('day', CAST(f.cohort_week AS DATE),
+                                   CAST(a.active_week AS DATE)) // 7
+                          AS BIGINT) AS week_offset,
+                     CAST(COUNT(*) AS BIGINT) AS n_active
+              FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+              GROUP BY 1, 2
+            )
+            SELECT cohort_week, week_offset, n_active,
+                   CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                          OVER (PARTITION BY cohort_week) AS BIGINT)
+                     AS cohort_size,
+                   floor(CAST(n_active AS DOUBLE)
+                         / CAST(MAX(CASE WHEN week_offset = 0
+                                         THEN n_active END)
+                                  OVER (PARTITION BY cohort_week) AS DOUBLE)
+                         * 1e6) / 1e6 AS retention
+            FROM cells
+            ORDER BY cohort_week, week_offset
+        """,
+        "rfm_segments": """
+            WITH per_cust AS (
+              SELECT o_custkey AS custkey,
+                     MAX(o_orderdate) AS last_order,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+              FROM orders GROUP BY 1
+            ), m AS (
+              SELECT MAX(o_orderdate) AS maxdate FROM orders
+            ), ranked AS (
+              SELECT custkey,
+                     CAST(datediff('day', CAST(last_order AS DATE),
+                                   CAST(maxdate AS DATE)) AS BIGINT)
+                       AS recency_days,
+                     frequency,
+                     CAST(mon AS DOUBLE) AS monetary,
+                     row_number() OVER (
+                       ORDER BY datediff('day', CAST(last_order AS DATE),
+                                         CAST(maxdate AS DATE)), custkey
+                     ) AS rr,
+                     row_number() OVER (ORDER BY frequency DESC, custkey)
+                       AS fr,
+                     row_number() OVER (ORDER BY mon DESC, custkey) AS mr,
+                     COUNT(*) OVER () AS n
+              FROM per_cust, m
+            )
+            SELECT custkey, recency_days, frequency, monetary,
+                   CAST(4 - floor((rr - 1) * 4 / n) AS BIGINT) AS r_score,
+                   CAST(4 - floor((fr - 1) * 4 / n) AS BIGINT) AS f_score,
+                   CAST(4 - floor((mr - 1) * 4 / n) AS BIGINT) AS m_score,
+                   CAST((4 - floor((rr - 1) * 4 / n)) * 100
+                        + (4 - floor((fr - 1) * 4 / n)) * 10
+                        + (4 - floor((mr - 1) * 4 / n)) AS BIGINT)
+                     AS rfm_code
+            FROM ranked
+            ORDER BY custkey
+        """,
+        "event_transition_matrix": """
+            WITH seq AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_type
+              FROM events
+            ), pairs AS (
+              SELECT event_type AS from_type, next_type AS to_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE next_type IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n_transitions,
+                   floor(CAST(n_transitions AS DOUBLE)
+                         / CAST(SUM(n_transitions)
+                                  OVER (PARTITION BY from_type) AS DOUBLE)
+                         * 1e6) / 1e6 AS probability
+            FROM pairs
+            ORDER BY from_type, to_type
+        """,
+        "frequent_item_pairs": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), n AS (
+              SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM li
+            ), pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders_together
+              FROM li a
+              JOIN li b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            )
+            SELECT part_a, part_b, n_orders_together,
+                   floor(CAST(n_orders_together AS DOUBLE)
+                         / CAST(n_orders AS DOUBLE) * 1e6) / 1e6 AS support
+            FROM pairs, n
+            ORDER BY n_orders_together DESC, part_a, part_b
+            LIMIT 50
+        """,
+        "nation_revenue_trend": """
+            WITH daily AS (
+              SELECT n.n_name AS nation_name,
+                     CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,6))) AS DECIMAL(20,6))
+                       AS rev,
+                     CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                       AS x
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n.n_name,
+                       date_trunc('day', CAST(o.o_orderdate AS TIMESTAMP)),
+                       datediff('day', DATE '1970-01-01',
+                                CAST(o.o_orderdate AS DATE))
+            ), moments AS (
+              SELECT nation_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_days,
+                     SUM(x) AS sx,
+                     SUM(x * x) AS sxx,
+                     SUM(rev) AS sy,
+                     SUM(rev * CAST(x AS DECIMAL(10,0))) AS sxy
+              FROM daily GROUP BY 1
+            )
+            SELECT nation_name, n_days,
+                   floor((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * 1e6) / 1e6 AS slope_per_day,
+                   floor((CAST(sy AS DOUBLE)
+                          - ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n_days AS DOUBLE) * 1e6) / 1e6 AS intercept
+            FROM moments
+            ORDER BY nation_name
         """,
     }
     return oracles

@@ -1,0 +1,332 @@
+"""Behavioral marketing analytics — the query families a marketing
+analytics team runs downstream of the reference's star schema
+(`/root/reference/astro-sdk-tutorial/dags/etl_s3_snowflake_aggregated_views.py`
+stops at per-period view KPIs; these are the standard next questions:
+cohort retention, RFM segmentation, journey transition matrices,
+basket affinity, and trend fitting).
+
+Every plan keeps the repo-wide determinism discipline: exact integer /
+decimal aggregation before any float division, one fixed IEEE
+expression per derived double, ``floor(x*1e6)/1e6`` truncation on
+anything an oracle hashes, and explicit tiebreaks on every rank.
+
+Scale notes are per-plan; the common rules: aggregations are
+map-side-combinable, windows partition on per-entity or bounded keys,
+global ranks go through the bucketed two-pass machinery
+(``operators.keys.ordered_surrogate_key``), and scalar denominators
+ride as broadcast 1-row aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.keys import ordered_surrogate_key
+from ..tables import load_table
+
+_TRUNC = 1e6
+
+
+def _trunc6(col: F.Column) -> F.Column:
+    return F.floor(col * _TRUNC) / _TRUNC
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream.
+
+    Each user's cohort is the ISO week of their first event; the
+    output is the classic retention triangle: for every
+    ``(cohort_week, week_offset)`` cell, how many distinct cohort
+    members were active that week and what fraction of the cohort
+    that is.
+
+    Determinism: counts are exact integers; ``retention`` is a single
+    IEEE double division of two exact longs, then floor-truncated.
+
+    Scale: two map-side-combinable aggregates (first-seen per user,
+    distinct user-week activity) meet on a user_id-keyed shuffle; the
+    cohort-size backfill is a window over the already-aggregated
+    triangle, whose cardinality is O(weeks²) — bounded by calendar
+    time, not data volume.
+    """
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    cells = (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            ).cast("long"),
+        )
+    )
+    # every user is active in their own cohort week (it is the week of
+    # their first event), so the offset-0 cell IS the cohort size
+    w = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
+    return (
+        cells.select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            size.alias("cohort_size"),
+            _trunc6(
+                F.col("n_active").cast("double") / size.cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    orders — the canonical marketing scoring model.
+
+    Per customer: days since last order (against the corpus max order
+    date), order count, and an exact decimal revenue sum. Each metric
+    is then quartiled 1–4 (4 = best) by EXACT global rank with a
+    custkey tiebreak, and the three digits concatenate into the
+    familiar ``rfm_code`` (e.g. 444 = recent, frequent, big spender).
+
+    Quartile definition is the rank formula ``floor(4*(rank-1)/N)+1``
+    (equal-population by rank, deterministic under ties via the
+    custkey tiebreak) — NOT engine ntile, whose uneven-remainder
+    placement is engine-specific.
+
+    Scale: the per-customer aggregate is one map-side-combinable
+    shuffle; each of the three global ranks runs through the bucketed
+    two-pass ``ordered_surrogate_key`` (no single-partition window
+    anywhere); the max order date and customer count ride as broadcast
+    1-row aggregates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    maxdate = orders.agg(F.max("o_orderdate").alias("__maxdate"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__mon"),
+        )
+        .join(F.broadcast(maxdate))
+        .select(
+            "custkey",
+            F.datediff(F.col("__maxdate").cast("date"), F.col("last_order").cast("date"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            F.col("__mon").cast("double").alias("monetary"),
+            F.col("__mon").alias("__mon_exact"),
+        )
+        # each ordered_surrogate_key consumes its input from three plan
+        # branches (min/max bounds, bucket counts, main); chaining three
+        # of them without a materialization barrier re-derives the
+        # orders aggregate 3³+ times (measured: 330 exchanges). The
+        # checkpoint pins the per-customer grain ONCE — it is the small
+        # post-aggregation table, not raw orders.
+        .localCheckpoint(eager=False)
+    )
+    # rank each metric with a deterministic custkey tiebreak; lower
+    # rank = better (most recent, most frequent, highest spend)
+    ranked = ordered_surrogate_key(
+        per_cust, "__r_rank", ["recency_days", "custkey"], descending=False
+    ).localCheckpoint(eager=False)
+    ranked = ordered_surrogate_key(
+        ranked, "__f_rank", ["frequency", "custkey"], descending=True
+    ).localCheckpoint(eager=False)
+    ranked = ordered_surrogate_key(
+        ranked, "__m_rank", ["__mon_exact", "custkey"], descending=True
+    )
+    n = per_cust.agg(F.count("*").cast("long").alias("__n"))
+    # ordered_surrogate_key applies `descending` to the leading column
+    # only; the custkey tiebreak stays ascending in all three ranks, so
+    # every rank is fully deterministic under metric ties.
+    score = lambda rank: (  # noqa: E731
+        4 - F.floor((rank - 1) * 4 / F.col("__n"))
+    ).cast("long")
+    return (
+        ranked.join(F.broadcast(n))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            score(F.col("__r_rank")).alias("r_score"),
+            score(F.col("__f_rank")).alias("f_score"),
+            score(F.col("__m_rank")).alias("m_score"),
+        )
+        .withColumn(
+            "rfm_code",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("long"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current event type).
+
+    Per user, events order by ``(ts, event_id)`` (the id tiebreak makes
+    simultaneous events deterministic); ``lead`` pairs each event with
+    its successor; terminal events drop. The probability denominator
+    is the per-source-type transition total.
+
+    Scale: the lead window partitions per user (no global order); the
+    pair aggregate is map-side combinable onto an O(|types|²) grid;
+    the row-probability window runs over that bounded grid.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    w_row = Window.partitionBy("from_type")
+    total = F.sum("n_transitions").over(w_row)
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        _trunc6(
+            F.col("n_transitions").cast("double") / total.cast("double")
+        ).alias("probability"),
+    ).orderBy("from_type", "to_type")
+
+
+def frequent_item_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 50
+) -> DataFrame:
+    """Market-basket affinity: the top-k part pairs most often bought
+    together in one order, with support against all orders.
+
+    Within-order distinct parts self-join on the order key under
+    ``p1 < p2`` (each unordered pair counted once); the pair counts
+    shuffle to an aggregate and the top-k plans as
+    TakeOrderedAndProject with a full (count desc, p1, p2) tiebreak.
+
+    Scale: the self-join fan-out is bounded by per-order basket size
+    (|lines| choose 2 per order — single-digit for order-shaped data),
+    never corpus-quadratic; the order-count denominator is a broadcast
+    1-row aggregate; driver traffic is O(k).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("__n_orders")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders_together"))
+    )
+    return (
+        pairs.join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders_together",
+            _trunc6(
+                F.col("n_orders_together").cast("double")
+                / F.col("__n_orders").cast("double")
+            ).alias("support"),
+        )
+        .orderBy(F.col("n_orders_together").desc(), "part_a", "part_b")
+        .limit(k)
+    )
+
+
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of daily revenue: slope and intercept of
+    ``revenue ~ day`` fitted from one pass of exact closed-form moments
+    (n, Σx, Σx², Σy, Σxy) — the scalable alternative to collecting a
+    series per group.
+
+    x is the absolute day number (epoch days — slope is shift
+    invariant); y is the exact decimal daily revenue. All five moments
+    aggregate exactly (bigint / decimal), and slope / intercept are
+    derived in one fixed double expression each, floor-truncated, so
+    no partition-order float accumulation can flip the hash.
+
+    Scale: two chained map-side-combinable aggregates (day grain, then
+    nation grain) behind broadcast dim joins; no windows at all. The
+    day-grain pre-aggregate keeps the moment pass's shuffle at
+    O(nations × days), and the decimal Σxy is computed at that bounded
+    grain rather than per line item.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.date_trunc("day", "o_orderdate").alias("order_day"),
+        )
+        # the day-grain sum re-casts to decimal(20,6) so the Σxy product
+        # below stays inside decimal(38,6) on BOTH engines (DuckDB widens
+        # decimal products by full operand width, Spark caps at 38)
+        .agg(F.sum(revenue).cast("decimal(20,6)").alias("rev"))
+        .withColumn(
+            "x",
+            F.datediff(F.col("order_day").cast("date"), F.lit("1970-01-01"))
+            .cast("long"),
+        )
+    )
+    moments = daily.groupBy("nation_name").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("rev") * F.col("x").cast("decimal(10,0)")).alias("sxy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return moments.select(
+        "nation_name",
+        "n_days",
+        _trunc6(slope).alias("slope_per_day"),
+        _trunc6(intercept).alias("intercept"),
+    ).orderBy("nation_name")

@@ -1,0 +1,180 @@
+"""Behavioral marketing pack (plans/behavior.py): cohort retention,
+RFM segmentation, transition matrices, basket affinity, OLS trends.
+
+Value-level oracles for these plans live in ``__spark_entry__``
+(DuckDB); the tests here pin the invariants a hash-compare can't
+express: probability normalization, quartile balance, pair ordering,
+and closed-form agreement with an independent numpy fit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import behavior
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def retention(spark):
+    return behavior.retention_cohorts(spark, SF).collect()
+
+
+def test_retention_offset_zero_is_full_cohort(retention):
+    for r in retention:
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+            assert r.retention == 1.0
+
+
+def test_retention_bounded_and_offsets_nonnegative(retention):
+    assert retention, "cohort triangle must be non-empty"
+    for r in retention:
+        assert 0 <= r.retention <= 1.0
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
+
+
+def test_retention_cohort_sizes_cover_all_users(spark, retention):
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    total = sum(r.n_active for r in retention if r.week_offset == 0)
+    assert total == n_users
+
+
+@pytest.fixture(scope="module")
+def rfm(spark):
+    return behavior.rfm_segments(spark, SF).collect()
+
+
+def test_rfm_scores_in_range_and_code_consistent(rfm):
+    for r in rfm:
+        assert 1 <= r.r_score <= 4
+        assert 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+        assert r.rfm_code == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+
+def test_rfm_quartiles_are_balanced(rfm):
+    # the rank formula floor(4*(rank-1)/N)+1 yields quartile sizes that
+    # differ by at most one
+    n = len(rfm)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = [0] * 5
+        for r in rfm:
+            sizes[getattr(r, col)] += 1
+        occupied = [s for s in sizes[1:] if s > 0]
+        assert max(occupied) - min(occupied) <= 1
+        assert sum(occupied) == n
+
+
+def test_rfm_monotone_against_metric(rfm):
+    # a strictly better metric can never receive a worse score
+    by_recency = sorted(rfm, key=lambda r: (r.recency_days, r.custkey))
+    for a, b in zip(by_recency, by_recency[1:]):
+        assert a.r_score >= b.r_score
+    by_mon = sorted(rfm, key=lambda r: (-r.monetary, r.custkey))
+    for a, b in zip(by_mon, by_mon[1:]):
+        assert a.m_score >= b.m_score
+
+
+@pytest.fixture(scope="module")
+def transitions(spark):
+    return behavior.event_transition_matrix(spark, SF).collect()
+
+
+def test_transition_rows_are_probability_distributions(transitions):
+    from collections import defaultdict
+
+    rows = defaultdict(float)
+    for t in transitions:
+        assert 0 < t.probability <= 1.0
+        rows[t.from_type] += t.probability
+    for from_type, total in rows.items():
+        # truncation shaves < 1e-6 per cell
+        assert 1.0 - 1e-4 <= total <= 1.0 + 1e-9, from_type
+
+
+def test_transition_counts_conserve_events(spark, transitions):
+    # #transitions == #events - #users with >= 1 event (each user's
+    # terminal event emits no pair)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(t.n_transitions for t in transitions) == n_events - n_users
+
+
+def test_frequent_item_pairs_ordering_and_support(spark):
+    rows = behavior.frequent_item_pairs(spark, SF, k=20).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 0 < r.support <= 1.0
+    counts = [r.n_orders_together for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_frequent_item_pairs_matches_exact_recount(spark):
+    # recount the single top pair straight from lineitem
+    top = behavior.frequent_item_pairs(spark, SF, k=1).collect()[0]
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = (
+        li.filter(F.col("l_partkey").isin(top.part_a, top.part_b))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") == 2)
+        .count()
+    )
+    assert n == top.n_orders_together
+
+
+def test_nation_revenue_trend_matches_numpy_fit(spark):
+    import numpy as np
+
+    rows = behavior.nation_revenue_trend(spark, SF).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    daily = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name"), F.date_trunc("day", "o_orderdate").alias("d")
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev"),
+            F.datediff(
+                F.date_trunc("day", F.first("o_orderdate")).cast("date"),
+                F.lit("1970-01-01"),
+            ).alias("x"),
+        )
+        .collect()
+    )
+    by_nation: dict[str, list] = {}
+    for r in daily:
+        by_nation.setdefault(r.n_name, []).append((r.x, r.rev))
+    for row in rows:
+        pts = by_nation[row.nation_name]
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert row.n_days == len(pts)
+        assert math.isclose(row.slope_per_day, slope, rel_tol=1e-4, abs_tol=1e-3)
+        assert math.isclose(row.intercept, intercept, rel_tol=1e-4, abs_tol=10.0)
