@@ -672,6 +672,26 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate screen as an EXACT heavy-hitter query: every
+    10-token line whose corpus frequency is ≥ 0.1% of all lines
+    (operators/heavyhitters.py — lossy-counting candidate pass with no
+    shuffle, then an exact broadcast recount, so the output equals the
+    plain SQL aggregate the oracle runs at any partitioning)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        heavyhitters,
+        lines as lines_mod,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    line_rows = docs.select(
+        F.explode(lines_mod.wrap_tokens_to_lines(F.col("text"), 10)).alias(
+            "line"
+        )
+    ).filter(F.length("line") > 0)
+    return heavyhitters.heavy_hitters(line_rows, "line", phi=0.001)
+
+
 def q_dup_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span hotspots: top-20 word 8-grams shared by ≥2
     documents (operators/dedup.py:shared_gram_hotspots) — the
@@ -2236,6 +2256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": behavior.event_transition_matrix,
         "frequent_item_pairs": behavior.frequent_item_pairs,
         "nation_revenue_trend": behavior.nation_revenue_trend,
+        # round 5: exact φ-heavy-hitters (lossy-count candidates + exact
+        # recount) over corpus boilerplate lines
+        "heavy_hitter_lines": q_heavy_hitter_lines,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5144,6 +5167,31 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_days AS DOUBLE) * 1e6) / 1e6 AS intercept
             FROM moments
             ORDER BY nation_name
+        """,
+        "heavy_hitter_lines": """
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), lines AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(t)-1, 0)//10 + 1),
+                       j -> array_to_string(t[(j-1)*10+1:(j-1)*10+10], ' ')))
+                       AS line
+              FROM toks
+            ), l2 AS (
+              SELECT line FROM lines WHERE length(line) > 0
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM l2
+            ), counts AS (
+              SELECT line, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+              FROM l2 GROUP BY 1
+            )
+            SELECT line, n_occurrences,
+                   floor(CAST(n_occurrences AS DOUBLE) / CAST(n AS DOUBLE)
+                         * 1e6) / 1e6 AS ratio
+            FROM counts, tot
+            WHERE CAST(n_occurrences AS DOUBLE) / CAST(n AS DOUBLE) >= 0.001
+            ORDER BY n_occurrences DESC, line
         """,
     }
     return oracles
