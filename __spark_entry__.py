@@ -2259,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: exact φ-heavy-hitters (lossy-count candidates + exact
         # recount) over corpus boilerplate lines
         "heavy_hitter_lines": q_heavy_hitter_lines,
+        # round 5: exact-decimal windowed EWMA revenue smoothing
+        "ewma_daily_revenue": behavior.ewma_daily_revenue,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -2318,6 +2320,20 @@ def _language_id_sql(col: str = "text") -> str:
 def oracle_sql() -> dict[str, str]:
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions.text import (
         STOPWORDS,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans.behavior import (
+        _EWMA_NORMS,
+        _EWMA_WEIGHTS,
+    )
+
+    # exact decimal weight/normalizer literals shared with the Spark plan
+    ewma_wts = ", ".join(
+        f"({j}, CAST({format(w, 'f')} AS DECIMAL(15,14)))"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    )
+    ewma_norms = ", ".join(
+        f"({s + 1}, CAST({format(nm, 'f')} AS DECIMAL(16,14)))"
+        for s, nm in enumerate(_EWMA_NORMS)
     )
 
     stop_re = "\\b(" + "|".join(STOPWORDS) + ")\\b"
@@ -5192,6 +5208,41 @@ def oracle_sql() -> dict[str, str]:
             FROM counts, tot
             WHERE CAST(n_occurrences AS DOUBLE) / CAST(n AS DOUBLE) >= 0.001
             ORDER BY n_occurrences DESC, line
+        """,
+        "ewma_daily_revenue": f"""
+            WITH daily AS (
+              SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                       AS order_day,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS rev
+              FROM orders GROUP BY 1
+            ), seq AS (
+              SELECT order_day, rev,
+                     row_number() OVER (ORDER BY order_day) AS rn
+              FROM daily
+            ), wts AS (
+              SELECT * FROM (VALUES {ewma_wts}) AS t(j, wt)
+            ), norms AS (
+              SELECT * FROM (VALUES {ewma_norms}) AS t(s, nm)
+            ), win AS (
+              SELECT d.order_day, d.rev,
+                     CAST(COUNT(*) AS BIGINT) AS n_in_window,
+                     -- (19,2) forces int128 multiply (the (18,2) path
+                     -- multiplies unscaled int64s and overflows)
+                     SUM(CAST(CAST(d2.rev AS DECIMAL(19,2)) * w.wt
+                              AS DECIMAL(38,16))) AS num
+              FROM seq d
+              JOIN seq d2 ON d2.rn BETWEEN d.rn - 13 AND d.rn
+              JOIN wts w ON w.j = d.rn - d2.rn
+              GROUP BY 1, 2
+            )
+            SELECT win.order_day,
+                   CAST(win.rev AS DOUBLE) AS daily_revenue,
+                   win.n_in_window,
+                   floor(CAST(num AS DOUBLE) / CAST(nm AS DOUBLE) * 1e6)
+                     / 1e6 AS ewma_revenue
+            FROM win JOIN norms ON norms.s = win.n_in_window
+            ORDER BY win.order_day
         """,
     }
     return oracles

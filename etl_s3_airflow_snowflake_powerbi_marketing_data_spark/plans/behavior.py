@@ -19,6 +19,8 @@ ride as broadcast 1-row aggregates.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -330,3 +332,85 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trunc6(slope).alias("slope_per_day"),
         _trunc6(intercept).alias("intercept"),
     ).orderBy("nation_name")
+
+
+# EWMA weights 0.5^j are EXACT in decimal (j decimal digits), so the
+# weighted sum below is exact decimal arithmetic on both engines — no
+# engine-ordered float accumulation can reach the trunc6 boundary.
+_EWMA_SPAN = 14
+_EWMA_WEIGHTS = [Decimal(1) / (Decimal(2) ** j) for j in range(_EWMA_SPAN)]
+# partial normalizers: sum of the first s weights, s = 1.._EWMA_SPAN
+_EWMA_NORMS = [
+    sum(_EWMA_WEIGHTS[:s], Decimal(0)) for s in range(1, _EWMA_SPAN + 1)
+]
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue
+    (decay 0.5/day over a trailing 14-row window) — the smoothing every
+    revenue dashboard runs next to the raw daily line.
+
+    A windowed EWMA instead of the textbook infinite recurrence: the
+    recurrence is sequentially dependent (unexpressible without a
+    global ordered scan), while the trailing-window form is a frame
+    aggregate — and with decay 0.5 the truncated tail under-weights by
+    < 2⁻¹⁴, far below the trunc6 boundary the oracle hashes.
+
+    Mechanics: ``collect_list`` over the ROWS frame yields the trailing
+    revenue series in frame order (oldest → newest); an ``aggregate``
+    higher-order function folds it against EXACT decimal weight
+    literals (0.5ʲ has j decimal digits), and the partial-window
+    normalizer comes from a precomputed exact lookup. Only the final
+    num/den division is float, one IEEE op, floor-truncated.
+
+    Scale: the window runs over one row per DAY — bounded cardinality
+    (the daily_order_anomalies argument); upstream is one map-side
+    combinable daily aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("order_day")
+    ).agg(
+        # re-cast the sum to decimal(18,2): Spark widens sums to (28,2)
+        # and DuckDB to (38,2), and the ×weight product would overflow
+        # 38 digits (DuckDB errors; Spark silently DROPS scale when it
+        # caps precision, breaking exactness). (18,2) fits daily grain.
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("order_day").rowsBetween(-(_EWMA_SPAN - 1), 0)
+    weights = F.array(
+        *[
+            F.lit(wt).cast("decimal(15,14)")
+            for wt in _EWMA_WEIGHTS
+        ]
+    )
+    norms = F.array(
+        *[F.lit(nm).cast("decimal(16,14)") for nm in _EWMA_NORMS]
+    )
+    arr = F.collect_list("rev").over(w)
+    # arr[i] (1-based) is s-i days old at window size s → weight 0.5^(s-i)
+    # accumulator stays decimal(37,16): a (38,16)+(38,16) add would
+    # overflow precision 38 and Spark silently drops scale to (38,15);
+    # the post-add re-cast is lossless below 10²¹ (daily-revenue grain)
+    num = F.aggregate(
+        F.sequence(F.lit(1), F.size(arr)),
+        F.lit(Decimal(0)).cast("decimal(37,16)"),
+        lambda acc, i: (
+            acc
+            + (
+                F.element_at(arr, i)
+                * F.element_at(weights, F.size(arr) - i + 1)
+            ).cast("decimal(34,16)")
+        ).cast("decimal(37,16)"),
+    )
+    den = F.element_at(norms, F.size(arr))
+    return daily.select(
+        "order_day",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        F.size(arr).cast("long").alias("n_in_window"),
+        _trunc6(num.cast("double") / den.cast("double")).alias(
+            "ewma_revenue"
+        ),
+    ).orderBy("order_day")

@@ -140,6 +140,31 @@ def test_frequent_item_pairs_matches_exact_recount(spark):
     assert n == top.n_orders_together
 
 
+def test_ewma_matches_python_replica(spark):
+    from decimal import Decimal
+
+    rows = behavior.ewma_daily_revenue(spark, SF).collect()
+    assert rows
+    series = [Decimal(str(r.daily_revenue)).quantize(Decimal("0.01")) for r in rows]
+    for t, r in enumerate(rows):
+        window = series[max(0, t - 13) : t + 1]
+        num = sum(
+            v * (Decimal(1) / Decimal(2) ** (len(window) - 1 - i))
+            for i, v in enumerate(window)
+        )
+        den = sum(Decimal(1) / Decimal(2) ** j for j in range(len(window)))
+        expect = math.floor(float(num) / float(den) * 1e6) / 1e6
+        assert r.n_in_window == len(window)
+        assert r.ewma_revenue == pytest.approx(expect, abs=2e-6)
+
+
+def test_ewma_window_ramps_then_saturates(spark):
+    rows = behavior.ewma_daily_revenue(spark, SF).collect()
+    sizes = [r.n_in_window for r in rows]
+    assert sizes[:14] == list(range(1, 15))
+    assert all(s == 14 for s in sizes[14:])
+
+
 def test_nation_revenue_trend_matches_numpy_fit(spark):
     import numpy as np
 
