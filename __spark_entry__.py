@@ -2261,6 +2261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_lines": q_heavy_hitter_lines,
         # round 5: exact-decimal windowed EWMA revenue smoothing
         "ewma_daily_revenue": behavior.ewma_daily_revenue,
+        # round 5: linear multi-touch purchase attribution over views
+        "multi_touch_attribution": behavior.multi_touch_attribution,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5243,6 +5245,38 @@ def oracle_sql() -> dict[str, str]:
                      / 1e6 AS ewma_revenue
             FROM win JOIN norms ON norms.s = win.n_in_window
             ORDER BY win.order_day
+        """,
+        "multi_touch_attribution": """
+            WITH purchases AS (
+              SELECT event_id AS p_id, user_id, ts AS p_ts, value
+              FROM events WHERE event_type = 'purchase'
+            ), views AS (
+              SELECT user_id, ts AS v_ts,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item_key
+              FROM events WHERE event_type = 'view'
+            ), per_pair AS (
+              SELECT p.p_id, p.value, v.item_key,
+                     CAST(COUNT(*) AS BIGINT) AS cnt_item
+              FROM purchases p
+              JOIN views v ON v.user_id = p.user_id
+                          AND v.v_ts <= p.p_ts
+                          AND v.v_ts >= p.p_ts - INTERVAL 3 DAY
+              GROUP BY 1, 2, 3
+            ), credit AS (
+              SELECT item_key, cnt_item,
+                     CAST(floor(value * cnt_item
+                                / SUM(cnt_item) OVER (PARTITION BY p_id)
+                                * 1e6) / 1e6 AS DECIMAL(18,6)) AS term
+              FROM per_pair
+            )
+            SELECT item_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(cnt_item) AS BIGINT) AS n_touches,
+                   CAST(SUM(term) AS DOUBLE) AS attributed_revenue
+            FROM credit
+            GROUP BY item_key
+            ORDER BY item_key
         """,
     }
     return oracles

@@ -334,6 +334,70 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation_name")
 
 
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the same user's ``view`` touches in the preceding
+    3 days, and the credit rolls up per viewed item — the measurement
+    query behind every "which content drives revenue" dashboard.
+
+    Determinism: the per-(purchase, item) credit is ONE fixed IEEE
+    expression floor-truncated immediately (the repo's per-term
+    truncation discipline), so the per-item rollup is an exact decimal
+    sum — no partition-order float accumulation.
+
+    Scale: the touch join is a user-keyed equi-join with a residual
+    time-band predicate — fan-out bounded by per-user activity in the
+    3-day window, never corpus-quadratic; both window counts partition
+    on the purchase id (bounded per purchase). Purchases with no touch
+    in the window drop out (inner join) — an "unattributed" bucket is
+    a one-line left-join variant.
+    """
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.get_json_object("props", "$.k").cast("long").alias("item_key"),
+    )
+    touches = purchases.join(views, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+    )
+    per_pair = touches.groupBy("p_id", "value", "item_key").agg(
+        F.count("*").cast("long").alias("cnt_item")
+    )
+    w_p = Window.partitionBy("p_id")
+    credit = (
+        per_pair.withColumn("cnt_total", F.sum("cnt_item").over(w_p))
+        .withColumn(
+            "term",
+            (
+                F.floor(
+                    F.col("value")
+                    * F.col("cnt_item")
+                    / F.col("cnt_total")
+                    * 1e6
+                )
+                / 1e6
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return (
+        credit.groupBy("item_key")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cnt_item").cast("long").alias("n_touches"),
+            F.sum("term").cast("double").alias("attributed_revenue"),
+        )
+        .orderBy("item_key")
+    )
+
+
 # EWMA weights 0.5^j are EXACT in decimal (j decimal digits), so the
 # weighted sum below is exact decimal arithmetic on both engines — no
 # engine-ordered float accumulation can reach the trunc6 boundary.

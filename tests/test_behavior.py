@@ -165,6 +165,41 @@ def test_ewma_window_ramps_then_saturates(spark):
     assert all(s == 14 for s in sizes[14:])
 
 
+def test_attribution_conserves_purchase_value(spark):
+    # total attributed revenue == sum of values of attributed purchases
+    # (up to the per-term 1e-6 truncation, bounded by #credit rows)
+    rows = behavior.multi_touch_attribution(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    attributed = (
+        purchases.join(views, "user_id")
+        .filter(
+            (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3 DAYS"))
+        )
+        .select("p_id", "value")
+        .distinct()
+    )
+    expect_total = sum(r.value for r in attributed.collect())
+    n_credit_rows = sum(r.n_purchases for r in rows)
+    got_total = sum(r.attributed_revenue for r in rows)
+    assert abs(got_total - expect_total) <= n_credit_rows * 1e-6 + 1e-6
+
+
+def test_attribution_touches_are_positive_and_items_real(spark):
+    rows = behavior.multi_touch_attribution(spark, SF).collect()
+    for r in rows:
+        assert r.n_touches >= r.n_purchases >= 1
+        assert r.attributed_revenue >= 0
+        assert r.item_key is not None
+
+
 def test_nation_revenue_trend_matches_numpy_fit(spark):
     import numpy as np
 
