@@ -692,6 +692,20 @@ def q_heavy_hitter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavyhitters.heavy_hitters(line_rows, "line", phi=0.001)
 
 
+def q_doc_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-doc deterministic sample via the bottom-k (KMV)
+    construction (operators/sampling.py:fixed_k_sample) — plans as
+    TakeOrderedAndProject, O(k) driver traffic."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return sampling.fixed_k_sample(docs, "doc_id", k=100).orderBy("doc_id")
+
+
 def q_dup_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span hotspots: top-20 word 8-grams shared by ≥2
     documents (operators/dedup.py:shared_gram_hotspots) — the
@@ -2263,6 +2277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_revenue": behavior.ewma_daily_revenue,
         # round 5: linear multi-touch purchase attribution over views
         "multi_touch_attribution": behavior.multi_touch_attribution,
+        # round 5: bottom-k (KMV) exact-size deterministic sample
+        "doc_sample_fixed_k": q_doc_sample_fixed_k,
+        # round 5: hash-armed two-proportion experiment read-out
+        "ab_test_lift": behavior.ab_test_lift,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5277,6 +5295,81 @@ def oracle_sql() -> dict[str, str]:
             FROM credit
             GROUP BY item_key
             ORDER BY item_key
+        """,
+        "doc_sample_fixed_k": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+              ORDER BY h, doc_id
+              LIMIT 100
+            )
+            ORDER BY doc_id
+        """,
+        "ab_test_lift": """
+            WITH per_user AS (
+              SELECT user_id,
+                     CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                        THEN ts END)
+                               < MIN(ts) + INTERVAL 24 HOUR
+                          THEN 1 ELSE 0 END AS converted
+              FROM events GROUP BY 1
+            ), armed AS (
+              SELECT converted,
+                     ('0x' || substr(
+                        md5(concat('exp1', CAST(user_id AS VARCHAR))), 1, 15
+                      ))::BIGINT % 10000 % 2 AS arm
+              FROM per_user
+            ), c AS (
+              SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_control,
+                CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                     AS BIGINT) AS conv_control,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_treatment,
+                CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                     AS BIGINT) AS conv_treatment
+              FROM armed
+            )
+            SELECT n_control, conv_control, n_treatment, conv_treatment,
+              floor(CAST(conv_control AS DOUBLE)
+                    / CAST(n_control AS DOUBLE) * 1e6) / 1e6
+                AS rate_control,
+              floor(CAST(conv_treatment AS DOUBLE)
+                    / CAST(n_treatment AS DOUBLE) * 1e6) / 1e6
+                AS rate_treatment,
+              floor((CAST(conv_treatment AS DOUBLE)
+                     / CAST(n_treatment AS DOUBLE)
+                     - CAST(conv_control AS DOUBLE)
+                       / CAST(n_control AS DOUBLE)) * 1e6) / 1e6
+                AS lift_abs,
+              floor(
+                CASE WHEN (CAST(conv_control AS DOUBLE)
+                           + CAST(conv_treatment AS DOUBLE))
+                          / (CAST(n_control AS DOUBLE)
+                             + CAST(n_treatment AS DOUBLE)) > 0
+                      AND (CAST(conv_control AS DOUBLE)
+                           + CAST(conv_treatment AS DOUBLE))
+                          / (CAST(n_control AS DOUBLE)
+                             + CAST(n_treatment AS DOUBLE)) < 1
+                THEN (CAST(conv_treatment AS DOUBLE)
+                      / CAST(n_treatment AS DOUBLE)
+                      - CAST(conv_control AS DOUBLE)
+                        / CAST(n_control AS DOUBLE))
+                     / sqrt(
+                         ((CAST(conv_control AS DOUBLE)
+                           + CAST(conv_treatment AS DOUBLE))
+                          / (CAST(n_control AS DOUBLE)
+                             + CAST(n_treatment AS DOUBLE)))
+                         * (1 - (CAST(conv_control AS DOUBLE)
+                                 + CAST(conv_treatment AS DOUBLE))
+                                / (CAST(n_control AS DOUBLE)
+                                   + CAST(n_treatment AS DOUBLE)))
+                         * (1 / CAST(n_control AS DOUBLE)
+                            + 1 / CAST(n_treatment AS DOUBLE)))
+                END * 1e6) / 1e6 AS z_score
+            FROM c
         """,
     }
     return oracles

@@ -54,6 +54,36 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < int(rate * _BUCKETS))
 
 
+def fixed_k_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``k`` rows (or all rows if fewer), chosen as the k
+    smallest ``md5(salt || id)`` values — the deterministic, mergeable
+    answer to "give me a 10 000-doc sample" where a rate-based sample
+    only hits the target in expectation.
+
+    This is the KMV/bottom-k construction: the k smallest of a uniform
+    hash are a uniform sample without replacement, stable across
+    retries, partitionings, and incremental re-runs (a new corpus drop
+    only displaces rows whose hash beats the current k-th — the same
+    property the KMV sketch uses). Plans as TakeOrderedAndProject:
+    per-partition top-k heaps, O(k) driver traffic, no shuffle of the
+    full data. The id tiebreak keeps ties (hash collisions) exact.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(k)
+        .drop("__h")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

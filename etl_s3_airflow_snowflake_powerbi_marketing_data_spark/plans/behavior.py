@@ -334,6 +334,77 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nation_name")
 
 
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment read-out: users deterministically
+    hash-split into control/treatment arms, conversion = "activated
+    within 24 h" (first purchase within a day of the user's first
+    event — the corpus's every-user-eventually-purchases saturation
+    makes a lifetime conversion flag degenerate), reporting per-arm
+    rates, absolute lift, and the pooled two-proportion z statistic —
+    the standard A/B significance check.
+
+    The arm assignment reuses the repo's content-hash bucketing
+    (``operators.sampling.hash_bucket``), so membership is retry-stable
+    and identically reproducible in the SQL oracle. All inputs to the
+    statistics are four exact integers; rates/lift/z are each ONE fixed
+    IEEE expression floor-truncated. Degenerate pools (pooled rate 0 or
+    1, z undefined) yield NULL on both engines via the same guard.
+
+    Scale: one map-side-combinable per-user aggregate, then a single
+    global 4-counter aggregate — two scans' worth of work, one row out.
+    """
+    from ..operators.sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        # conditional-min trick: activation needs "first purchase ts"
+        # relative to "first event ts" — both fall out of ONE aggregate
+        F.when(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            < F.min("ts") + F.expr("INTERVAL 24 HOURS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    arm = (hash_bucket(F.col("user_id"), "exp1") % 2).alias("arm")
+    counts = per_user.select("converted", arm).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_treatment"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_treatment"),
+    )
+    na = F.col("n_control").cast("double")
+    nb = F.col("n_treatment").cast("double")
+    ca = F.col("conv_control").cast("double")
+    cb = F.col("conv_treatment").cast("double")
+    pa = ca / na
+    pb = cb / nb
+    pooled = (ca + cb) / (na + nb)
+    se = F.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb))
+    z = F.when(
+        (pooled > 0) & (pooled < 1), (pb - pa) / se
+    )
+    return counts.select(
+        "n_control",
+        "conv_control",
+        "n_treatment",
+        "conv_treatment",
+        _trunc6(pa).alias("rate_control"),
+        _trunc6(pb).alias("rate_treatment"),
+        _trunc6(pb - pa).alias("lift_abs"),
+        _trunc6(z).alias("z_score"),
+    )
+
+
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value is split
     equally across the same user's ``view`` touches in the preceding

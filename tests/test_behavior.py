@@ -200,6 +200,59 @@ def test_attribution_touches_are_positive_and_items_real(spark):
         assert r.item_key is not None
 
 
+def test_fixed_k_sample_exact_size_and_nested(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    k100 = sampling.fixed_k_sample(docs, "doc_id", k=min(40, n))
+    ids100 = {r.doc_id for r in k100.select("doc_id").collect()}
+    assert len(ids100) == min(40, n)
+    # bottom-k nesting: the k=10 sample is a subset of the k=40 sample
+    ids10 = {
+        r.doc_id
+        for r in sampling.fixed_k_sample(docs, "doc_id", k=10)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids10 <= ids100
+    # partitioning invariance
+    ids_re = {
+        r.doc_id
+        for r in sampling.fixed_k_sample(docs.repartition(7), "doc_id", k=10)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_re == ids10
+    # k beyond corpus size returns everything
+    assert sampling.fixed_k_sample(docs, "doc_id", k=n + 50).count() == n
+    with pytest.raises(ValueError):
+        sampling.fixed_k_sample(docs, "doc_id", k=0)
+
+
+def test_ab_test_lift_partitions_users_and_is_consistent(spark):
+    row = behavior.ab_test_lift(spark, SF).collect()[0]
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row.n_control + row.n_treatment == n_users
+    assert 0 <= row.conv_control <= row.n_control
+    assert 0 <= row.conv_treatment <= row.n_treatment
+    assert 0.0 <= row.rate_control <= 1.0
+    assert 0.0 <= row.rate_treatment <= 1.0
+    # lift ~ rate difference (each side independently truncated)
+    assert row.lift_abs == pytest.approx(
+        row.rate_treatment - row.rate_control, abs=2e-6
+    )
+    if row.z_score is not None and row.lift_abs != 0:
+        assert (row.z_score > 0) == (row.lift_abs > 0)
+
+
 def test_nation_revenue_trend_matches_numpy_fit(spark):
     import numpy as np
 
