@@ -316,6 +316,11 @@ def main() -> None:
         # recursive hierarchy rollup
         "part": "p_partkey",
         "supplier": "s_suppkey",
+        # round 5b: lineitem replicates with the SAME orderkey shift as
+        # orders, so per-replica joins stay consistent and every basket
+        # duplicates exactly — the adversarial case for pair mining
+        # (hot pairs get N× hotter, never new pairs)
+        "lineitem": "l_orderkey",
     }
     for t in os.listdir(sf_dir):
         link = os.path.join(star_dir, t)
@@ -325,6 +330,13 @@ def main() -> None:
             # read-only testdata — drop it first
             if os.path.islink(link):
                 os.remove(link)
+        elif t == "documents.parquet":
+            # the replicated documents already exist at big_path —
+            # point the star dir at them so doc-family star ops (heavy
+            # hitters) probe the N× corpus
+            if os.path.islink(link) or os.path.exists(link):
+                os.remove(link)
+            os.symlink(big_path, link)
         elif not os.path.exists(link):
             os.symlink(os.path.join(sf_dir, t), link)
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
@@ -438,6 +450,46 @@ def main() -> None:
             # multiplies per-cell counts, not cells — growth must
             # track the (day, type) count aggregation alone
             "event_type_drift_daily": entrymod.relational.event_type_drift_daily,
+        }
+    )
+    # round 5b: the behavioral pack + heavy hitters. Replication keeps
+    # users/customers/items CONSTANT while multiplying their activity —
+    # the boundedness arguments the curves should confirm:
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        behavior,
+    )
+
+    star_ops.update(
+        {
+            # triangle cells are O(weeks²) and distinct user-weeks are
+            # unchanged by replication — growth tracks the two scans
+            "retention_cohorts": behavior.retention_cohorts,
+            # rank table stays one row per customer; growth tracks the
+            # orders aggregate feeding it
+            "rfm_segments": behavior.rfm_segments,
+            # transition grid is O(types²); the lead window partitions
+            # per user — growth tracks the N× event scan
+            "event_transition_matrix": behavior.event_transition_matrix,
+            # replicated baskets multiply counts of the SAME pairs —
+            # pair cardinality must stay flat while the self-join scan
+            # grows linearly
+            "frequent_item_pairs": behavior.frequent_item_pairs,
+            # moments are one pass; the nation × day grain is constant
+            "nation_revenue_trend": behavior.nation_revenue_trend,
+            # daily grid constant; window constant — growth tracks the
+            # daily aggregate scan
+            "ewma_daily_revenue": behavior.ewma_daily_revenue,
+            # ADVERSARIAL: purchases ×N each joining views ×N inside
+            # the same 3-day band → touch rows grow ~N² (bounded by
+            # per-user windows, never corpus-quadratic) — recorded to
+            # watch, not to stay flat
+            "multi_touch_attribution": behavior.multi_touch_attribution,
+            # two aggregates, one row out — growth tracks the scans
+            "ab_test_lift": behavior.ab_test_lift,
+            # candidate state is O(1/eps) per partition at ANY size;
+            # recount is a broadcast semi-join — growth tracks the two
+            # corpus scans (star_dir's documents ARE the N× corpus)
+            "heavy_hitter_lines": entrymod.q_heavy_hitter_lines,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
