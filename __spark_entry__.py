@@ -2281,6 +2281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_fixed_k": q_doc_sample_fixed_k,
         # round 5: hash-armed two-proportion experiment read-out
         "ab_test_lift": behavior.ab_test_lift,
+        # round 5: weekday-mix chi-square diagnostics
+        "event_dow_chisq": behavior.event_dow_chisq,
+        # round 5: per-customer purchase-cadence profile
+        "customer_purchase_gaps": behavior.customer_purchase_gaps,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5370,6 +5374,60 @@ def oracle_sql() -> dict[str, str]:
                             + 1 / CAST(n_treatment AS DOUBLE)))
                 END * 1e6) / 1e6 AS z_score
             FROM c
+        """,
+        "event_dow_chisq": """
+            WITH cells AS (
+              -- DuckDB dayofweek is 0(Sun)..6; Spark is 1(Sun)..7
+              SELECT event_type,
+                     CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT)
+                       AS dow,
+                     CAST(COUNT(*) AS BIGINT) AS observed
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT event_type, dow, observed,
+                     SUM(observed) OVER (PARTITION BY event_type) AS row_t,
+                     SUM(observed) OVER (PARTITION BY dow) AS col_t,
+                     SUM(observed) OVER () AS n
+              FROM cells
+            )
+            SELECT event_type, dow, observed,
+                   floor(CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                         / CAST(n AS DOUBLE) * 1e6) / 1e6 AS expected,
+                   floor(
+                     (CAST(observed AS DOUBLE)
+                      - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * (CAST(observed AS DOUBLE)
+                        - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     * 1e6) / 1e6 AS chisq_contrib
+            FROM t
+            ORDER BY event_type, dow
+        """,
+        "customer_purchase_gaps": """
+            WITH gaps AS (
+              SELECT o_custkey AS custkey,
+                     datediff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                       ),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+              FROM orders
+            )
+            SELECT custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   floor(CAST(SUM(gap_days) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+                     AS mean_gap_days,
+                   CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+                   CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+            FROM gaps
+            WHERE gap_days IS NOT NULL
+            GROUP BY custkey
+            ORDER BY custkey
         """,
     }
     return oracles

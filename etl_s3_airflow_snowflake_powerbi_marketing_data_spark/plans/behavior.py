@@ -405,6 +405,88 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence diagnostics for event type × day of
+    week — "does the event mix shift by weekday?", the seasonality
+    sibling of the temporal-JSD drift monitor.
+
+    One contingency aggregate (map-side combinable onto the O(types×7)
+    grid), then expected counts ``row·col/N`` and per-cell
+    contributions ``(o−e)²/e`` — each ONE fixed double expression over
+    exact integers, floor-truncated per cell. The full chi-square
+    statistic is the (truncated) contribution sum; keeping the per-cell
+    table makes the result hash-comparable and is what an analyst
+    inspects anyway.
+
+    Scale: everything after the first aggregate runs on the bounded
+    grid; the row/col/total sums are windows over ≤ types×7 rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("observed"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    row_t = F.sum("observed").over(w_row)
+    col_t = F.sum("observed").over(w_col)
+    n = F.sum("observed").over(w_all)
+    expected = (
+        row_t.cast("double") * col_t.cast("double") / n.cast("double")
+    )
+    contrib = (
+        (F.col("observed").cast("double") - expected)
+        * (F.col("observed").cast("double") - expected)
+        / expected
+    )
+    return cells.select(
+        "event_type",
+        "dow",
+        "observed",
+        _trunc6(expected).alias("expected"),
+        _trunc6(contrib).alias("chisq_contrib"),
+    ).orderBy("event_type", "dow")
+
+
+def customer_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval profile per customer: the gap series
+    between consecutive orders (lag over the per-customer order
+    timeline) reduced to count / mean / min / max days — the
+    "purchase cadence" input to churn and replenishment models.
+
+    Gaps are exact integer day differences; the mean is one double
+    division of two exact longs, floor-truncated. Ordering ties break
+    on the order key, so same-day orders produce a deterministic gap
+    sequence (including 0-day gaps, which are real cadence signal).
+
+    Scale: the lag window partitions per customer; the profile is a
+    map-side-combinable aggregate on the same key — one shuffle total.
+    Single-order customers drop (no gaps), matching the SQL oracle's
+    implicit inner behavior.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w),
+    ).cast("long")
+    return (
+        orders.withColumn("gap_days", gap)
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            _trunc6(
+                F.sum("gap_days").cast("double")
+                / F.count("*").cast("double")
+            ).alias("mean_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("custkey")
+    )
+
+
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value is split
     equally across the same user's ``view`` touches in the preceding

@@ -253,6 +253,64 @@ def test_ab_test_lift_partitions_users_and_is_consistent(spark):
         assert (row.z_score > 0) == (row.lift_abs > 0)
 
 
+def test_chisq_contingency_identities(spark):
+    rows = behavior.event_dow_chisq(spark, SF).collect()
+    assert rows
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.observed for r in rows) == n_events
+    # expected counts sum back to N (up to per-cell truncation)
+    assert sum(r.expected for r in rows) == pytest.approx(
+        n_events, abs=len(rows) * 1e-6
+    )
+    for r in rows:
+        assert r.chisq_contrib >= 0
+        assert 1 <= r.dow <= 7
+
+
+def test_chisq_matches_scipy_style_formula(spark):
+    import numpy as np
+
+    rows = behavior.event_dow_chisq(spark, SF).collect()
+    types = sorted({r.event_type for r in rows})
+    dows = sorted({r.dow for r in rows})
+    obs = np.zeros((len(types), len(dows)))
+    for r in rows:
+        obs[types.index(r.event_type), dows.index(r.dow)] = r.observed
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp)[obs > -1]
+    got = sum(r.chisq_contrib for r in rows)
+    assert got == pytest.approx(chi2.sum(), abs=len(rows) * 1e-6)
+
+
+def test_purchase_gaps_match_python_replica(spark):
+    from collections import defaultdict
+
+    rows = behavior.customer_purchase_gaps(spark, SF).collect()
+    assert rows
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append((o.o_orderdate, o.o_orderkey))
+    for r in rows:
+        seq = sorted(by_cust[r.custkey])
+        gaps = [
+            (b[0].date() - a[0].date()).days for a, b in zip(seq, seq[1:])
+        ]
+        assert r.n_gaps == len(gaps)
+        assert r.min_gap_days == min(gaps)
+        assert r.max_gap_days == max(gaps)
+        assert r.mean_gap_days == pytest.approx(
+            math.floor(sum(gaps) / len(gaps) * 1e6) / 1e6, abs=1e-9
+        )
+    # customers with a single order never emit a profile row
+    singles = {c for c, seq in by_cust.items() if len(seq) == 1}
+    assert singles.isdisjoint({r.custkey for r in rows})
+
+
 def test_nation_revenue_trend_matches_numpy_fit(spark):
     import numpy as np
 
