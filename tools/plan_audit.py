@@ -74,6 +74,15 @@ BOUNDED_BNLJ_OK = {
     "rolling_weekly_revenue": "1-row bounds for the day spine",
     "doc_pack_sequences": "1-row min/max bounds for bucket math",
     "csv_ingest_rollup": "1-row corpus-stats aggregate",
+    # plans/behavior.rfm_segments — three chained ordered_surrogate_key
+    # ranks, each crossing its 1-row min/max bounds aggregate
+    "rfm_segments": "1-row min/max bounds for surrogate-key buckets",
+    # plans/behavior.frequent_item_pairs — the support denominator is a
+    # 1-row COUNT(DISTINCT orderkey) aggregate crossed onto the pairs
+    "frequent_item_pairs": "1-row order-count scalar for support",
+    # operators/heavyhitters — the exact-recount ratio crosses the
+    # 1-row corpus-total aggregate onto the candidate counts
+    "heavy_hitter_lines": "1-row corpus-total scalar for the ratio",
     "numeric_column_profile": "1-row multi-column stats, stack unpivot",
     "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
     "tfidf_top_terms": "1-row corpus-size (N) scalar for the idf term",
