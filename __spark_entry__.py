@@ -706,6 +706,25 @@ def q_doc_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.fixed_k_sample(docs, "doc_id", k=100).orderBy("doc_id")
 
 
+def q_segment_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    BUILDING and MACHINERY segments' order-price distributions
+    (operators/stats.py — global ECDF prefix sums via the banded
+    two-pass decomposition, no single-partition window)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_totalprice", "c_mktsegment")
+    return stats.ks_two_sample(
+        joined, "o_totalprice", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
 def q_dup_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span hotspots: top-20 word 8-grams shared by ≥2
     documents (operators/dedup.py:shared_gram_hotspots) — the
@@ -2285,6 +2304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_dow_chisq": behavior.event_dow_chisq,
         # round 5: per-customer purchase-cadence profile
         "customer_purchase_gaps": behavior.customer_purchase_gaps,
+        # round 5: top-k session opening paths (ordered journey mining)
+        "session_path_mining": behavior.session_path_mining,
+        # round 5: exact two-sample KS via banded prefix sums
+        "segment_price_ks": q_segment_price_ks,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5428,6 +5451,83 @@ def oracle_sql() -> dict[str, str]:
             WHERE gap_days IS NOT NULL
             GROUP BY custkey
             ORDER BY custkey
+        """,
+        "session_path_mining": """
+            WITH g AS (
+              SELECT *,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                          > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
+              FROM g
+            ), steps AS (
+              SELECT user_id, session_seq, event_type,
+                     row_number() OVER (PARTITION BY user_id, session_seq
+                                        ORDER BY ts, event_id) AS rn
+              FROM s
+            ), paths AS (
+              SELECT user_id, session_seq,
+                     concat_ws('>',
+                       MAX(CASE WHEN rn = 1 THEN event_type END),
+                       MAX(CASE WHEN rn = 2 THEN event_type END),
+                       MAX(CASE WHEN rn = 3 THEN event_type END),
+                       MAX(CASE WHEN rn = 4 THEN event_type END),
+                       MAX(CASE WHEN rn = 5 THEN event_type END)) AS path
+              FROM steps WHERE rn <= 5
+              GROUP BY user_id, session_seq
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS total FROM paths
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   floor(CAST(COUNT(*) AS DOUBLE) / CAST(total AS DOUBLE)
+                         * 1e6) / 1e6 AS session_share
+            FROM paths, tot
+            GROUP BY path, total
+            ORDER BY n_sessions DESC, path
+            LIMIT 20
+        """,
+        "segment_price_ks": """
+            WITH f AS (
+              SELECT o.o_totalprice AS v, c.c_mktsegment AS g
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+                AND o.o_totalprice IS NOT NULL
+            ), counts AS (
+              SELECT v,
+                     CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cb
+              FROM f GROUP BY v
+            ), cum AS (
+              SELECT v,
+                     SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS cuma,
+                     SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS cumb,
+                     SUM(ca) OVER () AS na,
+                     SUM(cb) OVER () AS nb
+              FROM counts
+            )
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   floor(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                             - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))
+                         * 1e6) / 1e6 AS ks_stat,
+                   v AS at_value
+            FROM cum
+            ORDER BY abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) DESC,
+                     v
+            LIMIT 1
         """,
     }
     return oracles

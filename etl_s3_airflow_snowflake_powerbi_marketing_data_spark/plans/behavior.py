@@ -405,6 +405,73 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_path_mining(
+    spark: SparkSession, sf_dir: str, depth: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k session opening paths: the first ``depth`` event types of
+    every 30-minute session, joined ``a>b>c``, ranked by session count
+    — the journey-mining view ("how do sessions start, and which
+    openings dominate?") that complements the pairwise Markov matrix
+    with actual ordered paths.
+
+    Sessionization is the repo's standard lag+gap>30min cumsum (same
+    windows as ``relational.user_sessions``); the path string comes
+    from ``depth`` conditional-max aggregates over the per-session
+    step rank (``concat_ws`` skips the NULLs of shorter sessions), so
+    no order-sensitive ``collect_list`` is involved. Share is the
+    session fraction against a broadcast 1-row total.
+
+    Scale: all windows partition per user / per session; the path
+    aggregate shuffles one row per session, the final top-k plans as
+    TakeOrderedAndProject with a full (count, path) tiebreak.
+    """
+    events = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        by_user
+    )
+    with_sid = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    steps = with_sid.withColumn("rn", F.row_number().over(w_sess)).filter(
+        F.col("rn") <= depth
+    )
+    paths = steps.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            *[
+                F.max(F.when(F.col("rn") == i, F.col("event_type")))
+                for i in range(1, depth + 1)
+            ],
+        ).alias("path")
+    )
+    total = paths.agg(F.count("*").cast("long").alias("__total"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .join(F.broadcast(total))
+        .select(
+            "path",
+            "n_sessions",
+            _trunc6(
+                F.col("n_sessions").cast("double")
+                / F.col("__total").cast("double")
+            ).alias("session_share"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

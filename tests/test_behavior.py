@@ -311,6 +311,26 @@ def test_purchase_gaps_match_python_replica(spark):
     assert singles.isdisjoint({r.custkey for r in rows})
 
 
+def test_session_paths_cover_all_sessions_and_are_bounded(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        relational,
+    )
+
+    rows = behavior.session_path_mining(spark, SF, k=10_000).collect()
+    assert rows
+    n_sessions = relational.user_sessions(spark, SF).count()
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    assert sum(r.session_share for r in rows) == pytest.approx(
+        1.0, abs=len(rows) * 1e-6
+    )
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= 5
+        assert all(s for s in steps)
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
 def test_nation_revenue_trend_matches_numpy_fit(spark):
     import numpy as np
 

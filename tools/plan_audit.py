@@ -83,6 +83,12 @@ BOUNDED_BNLJ_OK = {
     # operators/heavyhitters — the exact-recount ratio crosses the
     # 1-row corpus-total aggregate onto the candidate counts
     "heavy_hitter_lines": "1-row corpus-total scalar for the ratio",
+    # plans/behavior.session_path_mining — session share crosses the
+    # 1-row session-count total onto the per-path counts
+    "session_path_mining": "1-row session-total scalar for share",
+    # operators/stats.ks_two_sample — the band grid and sample sizes
+    # ride as one broadcast 1-row min/max/count aggregate
+    "segment_price_ks": "1-row min/max/count bounds for ECDF bands",
     "numeric_column_profile": "1-row multi-column stats, stack unpivot",
     "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
     "tfidf_top_terms": "1-row corpus-size (N) scalar for the idf term",
