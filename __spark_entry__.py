@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
@@ -704,6 +704,41 @@ def q_doc_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     return sampling.fixed_k_sample(docs, "doc_id", k=100).orderBy("doc_id")
+
+
+def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-influence PageRank over the co-view transition graph
+    (operators/graph.py): edges are consecutive view-item pairs per
+    user, and every rank update runs in exact scaled-integer
+    arithmetic (1e-12 grid), so 15 fixed rounds are bit-identical to
+    the pure-Python replica serving as the oracle."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        graph,
+    )
+
+    views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        views.withColumn("next_item", F.lead("item").over(w))
+        .filter(F.col("next_item").isNotNull())
+        .groupBy(
+            F.col("item").alias("src"), F.col("next_item").alias("dst")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    pr = graph.pagerank(edges, "src", "dst", "w", iters=15)
+    return pr.select(
+        F.col("node").alias("item_key"), "rank_scaled", "pagerank"
+    ).orderBy(F.col("rank_scaled").desc(), "item_key")
 
 
 def q_segment_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2308,6 +2343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_path_mining": behavior.session_path_mining,
         # round 5: exact two-sample KS via banded prefix sums
         "segment_price_ks": q_segment_price_ks,
+        # round 5: scaled-integer PageRank over the co-view graph
+        "item_pagerank": q_item_pagerank,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5528,6 +5565,11 @@ def oracle_sql() -> dict[str, str]:
                          - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) DESC,
                      v
             LIMIT 1
+        """,
+        "item_pagerank": """
+            SELECT item_key, rank_scaled, pagerank
+            FROM read_parquet('/root/repo/expected/sf0.01/item_pagerank.parquet')
+            ORDER BY rank_scaled DESC, item_key
         """,
     }
     return oracles

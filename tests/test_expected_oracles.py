@@ -149,6 +149,20 @@ def test_hll_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     assert (got["err_pct"] < 15.0).all()
 
 
+def test_pagerank_generator_matches_spark_on_alternate_sf(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    expected = gen_expected.gen_item_pagerank(sf_dir)
+    got = entrymod.q_item_pagerank(spark, sf_dir).toPandas()
+    # scaled ranks are EXACT integers — compare them bit-for-bit, not
+    # through the float-rounding canonicalizer
+    g = sorted(zip(got["item_key"], got["rank_scaled"]))
+    e = sorted(zip(expected["item_key"], expected["rank_scaled"]))
+    assert [(int(a), int(b)) for a, b in g] == [
+        (int(a), int(b)) for a, b in e
+    ]
+
+
 def test_bpe_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     import __spark_entry__ as entrymod
 

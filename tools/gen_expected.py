@@ -997,6 +997,59 @@ def gen_cms_user_counts(
     )
 
 
+def gen_item_pagerank(
+    sf_dir: str, iters: int = 15, damping_pct: int = 85
+) -> pd.DataFrame:
+    """Independent scaled-integer PageRank mirroring
+    ``operators.graph.pagerank`` over the co-view transition edges
+    (consecutive view items per user, ordered by (ts, event_id)).
+    Every update is Python int multiply / floor-divide on the same
+    1e-12 / 1e-6 grids, so the match is bit-for-bit."""
+    import json as _json
+
+    RANK_SCALE = 10**12
+    PROB_SCALE = 10**6
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "props"],
+    ).to_pandas()
+    views = ev[ev.event_type == "view"].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    edges: dict[tuple[int, int], int] = {}
+    for _, grp in views.groupby("user_id", sort=False):
+        items = [int(_json.loads(p)["k"]) for p in grp.props]
+        for a, b in zip(items, items[1:]):
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out_w: dict[int, int] = {}
+    for (a, _), w in edges.items():
+        out_w[a] = out_w.get(a, 0) + w
+    probs = {
+        (a, b): (w * PROB_SCALE) // out_w[a] for (a, b), w in edges.items()
+    }
+    rank = {v: RANK_SCALE // n for v in nodes}
+    teleport = 100 - damping_pct
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for (a, b), p in probs.items():
+            inflow[b] += (rank[a] * p) // PROB_SCALE
+        dang = sum(rank[v] for v in nodes if v not in out_w)
+        rank = {
+            v: (RANK_SCALE * teleport) // (100 * n)
+            + (damping_pct * (inflow[v] + dang // n)) // 100
+            for v in nodes
+        }
+    rows = sorted(
+        ((v, rank[v], rank[v] / float(RANK_SCALE)) for v in nodes),
+        key=lambda r: (-r[1], r[0]),
+    )
+    return pd.DataFrame(
+        rows, columns=["item_key", "rank_scaled", "pagerank"]
+    ).astype({"item_key": "int64", "rank_scaled": "int64"})
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -1026,6 +1079,7 @@ def main() -> None:
         ("embedding_pca_project", gen_pca_project(vecs)),
         ("doc_bpe_tokens", gen_bpe_tokens(sf_dir)),
         ("minhash_incremental_docs", gen_minhash_incremental(docs)),
+        ("item_pagerank", gen_item_pagerank(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
