@@ -741,6 +741,31 @@ def q_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rank_scaled").desc(), "item_key")
 
 
+def q_coview_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected co-view item graph
+    (operators/graph.py:triangle_count — degree-ordered orientation,
+    wedge join + closure semi-join, O(E^1.5) intermediate bound)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        graph,
+    )
+
+    views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = views.withColumn("next_item", F.lead("item").over(w)).filter(
+        F.col("next_item").isNotNull()
+    )
+    return graph.triangle_count(pairs, "item", "next_item")
+
+
 def q_segment_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between the
     BUILDING and MACHINERY segments' order-price distributions
@@ -2345,6 +2370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_price_ks": q_segment_price_ks,
         # round 5: scaled-integer PageRank over the co-view graph
         "item_pagerank": q_item_pagerank,
+        # round 5: degree-ordered triangle census of the co-view graph
+        "coview_triangles": q_coview_triangles,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5570,6 +5597,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT item_key, rank_scaled, pagerank
             FROM read_parquet('/root/repo/expected/sf0.01/item_pagerank.parquet')
             ORDER BY rank_scaled DESC, item_key
+        """,
+        "coview_triangles": """
+            WITH seq AS (
+              SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item,
+                     lead(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next_item
+              FROM events WHERE event_type = 'view'
+            ), und AS (
+              SELECT DISTINCT least(item, next_item) AS u,
+                              greatest(item, next_item) AS v
+              FROM seq
+              WHERE next_item IS NOT NULL AND item IS NOT NULL
+                AND item <> next_item
+            ), deg AS (
+              SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT u AS node FROM und
+                UNION ALL SELECT v AS node FROM und
+              ) GROUP BY node
+            ), oriented AS (
+              SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+                          THEN e.u ELSE e.v END AS lo,
+                     CASE WHEN (du.deg, e.u) < (dv.deg, e.v)
+                          THEN e.v ELSE e.u END AS hi
+              FROM und e
+              JOIN deg du ON du.node = e.u
+              JOIN deg dv ON dv.node = e.v
+            ), tri AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+              FROM oriented e1
+              JOIN oriented e2 ON e2.lo = e1.hi
+              WHERE EXISTS (
+                SELECT 1 FROM oriented c
+                WHERE c.lo = e1.lo AND c.hi = e2.hi
+              )
+            ), meta AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                     CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+              FROM deg
+            ), ecnt AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und
+            )
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN floor(3.0 * CAST(n_triangles AS DOUBLE)
+                                   / CAST(n_wedges AS DOUBLE) * 1e6) / 1e6
+                        ELSE 0.0 END AS clustering_coeff
+            FROM meta, ecnt, tri
         """,
     }
     return oracles

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 RANK_SCALE = 10**12  # rank grid: sum of all ranks ≈ 1e12 ("1.0")
 PROB_SCALE = 10**6  # edge-probability grid
@@ -137,3 +137,99 @@ def pagerank(
             "pagerank"
         ),
     ).orderBy(F.col("rank_scaled").desc(), "node")
+
+
+def triangle_count(
+    pairs: DataFrame, a_col: str = "src", b_col: str = "dst"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    undirected simple graph induced by ``pairs`` (direction and
+    duplicates collapse; self-loops drop).
+
+    The classic degree-ordered orientation (the MapReduce triangle
+    algorithm of Suri & Vassilvitskii, WWW 2011): orient every edge
+    from its lower-(degree, id) endpoint to the higher one, build
+    wedges by joining oriented edges head-to-tail, and close each
+    wedge against the oriented edge set. Orientation bounds each
+    node's oriented out-degree by O(√E), so the wedge intermediate is
+    O(E^{3/2}) worst-case instead of Σdeg² — the difference between a
+    hub exploding the join and not.
+
+    Output is one row: nodes, edges, triangles, wedges (unordered
+    2-paths, Σ deg·(deg−1)/2 — exact integers) and the global
+    clustering coefficient 3·T/W floor-truncated — all of which a
+    plain SQL oracle reproduces exactly.
+    """
+    und = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient low-(deg, id) → high-(deg, id)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("lo"), F.col("u").alias("hi"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    closing = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c")
+    )
+    tri = (
+        e1.join(e2, "b")
+        .join(closing, ["a", "c"], "left_semi")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    counts = und.agg(F.count("*").cast("long").alias("n_edges"))
+    wedges = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        # deg·(deg−1) is even — integer div keeps the sum exact (a
+        # double /2 sum would lose exactness on large-degree graphs)
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+            * 1e6
+        )
+        / 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        wedges.join(F.broadcast(counts))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            cc.alias("clustering_coeff"),
+        )
+    )

@@ -70,6 +70,52 @@ def test_weight_bias(spark):
     assert r[2] > r[3]
 
 
+def test_triangle_count_known_graphs(spark):
+    # K4: 4 triangles, 6 edges, 12 wedges, coefficient 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        ["src", "dst"],
+    )
+    row = graph.triangle_count(k4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        4, 6, 12, 4,
+    )
+    assert row.clustering_coeff == 1.0
+    # a 5-cycle has wedges but no triangles
+    c5 = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"]
+    )
+    row = graph.triangle_count(c5).collect()[0]
+    assert row.n_triangles == 0
+    assert row.clustering_coeff == 0.0
+    assert row.n_wedges == 5
+
+
+def test_triangle_count_collapses_direction_and_dups(spark):
+    # both directions + duplicates + a self-loop of one triangle
+    rows = [(1, 2), (2, 1), (2, 3), (2, 3), (3, 1), (1, 1)]
+    row = graph.triangle_count(
+        spark.createDataFrame(rows, ["src", "dst"])
+    ).collect()[0]
+    assert (row.n_edges, row.n_triangles) == (3, 1)
+
+
+def test_triangle_count_matches_networkx_style_bruteforce(spark):
+    import itertools
+
+    rows = [(i % 17, (i * 5 + 3) % 17) for i in range(60)]
+    edges = {(min(a, b), max(a, b)) for a, b in rows if a != b}
+    brute = sum(
+        1
+        for x, y, z in itertools.combinations(sorted({n for e in edges for n in e}), 3)
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges
+    )
+    row = graph.triangle_count(
+        spark.createDataFrame(rows, ["src", "dst"])
+    ).collect()[0]
+    assert row.n_triangles == brute
+
+
 def test_validation(spark):
     edges = spark.createDataFrame([(1, 2, 1)], ["src", "dst", "w"])
     with pytest.raises(ValueError):

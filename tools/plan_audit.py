@@ -89,6 +89,9 @@ BOUNDED_BNLJ_OK = {
     # operators/stats.ks_two_sample — the band grid and sample sizes
     # ride as one broadcast 1-row min/max/count aggregate
     "segment_price_ks": "1-row min/max/count bounds for ECDF bands",
+    # operators/graph.triangle_count — edge/triangle 1-row census
+    # scalars crossed into the single summary row
+    "coview_triangles": "1-row census scalars crossed into summary",
     "numeric_column_profile": "1-row multi-column stats, stack unpivot",
     "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
     "tfidf_top_terms": "1-row corpus-size (N) scalar for the idf term",
