@@ -2372,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_pagerank": q_item_pagerank,
         # round 5: degree-ordered triangle census of the co-view graph
         "coview_triangles": q_coview_triangles,
+        # round 5: exact rolling DAU/WAU/stickiness engagement triple
+        "rolling_active_users": behavior.rolling_active_users,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5646,6 +5648,36 @@ def oracle_sql() -> dict[str, str]:
                                    / CAST(n_wedges AS DOUBLE) * 1e6) / 1e6
                         ELSE 0.0 END AS clustering_coeff
             FROM meta, ecnt, tri
+        """,
+        "rolling_active_users": """
+            WITH activity AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+              FROM events
+            ), days AS (
+              SELECT DISTINCT day FROM activity
+            ), dau AS (
+              SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+              FROM activity GROUP BY 1
+            ), ends AS (
+              SELECT DISTINCT a.user_id, u.wend
+              FROM activity a,
+                   unnest(generate_series(a.day,
+                                          a.day + INTERVAL 6 DAY,
+                                          INTERVAL 1 DAY)) AS u(wend)
+              WHERE u.wend IN (SELECT day FROM days)
+            ), wau AS (
+              SELECT wend, CAST(COUNT(*) AS BIGINT) AS wau
+              FROM ends GROUP BY 1
+            )
+            SELECT w.wend AS day,
+                   CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+                   w.wau,
+                   floor(CAST(COALESCE(d.dau, 0) AS DOUBLE)
+                         / CAST(w.wau AS DOUBLE) * 1e6) / 1e6
+                     AS stickiness
+            FROM wau w LEFT JOIN dau d ON d.day = w.wend
+            ORDER BY day
         """,
     }
     return oracles

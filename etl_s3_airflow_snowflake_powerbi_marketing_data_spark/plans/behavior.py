@@ -472,6 +472,65 @@ def session_path_mining(
     )
 
 
+def rolling_active_users(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Exact DAU / WAU / stickiness per active day — the engagement
+    triple on every growth dashboard. WAU(d) is the EXACT distinct
+    user count over [d−6, d]; approximations (HLL unions) exist in the
+    sketch family, this is the exact path.
+
+    A rolling DISTINCT cannot ride a window frame (distinct doesn't
+    decompose), and the textbook band join (days × activity on a range
+    predicate) plans as a nested-loop theta join — quadratic at scale.
+    Instead each (user, day) activity row EXPLODES to the ≤7 window
+    ends it can serve (an equi-key), the ends prune against the
+    broadcast active-day dimension, and one distinct+count per end
+    finishes it: all joins equi, fan-out bounded by the window width.
+
+    Stickiness = DAU/WAU — one double division of exact longs,
+    floor-truncated.
+    """
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = activity.select("day").distinct()
+    dau = activity.groupBy("day").agg(
+        F.count("*").cast("long").alias("dau")
+    )
+    ends = activity.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("wend"),
+    )
+    wau = (
+        ends.join(
+            F.broadcast(days.select(F.col("day").alias("wend"))), "wend"
+        )
+        .distinct()
+        .groupBy("wend")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    return (
+        wau.join(dau, wau.wend == dau.day, "left")
+        .select(
+            F.col("wend").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "wau",
+            _trunc6(
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("wau").cast("double")
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

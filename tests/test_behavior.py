@@ -331,6 +331,33 @@ def test_session_paths_cover_all_sessions_and_are_bounded(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_rolling_active_users_matches_python_replica(spark):
+    from collections import defaultdict
+
+    rows = behavior.rolling_active_users(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    act = {(r.user_id, r.day) for r in ev.distinct().collect()}
+    days = sorted({d for _, d in act})
+    by_day = defaultdict(set)
+    for u, d in act:
+        by_day[d].add(u)
+    for r in rows:
+        window = {
+            u
+            for d in days
+            if 0 <= (r.day - d).days <= 6
+            for u in by_day[d]
+        }
+        assert r.wau == len(window)
+        assert r.dau == len(by_day[r.day])
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+    assert {r.day for r in rows} == set(days)
+
+
 def test_nation_revenue_trend_matches_numpy_fit(spark):
     import numpy as np
 
