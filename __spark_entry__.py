@@ -785,6 +785,22 @@ def q_segment_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_weighted_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-80-doc sample with probability ∝ n_chars — the
+    Efraimidis-Spirakis A-ES bottom-k construction
+    (operators/sampling.py:weighted_fixed_k_sample)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return sampling.weighted_fixed_k_sample(
+        docs, "doc_id", "n_chars", k=80, salt="aes1"
+    ).orderBy("doc_id")
+
+
 def q_dup_span_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span hotspots: top-20 word 8-grams shared by ≥2
     documents (operators/dedup.py:shared_gram_hotspots) — the
@@ -2374,6 +2390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coview_triangles": q_coview_triangles,
         # round 5: exact rolling DAU/WAU/stickiness engagement triple
         "rolling_active_users": behavior.rolling_active_users,
+        # round 5: A-ES weight-proportional exact-k sample
+        "doc_weighted_fixed_k": q_doc_weighted_fixed_k,
+        # round 5: funnel time-to-convert histogram
+        "view_to_purchase_latency": behavior.view_to_purchase_latency,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5678,6 +5698,38 @@ def oracle_sql() -> dict[str, str]:
                      AS stickiness
             FROM wau w LEFT JOIN dau d ON d.day = w.wend
             ORDER BY day
+        """,
+        "doc_weighted_fixed_k": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     floor(ln((('0x' || substr(
+                         md5(concat('aes1', CAST(doc_id AS VARCHAR))),
+                         1, 15))::BIGINT + 1) / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) * 1e12) / 1e12 AS aes
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+              ORDER BY aes DESC, doc_id
+              LIMIT 80
+            )
+            ORDER BY doc_id
+        """,
+        "view_to_purchase_latency": """
+            WITH fv AS (
+              SELECT user_id, MIN(ts) AS fv
+              FROM events WHERE event_type = 'view' GROUP BY 1
+            ), fp AS (
+              SELECT e.user_id, fv.fv, MIN(e.ts) AS fp
+              FROM events e JOIN fv ON e.user_id = fv.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= fv.fv
+              GROUP BY 1, 2
+            )
+            SELECT CAST(floor((CAST(floor(epoch(fp)) AS BIGINT)
+                               - CAST(floor(epoch(fv)) AS BIGINT)) / 3600)
+                        AS BIGINT) AS latency_hours,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM fp
+            GROUP BY 1
+            ORDER BY latency_hours
         """,
     }
     return oracles

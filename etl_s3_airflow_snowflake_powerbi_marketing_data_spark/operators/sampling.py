@@ -84,6 +84,51 @@ def fixed_k_sample(
     )
 
 
+def weighted_fixed_k_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``k`` rows sampled without replacement with probability
+    proportional to ``weight_col`` — the Efraimidis–Spirakis A-ES
+    construction (IPL 2006): each row draws a deterministic uniform
+    u ∈ (0, 1] from its content hash and keys itself by ln(u)/w; the k
+    LARGEST keys are a weight-proportional sample without replacement.
+
+    Engine-portability note: ``ln`` is the one transcendental in the
+    key, and libm implementations may disagree in the last ulp — so
+    the ordering key is floor-truncated to the 1e-12 grid (far above
+    ulp noise, far below any real key gap) with the id as tiebreak,
+    making the selection deterministic across engines. Plans as
+    TakeOrderedAndProject: O(k) driver traffic, no full shuffle.
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    selection probability in A-ES).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(float(2**60))
+    key = F.floor(
+        F.log(u) / F.col(weight_col).cast("double") * 1e12
+    ) / 1e12
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__aes", key)
+        .orderBy(F.col("__aes").desc(), id_col)
+        .limit(k)
+        .drop("__aes")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -531,6 +531,46 @@ def rolling_active_users(
     )
 
 
+def view_to_purchase_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's FIRST view
+    to their first purchase at-or-after it, histogrammed by whole
+    hours — the funnel-latency panel next to the conversion rate.
+
+    Latencies are exact integer second differences floored to hours;
+    the histogram is a map-side-combinable count. Users who never
+    purchase after their first view simply don't appear (the funnel's
+    non-converts — counted by the conversion queries, not here).
+
+    Scale: one per-user aggregate for the first view, one user-keyed
+    join onto purchases with a residual ts filter, one min-aggregate,
+    one histogram aggregate — no windows at all.
+    """
+    events = load_table(spark, sf_dir, "events")
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("fv"))
+        .groupBy("user_id", "fv")
+        .agg(F.min("ts").alias("fp"))
+    )
+    latency_hours = F.floor(
+        (F.col("fp").cast("long") - F.col("fv").cast("long")) / 3600
+    ).cast("long")
+    return (
+        first_purchase.select(latency_hours.alias("latency_hours"))
+        .groupBy("latency_hours")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("latency_hours")
+    )
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

@@ -358,6 +358,88 @@ def test_rolling_active_users_matches_python_replica(spark):
     assert {r.day for r in rows} == set(days)
 
 
+def test_weighted_fixed_k_sample_properties(spark):
+    import math as m
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.filter(F.col("n_chars") > 0).count()
+    k = min(20, n)
+    got = sampling.weighted_fixed_k_sample(
+        docs, "doc_id", "n_chars", k=k, salt="aes1"
+    )
+    rows = got.select("doc_id", "n_chars").collect()
+    assert len(rows) == k
+    # python replica of the A-ES key ordering
+    all_rows = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", "n_chars"
+    ).collect()
+    import hashlib
+
+    def key(doc_id, w):
+        h = int(
+            hashlib.md5(f"aes1{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / 2**60
+        return m.floor(m.log(u) / w * 1e12) / 1e12
+
+    expect = sorted(
+        all_rows, key=lambda r: (-key(r.doc_id, r.n_chars), r.doc_id)
+    )[:k]
+    assert {r.doc_id for r in rows} == {r.doc_id for r in expect}
+    # partitioning invariance
+    again = sampling.weighted_fixed_k_sample(
+        docs.repartition(9), "doc_id", "n_chars", k=k, salt="aes1"
+    )
+    assert {r.doc_id for r in again.select("doc_id").collect()} == {
+        r.doc_id for r in rows
+    }
+    with pytest.raises(ValueError):
+        sampling.weighted_fixed_k_sample(docs, "doc_id", "n_chars", k=0)
+
+
+def test_weighted_fixed_k_sample_is_weight_biased(spark):
+    # 10x-weight rows should dominate the sample across many draws
+    # (deterministic: vary salt, not a seed)
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(400)]
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(rows, ["id", "w"])
+    heavy = 0
+    for salt in ("s1", "s2", "s3"):
+        got = sampling.weighted_fixed_k_sample(df, "id", "w", k=50, salt=salt)
+        heavy += sum(1 for r in got.collect() if r.id % 2 == 0)
+    assert heavy / 150 > 0.9
+
+
+def test_view_to_purchase_latency_replica(spark):
+    rows = behavior.view_to_purchase_latency(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    fv = {}
+    for e in ev:
+        if e.event_type == "view":
+            fv[e.user_id] = min(fv.get(e.user_id, e.ts), e.ts)
+    lat = {}
+    for e in ev:
+        if e.event_type == "purchase" and e.user_id in fv and e.ts >= fv[e.user_id]:
+            lat[e.user_id] = min(lat.get(e.user_id, e.ts), e.ts)
+    import math as m
+
+    hist = {}
+    for u, fp in lat.items():
+        h = m.floor(
+            (int(fp.timestamp()) - int(fv[u].timestamp())) / 3600
+        )
+        hist[h] = hist.get(h, 0) + 1
+    assert {r.latency_hours: r.n_users for r in rows} == hist
+
+
 def test_nation_revenue_trend_matches_numpy_fit(spark):
     import numpy as np
 
