@@ -490,6 +490,19 @@ def main() -> None:
             # recount is a broadcast semi-join — growth tracks the two
             # corpus scans (star_dir's documents ARE the N× corpus)
             "heavy_hitter_lines": entrymod.q_heavy_hitter_lines,
+            # WAU explode is a bounded ×7 map; users and days are
+            # unchanged by replication — growth tracks the distinct
+            "rolling_active_users": behavior.rolling_active_users,
+            # replication multiplies transition WEIGHTS, not nodes or
+            # edges: the per-round join/aggregate tables are constant
+            # size, so growth must track the edge-build scan alone
+            "item_pagerank": entrymod.q_item_pagerank,
+            # same argument: the undirected edge set is unchanged, so
+            # wedge/closure joins are constant — growth tracks the scan
+            "coview_triangles": entrymod.q_coview_triangles,
+            # ECDF bands: distinct-price grain is capped by the value
+            # domain; band windows hold ~1/n_bands of it each
+            "segment_price_ks": entrymod.q_segment_price_ks,
         }
     )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
