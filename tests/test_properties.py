@@ -4,6 +4,8 @@ merge semantics vs a dict model, connected components vs union-find."""
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -334,3 +336,130 @@ def test_interpolate_daily_matches_python_model(spark, obs):
             n = min(x for x in days if x > d)
             expect = obs[p] + (obs[n] - obs[p]) * ((d - p) / (n - p))
             assert out[d] == (math.floor(expect * 1e6) / 1e6, True)
+
+
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=1,
+        max_size=400,
+    ),
+    phi_pct=st.integers(min_value=2, max_value=30),
+)
+@SETTINGS
+def test_heavy_hitters_equal_exact_filter(spark, stream, phi_pct):
+    from collections import Counter
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        heavyhitters,
+    )
+
+    phi = phi_pct / 100.0
+    df = spark.createDataFrame([(f"k{v}",) for v in stream], "k string")
+    got = {
+        r.k: r.n_occurrences
+        for r in heavyhitters.heavy_hitters(df, "k", phi=phi).collect()
+    }
+    c = Counter(f"k{v}" for v in stream)
+    n = len(stream)
+    expect = {k: v for k, v in c.items() if v / n >= phi}
+    assert got == expect
+
+
+@given(
+    a=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+    ),
+    b=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+    ),
+)
+@SETTINGS
+def test_ks_two_sample_matches_ecdf_model(spark, a, b):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        stats,
+    )
+
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    row = stats.ks_two_sample(
+        spark.createDataFrame(rows, "v double, g string"), "v", "g", "a", "b"
+    ).collect()[0]
+    # raw-double comparison, NO epsilon guard: the operator (and its
+    # SQL oracle) order by the exact IEEE diff, where e.g. |1 - 2/3|
+    # and |0 - 1/3| differ by one ulp — the model must mirror that
+    xs = sorted(set(a) | set(b))
+    best, at = -1.0, None
+    for x in xs:
+        d = abs(
+            sum(1 for v in a if v <= x) / len(a)
+            - sum(1 for v in b if v <= x) / len(b)
+        )
+        if d > best:
+            best, at = d, float(x)
+    assert row.at_value == at
+    assert row.ks_stat == math.floor(best * 1e6) / 1e6
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_triangle_count_matches_bruteforce(spark, edges):
+    import itertools
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        graph,
+    )
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not simple:
+        return
+    row = graph.triangle_count(
+        spark.createDataFrame(list(edges), "src long, dst long")
+    ).collect()[0]
+    nodes = sorted({n for e in simple for n in e})
+    brute = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in simple and (y, z) in simple and (x, z) in simple
+    )
+    deg = {n: sum(1 for e in simple if n in e) for n in nodes}
+    assert row.n_triangles == brute
+    assert row.n_edges == len(simple)
+    assert row.n_wedges == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=1, max_size=150
+    ),
+    k=st.integers(min_value=1, max_value=40),
+)
+@SETTINGS
+def test_weighted_fixed_k_matches_aes_model(spark, weights, k):
+    import hashlib
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    got = sorted(
+        r.id
+        for r in sampling.weighted_fixed_k_sample(
+            spark.createDataFrame(rows, "id long, w long"), "id", "w", k=k
+        ).collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.floor(math.log((h + 1) / 2**60) / w * 1e12) / 1e12
+
+    expect = sorted(
+        i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:k]
+    )
+    assert got == expect

@@ -25,8 +25,10 @@ def _python_ks(pairs_a, pairs_b):
             ia += 1
         while ib < nb and sb[ib] <= x:
             ib += 1
+        # raw-double comparison (no epsilon): mirrors the operator's
+        # IEEE ordering, where equal-fraction diffs can differ by 1 ulp
         d = abs(ia / na - ib / nb)
-        if d > best + 1e-15:
+        if d > best:
             best, at = d, x
     return best, at
 
