@@ -766,6 +766,23 @@ def q_coview_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(pairs, "item", "next_item")
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimate for events.user_id ⋈ orders.o_custkey
+    from count-min sketches (operators/sketches.py:
+    cms_join_size_estimate — the AGMS inner-product estimator), with
+    the exact size and overestimate ratio alongside. Oracle = pyxxh64
+    replica (expected parquet)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sketches,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.cms_join_size_estimate(
+        events, "user_id", orders, "o_custkey"
+    )
+
+
 def q_segment_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between the
     BUILDING and MACHINERY segments' order-price distributions
@@ -2394,6 +2411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_fixed_k": q_doc_weighted_fixed_k,
         # round 5: funnel time-to-convert histogram
         "view_to_purchase_latency": behavior.view_to_purchase_latency,
+        # round 5: CBO-style join cardinality estimate from CM sketches
+        "join_size_estimate": q_join_size_estimate,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5730,6 +5749,10 @@ def oracle_sql() -> dict[str, str]:
             FROM fp
             GROUP BY 1
             ORDER BY latency_hours
+        """,
+        "join_size_estimate": """
+            SELECT exact_join_size, cms_estimate, overestimate_ratio
+            FROM read_parquet('/root/repo/expected/sf0.01/join_size_estimate.parquet')
         """,
     }
     return oracles

@@ -310,6 +310,86 @@ def cms_point_estimates(
     )
 
 
+def cms_join_size_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Equi-join cardinality estimation from count-min sketches — the
+    AGMS/CMS inner-product estimator (Alon-Gibbons-Matias-Szegedy;
+    Cormode & Muthukrishnan §4.2): |A ⋈ B| = Σ_k f_A(k)·f_B(k), and
+    the MIN over hash rows of the register inner products is an upper-
+    bound estimate of it with the usual εN_A·N_B guarantee. This is
+    the statistic a cost-based optimizer wants BEFORE committing to a
+    join strategy, computable from two sketch passes without running
+    the join.
+
+    The output row carries the exact join size next to the estimate
+    (one key-grain aggregate per side + one key join — cheap at the
+    key grain) and their ratio, making the query self-auditing: the
+    estimate must upper-bound the exact count by construction.
+
+    Scale: register builds are map-side-combinable onto ≤ depth×width
+    cells; the inner product joins two ≤ depth×width register tables;
+    products accumulate in decimal(38,0) (register products overflow
+    int64 once counts pass ~3e9).
+    """
+    ra = cms_registers(left, left_key, depth=depth, width=width)
+    rb = cms_registers(right, right_key, depth=depth, width=width)
+    prod = (F.col("a.cnt").cast("decimal(19,0)") * F.col("b.cnt").cast(
+        "decimal(19,0)"
+    )).alias("p")
+    inner = (
+        ra.alias("a")
+        .join(
+            rb.alias("b"),
+            (F.col("a.__row") == F.col("b.__row"))
+            & (F.col("a.__cell") == F.col("b.__cell")),
+        )
+        .select(F.col("a.__row").alias("__row"), prod)
+        .groupBy("__row")
+        .agg(F.sum("p").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cms_estimate"))
+    )
+    ca = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count("*").alias("ca")
+    )
+    cb = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count("*").alias("cb")
+    )
+    exact = (
+        ca.join(cb, "k")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("ca").cast("decimal(19,0)")
+                    * F.col("cb").cast("decimal(19,0)")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    ratio = F.col("cms_estimate").cast("double") / F.col(
+        "exact_join_size"
+    ).cast("double")
+    return (
+        exact.join(F.broadcast(inner))
+        .select(
+            "exact_join_size",
+            "cms_estimate",
+            F.when(
+                F.col("exact_join_size") > 0,
+                F.floor(ratio * 1e6) / 1e6,
+            ).alias("overestimate_ratio"),
+        )
+    )
+
+
 def binned_quantile_sketch(
     df: DataFrame,
     value_col: str,

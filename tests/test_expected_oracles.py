@@ -149,6 +149,17 @@ def test_hll_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     assert (got["err_pct"] < 15.0).all()
 
 
+def test_join_size_generator_matches_spark_on_alternate_sf(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    expected = gen_expected.gen_join_size_estimate(sf_dir)
+    got = entrymod.q_join_size_estimate(spark, sf_dir).toPandas()
+    assert int(got.exact_join_size[0]) == int(expected.exact_join_size[0])
+    assert int(got.cms_estimate[0]) == int(expected.cms_estimate[0])
+    # the CMS inner product can only overestimate the true join size
+    assert int(got.cms_estimate[0]) >= int(got.exact_join_size[0])
+
+
 def test_pagerank_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     import __spark_entry__ as entrymod
 

@@ -997,6 +997,49 @@ def gen_cms_user_counts(
     )
 
 
+def gen_join_size_estimate(
+    sf_dir: str, depth: int = 4, width: int = 2048
+) -> pd.DataFrame:
+    """Independent AGMS/CMS join-size estimator mirroring
+    ``operators.sketches.cms_join_size_estimate`` for
+    events.user_id ⋈ orders.o_custkey: per-side CMS registers via
+    pyxxh64 (seed-chained, mod width), estimate = min over hash rows
+    of the register inner products; exact = Σ f_A(k)·f_B(k)."""
+    from collections import Counter
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).to_pandas()
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).to_pandas()
+
+    def registers(vals) -> list[dict[int, int]]:
+        regs: list[dict[int, int]] = [{} for _ in range(depth)]
+        for v in vals:
+            for i in range(depth):
+                cell = xxhash64(("int", i), int(v)) % width
+                regs[i][cell] = regs[i].get(cell, 0) + 1
+        return regs
+
+    ra = registers(ev.user_id)
+    rb = registers(orders.o_custkey)
+    est = min(
+        sum(c * rb[i].get(cell, 0) for cell, c in ra[i].items())
+        for i in range(depth)
+    )
+    fa = Counter(int(v) for v in ev.user_id)
+    fb = Counter(int(v) for v in orders.o_custkey)
+    exact = sum(c * fb.get(k, 0) for k, c in fa.items())
+    ratio = (
+        math.floor(est / exact * 1e6) / 1e6 if exact > 0 else None
+    )
+    return pd.DataFrame(
+        [(exact, est, ratio)],
+        columns=["exact_join_size", "cms_estimate", "overestimate_ratio"],
+    ).astype({"exact_join_size": "int64", "cms_estimate": "int64"})
+
+
 def gen_item_pagerank(
     sf_dir: str, iters: int = 15, damping_pct: int = 85
 ) -> pd.DataFrame:
@@ -1080,6 +1123,7 @@ def main() -> None:
         ("doc_bpe_tokens", gen_bpe_tokens(sf_dir)),
         ("minhash_incremental_docs", gen_minhash_incremental(docs)),
         ("item_pagerank", gen_item_pagerank(sf_dir)),
+        ("join_size_estimate", gen_join_size_estimate(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
