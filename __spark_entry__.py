@@ -766,6 +766,29 @@ def q_coview_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(pairs, "item", "next_item")
 
 
+def q_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style per-column profile of the events table
+    (operators/quality.py:table_column_profile): rows, nulls, exact
+    distincts, modal value + frequency per column. Profiled columns
+    are the string-PORTABLE ones (longs, strings, a formatted day) —
+    raw double/timestamp string renderings are engine-specific."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        quality,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        F.get_json_object("props", "$.k").cast("long").alias("item_key"),
+    )
+    return quality.table_column_profile(
+        events,
+        ["event_id", "user_id", "event_type", "event_day", "item_key"],
+    )
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimate for events.user_id ⋈ orders.o_custkey
     from count-min sketches (operators/sketches.py:
@@ -2413,6 +2436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_to_purchase_latency": behavior.view_to_purchase_latency,
         # round 5: CBO-style join cardinality estimate from CM sketches
         "join_size_estimate": q_join_size_estimate,
+        # round 5: catalog-style per-column table profile
+        "events_column_profile": q_events_column_profile,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5753,6 +5778,47 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": """
             SELECT exact_join_size, cms_estimate, overestimate_ratio
             FROM read_parquet('/root/repo/expected/sf0.01/join_size_estimate.parquet')
+        """,
+        "events_column_profile": """
+            WITH src AS (
+              SELECT CAST(event_id AS VARCHAR) AS event_id,
+                     CAST(user_id AS VARCHAR) AS user_id,
+                     event_type,
+                     strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+                       AS event_day,
+                     CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          AS VARCHAR) AS item_key
+              FROM events
+            )
+            """ + "\nUNION ALL\n".join(
+            f"""(
+              WITH grain AS (
+                SELECT {c} AS v, COUNT(*) AS cnt FROM src GROUP BY 1
+              ), stats AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                       CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN cnt END),
+                                     0) AS BIGINT) AS n_null,
+                       CAST(COUNT(*) FILTER (v IS NOT NULL) AS BIGINT)
+                         AS n_distinct
+                FROM grain
+              ), mode AS (
+                SELECT v AS top_value, CAST(cnt AS BIGINT) AS top_count
+                FROM grain WHERE v IS NOT NULL
+                ORDER BY cnt DESC, v LIMIT 1
+              )
+              SELECT '{c}' AS column_name, n_rows, n_null, n_distinct,
+                     top_value, top_count
+              FROM stats, mode
+            )"""
+            for c in (
+                "event_id",
+                "user_id",
+                "event_type",
+                "event_day",
+                "item_key",
+            )
+        ) + """
+            ORDER BY column_name
         """,
     }
     return oracles

@@ -164,6 +164,72 @@ def check_constraints(
     ).orderBy("constraint")
 
 
+def table_column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Catalog-style column profile — one row per column with row
+    count, null count, exact distinct count, and the modal value with
+    its frequency (ties break on the smaller value string, so the mode
+    is deterministic). The dbt-docs / DESCRIBE-EXTENDED panel, as a
+    query.
+
+    Values profile through their canonical string form (one report
+    schema for every column type; timestamps render in UTC ISO form
+    consistently on both engines).
+
+    Scale: per column, one map-side-combinable value-grain aggregate
+    feeding a 1-row TakeOrdered mode pick and a null/distinct rollup —
+    each column's pipeline is independent (a union of narrow
+    aggregates, never a wide shuffle). Column count is schema-bounded,
+    so the union width is too.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    parts = []
+    for c in cols:
+        sval = F.col(c).cast("string")
+        grain = (
+            df.select(sval.alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("cnt"))
+            # both the rollup and the mode pick consume the grain —
+            # pin it so the base table scans once per column, not twice
+            .localCheckpoint(eager=False)
+        )
+        stats = grain.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.when(F.col("v").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+        mode = (
+            grain.filter(F.col("v").isNotNull())
+            .orderBy(F.col("cnt").desc(), F.col("v"))
+            .limit(1)
+            .select(
+                F.col("v").alias("top_value"),
+                F.col("cnt").cast("long").alias("top_count"),
+            )
+        )
+        parts.append(
+            stats.join(F.broadcast(mode)).select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "top_value",
+                "top_count",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
+
+
 def numeric_corr_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact Pearson correlation for every pair of numeric columns in
     ONE aggregation pass — the profiling sibling of

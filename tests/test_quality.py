@@ -120,3 +120,43 @@ def test_numeric_corr_pairs_hand_computed(spark):
     assert out[("y", "z")] == (-1.0, 3)
     for pair in [("x", "w"), ("y", "w"), ("z", "w")]:
         assert out[pair] == (0.0, 3)
+
+
+def test_table_column_profile_known_values(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        quality,
+    )
+
+    rows = [
+        ("a", 1),
+        ("a", 2),
+        ("b", None),
+        (None, 2),
+        ("a", 2),
+    ]
+    df = spark.createDataFrame(rows, "s string, n int")
+    out = {
+        r.column_name: r
+        for r in quality.table_column_profile(df, ["s", "n"]).collect()
+    }
+    s = out["s"]
+    assert (s.n_rows, s.n_null, s.n_distinct) == (5, 1, 2)
+    assert (s.top_value, s.top_count) == ("a", 3)
+    n = out["n"]
+    assert (n.n_rows, n.n_null, n.n_distinct) == (5, 1, 2)
+    assert (n.top_value, n.top_count) == ("2", 3)
+
+
+def test_table_column_profile_mode_tiebreak_and_validation(spark):
+    import pytest
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        quality,
+    )
+
+    df = spark.createDataFrame([("x",), ("y",)], "v string")
+    row = quality.table_column_profile(df, ["v"]).collect()[0]
+    # equal frequencies: the smaller string wins deterministically
+    assert (row.top_value, row.top_count) == ("x", 1)
+    with pytest.raises(ValueError):
+        quality.table_column_profile(df, [])
