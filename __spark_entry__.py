@@ -766,6 +766,18 @@ def q_coview_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(pairs, "item", "next_item")
 
 
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk stats per document (operators/lines.py:
+    cdc_chunk_stats — Rabin-style boundaries from a 3-gram md5 hash
+    mod 16, chunk dedup measured corpus-wide)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        lines as lines_mod,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lines_mod.cdc_chunk_stats(docs, "text", "doc_id")
+
+
 def q_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-style per-column profile of the events table
     (operators/quality.py:table_column_profile): rows, nulls, exact
@@ -2438,6 +2450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         # round 5: catalog-style per-column table profile
         "events_column_profile": q_events_column_profile,
+        # round 5: content-defined (Rabin) chunking + chunk-level dedup
+        "doc_cdc_chunks": q_doc_cdc_chunks,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5778,6 +5792,49 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": """
             SELECT exact_join_size, cms_estimate, overestimate_ratio
             FROM read_parquet('/root/repo/expected/sf0.01/join_size_estimate.parquet')
+        """,
+        "doc_cdc_chunks": """
+            WITH src AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM src, unnest(generate_series(1, len(t))) AS u(i)
+              WHERE length(t[i]) > 0
+            ), flagged AS (
+              SELECT doc_id, pos, tok,
+                CASE WHEN row_number() OVER w >= 3
+                      AND ('0x' || substr(md5(concat_ws(' ',
+                             lag(tok, 2) OVER w, lag(tok, 1) OVER w, tok
+                           )), 1, 15))::BIGINT % 16 = 0
+                     THEN 1 ELSE 0 END AS cut
+              FROM toks
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), with_chunk AS (
+              SELECT doc_id, pos, tok,
+                     1 + COALESCE(SUM(cut) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS chunk_id
+              FROM flagged
+            ), chunks AS (
+              SELECT doc_id, chunk_id,
+                     CAST(COUNT(*) AS BIGINT) AS chunk_tokens,
+                     md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+              FROM with_chunk GROUP BY doc_id, chunk_id
+            ), freq AS (
+              SELECT chunk_md5, COUNT(DISTINCT doc_id) AS df
+              FROM chunks GROUP BY 1
+            )
+            SELECT c.doc_id,
+                   CAST(SUM(c.chunk_tokens) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared_chunks
+            FROM chunks c JOIN freq f ON c.chunk_md5 = f.chunk_md5
+            GROUP BY c.doc_id
+            ORDER BY c.doc_id
         """,
         "events_column_profile": """
             WITH src AS (

@@ -103,3 +103,91 @@ def line_dedup_stats(
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
         F.md5(F.array_join(kept_lines, "\n")).alias("kept_md5"),
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style) with chunk-level dedup
+    stats — the storage/dedup primitive fixed-size windows can't give
+    you: because boundaries are a pure function of local CONTENT (a
+    token ``gram``-gram hash hitting ``0 mod divisor``), inserting a
+    sentence shifts only the chunks it touches, so unchanged spans keep
+    their fingerprints and still dedup across documents. (The
+    simplification vs FastCDC: no min/max chunk bounds — those are
+    sequentially dependent; the pure mod rule keeps every boundary
+    decision independent, which is what lets the whole thing run as
+    windows + aggregations. Mean chunk length ≈ ``divisor`` tokens.)
+
+    Per document: token count, chunk count, and how many of its chunks
+    are SHARED (appear in ≥2 documents) — the chunk-level duplication
+    signal.
+
+    Scale shape: one posexplode, per-document lag/cumsum windows
+    (partition by doc — bounded), one ordered per-chunk reassembly
+    (bounded by chunk length), one md5-keyed doc-frequency aggregate,
+    one join back. The hash is md5-derived (not xxhash64) so a plain
+    SQL oracle reproduces every boundary bit-for-bit.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_cols = [F.lag("tok", gram - 1 - i).over(w) for i in range(gram)]
+    gram_str = F.concat_ws(" ", *gram_cols)
+    h = F.conv(F.substring(F.md5(gram_str), 1, 15), 16, 10).cast("long")
+    # positions before the first full gram can never cut; a boundary
+    # AFTER token p means p+1 starts the next chunk
+    is_cut = F.when(
+        F.row_number().over(w) >= gram, (h % divisor == 0).cast("int")
+    ).otherwise(F.lit(0))
+    with_cut = toks.withColumn("cut", is_cut)
+    chunk_id = (
+        F.coalesce(
+            F.sum("cut").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        + 1
+    )
+    chunks = (
+        with_cut.withColumn("chunk_id", chunk_id)
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+    freq = chunks.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        chunks.join(freq, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("chunk_tokens").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )

@@ -214,3 +214,40 @@ def test_bpe_train_and_encode_hand_computed():
     assert bpe.encode_word("low", ranks) == 1
     assert bpe.encode_word("lowest", ranks) == 5
     assert bpe.encode_word("", ranks) == 1  # bare </w>
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    # the CDC property fixed windows lack: prepending text shifts every
+    # fixed window, but content-defined boundaries re-synchronize, so
+    # the unchanged tail still produces identical (shared) chunks
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        lines as lines_mod,
+    )
+
+    base = " ".join(f"tok{i % 37}x{i % 11}" for i in range(400))
+    shifted = "alpha beta gamma " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r for r in lines_mod.cdc_chunk_stats(df).collect()
+    }
+    assert rows[1].n_chunks > 3
+    # most of doc 1's chunks re-appear verbatim inside doc 2
+    assert rows[1].n_shared_chunks >= rows[1].n_chunks - 2
+    assert rows[2].n_shared_chunks >= rows[1].n_chunks - 2
+    assert rows[1].n_tokens == 400
+    assert rows[2].n_tokens == 403
+
+
+def test_cdc_chunk_token_counts_conserve(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        lines as lines_mod,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = lines_mod.cdc_chunk_stats(docs).collect()
+    assert out
+    for r in out:
+        assert r.n_tokens >= r.n_chunks >= 1
+        assert 0 <= r.n_shared_chunks <= r.n_chunks
