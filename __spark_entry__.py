@@ -766,6 +766,40 @@ def q_coview_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(pairs, "item", "next_item")
 
 
+def q_item_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the co-view transition graph
+    (operators/graph.py:hits — 8 rounds of exact scaled-integer
+    updates with per-round normalization; oracle = pure-Python
+    replica, expected parquet)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        graph,
+    )
+
+    views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        views.withColumn("next_item", F.lead("item").over(w))
+        .filter(F.col("next_item").isNotNull())
+        .select(F.col("item").alias("src"), F.col("next_item").alias("dst"))
+    )
+    return graph.hits(edges, "src", "dst", iters=8).select(
+        F.col("node").alias("item_key"),
+        "hub_scaled",
+        "auth_scaled",
+        "hub_score",
+        "authority_score",
+    ).orderBy(F.col("auth_scaled").desc(), "item_key")
+
+
 def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk stats per document (operators/lines.py:
     cdc_chunk_stats — Rabin-style boundaries from a 3-gram md5 hash
@@ -2452,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_column_profile": q_events_column_profile,
         # round 5: content-defined (Rabin) chunking + chunk-level dedup
         "doc_cdc_chunks": q_doc_cdc_chunks,
+        # round 5: HITS hubs/authorities over the co-view graph
+        "item_hits_scores": q_item_hits_scores,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5792,6 +5828,12 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": """
             SELECT exact_join_size, cms_estimate, overestimate_ratio
             FROM read_parquet('/root/repo/expected/sf0.01/join_size_estimate.parquet')
+        """,
+        "item_hits_scores": """
+            SELECT item_key, hub_scaled, auth_scaled, hub_score,
+                   authority_score
+            FROM read_parquet('/root/repo/expected/sf0.01/item_hits_scores.parquet')
+            ORDER BY auth_scaled DESC, item_key
         """,
         "doc_cdc_chunks": """
             WITH src AS (

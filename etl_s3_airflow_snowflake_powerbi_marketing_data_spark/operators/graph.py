@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["hits", "pagerank", "triangle_count"]
 
 RANK_SCALE = 10**12  # rank grid: sum of all ranks ≈ 1e12 ("1.0")
 PROB_SCALE = 10**6  # edge-probability grid
@@ -233,3 +233,97 @@ def triangle_count(
             cc.alias("clustering_coeff"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) in the same exact
+    scaled-integer regime as :func:`pagerank` — the OTHER classic
+    iterative graph kernel, exercising per-round NORMALIZATION where
+    PageRank exercises mass conservation.
+
+    Each round: authority(v) = Σ hub(u) over in-edges, hub(u) =
+    Σ authority(v) over out-edges, each rescaled so scores sum to the
+    1e-12 grid total. The rescale multiply runs in decimal(38,0) with
+    integral ``div`` (raw·10¹² overflows int64), so every score is an
+    exact integer and the pure-Python replica oracle matches
+    bit-for-bit. Fixed ``iters`` rounds (HITS converges geometrically;
+    8 is past practical convergence), eager checkpoint per round.
+
+    Output: ``(node, hub_scaled, auth_scaled, hub, authority)``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count("*").cast("long").alias("__n"))
+    scores = (
+        nodes.join(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.expr(f"{RANK_SCALE} div __n").alias("hub"),
+            F.expr(f"{RANK_SCALE} div __n").alias("auth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("__t"))
+        return df.join(F.broadcast(total)).select(
+            "node",
+            F.expr(
+                f"(cast({col} as decimal(26,0)) * {RANK_SCALE}) div __t"
+            ).alias(col),
+        )
+
+    for _ in range(iters):
+        auth_raw = (
+            e.join(scores.select("node", "hub"), e.src == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("node"), "auth")
+        )
+        auth = _normalize(
+            nodes.join(auth_raw, "node", "left").select(
+                "node", F.coalesce("auth", F.lit(0)).alias("auth")
+            ),
+            "auth",
+        ).localCheckpoint(eager=True)
+        hub_raw = (
+            e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("node"), "hub")
+        )
+        hub = _normalize(
+            nodes.join(hub_raw, "node", "left").select(
+                "node", F.coalesce("hub", F.lit(0)).alias("hub")
+            ),
+            "hub",
+        ).localCheckpoint(eager=True)
+        # hub and auth are each checkpointed; their join needs no
+        # third materialization per round
+        scores = hub.join(auth, "node")
+
+    return scores.select(
+        "node",
+        F.col("hub").cast("long").alias("hub_scaled"),
+        F.col("auth").cast("long").alias("auth_scaled"),
+        (F.col("hub").cast("double") / F.lit(float(RANK_SCALE))).alias(
+            "hub_score"
+        ),
+        (F.col("auth").cast("double") / F.lit(float(RANK_SCALE))).alias(
+            "authority_score"
+        ),
+    ).orderBy(F.col("auth_scaled").desc(), "node")

@@ -174,6 +174,24 @@ def test_pagerank_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     ]
 
 
+def test_hits_generator_matches_spark_on_alternate_sf(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    expected = gen_expected.gen_item_hits(sf_dir)
+    got = entrymod.q_item_hits_scores(spark, sf_dir).toPandas()
+    g = sorted(zip(got["item_key"], got["hub_scaled"], got["auth_scaled"]))
+    e = sorted(
+        zip(
+            expected["item_key"],
+            expected["hub_scaled"],
+            expected["auth_scaled"],
+        )
+    )
+    assert [(int(a), int(b), int(c)) for a, b, c in g] == [
+        (int(a), int(b), int(c)) for a, b, c in e
+    ]
+
+
 def test_bpe_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     import __spark_entry__ as entrymod
 

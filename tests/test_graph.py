@@ -122,3 +122,38 @@ def test_validation(spark):
         graph.pagerank(edges, damping_pct=0)
     with pytest.raises(ValueError):
         graph.pagerank(edges, iters=0)
+
+
+def test_hits_star_graph_identities(spark):
+    # spokes -> hub node 9: node 9 is the sole authority, spokes are
+    # the (equal) hubs
+    edges = spark.createDataFrame(
+        [(i, 9, 1) for i in range(1, 6)], ["src", "dst", "w"]
+    )
+    rows = {r.node: r for r in graph.hits(edges).collect()}
+    assert rows[9].auth_scaled == graph.RANK_SCALE  # all authority mass
+    assert rows[9].hub_scaled == 0
+    spoke_hubs = {rows[i].hub_scaled for i in range(1, 6)}
+    assert len(spoke_hubs) == 1
+    assert rows[1].auth_scaled == 0
+
+
+def test_hits_partitioning_invariance(spark):
+    rows = [(i % 19, (i * 7 + 1) % 19) for i in range(150)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    a = [(r.node, r.hub_scaled, r.auth_scaled) for r in graph.hits(edges, iters=5).collect()]
+    b = [
+        (r.node, r.hub_scaled, r.auth_scaled)
+        for r in graph.hits(edges.repartition(11), iters=5).collect()
+    ]
+    assert sorted(a) == sorted(b)
+
+
+def test_hits_normalization_sums_to_scale(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    rows = graph.hits(edges, iters=4).collect()
+    # each side normalizes to the grid total, up to per-node floor loss
+    assert graph.RANK_SCALE - sum(r.hub_scaled for r in rows) < len(rows)
+    assert graph.RANK_SCALE - sum(r.auth_scaled for r in rows) < len(rows)

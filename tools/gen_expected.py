@@ -1093,6 +1093,71 @@ def gen_item_pagerank(
     ).astype({"item_key": "int64", "rank_scaled": "int64"})
 
 
+def gen_item_hits(sf_dir: str, iters: int = 8) -> pd.DataFrame:
+    """Independent scaled-integer HITS mirroring
+    ``operators.graph.hits`` over the distinct co-view transition
+    edges: exact integer sums with per-round (raw·10¹²)//total
+    normalization, bit-for-bit."""
+    import json as _json
+
+    RANK_SCALE = 10**12
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "props"],
+    ).to_pandas()
+    views = ev[ev.event_type == "view"].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    edges = set()
+    for _, grp in views.groupby("user_id", sort=False):
+        items = [int(_json.loads(p)["k"]) for p in grp.props]
+        for a, b in zip(items, items[1:]):
+            edges.add((a, b))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    hub = {v: RANK_SCALE // n for v in nodes}
+    auth = dict(hub)
+
+    def norm(raw: dict) -> dict:
+        total = sum(raw.values())
+        return {v: (raw[v] * RANK_SCALE) // total for v in raw}
+
+    for _ in range(iters):
+        araw = {v: 0 for v in nodes}
+        for a, b in edges:
+            araw[b] += hub[a]
+        auth = norm(araw)
+        hraw = {v: 0 for v in nodes}
+        for a, b in edges:
+            hraw[a] += auth[b]
+        hub = norm(hraw)
+    rows = sorted(
+        (
+            (
+                v,
+                hub[v],
+                auth[v],
+                hub[v] / float(RANK_SCALE),
+                auth[v] / float(RANK_SCALE),
+            )
+            for v in nodes
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "item_key",
+            "hub_scaled",
+            "auth_scaled",
+            "hub_score",
+            "authority_score",
+        ],
+    ).astype(
+        {"item_key": "int64", "hub_scaled": "int64", "auth_scaled": "int64"}
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -1124,6 +1189,7 @@ def main() -> None:
         ("minhash_incremental_docs", gen_minhash_incremental(docs)),
         ("item_pagerank", gen_item_pagerank(sf_dir)),
         ("join_size_estimate", gen_join_size_estimate(sf_dir)),
+        ("item_hits_scores", gen_item_hits(sf_dir)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
