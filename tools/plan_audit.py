@@ -92,6 +92,12 @@ BOUNDED_BNLJ_OK = {
     # operators/graph.triangle_count — edge/triangle 1-row census
     # scalars crossed into the single summary row
     "coview_triangles": "1-row census scalars crossed into summary",
+    # operators/sketches.cms_join_size_estimate — the 1-row estimate
+    # crossed onto the 1-row exact count
+    "join_size_estimate": "1-row estimate x 1-row exact-count scalars",
+    # operators/quality.table_column_profile — per column, the 1-row
+    # mode pick broadcast onto the 1-row stats rollup
+    "events_column_profile": "per-column 1-row mode x stats scalars",
     "numeric_column_profile": "1-row multi-column stats, stack unpivot",
     "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
     "tfidf_top_terms": "1-row corpus-size (N) scalar for the idf term",
