@@ -2488,6 +2488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cdc_chunks": q_doc_cdc_chunks,
         # round 5: HITS hubs/authorities over the co-view graph
         "item_hits_scores": q_item_hits_scores,
+        # round 5: one-pass higher-moment distribution shape
+        "nation_price_moments": behavior.nation_price_moments,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5834,6 +5836,56 @@ def oracle_sql() -> dict[str, str]:
                    authority_score
             FROM read_parquet('/root/repo/expected/sf0.01/item_hits_scores.parquet')
             ORDER BY auth_scaled DESC, item_key
+        """,
+        "nation_price_moments": """
+            WITH cents AS (
+              SELECT n.n_name AS nation_name,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) AS c
+              FROM orders o
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              JOIN nation n ON cu.c_nationkey = n.n_nationkey
+            ), sums AS (
+              SELECT nation_name,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     SUM(CAST(c AS DECIMAL(20,0))) AS s1,
+                     SUM(CAST(c * c AS DECIMAL(19,0))) AS s2,
+                     SUM(CAST(c * c AS DECIMAL(19,0))
+                         * CAST(c AS DECIMAL(11,0))) AS s3,
+                     SUM(CAST(c * c AS DECIMAL(19,0))
+                         * CAST(c * c AS DECIMAL(19,0))) AS s4
+              FROM cents GROUP BY 1
+            ), m AS (
+              SELECT nation_name, n_orders,
+                     CAST(n_orders AS DOUBLE) AS n,
+                     CAST(s1 AS DOUBLE) AS s1,
+                     CAST(s2 AS DOUBLE) AS s2,
+                     CAST(s3 AS DOUBLE) AS s3,
+                     CAST(s4 AS DOUBLE) AS s4
+              FROM sums
+            )
+            SELECT nation_name, n_orders,
+                   floor(s1 / n / 100 * 1e6) / 1e6 AS mean_price,
+                   floor(sqrt(greatest(s2 / n - (s1/n) * (s1/n), 0.0))
+                         / 100 * 1e6) / 1e6 AS std_price,
+                   floor(
+                     CASE WHEN greatest(s2 / n - (s1/n) * (s1/n), 0.0) > 0
+                     THEN (s3 / n - 3 * (s1/n) * (s2 / n)
+                           + 2 * (s1/n) * (s1/n) * (s1/n))
+                          / (sqrt(greatest(s2 / n - (s1/n)*(s1/n), 0.0))
+                             * sqrt(greatest(s2 / n - (s1/n)*(s1/n), 0.0))
+                             * sqrt(greatest(s2 / n - (s1/n)*(s1/n), 0.0)))
+                     END * 1e6) / 1e6 AS skewness,
+                   floor(
+                     CASE WHEN greatest(s2 / n - (s1/n) * (s1/n), 0.0) > 0
+                     THEN (s4 / n - 4 * (s1/n) * (s3 / n)
+                           + 6 * (s1/n) * (s1/n) * (s2 / n)
+                           - 3 * (s1/n) * (s1/n) * (s1/n) * (s1/n))
+                          / (greatest(s2 / n - (s1/n)*(s1/n), 0.0)
+                             * greatest(s2 / n - (s1/n)*(s1/n), 0.0)) - 3
+                     END * 1e6) / 1e6 AS excess_kurtosis
+            FROM m
+            ORDER BY nation_name
         """,
         "doc_cdc_chunks": """
             WITH src AS (

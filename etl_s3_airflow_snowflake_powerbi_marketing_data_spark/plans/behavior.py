@@ -653,6 +653,78 @@ def customer_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order-price distribution shape in ONE pass: mean,
+    population std, skewness, and excess kurtosis from exact decimal
+    raw power sums (Σx..Σx⁴) — the higher-moment siblings of the
+    one-pass correlation/trend queries, and what a pricing analyst
+    reads before trusting a mean.
+
+    Exactness: prices become exact integer CENTS (decimal(12,2)·100 →
+    long — a double·100 would carry binary artifacts), and the power
+    sums stay integral all the way: c² in long (≤10¹⁶), c³/c⁴ in
+    scale-0 decimals (≤10³²) — scale 0 means Spark's precision cap can
+    drop only unused headroom, never round a digit (a decimal(12,2)⁴
+    product gets silently rounded from scale 8 to 6 at the cap, which
+    is why the cents grid exists). Skewness/kurtosis are
+    scale-invariant, so they compute directly on cents; mean/std
+    divide by 100 at the end. Each statistic is one fixed double
+    expression over the exact sums, floor-truncated; variance clamps
+    at 0 (the daily_order_anomalies guard).
+
+    Scale: broadcast dim joins + one map-side-combinable aggregate;
+    no windows, no second pass. Σc⁴ has ~6 decimal digits of headroom
+    above 10⁹ rows/group at 10⁶ max price — the same documented bound
+    class as the correlation matrix.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    c = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    c2 = c * c
+    d2 = c2.cast("decimal(19,0)")
+    c3 = d2 * c.cast("decimal(11,0)")
+    c4 = d2 * d2
+    sums = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(c.cast("decimal(20,0)")).alias("s1"),
+            F.sum(d2).alias("s2"),
+            F.sum(c3).alias("s3"),
+            F.sum(c4).alias("s4"),
+        )
+    )
+    n = F.col("n_orders").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / n  # cents
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    # central moments from raw sums (one fixed expression each)
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    )
+    skew = F.when(var > 0, m3 / (std * std * std))
+    kurt = F.when(var > 0, m4 / (var * var) - 3)
+    return sums.select(
+        "nation_name",
+        "n_orders",
+        _trunc6(mean / 100).alias("mean_price"),
+        _trunc6(std / 100).alias("std_price"),
+        _trunc6(skew).alias("skewness"),
+        _trunc6(kurt).alias("excess_kurtosis"),
+    ).orderBy("nation_name")
+
+
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value is split
     equally across the same user's ``view`` touches in the preceding

@@ -478,3 +478,38 @@ def test_nation_revenue_trend_matches_numpy_fit(spark):
         assert row.n_days == len(pts)
         assert math.isclose(row.slope_per_day, slope, rel_tol=1e-4, abs_tol=1e-3)
         assert math.isclose(row.intercept, intercept, rel_tol=1e-4, abs_tol=10.0)
+
+
+def test_nation_price_moments_match_numpy(spark):
+    import numpy as np
+
+    rows = behavior.nation_price_moments(spark, SF).collect()
+    assert rows
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_totalprice")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_nation = defaultdict(list)
+    for r in joined:
+        by_nation[r.n_name].append(round(r.o_totalprice, 2))
+    for row in rows:
+        xs = np.array(by_nation[row.nation_name])
+        assert row.n_orders == len(xs)
+        mean, std = xs.mean(), xs.std()
+        assert row.mean_price == pytest.approx(mean, rel=1e-6, abs=1e-4)
+        assert row.std_price == pytest.approx(std, rel=1e-6, abs=1e-4)
+        if std > 0:
+            z = (xs - mean) / std
+            assert row.skewness == pytest.approx(
+                (z**3).mean(), rel=1e-4, abs=1e-4
+            )
+            assert row.excess_kurtosis == pytest.approx(
+                (z**4).mean() - 3, rel=1e-4, abs=1e-4
+            )
