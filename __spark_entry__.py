@@ -2490,6 +2490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_hits_scores": q_item_hits_scores,
         # round 5: one-pass higher-moment distribution shape
         "nation_price_moments": behavior.nation_price_moments,
+        # round 5: daily session bounce-rate KPI
+        "daily_bounce_rate": behavior.daily_bounce_rate,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5836,6 +5838,41 @@ def oracle_sql() -> dict[str, str]:
                    authority_score
             FROM read_parquet('/root/repo/expected/sf0.01/item_hits_scores.parquet')
             ORDER BY auth_scaled DESC, item_key
+        """,
+        "daily_bounce_rate": """
+            WITH g AS (
+              SELECT *,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                          > 1800
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *,
+                CAST(SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_seq
+              FROM g
+            ), sessions AS (
+              SELECT user_id, session_seq,
+                     date_trunc('day', MIN(CAST(ts AS TIMESTAMP)))
+                       AS start_day,
+                     COUNT(*) AS n_events
+              FROM s GROUP BY 1, 2
+            )
+            SELECT start_day AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   floor(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0
+                                  END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+                     AS bounce_rate
+            FROM sessions
+            GROUP BY 1
+            ORDER BY day
         """,
         "nation_price_moments": """
             WITH cents AS (

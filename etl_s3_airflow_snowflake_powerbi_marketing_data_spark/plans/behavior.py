@@ -571,6 +571,59 @@ def view_to_purchase_latency(
     )
 
 
+def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session count and bounce rate (sessions with exactly one
+    event), indexed by session start day — the engagement-quality KPI
+    next to DAU/WAU.
+
+    Sessionization is the standard lag+gap>30min cumsum; the per-day
+    rollup keys on each session's first-event day. Counts are exact;
+    the rate is one truncated double division.
+
+    Scale: the session windows partition per user; the rollup is one
+    map-side-combinable aggregate on the bounded day grain.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(
+        by_user
+    )
+    with_sid = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = with_sid.groupBy("user_id", "session_seq").agg(
+        F.date_trunc("day", F.min("ts")).alias("start_day"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        sessions.groupBy(F.col("start_day").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            _trunc6(
+                F.col("n_bounces").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

@@ -513,3 +513,20 @@ def test_nation_price_moments_match_numpy(spark):
             assert row.excess_kurtosis == pytest.approx(
                 (z**4).mean() - 3, rel=1e-4, abs=1e-4
             )
+
+
+def test_daily_bounce_rate_consistent_with_sessions(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        relational,
+    )
+
+    rows = behavior.daily_bounce_rate(spark, SF).collect()
+    assert rows
+    sessions = relational.user_sessions(spark, SF).collect()
+    assert sum(r.n_sessions for r in rows) == len(sessions)
+    assert sum(r.n_bounces for r in rows) == sum(
+        1 for s in sessions if s.n_events == 1
+    )
+    for r in rows:
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert 0.0 <= r.bounce_rate <= 1.0
