@@ -2492,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_price_moments": behavior.nation_price_moments,
         # round 5: daily session bounce-rate KPI
         "daily_bounce_rate": behavior.daily_bounce_rate,
+        # round 5: per-item view->purchase conversion panel
+        "item_conversion_rates": behavior.item_conversion_rates,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5873,6 +5875,36 @@ def oracle_sql() -> dict[str, str]:
             FROM sessions
             GROUP BY 1
             ORDER BY day
+        """,
+        "item_conversion_rates": """
+            WITH src AS (
+              SELECT user_id, event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item_key
+              FROM events
+              WHERE json_extract_string(props, '$.k') IS NOT NULL
+            ), agg AS (
+              SELECT item_key,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_views,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                         END) AS BIGINT) AS n_purchases,
+                CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                         THEN user_id END) AS BIGINT)
+                  AS n_viewers,
+                CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                         THEN user_id END) AS BIGINT)
+                  AS n_buyers
+              FROM src GROUP BY 1
+            )
+            SELECT item_key, n_views, n_purchases, n_viewers, n_buyers,
+                   floor(CASE WHEN n_views > 0
+                              THEN CAST(n_purchases AS DOUBLE)
+                                   / CAST(n_views AS DOUBLE)
+                              ELSE -1.0
+                         END * 1e6) / 1e6 AS conversion_rate
+            FROM agg
+            ORDER BY item_key
         """,
         "nation_price_moments": """
             WITH cents AS (

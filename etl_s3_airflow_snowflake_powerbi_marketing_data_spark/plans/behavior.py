@@ -624,6 +624,55 @@ def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def item_conversion_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-item view→purchase conversion: views, purchases, distinct
+    viewers/buyers, and the conversion rate — the item-level funnel
+    panel next to the KPI views' per-period counts.
+
+    One conditional aggregate per item (map-side combinable); items
+    with purchases but no views report rate −1.0 (a sentinel, not a
+    fake infinity — and NULL floats can never hash-compare across
+    engines). Rates are one truncated double division of exact longs.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("item_key"),
+    ).filter(F.col("item_key").isNotNull())
+    agg = events.groupBy("item_key").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_viewers"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("long")
+        .alias("n_buyers"),
+    )
+    rate = F.when(
+        F.col("n_views") > 0,
+        F.col("n_purchases").cast("double") / F.col("n_views").cast("double"),
+    ).otherwise(F.lit(-1.0))
+    return agg.select(
+        "item_key",
+        "n_views",
+        "n_purchases",
+        "n_viewers",
+        "n_buyers",
+        _trunc6(rate).alias("conversion_rate"),
+    ).orderBy("item_key")
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

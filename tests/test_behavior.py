@@ -530,3 +530,28 @@ def test_daily_bounce_rate_consistent_with_sessions(spark):
     for r in rows:
         assert 0 <= r.n_bounces <= r.n_sessions
         assert 0.0 <= r.bounce_rate <= 1.0
+
+
+def test_item_conversion_rates_consistency(spark):
+    rows = behavior.item_conversion_rates(spark, SF).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .collect()
+    )
+    n_views = sum(1 for e in ev if e.event_type == "view")
+    n_purch = sum(1 for e in ev if e.event_type == "purchase")
+    assert sum(r.n_views for r in rows) == n_views
+    assert sum(r.n_purchases for r in rows) == n_purch
+    for r in rows:
+        assert r.n_viewers <= r.n_views
+        assert r.n_buyers <= r.n_purchases
+        if r.n_views == 0:
+            assert r.conversion_rate == -1.0
+        else:
+            assert r.conversion_rate >= 0.0
