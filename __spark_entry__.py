@@ -2494,6 +2494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_bounce_rate": behavior.daily_bounce_rate,
         # round 5: per-item view->purchase conversion panel
         "item_conversion_rates": behavior.item_conversion_rates,
+        # round 5: median/MAD robust anomaly flags
+        "daily_order_anomalies_robust": behavior.daily_order_anomalies_robust,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5905,6 +5907,55 @@ def oracle_sql() -> dict[str, str]:
                          END * 1e6) / 1e6 AS conversion_rate
             FROM agg
             ORDER BY item_key
+        """,
+        "daily_order_anomalies_robust": """
+            WITH daily AS (
+              SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                       AS order_day,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(date_trunc('day',
+                                   CAST(o_orderdate AS TIMESTAMP))
+                                   AS DATE)) AS dn
+              FROM orders GROUP BY 1, 3
+            ), win AS (
+              SELECT d.order_day, d.n_orders,
+                     list(d2.n_orders ORDER BY d2.n_orders) AS arr
+              FROM daily d
+              JOIN daily d2 ON d2.dn BETWEEN d.dn - 28 AND d.dn - 1
+              GROUP BY d.order_day, d.n_orders
+            ), med AS (
+              SELECT order_day, n_orders, arr, len(arr) AS n,
+                     (CAST(arr[(len(arr) + 1) // 2] AS DOUBLE)
+                      + CAST(arr[len(arr) // 2 + 1] AS DOUBLE)) / 2
+                       AS med
+              FROM win
+            ), madt AS (
+              SELECT order_day, n_orders, n, med,
+                     list_sort(list_transform(
+                       arr, x -> abs(CAST(x AS DOUBLE) - med))) AS devs
+              FROM med
+            ), scored AS (
+              SELECT order_day, n_orders, n, med,
+                     (devs[(n + 1) // 2] + devs[n // 2 + 1]) / 2 AS mad
+              FROM madt
+            )
+            SELECT order_day, n_orders,
+                   CAST(n AS BIGINT) AS n_baseline_days,
+                   floor(med * 1e6) / 1e6 AS baseline_median,
+                   floor(mad * 1e6) / 1e6 AS baseline_mad,
+                   floor(CASE WHEN mad > 0
+                              THEN (CAST(n_orders AS DOUBLE) - med)
+                                   / (1.4826 * mad)
+                              ELSE -999.0 END * 1e6) / 1e6 AS robust_z,
+                   (mad > 0 AND abs(CASE WHEN mad > 0
+                                         THEN (CAST(n_orders AS DOUBLE)
+                                               - med) / (1.4826 * mad)
+                                         ELSE -999.0 END) > 3.5)
+                     AS is_anomaly
+            FROM scored
+            WHERE n >= 14
+            ORDER BY order_day
         """,
         "nation_price_moments": """
             WITH cents AS (

@@ -673,6 +673,77 @@ def item_conversion_rates(
     ).orderBy("item_key")
 
 
+def daily_order_anomalies_robust(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust time-series anomaly flags: per-day order counts scored
+    by the MEDIAN / MAD of the trailing 28-day window (today excluded)
+    — the outlier-resistant sibling of ``daily_order_anomalies``,
+    whose mean/std baseline a single spike can drag.
+
+    Exactness: the window holds ≤28 integer day-counts, so the median
+    is an integer or an exact .5 (the two-middle average of ints), the
+    absolute deviations are exact, and the MAD is exact by the same
+    argument; the robust z ``(x − med) / (1.4826 · MAD)`` is one fixed
+    double expression, floor-truncated, NULL-guarded to −999/flag-only
+    when MAD is 0 (a constant window — sentinel, not NULL: NULL floats
+    can't hash-compare).
+
+    Scale: the daily aggregate is map-side combinable; everything
+    after runs on one row per DAY — the collect_list/array_sort frame
+    is ≤28 elements, the bounded-window argument shared by the whole
+    anomaly family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("order_day")
+    ).agg(F.count("*").cast("long").alias("n_orders"))
+    w = (
+        Window.orderBy(
+            F.datediff(F.col("order_day"), F.lit("1970-01-01"))
+        ).rangeBetween(-28, -1)
+    )
+    # materialize the sorted window ONCE: the median/MAD/z expressions
+    # reference the array ~10 times and transform lambdas re-derive
+    # captured subtrees per element — without the barrier Catalyst
+    # inlines array_sort(collect_list(window)) into every site and the
+    # tree grows past codegen limits (measured 25 s for 2 400 rows;
+    # 2 s with it). The checkpoint holds one row per DAY — bounded.
+    based = daily.withColumn(
+        "__arr", F.array_sort(F.collect_list("n_orders").over(w))
+    ).localCheckpoint(eager=False)
+
+    def _median(sorted_arr: F.Column) -> F.Column:
+        n = F.size(sorted_arr)
+        lo = F.element_at(sorted_arr, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(sorted_arr, (n / 2 + 1).cast("int"))
+        return (lo.cast("double") + hi.cast("double")) / 2
+
+    arr = F.col("__arr")
+    med = _median(arr)
+    devs = F.array_sort(
+        F.transform(arr, lambda x: F.abs(x.cast("double") - med))
+    )
+    mad = _median(devs)
+    z = F.when(
+        mad > 0,
+        (F.col("n_orders").cast("double") - med) / (F.lit(1.4826) * mad),
+    ).otherwise(F.lit(-999.0))
+    return (
+        based.select(
+            "order_day",
+            "n_orders",
+            F.size(arr).cast("long").alias("n_baseline_days"),
+            _trunc6(med).alias("baseline_median"),
+            _trunc6(mad).alias("baseline_mad"),
+            _trunc6(z).alias("robust_z"),
+            ((mad > 0) & (F.abs(z) > 3.5)).alias("is_anomaly"),
+        )
+        .filter(F.col("n_baseline_days") >= 14)
+        .orderBy("order_day")
+    )
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

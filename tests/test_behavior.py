@@ -555,3 +555,33 @@ def test_item_conversion_rates_consistency(spark):
             assert r.conversion_rate == -1.0
         else:
             assert r.conversion_rate >= 0.0
+
+
+def test_robust_anomalies_match_python_median_mad(spark):
+    import statistics
+
+    rows = behavior.daily_order_anomalies_robust(spark, SF).collect()
+    assert rows
+    daily = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    series = {r.d: r.n for r in daily}
+    days = sorted(series)
+    for r in rows:
+        window = [
+            series[d] for d in days if 1 <= (r.order_day - d).days <= 28
+        ]
+        assert r.n_baseline_days == len(window)
+        med = statistics.median(window)
+        assert r.baseline_median == math.floor(med * 1e6) / 1e6
+        mad = statistics.median(sorted(abs(x - med) for x in window))
+        assert r.baseline_mad == math.floor(mad * 1e6) / 1e6
+        if mad > 0:
+            z = (r.n_orders - med) / (1.4826 * mad)
+            assert r.robust_z == pytest.approx(
+                math.floor(z * 1e6) / 1e6, abs=2e-6
+            )
+            assert r.is_anomaly == (abs(z) > 3.5)
