@@ -2496,6 +2496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_conversion_rates": behavior.item_conversion_rates,
         # round 5: median/MAD robust anomaly flags
         "daily_order_anomalies_robust": behavior.daily_order_anomalies_robust,
+        # round 5: seasonal-naive forecast backtest (MAE/RMSE/MAPE)
+        "seasonal_naive_forecast_eval": behavior.seasonal_naive_forecast_eval,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5956,6 +5958,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE n >= 14
             ORDER BY order_day
+        """,
+        "seasonal_naive_forecast_eval": """
+            WITH daily AS (
+              SELECT datediff('day', DATE '1970-01-01',
+                       CAST(date_trunc('day',
+                            CAST(o_orderdate AS TIMESTAMP)) AS DATE))
+                       AS dn,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1
+            ), joined AS (
+              SELECT d.n_orders, d.n_orders - f.n_orders AS err
+              FROM daily d JOIN daily f ON f.dn + 7 = d.dn
+            ), agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+                     SUM(abs(err)) AS sae,
+                     SUM(err * err) AS sse,
+                     SUM(CAST(floor(CAST(abs(err) AS DOUBLE)
+                                    / CAST(n_orders AS DOUBLE) * 1e6)
+                              / 1e6 AS DECIMAL(18,6))) AS sape
+              FROM joined
+            )
+            SELECT n_eval,
+                   floor(CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE)
+                         * 1e6) / 1e6 AS mae,
+                   floor(sqrt(CAST(sse AS DOUBLE)
+                              / CAST(n_eval AS DOUBLE)) * 1e6) / 1e6
+                     AS rmse,
+                   floor(CAST(sape AS DOUBLE) / CAST(n_eval AS DOUBLE)
+                         * 1e6) / 1e6 AS mape
+            FROM agg
         """,
         "nation_price_moments": """
             WITH cents AS (

@@ -744,6 +744,60 @@ def daily_order_anomalies_robust(
     )
 
 
+def seasonal_naive_forecast_eval(
+    spark: SparkSession, sf_dir: str, season_days: int = 7
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict today =
+    same-weekday last week) over daily order counts: one summary row
+    with MAE / RMSE / MAPE — the baseline every real forecasting model
+    must beat, and the standard accuracy panel.
+
+    Exactness: errors are integer differences; MAE/RMSE divide exact
+    integer sums once (trunc6); MAPE follows the per-term truncation
+    discipline (each |e|/actual truncated to decimal(18,6), summed
+    exactly, then one mean division).
+
+    Scale: day-grain aggregate + one equi self-join on the day number
+    (gaps drop naturally) + one global aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("order_day")
+    ).agg(F.count("*").cast("long").alias("n_orders")).withColumn(
+        "dn",
+        F.datediff(F.col("order_day").cast("date"), F.lit("1970-01-01"))
+        .cast("long"),
+    )
+    lagged = daily.select(
+        (F.col("dn") + season_days).alias("dn"),
+        F.col("n_orders").alias("forecast"),
+    )
+    joined = daily.join(lagged, "dn").withColumn(
+        "err", F.col("n_orders") - F.col("forecast")
+    )
+    ape = (
+        F.floor(
+            F.abs(F.col("err")).cast("double")
+            / F.col("n_orders").cast("double")
+            * 1e6
+        )
+        / 1e6
+    ).cast("decimal(18,6)")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_eval"),
+        F.sum(F.abs("err")).alias("sae"),
+        F.sum(F.col("err") * F.col("err")).alias("sse"),
+        F.sum(ape).alias("sape"),
+    )
+    n = F.col("n_eval").cast("double")
+    return agg.select(
+        "n_eval",
+        _trunc6(F.col("sae").cast("double") / n).alias("mae"),
+        _trunc6(F.sqrt(F.col("sse").cast("double") / n)).alias("rmse"),
+        _trunc6(F.col("sape").cast("double") / n).alias("mape"),
+    )
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

@@ -585,3 +585,39 @@ def test_robust_anomalies_match_python_median_mad(spark):
                 math.floor(z * 1e6) / 1e6, abs=2e-6
             )
             assert r.is_anomaly == (abs(z) > 3.5)
+
+
+def test_seasonal_naive_forecast_eval_replica(spark):
+    rows = behavior.seasonal_naive_forecast_eval(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    daily = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    by_dn = {
+        (row.d.date() - __import__("datetime").date(1970, 1, 1)).days: row.n
+        for row in daily
+    }
+    errs = [
+        (by_dn[dn] - by_dn[dn - 7], by_dn[dn])
+        for dn in by_dn
+        if dn - 7 in by_dn
+    ]
+    assert r.n_eval == len(errs)
+    assert r.mae == math.floor(
+        sum(abs(e) for e, _ in errs) / len(errs) * 1e6
+    ) / 1e6
+    assert r.rmse == pytest.approx(
+        math.floor(
+            math.sqrt(sum(e * e for e, _ in errs) / len(errs)) * 1e6
+        )
+        / 1e6,
+        abs=2e-6,
+    )
+    sape = sum(math.floor(abs(e) / a * 1e6) / 1e6 for e, a in errs)
+    assert r.mape == pytest.approx(
+        math.floor(sape / len(errs) * 1e6) / 1e6, abs=2e-6
+    )
