@@ -2498,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_order_anomalies_robust": behavior.daily_order_anomalies_robust,
         # round 5: seasonal-naive forecast backtest (MAE/RMSE/MAPE)
         "seasonal_naive_forecast_eval": behavior.seasonal_naive_forecast_eval,
+        # round 5: revenue concentration (Gini over customer revenue)
+        "revenue_gini": behavior.revenue_gini,
     }
     ordered = {name: all_q[name] for name in _R5_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -5987,6 +5989,33 @@ def oracle_sql() -> dict[str, str]:
                      AS rmse,
                    floor(CAST(sape AS DOUBLE) / CAST(n_eval AS DOUBLE)
                          * 1e6) / 1e6 AS mape
+            FROM agg
+        """,
+        "revenue_gini": """
+            WITH per_cust AS (
+              SELECT o_custkey AS custkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)) AS rev
+              FROM orders GROUP BY 1
+            ), ranked AS (
+              SELECT rev,
+                     row_number() OVER (ORDER BY rev, custkey) AS i
+              FROM per_cust
+            ), agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                     SUM(rev) AS total_rev,
+                     SUM(CAST(i AS DECIMAL(10,0)) * rev) AS weighted
+              FROM ranked
+            )
+            SELECT n_customers,
+                   floor(CAST(total_rev AS DOUBLE) * 1e6) / 1e6
+                     AS total_revenue,
+                   floor((2 * CAST(weighted AS DOUBLE)
+                          / (CAST(n_customers AS DOUBLE)
+                             * CAST(total_rev AS DOUBLE))
+                          - (CAST(n_customers AS DOUBLE) + 1)
+                            / CAST(n_customers AS DOUBLE)) * 1e6) / 1e6
+                     AS gini
             FROM agg
         """,
         "nation_price_moments": """

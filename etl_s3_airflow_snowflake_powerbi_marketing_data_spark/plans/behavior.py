@@ -798,6 +798,52 @@ def seasonal_naive_forecast_eval(
     )
 
 
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across customers as the Gini coefficient
+    — the one-number answer to "how top-heavy is our revenue?", next
+    to the RFM segmentation it summarizes.
+
+    Uses the rank formulation ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n``
+    over per-customer revenues sorted ascending (custkey tiebreak).
+    The rank is the bucketed two-pass ``ordered_surrogate_key`` (never
+    a single-partition window); ``Σ i·xᵢ`` accumulates exactly in
+    decimal (rank as decimal(10,0) × revenue (18,2)); the final Gini
+    is one fixed double expression, floor-truncated.
+
+    Scale: one per-customer aggregate, one two-pass global rank, one
+    4-way global aggregate — all map-side-combinable or bounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranked = ordered_surrogate_key(
+        per_cust, "i", ["rev", "custkey"], descending=False
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("rev").alias("total_rev"),
+        F.sum(
+            F.col("i").cast("decimal(10,0)") * F.col("rev")
+        ).alias("weighted"),
+    )
+    n = F.col("n_customers").cast("double")
+    s = F.col("total_rev").cast("double")
+    w = F.col("weighted").cast("double")
+    gini = 2 * w / (n * s) - (n + 1) / n
+    return agg.select(
+        "n_customers",
+        _trunc6(s).alias("total_revenue"),
+        _trunc6(gini).alias("gini"),
+    )
+
+
 def event_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence diagnostics for event type × day of
     week — "does the event mix shift by weekday?", the seasonality

@@ -621,3 +621,40 @@ def test_seasonal_naive_forecast_eval_replica(spark):
     assert r.mape == pytest.approx(
         math.floor(sape / len(errs) * 1e6) / 1e6, abs=2e-6
     )
+
+
+def test_revenue_gini_matches_python_and_bounds(spark):
+    row = behavior.revenue_gini(spark, SF).collect()[0]
+    per_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+        .collect()
+    )
+    xs = sorted(
+        (float(r.rev), r.o_custkey) for r in per_cust
+    )
+    n = len(xs)
+    s = sum(v for v, _ in xs)
+    w = sum((i + 1) * v for i, (v, _) in enumerate(xs))
+    gini = 2 * w / (n * s) - (n + 1) / n
+    assert row.n_customers == n
+    assert row.gini == pytest.approx(
+        math.floor(gini * 1e6) / 1e6, abs=2e-6
+    )
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_revenue_gini_extremes(spark):
+    # perfectly equal revenues -> Gini ~ 0
+    eq = spark.createDataFrame(
+        [(i, 100.0, "d", "2024-01-01", "p") for i in range(50)],
+        "o_custkey long, o_totalprice double, o_orderstatus string,"
+        " o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderkey", F.col("o_custkey"))
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    eq.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    row = behavior.revenue_gini(spark, d).collect()[0]
+    assert row.gini == pytest.approx(0.0, abs=1e-6)
