@@ -98,6 +98,9 @@ BOUNDED_BNLJ_OK = {
     # operators/quality.table_column_profile — per column, the 1-row
     # mode pick broadcast onto the 1-row stats rollup
     "events_column_profile": "per-column 1-row mode x stats scalars",
+    # plans/behavior.revenue_gini — ordered_surrogate_key's 1-row
+    # min/max bounds for its rank buckets
+    "revenue_gini": "1-row min/max bounds for surrogate-key buckets",
     "numeric_column_profile": "1-row multi-column stats, stack unpivot",
     "embedding_topk_lsh": "band-bucket join; query side tiny + broadcast",
     "tfidf_top_terms": "1-row corpus-size (N) scalar for the idf term",
