@@ -2183,74 +2183,81 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# Rotation of the driver's 50-entry CORRECTNESS window (VERDICT r04 #1):
-# the driver grades the FIRST 50 names of queries(), and rounds 1-4 all
-# graded the identical 50. This round the front 50 holds 8 regression
-# canaries (one per long-graded family: star build, the four KPI views,
-# merge, LSH dedup, HLL) plus 42 round-3/4 queries the driver has NEVER
-# graded. The remaining ungraded 27 rotate in next round; every query not
-# in this round's window stays verified by tools/check_oracles.py on a
-# vanilla session (the judge's local gate).
-_R5_FRONT_50 = [
-    # canaries (graded green r01-r04; keep one per family)
+# Rotation of the driver's 50-entry CORRECTNESS window (VERDICT r05 #1):
+# the driver grades the FIRST 50 names of queries(). Round 5's window
+# (8 canaries + 42 new names) went 50/50 green, leaving 62 registry
+# names never driver-graded. This round keeps 4 canaries (one per
+# long-green family, per the r05 verdict's exact list) and fills the
+# other 46 slots from the never-graded backlog, prioritizing the
+# round-5 families (behavioral pack, graph, KS/heavy-hitters/sketch
+# tail, versioned tail, text/embedding tail). Every query not in the
+# window stays verified by tools/check_oracles.py on a vanilla session
+# (the judge's local gate re-runs the full registry).
+_R6_FRONT_50 = [
+    # canaries (long-green; one per family, per VERDICT r05 item 1)
     "fact_events",
     "kpi_view_count_by_period",
-    "kpi_item_view_rank_by_period",
-    "kpi_most_viewed_item_latest_period",
-    "kpi_top_event_type_by_period",
     "merge_update_orders",
     "minhash_lsh_dups",
-    "hll_distinct_users_by_type",
-    # never-driver-graded (r3/r4 families, per VERDICT r04 list)
-    "versioned_orders_time_travel",
-    "versioned_delete_compact",
-    "merge_scd2_orders",
-    "bloom_semi_revenue",
-    "salted_join_rates",
-    "cms_user_counts",
-    "streaming_cms_user_counts",
-    "hll_user_overlap_by_type",
-    "hll_sketch_merge_rollup",
-    "supplier_hierarchy_rollup",
-    "order_quality_checks",
-    "doc_sentences_udtf",
-    "embedding_topk_pq",
-    "embedding_topk_ivf_pq",
-    "embedding_topk_ivf",
-    "fuzzy_part_name_matches",
-    "line_dedup_docs",
-    "tfidf_top_terms",
-    "rare_token_ratio",
-    "dup_span_hotspots",
-    "doc_hashed_features",
-    "gopher_quality_flags",
-    "dedup_incremental_docs",
-    "dedup_near_docs",
-    "exact_dup_groups",
-    "embedding_kmeans_clusters",
-    "weighted_sample_docs",
-    "doc_split_assign",
-    "corpus_shuffle_order",
-    "user_order_cogroup_profile",
-    "nation_revenue_analytics",
-    "nation_trade_volume",
-    "daily_order_anomalies",
-    "dim_item",
-    "dim_user",
-    "dim_parameter",
-    "range_clustered_scan",
-    "zorder_clustered_scan",
-    "partitioned_events_by_type",
-    "bucketed_segment_revenue",
-    "orc_roundtrip_flags",
-    "jsonl_roundtrip_docs",
+    # versioned tail (never driver-graded)
+    "scd2_point_in_time",
+    "versioned_change_feed",
+    "versioned_purge_history",
+    "streaming_hll_versioned",
+    "schema_evolution_read",
+    # graph
+    "item_pagerank",
+    "item_hits_scores",
+    "coview_triangles",
+    # stats / sketches tail
+    "segment_price_ks",
+    "heavy_hitter_lines",
+    "quantile_sketch_merge_rollup",
+    "join_size_estimate",
+    "kmv_source_overlap",
+    "doc_quality_percentile",
+    "join_key_skew_profile",
+    "lineitem_corr_matrix",
+    "events_column_profile",
+    # behavioral marketing pack
+    "retention_cohorts",
+    "rfm_segments",
+    "event_transition_matrix",
+    "frequent_item_pairs",
+    "multi_touch_attribution",
+    "ab_test_lift",
+    "session_path_mining",
+    "rolling_active_users",
+    "nation_revenue_trend",
+    "ewma_daily_revenue",
+    "event_dow_chisq",
+    "customer_purchase_gaps",
+    "view_to_purchase_latency",
+    "nation_price_moments",
+    "daily_bounce_rate",
+    "item_conversion_rates",
+    "daily_order_anomalies_robust",
+    "seasonal_naive_forecast_eval",
+    "revenue_gini",
+    # text / embedding tail
+    "doc_bigram_surprisal",
+    "source_unigram_divergence",
+    "doc_bpe_tokens",
+    "embedding_pca_project",
+    "embedding_outliers",
+    "token_budget_select",
+    # sampling / dedup / chunking tail
+    "doc_sample_fixed_k",
+    "doc_weighted_fixed_k",
+    "minhash_incremental_docs",
+    "doc_cdc_chunks",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2 + the
     training-data extensions), reordered so the driver's 50-entry
-    CORRECTNESS window (_R5_FRONT_50) grades the round-3/4 additions it
+    CORRECTNESS window (_R6_FRONT_50) grades the round-5 additions it
     has never seen, with 8 long-green canaries retained. The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
@@ -2501,7 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: revenue concentration (Gini over customer revenue)
         "revenue_gini": behavior.revenue_gini,
     }
-    ordered = {name: all_q[name] for name in _R5_FRONT_50}
+    ordered = {name: all_q[name] for name in _R6_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
     assert len(ordered) == len(all_q)
     return ordered

@@ -76,7 +76,7 @@ def main() -> None:
         for name in names:
             t0 = time.time()
             force(qs[name](spark, sf_dir))
-            dt = round(time.time() - t0, 3)
+            dt = round(time.time() - t0, 2)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             # drop the localCheckpoint blocks iterative operators pin:
@@ -84,14 +84,19 @@ def main() -> None:
             # sweep and GC pressure bleeds into later measurements
             release_persisted_rdds(spark)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
+    # Key order matters for the driver: its artifact capture keeps only
+    # the TAIL of this line, so the summary keys ("metric"/"value"/
+    # "unit"/"sf") must come AFTER the large per-query dict or they are
+    # truncated away (BENCH_r05.json shipped with "parsed": null for
+    # exactly this reason — VERDICT r05 item 2).
     print(
         json.dumps(
             {
+                "queries": timings,
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
