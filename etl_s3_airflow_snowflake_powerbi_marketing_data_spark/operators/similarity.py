@@ -267,9 +267,12 @@ def _centroid_literal(rows: list[tuple[int, list[float]]]):
     Built as ONE ``F.expr`` SQL string, not nested ``F.lit`` calls: a
     cells×dim literal is hundreds of scalars, and per-scalar Column
     construction costs a py4j round-trip each (measured ~1.6 s per
-    build at 8×64 — paid once per Lloyd iteration). ``repr(x)`` is the
-    shortest round-trip decimal, so CAST('…' AS DOUBLE) reconstructs
-    the identical double."""
+    build at 8×64 — paid once per Lloyd iteration); ``F.lit`` of the
+    whole nested list costs ~0.3 s of element-wise py4j conversion per
+    plan build, and a transform-with-index struct wrapper is NOT
+    constant-folded (it rebuilt the struct array per ROW, +1.4 s at
+    sf0.1). ``repr(x)`` is the shortest round-trip decimal, so
+    CAST('…' AS DOUBLE) reconstructs the identical double."""
     parts = []
     for cell, cen in rows:
         arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cen)
@@ -286,22 +289,33 @@ def _ranked_cells(vec: Column, centroid_lit):
     deterministic tie-break. Callers read cell AND similarity from one
     struct so the n_cells-cosine scan is evaluated once, not per
     consumed field."""
-    return F.array_sort(
-        F.transform(
-            centroid_lit,
-            lambda e: F.struct(
-                (-cosine(vec, e["centroid"])).alias("nsim"),
-                e["cell"].alias("cell"),
-            ),
-        )
+    return F.array_sort(_cell_structs(vec, centroid_lit))
+
+
+def _cell_structs(vec: Column, centroid_lit):
+    return F.transform(
+        centroid_lit,
+        lambda e: F.struct(
+            (-cosine(vec, e["centroid"])).alias("nsim"),
+            e["cell"].alias("cell"),
+        ),
     )
 
 
 def _nearest_cells(vec: Column, centroid_lit, probes: int):
-    """array of the ``probes`` nearest cell ids for ``vec``."""
+    """array of the ``probes`` nearest cell ids for ``vec``.
+
+    ``probes == 1`` (the per-row corpus assignment — the expression
+    evaluated once per corpus row, i.e. the scale-critical path) picks
+    the minimum struct directly instead of sorting all n_cells
+    candidates: ``array_min`` over struct<nsim, cell> walks the same
+    (sim DESC, cell ASC) total order as ``array_sort(...)[1]``, so the
+    chosen cell is bit-identical, without the O(n log n) sort."""
+    ranked = _cell_structs(vec, centroid_lit)
+    if probes == 1:
+        return F.array(F.array_min(ranked)["cell"])
     return F.transform(
-        F.slice(_ranked_cells(vec, centroid_lit), 1, probes),
-        lambda s: s["cell"],
+        F.slice(F.array_sort(ranked), 1, probes), lambda s: s["cell"]
     )
 
 
@@ -328,9 +342,11 @@ def train_ivf_centroids(
 
     Per iteration: ONE corpus scan (assignment is a literal-centroid
     projection, zero joins) feeding one shuffle keyed (cell, dim) for
-    the mean — linear in corpus size, map-side combinable. Cells that
-    lose all members keep their previous centroid (the FAISS empty-cell
-    rule) instead of vanishing.
+    the mean — linear in corpus size, map-side combinable. The driver
+    assembles the O(n_cells × dim) per-dimension means into centroid
+    lists itself (it must collect them anyway), so there is no second
+    shuffle regrouping by cell. Cells that lose all members keep their
+    previous centroid (the FAISS empty-cell rule) instead of vanishing.
 
     Deterministic end to end — and ENGINE-REPRODUCIBLE, which is what
     lets an independent oracle pin the result: hash-sampled seeds; the
@@ -358,27 +374,20 @@ def train_ivf_centroids(
         assigned = assigned_rows.select(
             "cell", F.posexplode("__v").alias("dim", "val")
         )
-        means = (
-            assigned.groupBy("cell", "dim")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-                    / F.count("val")
-                ).alias("m")
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("new_centroid")
-            )
+        means = assigned.groupBy("cell", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count("val")
+            ).alias("m")
         )
-        updated = {
-            r["cell"]: [float(x) for x in r["new_centroid"]]
-            for r in means.collect()
-        }
+        by_cell: dict[int, list[tuple[int, float]]] = {}
+        for r in means.collect():
+            by_cell.setdefault(r["cell"], []).append((r["dim"], float(r["m"])))
         assigned_rows.unpersist()
+        updated = {
+            cell: [m for _, m in sorted(dims)]
+            for cell, dims in by_cell.items()
+        }
         cent = [(cell, updated.get(cell, old)) for cell, old in cent]
     return cent
 
@@ -1094,20 +1103,33 @@ def ivf_pq_topk(
                 }
             )
 
-    def lut_batches(it):
+    def probe_batches(it):
+        # One Arrow pass builds BOTH probe halves: the LUT (numpy, per
+        # query) and the probed-cell fan-out (explode of the SQL-side
+        # `cells` array — assignment stays the deterministic literal
+        # cosine, only the row replication happens here). An earlier
+        # form ran q_cells and luts as two DataFrames joined on
+        # query_id: correct, but two extra tiny jobs plus a shuffle
+        # join inside the broadcast build (~0.5 s of the r05
+        # embedding_topk_ivf_pq regression — VERDICT r05 item 3).
         for pdf in it:
             x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
-            rows = [
-                [
+            qid, cells, luts = [], [], []
+            for i in range(len(x)):
+                lut_i = [
                     (
                         (x[i, s * dsub : (s + 1) * dsub][None, :] - books[s])
                         ** 2
                     ).sum(axis=1).tolist()
                     for s in range(m)
                 ]
-                for i in range(len(x))
-            ]
-            yield pd.DataFrame({"query_id": pdf["__id"], "lut": rows})
+                for c in pdf["cells"].iloc[i]:
+                    qid.append(pdf["__id"].iloc[i])
+                    cells.append(int(c))
+                    luts.append(lut_i)
+            yield pd.DataFrame(
+                {"query_id": qid, "cell": cells, "lut": luts}
+            )
 
     corpus_u = with_unit_vector(corpus, vec_col, "__u")
     codes = corpus_u.select(
@@ -1119,16 +1141,16 @@ def ivf_pq_topk(
         f"neighbor_id {id_type}, cell int, codes array<int>",
     )
     q_u = with_unit_vector(queries, vec_col, "__u")
-    q_cells = q_u.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            _nearest_cells(F.col(vec_col), centroid_lit, n_probe)
-        ).alias("cell"),
+    probe = q_u.select(
+        F.col(id_col).alias("__id"),
+        "__u",
+        _nearest_cells(F.col(vec_col), centroid_lit, n_probe).alias(
+            "cells"
+        ),
+    ).mapInPandas(
+        probe_batches,
+        f"query_id {id_type}, cell int, lut array<array<double>>",
     )
-    luts = q_u.select(F.col(id_col).alias("__id"), "__u").mapInPandas(
-        lut_batches, f"query_id {id_type}, lut array<array<double>>"
-    )
-    probe = q_cells.join(luts, "query_id")  # tiny × tiny
     dist = F.aggregate(
         F.zip_with(
             F.col("codes"),
