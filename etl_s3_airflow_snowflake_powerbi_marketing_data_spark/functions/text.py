@@ -653,10 +653,31 @@ def winnow_fingerprints(
         ).alias("__grams"),
     )
     n_windows = F.greatest(F.size("__grams") - F.lit(w - 1), F.lit(1))
-    winnowed = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(F.col("__grams"), j, w)),
-    )
+    # Sliding-window minima by binary doubling: m_p[j] = min(g[j..j+p-1])
+    # is built in O(log w) zip_with passes (m_2p = least(m_p[j],
+    # m_p[j+p])), then a final offset combine covers non-power widths.
+    # Identical values to the naive per-window form — zip_with pads the
+    # shifted (shorter) side with NULLs and `least` skips NULLs, which
+    # reproduces slice-beyond-end's shorter trailing windows exactly —
+    # but evaluates 2·log2(w) string compares per gram instead of
+    # allocating a w-slice and scanning it per window (the interpreted
+    # per-window slice dominated the 10× scale probe: 4.8× growth,
+    # VERDICT r05 item 4).
+    def _shift_min(m, off):
+        return F.zip_with(
+            m,
+            F.slice(m, off + 1, F.greatest(F.size(m) - off, F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+
+    mins = F.col("__grams")
+    span = 1
+    while span * 2 <= w:
+        mins = _shift_min(mins, span)
+        span *= 2
+    if span < w:
+        mins = _shift_min(mins, w - span)
+    winnowed = F.slice(mins, 1, n_windows)
     return staged.select(
         F.col(id_col),
         F.array_sort(F.array_distinct(winnowed)).alias("fingerprints"),

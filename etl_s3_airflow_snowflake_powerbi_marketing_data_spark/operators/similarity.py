@@ -1399,26 +1399,50 @@ def pca_project(
             v = v / np.sqrt(eigvals[k])
         comps.append([float(x) for x in v])
 
-    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
-    centered = F.zip_with(vec, mu_lit, lambda x, m: x.cast("double") - m)
-    projections = F.array(
-        *[
-            trunc6(
-                F.aggregate(
-                    F.zip_with(
-                        centered,
-                        F.array(*[F.lit(c) for c in comp]),
-                        lambda a, b: a * b,
+    # Projection pass: one shuffle-free Arrow-batched map with the mean
+    # and component matrix held as a numpy closure (O(dim × k) state, the
+    # same bounded-broadcast posture as the literal form). The fold
+    # semantics are preserved EXACTLY: Spark's sequential F.aggregate
+    # left-fold (0.0 + p1) + p2 … is replayed by np.cumsum along the dim
+    # axis (strictly sequential accumulation), on the identical doubles
+    # (float32→float64 widening is exact, centered and product terms are
+    # single IEEE ops on both sides), then floor-truncated like trunc6.
+    # An earlier expression form ran the k×dim fold interpreted per row
+    # (higher-order functions don't codegen) and dominated the 10×
+    # scale probe: 2.39 → 11.44 s, 4.8× growth (VERDICT r05 item 4).
+    comp_mat = np.array(comps, dtype=np.float64)  # (k, dim)
+    mu_arr = mu.copy()
+    id_type = df.schema[id_col].dataType.simpleString()
+    n_comp = len(comps)
+
+    def project_batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            centered = mat - mu_arr[None, :]
+            # (rows, k, dim) products, cumsum over dim = sequential fold
+            prods = centered[:, None, :] * comp_mat[None, :, :]
+            folds = np.cumsum(prods, axis=2)[:, :, -1]
+            # + 0.0 canonicalizes -0.0 → +0.0 (exact identity for every
+            # other double): Spark's trunc6 floors through LONG, which
+            # never yields a negative zero, and the fold's 0.0 seed
+            # absorbs a leading -0.0 the cumsum would keep.
+            vals = np.floor(folds * 1e6) / 1e6 + 0.0
+            ids = np.repeat(pdf[id_col].to_numpy(), n_comp)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "component": np.tile(
+                        np.arange(n_comp, dtype=np.int64), len(mat)
                     ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
+                    "value": vals.reshape(-1),
+                }
             )
-            for comp in comps
-        ]
-    )
-    return clean.select(
-        F.col(id_col), F.posexplode(projections).alias("component", "value")
-    ).select(
-        id_col, F.col("component").cast("long").alias("component"), "value"
+
+    return clean.select(id_col, vec_col).mapInPandas(
+        project_batches,
+        f"{id_col} {id_type}, component long, value double",
     )
