@@ -1668,10 +1668,11 @@ def q_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("cnt"),
             F.first("__mn").alias("__mn"),
             F.first("__mx").alias("__mx"),
+            F.first("__nb").alias("__nb"),
         )
     )
     return sketches.histogram_quantiles(
-        merged, ["month"], quantiles=(0.25, 0.5, 0.75, 0.9, 0.99), n_bins=1000
+        merged, ["month"], quantiles=(0.25, 0.5, 0.75, 0.9, 0.99)
     )
 
 
@@ -6147,7 +6148,7 @@ def oracle_sql() -> dict[str, str]:
               )
               SELECT '{c}' AS column_name, n_rows, n_null, n_distinct,
                      top_value, top_count
-              FROM stats, mode
+              FROM stats LEFT JOIN mode ON TRUE
             )"""
             for c in (
                 "event_id",

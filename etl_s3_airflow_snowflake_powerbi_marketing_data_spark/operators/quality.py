@@ -215,7 +215,12 @@ def table_column_profile(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
         parts.append(
-            stats.join(F.broadcast(mode)).select(
+            # LEFT join: for an all-NULL column the mode frame is
+            # empty, and an inner join would silently drop the
+            # column's row from the profile — it must still report
+            # n_null = n_rows with NULL top_value/top_count (the
+            # DuckDB oracle's LEFT JOIN mirrors this).
+            stats.join(F.broadcast(mode), F.lit(True), "left").select(
                 F.lit(c).alias("column_name"),
                 "n_rows",
                 "n_null",

@@ -499,7 +499,10 @@ def histogram_registers(
     Scale shape: one bounds aggregate, one binning scan (pure
     projection against the broadcast bounds), one groupBy over
     (groups × ≤ n_bins) keys with map-side combine. Returns
-    (*group_cols, bin, cnt, __mn, __mx).
+    (*group_cols, bin, cnt, __mn, __mx, __nb) — the bin count rides in
+    the registers so the finalize side derives the edge geometry from
+    the sketch itself and can never mis-scale against a mismatched
+    caller-passed n_bins (ADVICE r05).
     """
     bounds = df.agg(
         F.min(value_col).alias("__mn"), F.max(value_col).alias("__mx")
@@ -524,11 +527,13 @@ def histogram_registers(
         .alias("bin"),
         "__mn",
         "__mx",
+        F.lit(n_bins).alias("__nb"),
     )
     return binned.groupBy(*group_cols, "bin").agg(
         F.count("*").alias("cnt"),
         F.first("__mn").alias("__mn"),
         F.first("__mx").alias("__mx"),
+        F.first("__nb").alias("__nb"),
     )
 
 
@@ -536,16 +541,17 @@ def histogram_quantiles(
     hist: DataFrame,
     group_cols: list[str],
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
-    n_bins: int = 1000,
 ) -> DataFrame:
     """Quantile extraction from histogram registers (the finalize half,
-    like ``hll_finalize``): per-group cumulative window over ≤ n_bins
+    like ``hll_finalize``): per-group cumulative window over the
     register rows — bounded by the SKETCH, not the data — then
     selection of the first bin whose cumulative count reaches
-    ceil(q·N). Single-IEEE-op edge reconstruction, identical to
-    ``binned_quantile_sketch`` so a SQL engine computing the same
-    formula lands on the same doubles. Returns
-    (*group_cols, quantile, bin, est_value, n_rows).
+    ceil(q·N). The bin geometry (``__nb``) comes from the registers
+    themselves, never from an independent parameter a caller could
+    mismatch against the build side (ADVICE r05). Single-IEEE-op edge
+    reconstruction, identical to ``binned_quantile_sketch`` so a SQL
+    engine computing the same formula lands on the same doubles.
+    Returns (*group_cols, quantile, bin, est_value, n_rows).
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
@@ -567,10 +573,11 @@ def histogram_quantiles(
         "cum",
         "__mn",
         "__mx",
+        "__nb",
         "__n",
     ).filter(F.col("cum") >= F.ceil(F.col("quantile") * F.col("__n")))
     est = F.col("__mn") + (F.col("bin") + 1) * (
-        (F.col("__mx") - F.col("__mn")) / F.lit(n_bins)
+        (F.col("__mx") - F.col("__mn")) / F.col("__nb")
     )
     return (
         q.groupBy(*group_cols, "quantile")
@@ -578,6 +585,7 @@ def histogram_quantiles(
             F.min("bin").alias("bin"),
             F.first("__mn").alias("__mn"),
             F.first("__mx").alias("__mx"),
+            F.first("__nb").alias("__nb"),
             F.first("__n").alias("__n"),
         )
         .select(

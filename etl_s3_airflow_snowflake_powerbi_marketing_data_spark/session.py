@@ -101,8 +101,17 @@ def release_persisted_rdds(spark: SparkSession) -> int:
     session sweeping many queries (bench, the oracle gate) accumulates
     these (measured: 10 pinned RDDs after 4 queries) until the
     executor store pressures GC and later measurements read slow.
-    Returns the number released. Safe between queries: each query
-    rebuilds its own plan from source data."""
+    Returns the number released.
+
+    CONTRACT — call ONLY between independent queries (the bench /
+    check_oracles sweep position): it unpersists EVERY persisted RDD
+    in the session, so a caller holding a cache()/localCheckpoint
+    across queries would have its blocks silently dropped and pay a
+    full recompute (or, for a localCheckpoint, lose the only copy).
+    It also reaches through the private ``_jsc`` API (no public
+    session-wide unpersist exists in PySpark); if that breaks on a
+    future version, scope the sweep by tagging repo-created
+    checkpoints instead (ADVICE r05)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     n = 0
     for rdd in list(jmap.values()):

@@ -321,6 +321,73 @@ def compact(
         raise
 
 
+def _journal_path(path: str, nonce: str) -> str:
+    # .json-suffixed but non-numeric, so table_versions ignores it
+    return os.path.join(_manifest_dir(path), f"purge-journal-{nonce}.json")
+
+
+def _apply_purge_mapping(
+    path: str, mapping: dict[str, str | None], nonce: str
+) -> int:
+    """Rewrite every manifest referencing an old (pre-purge) prefix to
+    its purged replacement (or drop it when the prefix emptied). Each
+    rewrite is atomic (temp + rename); idempotent — manifests already
+    rewritten are skipped — so an interrupted purge can be re-applied
+    by recovery. Returns the number of manifests updated."""
+    n_manifests = 0
+    for v in table_versions(path):
+        m = _read_manifest(path, v)
+        new_list = []
+        touched = False
+        for pref in m["prefixes"]:
+            if pref in mapping:
+                touched = True
+                if mapping[pref] is not None:
+                    new_list.append(mapping[pref])
+            else:
+                new_list.append(pref)
+        if not touched:
+            continue
+        m["prefixes"] = new_list
+        m["purged"] = True
+        tmp = _manifest_path(path, v) + f".tmp-{nonce}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, _manifest_path(path, v))  # atomic on POSIX
+        n_manifests += 1
+    return n_manifests
+
+
+def complete_pending_purges(path: str) -> list[str]:
+    """Finish purges interrupted between staging and final cleanup
+    (ADVICE r05): each in-flight :func:`purge_where` records its
+    old→new prefix mapping in a journal before touching manifests, so
+    a crash cannot orphan the to-be-forgotten prefixes forever — this
+    replays the manifest rewrites (idempotent) and removes the
+    original prefixes, restoring the erasure guarantee. Runs
+    automatically at the start of :func:`vacuum`; stop-the-world like
+    the purge itself. Returns the prefixes it removed."""
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    removed: list[str] = []
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("purge-journal-") and name.endswith(".json")):
+            continue
+        jpath = os.path.join(mdir, name)
+        with open(jpath) as fh:
+            mapping = json.load(fh)["mapping"]
+        nonce = name[len("purge-journal-") : -len(".json")]
+        _apply_purge_mapping(path, mapping, nonce)
+        doomed = [
+            p for p in mapping if os.path.isdir(os.path.join(path, p))
+        ]
+        _remove_prefixes(path, doomed)
+        removed.extend(doomed)
+        os.remove(jpath)
+    return removed
+
+
 def purge_where(
     spark: SparkSession, path: str, predicate: str
 ) -> tuple[int, int]:
@@ -388,28 +455,19 @@ def purge_where(
             f"purge based on v{latest} but a newer version is committed — "
             "quiesce writers and rerun"
         )
-    n_manifests = 0
-    for v in versions:
-        m = _read_manifest(path, v)
-        new_list = []
-        touched = False
-        for pref in m["prefixes"]:
-            if pref in mapping:
-                touched = True
-                if mapping[pref] is not None:
-                    new_list.append(mapping[pref])
-            else:
-                new_list.append(pref)
-        if not touched:
-            continue
-        m["prefixes"] = new_list
-        m["purged"] = True
-        tmp = _manifest_path(path, v) + f".tmp-{nonce}"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, _manifest_path(path, v))  # atomic on POSIX
-        n_manifests += 1
+    # Journal the mapping BEFORE touching any manifest: a crash
+    # anywhere between here and the final prefix removal leaves a
+    # journal that complete_pending_purges / vacuum replays to
+    # completion, so the doomed prefixes can never be orphaned on disk
+    # with the purge half-applied (ADVICE r05).
+    jpath = _journal_path(path, nonce)
+    jtmp = jpath + ".tmp"
+    with open(jtmp, "w") as fh:
+        json.dump({"mapping": mapping}, fh)
+    os.replace(jtmp, jpath)
+    n_manifests = _apply_purge_mapping(path, mapping, nonce)
     _remove_prefixes(path, list(mapping))
+    os.remove(jpath)
     return len(mapping), n_manifests
 
 
@@ -423,9 +481,15 @@ def vacuum(path: str, keep_last: int = 2) -> list[str]:
     Delta's VACUUM): a reader still holding a manifest OLDER than the
     retention window can fail mid-scan once its prefixes are removed —
     size ``keep_last`` to exceed the longest-running reader.
+
+    Also completes any purge interrupted mid-flight (see
+    :func:`complete_pending_purges`) before reclaiming, so the
+    right-to-be-forgotten guarantee survives a crash between a purge's
+    manifest rewrites and its prefix removal.
     """
     import shutil  # noqa: PLC0415
 
+    complete_pending_purges(path)
     versions = table_versions(path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
     live: set[str] = set()

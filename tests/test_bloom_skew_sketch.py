@@ -417,7 +417,7 @@ def test_histogram_quantiles_micro_fixture(spark):
     )
     hist = sketches.histogram_registers(df, "v", ["grp"], n_bins=10)
     out = sketches.histogram_quantiles(
-        hist, ["grp"], quantiles=(0.5,), n_bins=10
+        hist, ["grp"], quantiles=(0.5,)
     ).collect()
     assert len(out) == 1
     r = out[0]
@@ -436,7 +436,7 @@ def test_histogram_constant_column_single_bin(spark):
     )
     hist = sketches.histogram_registers(df, "v", ["grp"], n_bins=10)
     out = sketches.histogram_quantiles(
-        hist, ["grp"], quantiles=(0.5, 0.99), n_bins=10
+        hist, ["grp"], quantiles=(0.5, 0.99)
     ).collect()
     assert [r["bin"] for r in out] == [0, 0]
     assert all(r["n_rows"] == 5 for r in out)
@@ -479,7 +479,7 @@ def test_histogram_registers_ignore_null_values(spark):
     hist = sketches.histogram_registers(df, "v", ["grp"], n_bins=10)
     assert hist.filter(F.col("bin").isNull()).count() == 0
     out = sketches.histogram_quantiles(
-        hist, ["grp"], quantiles=(0.5,), n_bins=10
+        hist, ["grp"], quantiles=(0.5,)
     ).collect()
     assert out[0]["n_rows"] == 10 and out[0]["bin"] == 4
 

@@ -147,6 +147,27 @@ def test_table_column_profile_known_values(spark):
     assert (n.top_value, n.top_count) == ("2", 3)
 
 
+def test_table_column_profile_all_null_column(spark):
+    """An all-NULL column must still emit its profile row (n_null =
+    n_rows, NULL mode) — an inner join against the empty mode frame
+    used to drop it silently (ADVICE r05)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        quality,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None)], "s string, gone string"
+    )
+    out = {
+        r.column_name: r
+        for r in quality.table_column_profile(df, ["s", "gone"]).collect()
+    }
+    assert set(out) == {"s", "gone"}
+    g = out["gone"]
+    assert (g.n_rows, g.n_null, g.n_distinct) == (2, 2, 0)
+    assert g.top_value is None and g.top_count is None
+
+
 def test_table_column_profile_mode_tiebreak_and_validation(spark):
     import pytest
 

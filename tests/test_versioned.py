@@ -396,6 +396,68 @@ def test_purge_where_erases_history(spark, tmp_path):
     assert on_disk == referenced
 
 
+def test_purge_crash_recovery_via_vacuum(spark, tmp_path):
+    """A purge that crashes after journaling (before removing the
+    original prefixes) must be completable: vacuum replays the journal,
+    the doomed prefixes disappear from disk, and every retained version
+    reads the purged content (ADVICE r05)."""
+    import os
+
+    path = str(tmp_path / "t_purge_crash")
+    v1 = vt.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"), path
+    )
+    v2 = vt.write_version(
+        spark.createDataFrame([(3, "b"), (4, "c")], "k long, s string"),
+        path,
+        mode="append",
+    )
+    # simulate a crash at the final cleanup step: the journal and the
+    # rewritten manifests exist, the original prefixes are still on disk
+    real_remove = vt._remove_prefixes
+
+    def crashing_remove(p, prefixes):
+        raise RuntimeError("simulated crash before prefix removal")
+
+    vt._remove_prefixes = crashing_remove
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            vt.purge_where(spark, path, "s = 'b'")
+    finally:
+        vt._remove_prefixes = real_remove
+
+    mdir = vt._manifest_dir(path)
+    journals = [n for n in os.listdir(mdir) if n.startswith("purge-journal-")]
+    assert journals, "crash must leave a journal behind"
+    # doomed prefixes are orphaned on disk right now
+    referenced = set()
+    for v in vt.table_versions(path):
+        referenced.update(vt._read_manifest(path, v)["prefixes"])
+    on_disk = {
+        os.path.join("data", d)
+        for d in os.listdir(os.path.join(path, "data"))
+    }
+    assert on_disk - referenced, "simulated crash should orphan prefixes"
+
+    removed = vt.vacuum(path, keep_last=10)
+    assert removed or True  # vacuum returns expired prefixes only
+    assert not [
+        n for n in os.listdir(mdir) if n.startswith("purge-journal-")
+    ]
+    on_disk = {
+        os.path.join("data", d)
+        for d in os.listdir(os.path.join(path, "data"))
+    }
+    referenced = set()
+    for v in vt.table_versions(path):
+        referenced.update(vt._read_manifest(path, v)["prefixes"])
+    assert on_disk == referenced, "no orphans after recovery"
+    assert sorted(r.k for r in vt.read_version(spark, path, v1).collect()) == [1]
+    assert sorted(r.k for r in vt.read_version(spark, path, v2).collect()) == [1, 4]
+
+
 def test_purge_where_aborts_on_concurrent_commit(spark, tmp_path):
     """The optimistic guard: a commit landing mid-purge aborts it with
     no manifest rewritten and no staged prefix left behind."""
