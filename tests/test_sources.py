@@ -303,3 +303,49 @@ def test_write_training_shards_manifest(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert {r.pos for r in back.collect()} == set(range(1000))
+
+
+def test_reader_writer_layer_through_nonlocal_scheme(spark, tmp_path):
+    """The reference's defining I/O is an object-store URL
+    (`etl_s3_snowflake_raw_event_ingest.py:20` — an https S3 path); this
+    repo's readers/writers take any Hadoop filesystem URI. Prove the
+    layer resolves a NON-default scheme through Hadoop conf wiring —
+    a viewfs:// mount table (the closest an offline sandbox gets to
+    s3a credentials/conf plumbing) — i.e. nothing in the path handling
+    assumes os.path or the bare local scheme."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.viewfs.mounttable.srctest.link./wh", f"file://{tmp_path}"
+    )
+    uri = "viewfs://srctest/wh"
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, s string"
+    )
+    # writer layer through the scheme
+    writers.write_full_replace(df, f"{uri}/t_parquet")
+    writers.write_partitioned(df, f"{uri}/t_part", ["s"])
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        f"{uri}/t_csv"
+    )
+
+    # reader layer back through the scheme
+    back = readers.read_parquet(spark, f"{uri}/t_parquet")
+    assert sorted(r.k for r in back.collect()) == [1, 2, 3]
+    part = readers.read_parquet(spark, f"{uri}/t_part")
+    assert part.count() == 3
+    csv = readers.read_csv_inferred(spark, f"{uri}/t_csv")
+    assert sorted(int(r.k) for r in csv.collect()) == [1, 2, 3]
+
+    # partition pruning still reaches the scan through the mount:
+    pruned = part.filter(F.col("s") == "a")
+    assert pruned.count() == 1
+
+    # the data really landed under the mounted local dir (round-trip
+    # proof that the scheme resolution went through the mount table)
+    import os
+
+    assert any(
+        name.endswith(".parquet")
+        for name in os.listdir(tmp_path / "t_parquet")
+    )
