@@ -444,6 +444,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_media_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (functions/multimodal.py:decode_image — pure-
+    Python BMP + PPM header parsers, no codec package) over the
+    deterministic generated fixture: even ids BMP, odd ids PPM, dims
+    (id%13)+1 × (id%7)+2. The oracle recomputes dimensions AND exact
+    byte sizes from the same arithmetic, pinning the parser as the
+    inverse of the encoder. Retires the decode stub for these formats
+    (VERDICT r05 item 7); unknown formats keep the documented fake."""
+    feats = multimodal.extract_media_features(
+        multimodal.synthetic_image_table(spark, 40)
+    )
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "decoded_width",
+        "decoded_height",
+    ).orderBy("media_id")
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_media_frames(media, n_frames=4)
@@ -2318,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups_lsh": q_cosine_dups_lsh,
         "embedding_source_profile": q_embedding_profile,
         "media_features": q_media_features,
+        "media_image_dimensions": q_media_image_dimensions,
         "doc_pack_sequences": q_doc_pack_sequences,
         "decontaminate_eval_docs": q_decontaminate,
         "repetition_profile": q_repetition_profile,
@@ -4038,6 +4056,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings emb LEFT JOIN minlab m ON emb.vec_id = m.id
             WHERE m.id IS NULL
             ORDER BY vec_id
+        """,
+        # Real BMP/PPM decode vs the fixture arithmetic: BMP bytes =
+        # 54-byte header + 4-aligned rows; PPM bytes = 'P6\\n{w} {h}\\n
+        # 255\\n' header + 3wh pixels.
+        "media_image_dimensions": """
+            WITH ids AS (SELECT unnest(range(1, 41)) AS i),
+            d AS (SELECT i, (i % 13) + 1 AS w, (i % 7) + 2 AS h FROM ids)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE WHEN i % 2 = 0 THEN 'image/bmp'
+                        ELSE 'image/ppm' END AS media_type,
+                   CAST(CASE WHEN i % 2 = 0
+                        THEN 54 + ((3*w + 3) - ((3*w + 3) % 4)) * h
+                        ELSE 9 + length(CAST(w AS VARCHAR))
+                               + length(CAST(h AS VARCHAR)) + 3*w*h
+                   END AS BIGINT) AS n_bytes,
+                   CAST(w AS INTEGER) AS decoded_width,
+                   CAST(h AS INTEGER) AS decoded_height
+            FROM d ORDER BY media_id
         """,
         "media_features": """
             SELECT doc_id AS media_id,

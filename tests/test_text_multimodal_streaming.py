@@ -92,6 +92,39 @@ def test_decode_stub_raises_on_none():
         multimodal.decode_image_stub(None)
 
 
+def test_decode_image_real_formats():
+    """Real pure-Python decode: encoder round-trips for BMP and PPM,
+    spec edge cases (top-down BMP negative height, BITMAPCOREHEADER,
+    PPM comments/whitespace), and the documented fake fallback for
+    unknown payloads."""
+    import struct
+
+    assert multimodal.decode_image(multimodal.encode_bmp(13, 7)) == (13, 7)
+    assert multimodal.decode_image(multimodal.encode_ppm(5, 9)) == (5, 9)
+    # top-down BMP stores a negative height — normalized to positive
+    td = bytearray(multimodal.encode_bmp(6, 4))
+    struct.pack_into("<i", td, 22, -4)
+    assert multimodal.decode_image(bytes(td)) == (6, 4)
+    # legacy BITMAPCOREHEADER: 12-byte info header, uint16 dims
+    core = (
+        struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 31, 17, 1, 24)
+    )
+    assert multimodal.decode_image(core) == (31, 17)
+    # PPM header comments and arbitrary whitespace are spec-legal
+    ppm = b"P6 # comment\n# full line\n 10\t20 #w h\n255\n" + b"\x00" * 600
+    assert multimodal.decode_image(ppm) == (10, 20)
+    # unknown format falls back to the deterministic fake
+    blob = b"not an image"
+    assert multimodal.decode_image(blob) == multimodal.decode_image_stub(blob)
+    # truncated PPM header also falls back instead of raising
+    assert multimodal.decode_image(b"P6 ") == multimodal.decode_image_stub(
+        b"P6 "
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(None)
+
+
 def test_streaming_counts_match_batch(spark, sf_dir):
     out = pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events"), query_name="t_stream"
