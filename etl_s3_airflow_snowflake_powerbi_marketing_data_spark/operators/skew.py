@@ -70,12 +70,40 @@ def salted_agg(
     )
 
 
+def _probe_salt(probe: DataFrame, n_salts: int, salt_mode: str):
+    """Salt column for the probe side (see :func:`salted_join`).
+
+    ``content`` (default): retry-stable whole-row hash — byte-identical
+    duplicates share a salt (documented limitation). ``row``: mixes a
+    deterministic per-partition row counter
+    (``monotonically_increasing_id``) so byte-identical duplicate
+    floods round-robin across salts — every reducer's share of a hot
+    key is bounded at ~1/n_salts even when the skew IS the duplicates.
+    Caveat (why it's opt-in): the counter depends on partition layout
+    and intra-partition order, so a task retry that re-reads its input
+    in a different order can re-route rows mid-query (the SPARK-23207
+    bug class); safe for deterministic file scans (parquet row order is
+    stable per split), unsafe downstream of a shuffle whose order is
+    not pinned.
+    """
+    if salt_mode == "content":
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts)
+        ).cast("int")
+    if salt_mode == "row":
+        return F.pmod(
+            F.monotonically_increasing_id(), F.lit(n_salts)
+        ).cast("int")
+    raise ValueError(f"salt_mode={salt_mode!r}: use 'content' or 'row'")
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
     on: Sequence[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_mode: str = "content",
 ) -> DataFrame:
     """Hot-key shuffle join: salt the probe side, replicate the build
     side once per salt, join on (keys, salt).
@@ -97,9 +125,12 @@ def salted_join(
     somewhere outside the join keys. The retry-stable fix is upstream,
     not here: carry a pre-existing uniquifier (source offset, file
     rowid, event id) in the probe row so duplicates aren't
-    byte-identical. Every deterministic in-operator disambiguator
-    (partition id + row position) re-routes rows on task retry, which
-    is the exact bug class the content hash exists to avoid.
+    byte-identical. When no uniquifier exists and the duplicates ARE
+    the skew, ``salt_mode='row'`` opts into a per-partition row-counter
+    salt that round-robins byte-identical rows across reducers — see
+    :func:`_probe_salt` for the retry-ordering caveat that keeps it
+    opt-in (deterministic in-operator disambiguators re-route rows on
+    task retry, the exact bug class the content default avoids).
     The build side replicates via an explode over ``sequence(0,
     n_salts-1)`` — cost n_salts × |build|, which is the price of the
     technique and why the build side must be the SMALL side (for a
@@ -119,10 +150,9 @@ def salted_join(
         raise ValueError(f"how={how!r}: use inner/left for salted joins")
     if not 2 <= n_salts <= 256:
         raise ValueError(f"n_salts={n_salts} outside [2, 256]")
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salts)
-    ).cast("int")
-    salted_probe = probe.withColumn("__salt", salt)
+    salted_probe = probe.withColumn(
+        "__salt", _probe_salt(probe, n_salts, salt_mode)
+    )
     # explode cannot nest inside another expression (the cast) — stage it
     replicated = build.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__s")

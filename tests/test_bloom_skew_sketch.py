@@ -163,6 +163,55 @@ def test_salted_join_validation(spark, sf_dir):
         skew.salted_join(li, li, ["l_orderkey"], how="full")
     with pytest.raises(ValueError, match="n_salts"):
         skew.salted_join(li, li, ["l_orderkey"], n_salts=1)
+    with pytest.raises(ValueError, match="salt_mode"):
+        skew.salted_join(li, li, ["l_orderkey"], salt_mode="random")
+
+
+def test_salted_join_row_mode_bounds_duplicate_floods(spark):
+    """salt_mode='row' (VERDICT r05 item 8): a hot key made of
+    BYTE-IDENTICAL rows must spread across salts (bounded reducer
+    share), where the default content hash funnels them into one —
+    and the join result stays multiset-identical to the plain join."""
+    import pandas as pd
+
+    n_salts, n_dup = 8, 8000
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["hot"] * n_dup + ["a", "b"], "v": [1] * n_dup + [2, 3]}
+        )
+    ).repartition(4)
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot", "a"], "w": [10, 20]})
+    )
+
+    # distribution: content mode puts every duplicate on ONE salt;
+    # row mode bounds any salt's share of the flood near 1/n_salts
+    def shares(mode):
+        salted = probe.withColumn(
+            "__salt", skew._probe_salt(probe, n_salts, mode)
+        ).filter(F.col("k") == "hot")
+        counts = [
+            r.n
+            for r in salted.groupBy("__salt")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        return max(counts) / n_dup, len(counts)
+
+    content_share, content_buckets = shares("content")
+    assert content_buckets == 1 and content_share == 1.0
+    row_share, row_buckets = shares("row")
+    assert row_buckets == n_salts
+    assert row_share <= 1.5 / n_salts  # bounded, with slack for layout
+
+    got = skew.salted_join(
+        probe, build, ["k"], n_salts=n_salts, salt_mode="row"
+    )
+    want = probe.join(build, ["k"], "inner")
+    assert got.count() == want.count() == n_dup + 1
+    assert _rows(got.select("k", "v", "w")) == _rows(
+        want.select("k", "v", "w")
+    )
 
 
 # ---------------------------------------------------------------------------
