@@ -444,6 +444,92 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py:asof_join — the point-in-time
+    feature join of a training pipeline; pandas merge_asof semantics,
+    one union-window pass, no per-row subquery): every purchase event
+    attaches the same user's most recent view AT OR BEFORE it, nulled
+    when staler than the 2-hour tolerance. The view side is first
+    deduplicated per (user, ts) with a deterministic max-event-id pick
+    so equal-timestamp ties can never make the carried payload
+    engine-defined. Oracle: DuckDB's native ASOF LEFT JOIN plus the
+    same tolerance CASE."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        asof,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .select(
+            "user_id", "ts", F.col("ts").alias("view_ts"), "view_event_id"
+        )
+    )
+    joined = asof.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="purchase_ts",
+        right_time="ts",
+        right_cols=["view_ts", "view_event_id"],
+        direction="backward",
+        tolerance="2 hours",
+    )
+    mins = F.floor(
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts"))
+        / F.lit(60000000.0)
+    ).cast("long")
+    # unmatched numerics coalesce to -1: NULL floats can never
+    # hash-match in the driver's canonicalizer (NaN != NaN)
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "view_ts",
+        F.coalesce("view_event_id", F.lit(-1)).alias("view_event_id"),
+        F.coalesce(mins, F.lit(-1)).alias("mins_since_view"),
+    ).orderBy("purchase_id")
+
+
+def q_user_item_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY §2.5 — absent in the reference, free in
+    Spark): the (user, item) interaction pairs classified by
+    INTERSECT / EXCEPT over the view and purchase pair sets —
+    ``both`` (viewed and purchased), ``view_only``, ``purchase_only``.
+    The engine side uses DataFrame intersect/exceptAll; the oracle the
+    SQL set operators."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object("props", "$.k").cast("long")
+    pairs = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t)
+        .select("user_id", item.alias("item_key"))
+        .distinct()
+    )
+    viewed, bought = pairs("view"), pairs("purchase")
+    out = (
+        viewed.intersect(bought)
+        .withColumn("relation", F.lit("both"))
+        .unionByName(
+            viewed.exceptAll(bought).withColumn(
+                "relation", F.lit("view_only")
+            )
+        )
+        .unionByName(
+            bought.exceptAll(viewed).withColumn(
+                "relation", F.lit("purchase_only")
+            )
+        )
+    )
+    return out.orderBy("relation", "user_id", "item_key")
+
+
 def q_media_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (functions/multimodal.py:decode_image — pure-
     Python BMP + PPM header parsers, no codec package) over the
@@ -2336,6 +2422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_source_profile": q_embedding_profile,
         "media_features": q_media_features,
         "media_image_dimensions": q_media_image_dimensions,
+        # round 6: point-in-time as-of join + SQL set operators
+        "purchase_last_view_asof": q_purchase_last_view_asof,
+        "user_item_set_ops": q_user_item_set_ops,
         "doc_pack_sequences": q_doc_pack_sequences,
         "decontaminate_eval_docs": q_decontaminate,
         "repetition_profile": q_repetition_profile,
@@ -4056,6 +4145,63 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings emb LEFT JOIN minlab m ON emb.vec_id = m.id
             WHERE m.id IS NULL
             ORDER BY vec_id
+        """,
+        # DuckDB's native ASOF LEFT JOIN picks the greatest view_ts <=
+        # purchase_ts per (user, purchase) — exactly the union-window
+        # pick of operators/asof.py — then the same 2-hour tolerance
+        # CASE nulls stale matches on both sides.
+        "purchase_last_view_asof": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id,
+                     CAST(ts AS TIMESTAMP) AS purchase_ts
+              FROM events WHERE event_type = 'purchase'
+            ),
+            v AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+                     MAX(event_id) AS view_event_id
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT p.purchase_id, p.user_id, p.purchase_ts,
+                     v.view_ts, v.view_event_id,
+                     (v.view_ts IS NOT NULL AND
+                      v.view_ts >= p.purchase_ts - INTERVAL 2 HOUR)
+                       AS fresh
+              FROM p ASOF LEFT JOIN v
+                ON p.user_id = v.user_id AND v.view_ts <= p.purchase_ts
+            )
+            SELECT purchase_id, user_id, purchase_ts,
+                   CASE WHEN fresh THEN view_ts END AS view_ts,
+                   CAST(COALESCE(CASE WHEN fresh THEN view_event_id END,
+                                 -1) AS BIGINT) AS view_event_id,
+                   CAST(COALESCE(CASE WHEN fresh THEN floor(
+                     (epoch_us(purchase_ts) - epoch_us(view_ts))
+                     / 60000000.0) END, -1) AS BIGINT)
+                     AS mins_since_view
+            FROM j ORDER BY purchase_id
+        """,
+        "user_item_set_ops": """
+            WITH v AS (
+              SELECT DISTINCT user_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item_key
+              FROM events WHERE event_type = 'view'
+            ),
+            b AS (
+              SELECT DISTINCT user_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS item_key
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT user_id, item_key, 'both' AS relation
+              FROM (TABLE v INTERSECT TABLE b)
+            UNION ALL
+            SELECT user_id, item_key, 'view_only'
+              FROM (TABLE v EXCEPT TABLE b)
+            UNION ALL
+            SELECT user_id, item_key, 'purchase_only'
+              FROM (TABLE b EXCEPT TABLE v)
+            ORDER BY relation, user_id, item_key
         """,
         # Real BMP/PPM decode vs the fixture arithmetic: BMP bytes =
         # 54-byte header + 4-aligned rows; PPM bytes = 'P6\\n{w} {h}\\n
