@@ -444,6 +444,57 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture curation (operators/sampling.py:
+    mixture_budget_select — the Pile/Dolma mix builder): one global
+    budget (50% of corpus tokens) split across sources by target
+    proportions (src0 30%, src1 20%, src2 10%, src3 5%; the rest
+    excluded), each source filled with its best documents by
+    type-token ratio. Same banded two-pass running sum as
+    token_budget_select, keys prefixed by source — no global window,
+    no per-source scan loop. Oracle: per-source SQL window cumsum with
+    the identical floor arithmetic."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "ttr",
+            F.floor(
+                F.col("n_distinct").cast("double")
+                / F.col("n_tokens")
+                * 1e6
+            )
+            / 1e6,
+        )
+    )
+    out = sampling.mixture_budget_select(
+        base,
+        id_col="doc_id",
+        score_col="ttr",
+        weight_col="n_tokens",
+        group_col="source",
+        proportions={"src0": 0.30, "src1": 0.20, "src2": 0.10, "src3": 0.05},
+        budget_fraction=0.5,
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "ttr", "cum_n_tokens"
+    ).orderBy("doc_id")
+
+
 def q_purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py:asof_join — the point-in-time
     feature join of a training pipeline; pandas merge_asof semantics,
@@ -2425,6 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: point-in-time as-of join + SQL set operators
         "purchase_last_view_asof": q_purchase_last_view_asof,
         "user_item_set_ops": q_user_item_set_ops,
+        # round 6: domain-mixture training-mix builder
+        "corpus_mixture_select": q_corpus_mixture_select,
         "doc_pack_sequences": q_doc_pack_sequences,
         "decontaminate_eval_docs": q_decontaminate,
         "repetition_profile": q_repetition_profile,
@@ -4145,6 +4198,49 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings emb LEFT JOIN minlab m ON emb.vec_id = m.id
             WHERE m.id IS NULL
             ORDER BY vec_id
+        """,
+        # Mixture budgets: global = floor(total * 0.5), per-source =
+        # floor(global * prop); selection = per-source cumsum over
+        # (ttr DESC, doc_id) — the banded two-pass form's exact order.
+        "corpus_mixture_select": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, source, term FROM toks WHERE length(term) > 0
+            ), s AS (
+              SELECT doc_id, source, COUNT(*) AS n_tokens,
+                     COUNT(DISTINCT term) AS n_distinct
+              FROM nz GROUP BY doc_id, source
+            ), q AS (
+              SELECT doc_id, source, n_tokens,
+                     floor(CAST(n_distinct AS DOUBLE) / n_tokens * 1e6)
+                       / 1e6 AS ttr
+              FROM s WHERE n_tokens > 0
+            ), g AS (
+              SELECT floor(CAST(SUM(n_tokens) AS DOUBLE) * 0.5)
+                       AS global_budget
+              FROM q
+            ), sel AS (
+              SELECT doc_id, source, n_tokens, ttr,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY ttr DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     CASE source WHEN 'src0' THEN 0.30
+                                 WHEN 'src1' THEN 0.20
+                                 WHEN 'src2' THEN 0.10
+                                 WHEN 'src3' THEN 0.05
+                                 ELSE 0.0 END AS prop
+              FROM q
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ttr, CAST(cum AS BIGINT) AS cum_n_tokens
+            FROM sel, g
+            WHERE cum <= floor(CAST(global_budget AS DOUBLE) * prop)
+            ORDER BY doc_id
         """,
         # DuckDB's native ASOF LEFT JOIN picks the greatest view_ts <=
         # purchase_ts per (user, purchase) — exactly the union-window

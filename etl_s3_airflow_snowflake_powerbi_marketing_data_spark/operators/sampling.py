@@ -387,3 +387,102 @@ def token_budget_select(
         )
     )
     return out.drop("__band", "__score", "__prior", "__total")
+
+
+def mixture_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    group_col: str,
+    proportions: dict[str, float],
+    budget_fraction: float = 1.0,
+    n_bands: int = 1000,
+) -> DataFrame:
+    """Domain-mixture curation — the Pile/Dolma training-mix builder:
+    ONE global token budget (``budget_fraction`` of the corpus total)
+    split across groups by target ``proportions``, each group's share
+    filled with its best rows in (score DESC, id ASC) order. Groups
+    absent from ``proportions`` contribute nothing (their budget is 0).
+
+    Scale shape mirrors :func:`token_budget_select` with every key
+    prefixed by the group: the per-(group, band) weight totals are a
+    groupBy over ≤ groups × n_bands rows, the strictly-better-band
+    prefix is a window over those bounded rows partitioned by group,
+    the corpus total rides the same frame, and the only data-sized
+    stage is the intra-(group, band) running-sum window. No global
+    window, no per-group scan loop — one pass whatever the group count.
+
+    Budget arithmetic (mirrored by the SQL oracle, all floors on
+    doubles): global = floor(total_weight × budget_fraction); per
+    group = floor(global × proportion). Returns the selected rows plus
+    ``cum_<weight_col>`` (the group-local running total).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if not 0.0 < budget_fraction <= 1.0:
+        raise ValueError("budget_fraction must be in (0, 1]")
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    if any(p < 0 for p in proportions.values()) or sum(
+        proportions.values()
+    ) > 1.0 + 1e-9:
+        raise ValueError("proportions must be >= 0 and sum to <= 1")
+
+    score = F.least(
+        F.greatest(F.coalesce(F.col(score_col), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    prop = F.lit(0.0)
+    for g, p in sorted(proportions.items()):
+        prop = F.when(F.col(group_col) == g, F.lit(float(p))).otherwise(prop)
+    banded = (
+        df.withColumn("__score", score)
+        .withColumn(
+            "__band",
+            F.least(
+                F.floor(F.col("__score") * F.lit(n_bands)),
+                F.lit(n_bands - 1),
+            ).cast("long"),
+        )
+        .withColumn("__prop", prop)
+    )
+    band_w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__band").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    all_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    band_prefix = (
+        banded.groupBy(group_col, "__band")
+        .agg(F.sum(weight_col).alias("__bw"))
+        .select(
+            group_col,
+            "__band",
+            (F.sum("__bw").over(band_w) - F.col("__bw")).alias("__prior"),
+            F.sum("__bw").over(all_w).cast("double").alias("__total"),
+        )
+    )
+    in_band = (
+        Window.partitionBy(group_col, "__band")
+        .orderBy(F.col("__score").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_name = f"cum_{weight_col}"
+    budget = F.floor(
+        F.floor(F.col("__total") * F.lit(budget_fraction)).cast("double")
+        * F.col("__prop")
+    )
+    out = (
+        banded.join(F.broadcast(band_prefix), [group_col, "__band"])
+        .withColumn(
+            cum_name,
+            (F.col("__prior") + F.sum(weight_col).over(in_band)).cast(
+                "long"
+            ),
+        )
+        .filter(F.col(cum_name) <= budget)
+    )
+    return out.drop("__band", "__score", "__prior", "__total", "__prop")

@@ -575,3 +575,61 @@ def test_interpolate_daily_hand_computed(spark):
     assert out[("A", 4)] == (16.0, False)
     assert out[("B", 1)] == (5.0, False)
     assert len(out) == 5
+
+
+def test_mixture_budget_select_per_group_budgets(spark):
+    """Hand-computed mixture: total weight 200, budget_fraction 0.5 →
+    global 100; props A=0.4 (budget 40), B=0.2 (budget 20), C absent
+    (budget 0). A in score order: a1(0.9,w30,cum30), a2(0.5,w20,
+    cum50 — OVER 40) → {a1}; B: b1(0.8,w20,cum20 — exactly at budget)
+    → {b1}; C excluded entirely."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a1", "A", 0.9, 30),
+            ("a2", "A", 0.5, 20),
+            ("b1", "B", 0.8, 20),
+            ("b2", "B", 0.1, 50),
+            ("c1", "C", 0.99, 80),
+        ],
+        "id string, g string, score double, w long",
+    )
+    out = sampling.mixture_budget_select(
+        df,
+        id_col="id",
+        score_col="score",
+        weight_col="w",
+        group_col="g",
+        proportions={"A": 0.4, "B": 0.2},
+        budget_fraction=0.5,
+    )
+    got = {r["id"]: r["cum_w"] for r in out.collect()}
+    assert got == {"a1": 30, "b1": 20}
+
+
+def test_mixture_budget_select_validation(spark):
+    import pytest
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "A", 0.5, 1)], "id string, g string, score double, w long"
+    )
+    with pytest.raises(ValueError, match="proportions"):
+        sampling.mixture_budget_select(
+            df, "id", "score", "w", "g", proportions={}
+        )
+    with pytest.raises(ValueError, match="sum to"):
+        sampling.mixture_budget_select(
+            df, "id", "score", "w", "g", proportions={"A": 0.9, "B": 0.3}
+        )
+    with pytest.raises(ValueError, match="budget_fraction"):
+        sampling.mixture_budget_select(
+            df, "id", "score", "w", "g",
+            proportions={"A": 0.5}, budget_fraction=0.0,
+        )
