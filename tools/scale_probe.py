@@ -505,6 +505,17 @@ def main() -> None:
             "segment_price_ks": entrymod.q_segment_price_ks,
         }
     )
+    # round 6: the as-of join (union + per-user window — replication
+    # multiplies events per user, the window's adversarial axis) and
+    # the domain-mixture selection (per-(source, band) windows; bands
+    # spread the quality scores so no window degenerates to a group's
+    # whole partition). Growth for both must track the event/doc scans.
+    star_ops.update(
+        {
+            "purchase_last_view_asof": entrymod.q_purchase_last_view_asof,
+            "corpus_mixture_select": entrymod.q_corpus_mixture_select,
+        }
+    )
     for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
         for name, fn in star_ops.items():
             t0 = time.time()
