@@ -334,6 +334,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 5,
+    seeds: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd-iteration k-means refinement of the sampled seed centroids
     (cosine assignment, per-dimension mean update) — FAISS IVF training
@@ -355,7 +356,18 @@ def train_ivf_centroids(
     order and flip near-tie assignments next iteration); assignment
     ties break to the smaller cell id.
     """
-    cent = _collect_centroids(sampled_centroids(corpus, id_col, vec_col, n_cells))
+    # seeds: callers already holding a sampled_centroids prefix (the
+    # IVF-PQ composition shares ONE hash-ordered sample job between
+    # the coarse seeds and the PQ training sample) pass it in; the
+    # list must be exactly what sampled_centroids(..., n_cells) would
+    # return — same total order, cells 1..n_cells.
+    cent = (
+        list(seeds)
+        if seeds is not None
+        else _collect_centroids(
+            sampled_centroids(corpus, id_col, vec_col, n_cells)
+        )
+    )
     vecs = corpus.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
@@ -851,6 +863,7 @@ def train_pq_codebooks(
     dim: int = 64,
     train_sample: int = 512,
     iters: int = 3,
+    sample: list[tuple[int, list[float]]] | None = None,
 ):
     """Per-subspace k-means codebooks trained on a BOUNDED deterministic
     sample — the FAISS posture (train on a sample in memory, encode the
@@ -859,7 +872,9 @@ def train_pq_codebooks(
     The sample is the ``train_sample`` smallest-id-hash rows (the
     ``sampled_centroids`` total order), collected to the driver:
     O(train_sample × dim) — bounded by CONFIG, never by corpus size,
-    the same justification as the IVF centroid literal. Training is
+    the same justification as the IVF centroid literal. A caller that
+    already collected that prefix (the IVF-PQ composition) passes it
+    via ``sample`` to skip the collect job. Training is
     ``iters`` Lloyd rounds per subspace in numpy; every call is
     mirrored by the pure-Python oracle call-for-call, so the codebooks
     — and therefore the codes — are bit-identical. Empty clusters keep
@@ -869,9 +884,10 @@ def train_pq_codebooks(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
-    sample = _collect_centroids(
-        sampled_centroids(corpus, id_col, vec_col, train_sample)
-    )
+    if sample is None:
+        sample = _collect_centroids(
+            sampled_centroids(corpus, id_col, vec_col, train_sample)
+        )
     x = np.array([_scalar_unit(cen) for _, cen in sample], dtype=np.float64)
     n_seed = min(ksub, len(x))
     books = np.empty((m, n_seed, dsub), dtype=np.float64)
@@ -1073,17 +1089,27 @@ def ivf_pq_topk(
     import numpy as np  # noqa: PLC0415
 
     dsub = dim // m
+    # ONE hash-ordered sample job serves both trainers: the coarse
+    # seeds are exactly the first n_cells rows of the PQ training
+    # sample (identical sampled_centroids total order), so there is no
+    # second TakeOrdered collect against the corpus.
+    base_sample = _collect_centroids(
+        sampled_centroids(
+            corpus, id_col, vec_col, max(train_sample, n_cells)
+        )
+    )
+    base_sample = sorted(base_sample)  # cell asc == hash total order
+    seeds = base_sample[:n_cells]
     if train_iters > 0:
         cent = train_ivf_centroids(
-            corpus, id_col, vec_col, n_cells, train_iters
+            corpus, id_col, vec_col, n_cells, train_iters, seeds=seeds
         )
     else:
-        cent = _collect_centroids(
-            sampled_centroids(corpus, id_col, vec_col, n_cells)
-        )
+        cent = seeds
     centroid_lit = _centroid_literal(cent)
     books = train_pq_codebooks(
-        corpus, id_col, vec_col, m, ksub, dim, train_sample, iters
+        corpus, id_col, vec_col, m, ksub, dim, train_sample,
+        iters, sample=base_sample[:train_sample],
     )
     id_type = corpus.schema[id_col].dataType.simpleString()
 
