@@ -1375,6 +1375,49 @@ def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(v1).unionByName(agg(v2)).orderBy("version", "o_orderstatus")
 
 
+def q_versioned_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback (sources/versioned.py:rollback — commit a NEW version
+    whose content is an older snapshot's, history intact): v1 = the
+    merge target slice, v2 = a bad SCD-1 merge, v3 = rollback to v1.
+    The query aggregates the LATEST snapshot (which must equal v1's
+    content, proving the restore) alongside the rolled-back v2 (still
+    readable — audit history survives), with the version count as a
+    column. The oracle recomputes both states relationally."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    path = _scratch_path("versioned_rb", sf_dir)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(path, ignore_errors=True)
+    target, source = _merge_slices(spark, sf_dir)
+    v1 = vt.write_version(target, path)
+    merged = merge.merge_update(
+        vt.read_version(spark, path, v1), source, ["o_orderkey"]
+    )
+    v2 = vt.write_version(merged, path)
+    vt.rollback(path, v1)
+    n_versions = len(vt.table_versions(path))
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("snapshot", F.lit(label))
+            .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        )
+
+    latest = agg(vt.read_version(spark, path), "latest_after_rollback")
+    audit = agg(vt.read_version(spark, path, v2), "rolled_back_v2")
+    return latest.unionByName(audit).orderBy("snapshot", "o_orderstatus")
+
+
 def q_versioned_purge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten purge (sources/versioned.py:purge_where):
     build the table from two APPEND commits, purge every order of the
@@ -2541,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": q_dedup_incremental,
         "gopher_quality_flags": q_gopher_quality_flags,
         "versioned_orders_time_travel": q_versioned_time_travel,
+        # round 6: rollback = new version with an old snapshot's content
+        "versioned_rollback_restore": q_versioned_rollback_restore,
         "range_clustered_scan": q_range_clustered_scan,
         "dup_span_hotspots": q_dup_span_hotspots,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -4522,6 +4567,38 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE value >= 10.0 AND value < 50.0
             GROUP BY event_type ORDER BY event_type
+        """,
+        # rollback restores v1's content as the LATEST snapshot while
+        # v2 stays readable for audit — latest == tgt, rolled-back ==
+        # the merge result, n_versions == 3
+        "versioned_rollback_restore": """
+            WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            src AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            v2 AS (
+              SELECT * FROM tgt
+              WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+              UNION ALL
+              SELECT * FROM src
+            )
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_price,
+                   'latest_after_rollback' AS snapshot,
+                   CAST(3 AS BIGINT) AS n_versions
+            FROM tgt GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_price,
+                   'rolled_back_v2' AS snapshot,
+                   CAST(3 AS BIGINT) AS n_versions
+            FROM v2 GROUP BY o_orderstatus
+            ORDER BY snapshot, o_orderstatus
         """,
         "versioned_orders_time_travel": """
             WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
