@@ -463,3 +463,130 @@ def test_weighted_fixed_k_matches_aes_model(spark, weights, k):
         i for i, _ in sorted(rows, key=lambda r: (-key(*r), r[0]))[:k]
     )
     assert got == expect
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 10_000),  # time (seconds)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 10_000),
+            st.integers(-100, 100),  # payload
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol_s=st.one_of(st.none(), st.integers(1, 5_000)),
+)
+@SETTINGS
+def test_asof_join_matches_python_model(spark, lefts, rights, direction, tol_s):
+    """asof_join == the obvious per-row scan: for each left row, the
+    right row with the same key and the max time <= left time
+    (backward) / min time >= left time (forward), nulled beyond the
+    tolerance. Right rows are deduped per (key, time) keeping the max
+    payload so the pick is deterministic on both sides."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        asof,
+    )
+
+    base = 1_700_000_000  # epoch seconds → timestamps
+
+    best = {}
+    for k, t, p in rights:
+        best[(k, t)] = max(p, best.get((k, t), p))
+    r_rows = [(k, t, p) for (k, t), p in sorted(best.items())]
+
+    left = spark.createDataFrame(
+        [(i, k, base + t) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, lt long",
+    ).withColumn("lt", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(k, base + t, p) for k, t, p in r_rows] or [],
+        "k long, rt long, payload long",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+
+    out = asof.asof_join(
+        left,
+        right,
+        on="k",
+        left_time="lt",
+        right_time="rt",
+        right_cols=["payload"],
+        direction=direction,
+        tolerance=f"{tol_s} seconds" if tol_s is not None else None,
+    ).collect()
+
+    def model(k, t):
+        cand = [
+            (rt, p)
+            for (rk, rt), p in best.items()
+            if rk == k and (rt <= t if direction == "backward" else rt >= t)
+        ]
+        if not cand:
+            return None
+        rt, p = max(cand) if direction == "backward" else min(cand)
+        if tol_s is not None and abs(t - rt) > tol_s:
+            return None
+        return p
+
+    got = {r["lid"]: r["payload"] for r in out}
+    want = {i: model(k, t) for i, (k, t) in enumerate(lefts)}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.integers(0, 100),  # score percent
+            st.integers(1, 50),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    bf_pct=st.integers(10, 100),
+)
+@SETTINGS
+def test_mixture_budget_select_matches_python_model(spark, rows, bf_pct):
+    """mixture_budget_select == the obvious per-group sorted cumsum:
+    global budget floor(total·bf), per-group floor(global·prop), rows
+    taken in (score DESC, id ASC) while the group cumsum stays within
+    its budget."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    props = {"A": 0.5, "B": 0.25}
+    bf = bf_pct / 100.0
+    data = [
+        (i, g, s / 100.0, w) for i, (g, s, w) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "id long, g string, score double, w long"
+    )
+    out = sampling.mixture_budget_select(
+        df, "id", "score", "w", "g", proportions=props, budget_fraction=bf
+    ).collect()
+
+    total = sum(w for _, _, _, w in data)
+    glob = math.floor(total * bf)
+    want = {}
+    for g in {"A", "B", "C"}:
+        budget = math.floor(float(glob) * props.get(g, 0.0))
+        cum = 0
+        for i, _, s, w in sorted(
+            (r for r in data if r[1] == g), key=lambda r: (-r[2], r[0])
+        ):
+            cum += w
+            if cum <= budget:
+                want[i] = cum
+    got = {r["id"]: r["cum_w"] for r in out}
+    assert got == want
