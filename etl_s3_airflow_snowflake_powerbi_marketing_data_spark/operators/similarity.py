@@ -1139,6 +1139,8 @@ def ivf_pq_topk(
         # join inside the broadcast build (~0.5 s of the r05
         # embedding_topk_ivf_pq regression — VERDICT r05 item 3).
         for pdf in it:
+            if not len(pdf):  # empty Arrow batch: vstack would raise
+                continue
             x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
             qid, cells, luts = [], [], []
             for i in range(len(x)):

@@ -31,6 +31,7 @@ every prefix referenced by a retained manifest.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -467,7 +468,11 @@ def purge_where(
     os.replace(jtmp, jpath)
     n_manifests = _apply_purge_mapping(path, mapping, nonce)
     _remove_prefixes(path, list(mapping))
-    os.remove(jpath)
+    # A concurrent vacuum's complete_pending_purges may have replayed
+    # this journal and already deleted it; recovery is idempotent, so
+    # a vanished journal here is a clean no-op, not an error.
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(jpath)
     return len(mapping), n_manifests
 
 
