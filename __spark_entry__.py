@@ -583,12 +583,13 @@ def q_user_item_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (functions/multimodal.py:decode_image — pure-
-    Python BMP + PPM header parsers, no codec package) over the
-    deterministic generated fixture: even ids BMP, odd ids PPM, dims
+    Python BMP/PPM/PNG/GIF/JPEG header parsers, no codec package) over
+    the deterministic generated fixture: format cycles by id%5, dims
     (id%13)+1 × (id%7)+2. The oracle recomputes dimensions AND exact
-    byte sizes from the same arithmetic, pinning the parser as the
-    inverse of the encoder. Retires the decode stub for these formats
-    (VERDICT r05 item 7); unknown formats keep the documented fake."""
+    byte sizes from the same arithmetic (PNG's stored-block IDAT makes
+    its size closed-form), pinning every parser as the inverse of a
+    committed encoder. Retires the decode stub for all header-readable
+    formats (VERDICT r06 item 3); unknown payloads keep the fake."""
     feats = multimodal.extract_media_features(
         multimodal.synthetic_image_table(spark, 40)
     )
@@ -4349,14 +4350,23 @@ def oracle_sql() -> dict[str, str]:
         # 255\\n' header + 3wh pixels.
         "media_image_dimensions": """
             WITH ids AS (SELECT unnest(range(1, 41)) AS i),
-            d AS (SELECT i, (i % 13) + 1 AS w, (i % 7) + 2 AS h FROM ids)
+            d AS (SELECT i, (i % 13) + 1 AS w, (i % 7) + 2 AS h,
+                         i % 5 AS f FROM ids)
             SELECT CAST(i AS BIGINT) AS media_id,
-                   CASE WHEN i % 2 = 0 THEN 'image/bmp'
-                        ELSE 'image/ppm' END AS media_type,
-                   CAST(CASE WHEN i % 2 = 0
-                        THEN 54 + ((3*w + 3) - ((3*w + 3) % 4)) * h
-                        ELSE 9 + length(CAST(w AS VARCHAR))
+                   CASE f WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/ppm'
+                          WHEN 2 THEN 'image/png' WHEN 3 THEN 'image/gif'
+                          ELSE 'image/jpeg' END AS media_type,
+                   -- exact encoder byte sizes: BMP 54-byte header +
+                   -- 4-aligned rows; PPM ASCII header + 3wh; PNG
+                   -- sig/IHDR/IEND + stored-block IDAT (68 + h + 3wh);
+                   -- GIF header+LSD+trailer (14); JPEG SOI+SOF0+EOI (23)
+                   CAST(CASE f
+                        WHEN 0 THEN 54 + ((3*w + 3) - ((3*w + 3) % 4)) * h
+                        WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
                                + length(CAST(h AS VARCHAR)) + 3*w*h
+                        WHEN 2 THEN 68 + h + 3*w*h
+                        WHEN 3 THEN 14
+                        ELSE 23
                    END AS BIGINT) AS n_bytes,
                    CAST(w AS INTEGER) AS decoded_width,
                    CAST(h AS INTEGER) AS decoded_height

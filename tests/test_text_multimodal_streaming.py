@@ -125,6 +125,55 @@ def test_decode_image_real_formats():
         multimodal.decode_image(None)
 
 
+def test_decode_image_png_gif_jpeg():
+    """Round 7 formats: encoder round-trips, a real decompressible PNG,
+    marker-scan robustness for JPEG (leading APP0 segment, fill bytes,
+    progressive SOF2), and truncation fallbacks."""
+    import struct
+    import zlib
+
+    assert multimodal.decode_image(multimodal.encode_png(13, 7)) == (13, 7)
+    assert multimodal.decode_image(multimodal.encode_gif(640, 480)) == (
+        640,
+        480,
+    )
+    assert multimodal.decode_image(multimodal.encode_jpeg(1920, 1080)) == (
+        1920,
+        1080,
+    )
+    # the hand-built stored-block IDAT is a genuinely valid zlib stream
+    png = multimodal.encode_png(4, 3)
+    idat_off = png.index(b"IDAT") + 4
+    idat_len = struct.unpack_from(">I", png, png.index(b"IDAT") - 4)[0]
+    raw = zlib.decompress(png[idat_off : idat_off + idat_len])
+    assert len(raw) == 3 * (1 + 3 * 4)  # h x (filter byte + 3w)
+    # closed-form size the SQL oracle uses: 68 + h + 3wh
+    assert len(png) == 68 + 3 + 3 * 4 * 3
+    assert len(multimodal.encode_gif(9, 5)) == 14
+    assert len(multimodal.encode_jpeg(9, 5)) == 23
+    # JPEG with an APP0 (JFIF) segment and a fill byte before SOF2
+    sof = struct.pack(">BHHB", 8, 33, 44, 1) + bytes([1, 0x11, 0])
+    jfif = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    jpg = b"\xff\xd8" + jfif + b"\xff" + b"\xff\xc2" + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof + b"\xff\xd9"
+    assert multimodal.decode_image(jpg) == (44, 33)
+    # GIF87a variant also parses
+    g87 = bytearray(multimodal.encode_gif(7, 3))
+    g87[:6] = b"GIF87a"
+    assert multimodal.decode_image(bytes(g87)) == (7, 3)
+    # truncated signatures fall back to the fake instead of raising
+    for trunc in (b"\x89PNG\r\n\x1a\n\x00\x00", b"GIF89a\x05", b"\xff\xd8\xff"):
+        assert multimodal.decode_image(trunc) == multimodal.decode_image_stub(
+            trunc
+        )
+    # JPEG whose segments end without any SOF marker -> fake
+    nosof = b"\xff\xd8" + jfif + b"\xff\xd9"
+    assert multimodal.decode_image(nosof) == multimodal.decode_image_stub(
+        nosof
+    )
+
+
 def test_streaming_counts_match_batch(spark, sf_dir):
     out = pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events"), query_name="t_stream"
