@@ -135,6 +135,7 @@ def _verified_jaccard(candidates: DataFrame, sets: DataFrame, threshold: float) 
     pairs ships k copies of its array through the exchange — bound
     upstream by the prefix+positional filters that keep k small.
     """
+    extras = [c for c in candidates.columns if c not in ("id_a", "id_b")]
     a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -144,7 +145,7 @@ def _verified_jaccard(candidates: DataFrame, sets: DataFrame, threshold: float) 
     return (
         joined.withColumn("jaccard", trunc)
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard", *extras)
     )
 
 
@@ -154,6 +155,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_candidates_per_doc: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs above a threshold, via a
     frequency-ordered prefix-filter join (AllPairs/PPJoin family).
@@ -175,6 +177,21 @@ def ngram_jaccard_pairs(
     Scale: two shuffles (doc-frequency agg, prefix self-join) both keyed
     by shingle hash, then one candidate-keyed verify join. No stage is
     quadratic in corpus size for non-pathological thresholds.
+
+    Worst-case guard (opt-in): a pathological near-duplicate flood — a
+    boilerplate template repeated across millions of docs — passes
+    every lossless filter (the pairs really ARE similar), so the output
+    itself has no ceiling. ``max_candidates_per_doc=N`` bounds the
+    payload-heavy verify stage and the output at N pairs per ``id_a``:
+    candidates rank within each ``id_a`` by the already-computed cheap
+    positional upper bound (``__ub`` DESC — the most-plausibly-similar
+    first — then ``id_b`` for determinism) and only the top N are
+    verified. The output gains a ``truncated`` boolean column marking
+    every surviving pair whose ``id_a`` had candidates dropped, so
+    worst-case cost is bounded AND observable — never silent. Below
+    the cap the result is row-identical to the uncapped run (with
+    ``truncated`` all false). Default ``None`` preserves the exact
+    contract and the 3-column schema.
 
     The shingle sets are ``cache()``d for the three reads inside this
     plan, the verified pairs are materialized eagerly (localCheckpoint
@@ -254,8 +271,28 @@ def ngram_jaccard_pairs(
             F.first("size_b").alias("size_b"),
         )
         .filter(F.col("__ub") >= min_overlap)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "__ub")
     )
+    if max_candidates_per_doc is not None:
+        # Rank by the cheap bound within each probe doc; the window is
+        # partitioned per id_a (sort-and-spill bounded per doc), and it
+        # runs BEFORE the verify join — the stage that carries full
+        # shingle arrays and has no ceiling under a duplicate flood.
+        wcap = Window.partitionBy("id_a").orderBy(
+            F.col("__ub").desc(), "id_b"
+        )
+        wall = Window.partitionBy("id_a")
+        candidates = (
+            candidates.withColumn("__rk", F.row_number().over(wcap))
+            .withColumn("__n", F.count(F.lit(1)).over(wall))
+            .filter(F.col("__rk") <= max_candidates_per_doc)
+            .withColumn(
+                "truncated", F.col("__n") > F.lit(max_candidates_per_doc)
+            )
+            .select("id_a", "id_b", "truncated")
+        )
+    else:
+        candidates = candidates.select("id_a", "id_b")
     verified = _verified_jaccard(candidates, sets, threshold).localCheckpoint(
         eager=True
     )
@@ -691,6 +728,7 @@ def fuzzy_string_matches(
     id_col: str,
     block_col: str,
     max_distance: int = 2,
+    max_ids_per_name: int | None = None,
 ) -> DataFrame:
     """Edit-distance fuzzy matching within blocking keys — the
     entity-resolution primitive (typo'd duplicate names, near-identical
@@ -720,6 +758,17 @@ def fuzzy_string_matches(
     and engine-portable (levenshtein is the plain Wagner-Fischer
     distance in both Spark and DuckDB), and row-identical to the
     record-pair formulation.
+
+    Worst-case guard (opt-in): the output-bound expansion is quadratic
+    in duplicate-group size — a byte-identical flood of one name (m
+    copies → m²/2 pairs) has no ceiling. ``max_ids_per_name=K`` caps
+    each distinct (block, normalized name) group at its K smallest
+    record ids BEFORE any pair forms, so the expansion is bounded at K²
+    per matched value pair; the output gains a ``truncated`` boolean
+    marking every pair where either endpoint's group was capped —
+    bounded AND observable. Below the cap the result is row-identical
+    to the uncapped run (``truncated`` all false). Default ``None``
+    preserves the exact contract and the 5-column schema.
     """
     norm = normalize_text(F.col(text_col))
     recs = df.select(
@@ -727,6 +776,23 @@ def fuzzy_string_matches(
         norm.alias("name"),
         F.col(block_col).alias("blk"),
     )
+    if max_ids_per_name is not None:
+        # Per-(block, name) group cap applied before pair formation:
+        # the window sorts within one duplicate group only, and the
+        # kept K smallest rids are deterministic whatever the
+        # partitioning. __gtrunc rides along to flag capped groups.
+        wg = Window.partitionBy("blk", "name").orderBy("rid")
+        recs = (
+            recs.withColumn("__grk", F.row_number().over(wg))
+            .withColumn(
+                "__gn", F.count(F.lit(1)).over(Window.partitionBy("blk", "name"))
+            )
+            .filter(F.col("__grk") <= max_ids_per_name)
+            .withColumn(
+                "__gtrunc", F.col("__gn") > F.lit(max_ids_per_name)
+            )
+            .select("rid", "name", "blk", "__gtrunc")
+        )
     vals = recs.select("blk", "name").distinct().withColumn(
         "len", F.length("name")
     )
@@ -775,11 +841,18 @@ def fuzzy_string_matches(
         .filter(F.col("distance") <= max_distance)
         .select("blk", "name_a", "name_b", "distance")
     )
+    capped = max_ids_per_name is not None
     ra = recs.select(
-        "blk", F.col("name").alias("name_a"), F.col("rid").alias("ra")
+        "blk",
+        F.col("name").alias("name_a"),
+        F.col("rid").alias("ra"),
+        *([F.col("__gtrunc").alias("__ta")] if capped else []),
     )
     rb = recs.select(
-        "blk", F.col("name").alias("name_b"), F.col("rid").alias("rb")
+        "blk",
+        F.col("name").alias("name_b"),
+        F.col("rid").alias("rb"),
+        *([F.col("__gtrunc").alias("__tb")] if capped else []),
     )
     # expansion: output-bound; for the self-pair each unordered record
     # pair would form twice (ra,rb)/(rb,ra) — the ra < rb guard keeps
@@ -799,6 +872,11 @@ def fuzzy_string_matches(
         F.when(swap, F.col("name_b")).otherwise(F.col("name_a")).alias("name_a"),
         F.when(swap, F.col("name_a")).otherwise(F.col("name_b")).alias("name_b"),
         "distance",
+        *(
+            [(F.col("__ta") | F.col("__tb")).alias("truncated")]
+            if capped
+            else []
+        ),
     )
 
 

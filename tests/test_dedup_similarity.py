@@ -322,6 +322,69 @@ def test_fuzzy_string_matches_length_band_is_lossless(spark):
     assert out == expect
 
 
+def test_ngram_jaccard_cap_equivalence_and_bound(docs):
+    """Opt-in candidate cap: a cap above every doc's candidate count is
+    row-identical to the uncapped run with truncated all-false; a
+    binding cap keeps at most N pairs per id_a, all flagged."""
+    base = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    loose = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.4, max_candidates_per_doc=100
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in loose} == base
+    assert all(r["truncated"] is False for r in loose)
+    tight = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.4, max_candidates_per_doc=1
+    ).collect()
+    per_a: dict[int, int] = {}
+    for r in tight:
+        per_a[r["id_a"]] = per_a.get(r["id_a"], 0) + 1
+    assert all(v <= 1 for v in per_a.values())
+    # doc 1 had >=2 candidates uncapped, so its surviving pair is flagged
+    flagged = {r["id_a"] for r in tight if r["truncated"]}
+    assert 1 in flagged
+    # capped output is a subset of the uncapped pair set
+    assert {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in tight
+    } <= base
+
+
+def test_fuzzy_matches_cap_equivalence_and_bound(spark):
+    """Opt-in duplicate-group cap: above every group size the result is
+    row-identical with truncated all-false; a binding cap keeps the K
+    smallest rids per (block, name) and flags affected pairs."""
+    rows = [(i, "red widget", "B1") for i in range(1, 6)] + [
+        (10, "red widgets", "B1"),
+        (11, "blue bolt", "B1"),
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string, brand string")
+    base = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in dedup.fuzzy_string_matches(
+            df, "name", "pid", "brand", max_distance=2
+        ).collect()
+    }
+    loose = dedup.fuzzy_string_matches(
+        df, "name", "pid", "brand", max_distance=2, max_ids_per_name=50
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["distance"]) for r in loose} == base
+    assert all(r["truncated"] is False for r in loose)
+    tight = dedup.fuzzy_string_matches(
+        df, "name", "pid", "brand", max_distance=2, max_ids_per_name=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["truncated"] for r in tight}
+    # "red widget" group capped to rids {1, 2}: self-pair (1,2) plus
+    # cross-name pairs to the uncapped "red widgets" record 10
+    assert set(got) == {(1, 2), (1, 10), (2, 10)}
+    # every pair touching the capped group is flagged
+    assert all(got.values())
+    assert {
+        (r["id_a"], r["id_b"], r["distance"]) for r in tight
+    } <= base
+
+
 def test_embedding_outliers_flags_injected_vector(spark):
     """Four tight vectors around [1,0] plus one at [9,0]: the far
     vector's centroid distance exceeds 2x the group mean; the tight

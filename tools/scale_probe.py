@@ -28,7 +28,11 @@ from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
     text as text_fn,
 )
 from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import dedup
-from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_spark
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import (
+    get_spark,
+    release_persisted_rdds,
+)
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import load_table
 
 BASE = "/root/testdata/sf0.1/documents.parquet"
 
@@ -229,6 +233,12 @@ def main() -> None:
             "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(
                 df, threshold=0.5
             ),
+            # round 7 (VERDICT r06 item 4): the opt-in candidate cap
+            # bounds the verify stage + output under a duplicate flood;
+            # its growth curve should sit at-or-below the uncapped one.
+            "ngram_jaccard_pairs_cap50": lambda: dedup.ngram_jaccard_pairs(
+                df, threshold=0.5, max_candidates_per_doc=50
+            ),
             "redact_pii": lambda: df.select(
                 "doc_id", text_fn.redact_pii(F.col("text")).alias("t")
             ),
@@ -300,6 +310,13 @@ def main() -> None:
             t0 = time.time()
             fn().write.format("noop").mode("overwrite").save()
             results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
+            # Drop the localCheckpoint blocks iterative operators pin —
+            # bench and check_oracles both do this between queries; the
+            # probe previously did not, so ~40 ops of accumulated
+            # pinned RDDs bled GC pressure into late-sweep ops (the
+            # r06 probe charged embedding_pca_project ~4x its bench
+            # cost at identical 1x input — VERDICT r06 item 5).
+            release_persisted_rdds(spark)
 
     # --- star-schema path: replicate EVENTS Nx into an sf_dir-shaped
     # probe dir (other tables symlinked), then time the fact build and
@@ -420,6 +437,19 @@ def main() -> None:
     star_ops.update(
         {
             "fuzzy_part_name_matches": entrymod.q_fuzzy_part_names,
+            # round 7 (VERDICT r06 item 4): duplicate-group cap — at
+            # N× replication every name group is ~N× bigger, so the
+            # capped expansion should grow like the scan, not like N²
+            "fuzzy_part_name_matches_cap8": lambda spark, d: (
+                dedup.fuzzy_string_matches(
+                    load_table(spark, d, "part"),
+                    "p_name",
+                    "p_partkey",
+                    "p_brand",
+                    max_distance=2,
+                    max_ids_per_name=8,
+                )
+            ),
             "salted_join_rates": entrymod.q_salted_join_rates,
             "supplier_hierarchy_rollup": relational.supplier_hierarchy_rollup,
             "versioned_delete_compact": entrymod.q_versioned_delete_compact,
@@ -521,6 +551,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
+            release_persisted_rdds(spark)
 
     # candidate-count evidence for the fuzzy-match prefilter: output
     # pair counts at 1x vs Nx (the length-band+block design should
