@@ -2016,12 +2016,15 @@ def q_daily_revenue_interpolated(
 
 
 def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer pipeline (functions/bpe.py): driver-side training
-    on a deterministic hash-ordered sample, Arrow-batched map-only
-    apply. Oracle = an INDEPENDENT Counter-based pure-Python BPE in
-    gen_expected (two implementations agreeing)."""
+    """BPE tokenizer pipeline (functions/bpe.py): WHOLE-corpus
+    distributed training (one corpus-wide word-count aggregation; the
+    merge loop runs on its vocabulary-bounded output — driver-side
+    below `driver_vocab_limit`, per-round Spark aggregations above
+    it, no corpus-sized collect at any scale), then the Arrow-batched
+    map-only tokenize apply. Oracle = an INDEPENDENT Counter-based
+    pure-Python BPE in gen_expected (two implementations agreeing)."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe_merges(docs)
+    merges = bpe.train_bpe_merges_spark(docs)
     return bpe.bpe_token_counts(docs, merges).orderBy("doc_id")
 
 

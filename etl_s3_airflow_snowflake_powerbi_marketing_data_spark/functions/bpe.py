@@ -3,15 +3,20 @@ tokenization — the sample-train / map-apply pattern of a real
 tokenizer pipeline (Sennrich et al. 2016; the GPT-2 merge-rank apply
 loop), shaped for a corpus that does not fit one machine.
 
-Training runs DRIVER-SIDE on a deterministic, bounded sample (the
-same bounded-driver-state argument as the PQ codebook and IVF
-centroid trainers in ``operators/similarity.py``): production BPE
-trainers never stream 100 TB through the merge loop either — they
-train on a sample and APPLY everywhere. The apply pass is the one
-deliberate pandas-UDF surface in this module: greedy lowest-rank
-merging is an iterative per-token loop no built-in expression can
-express, so it runs Arrow-batched with a per-batch word cache (Zipf
-makes the cache hit rate high), map-only, no shuffle.
+Training (`train_bpe_merges_spark`) runs over the WHOLE corpus with
+no corpus-sized collect at any scale: ONE distributed word-count
+aggregation is the only stage whose input scales with the corpus,
+and the merge loop runs on its vocabulary-bounded output — on the
+driver below `driver_vocab_limit` (the bounded-driver-state posture
+of the PQ codebook and IVF centroid trainers in
+``operators/similarity.py``), or as per-round Spark aggregations
+above it (only the single winning pair is collected per round). The
+sample-train variant (`train_bpe_merges`) remains for bounded-cost
+exploratory runs. The apply pass is the one deliberate pandas-UDF
+surface in this module: greedy lowest-rank merging is an iterative
+per-token loop no built-in expression can express, so it runs
+Arrow-batched with a per-batch word cache (Zipf makes the cache hit
+rate high), map-only, no shuffle.
 
 Everything is integer/string compute — no floats anywhere — so the
 pure-Python oracle replica (tools/gen_expected.py:gen_bpe_tokens) is
@@ -45,7 +50,12 @@ def train_merges_on_texts(
     pinned deterministic tie-break), stop early when no pair repeats.
     Pure integer counting on the vocab-bounded word table — O(vocab ×
     merges) driver work, independent of corpus size."""
-    freqs = _word_freqs(texts)
+    return _train_on_freqs(_word_freqs(texts), n_merges)
+
+
+def _train_on_freqs(
+    freqs: dict[tuple[str, ...], int], n_merges: int
+) -> list[tuple[str, str]]:
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
@@ -114,6 +124,148 @@ def train_bpe_merges(
     return train_merges_on_texts(
         sample_texts(df, text_col, id_col, sample_docs), n_merges
     )
+
+
+def _merge_pair_expr(col: str, a: str, b: str):
+    """Left-to-right single-pass merge of adjacent ``(a, b)`` inside a
+    symbol array, as a pure JVM-side ``aggregate`` fold (no UDF): the
+    accumulator carries the emitted prefix plus one pending symbol;
+    a hit emits the fused token and clears the pending slot — exactly
+    the ``i += 2`` skip of the driver trainer's rewrite loop."""
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, s):
+        hit = (
+            acc["pend"].isNotNull()
+            & (acc["pend"] == F.lit(a))
+            & (s == F.lit(b))
+        )
+        return F.struct(
+            F.when(acc["pend"].isNull(), acc["out"])
+            .when(hit, F.concat(acc["out"], F.array(F.lit(a + b))))
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+            .alias("out"),
+            F.when(hit, F.lit(None).cast("string"))
+            .otherwise(s)
+            .alias("pend"),
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(F.col(col), init, step, finish)
+
+
+def word_freq_table(
+    df: DataFrame, text_col: str = "text", max_words: int | None = None
+) -> DataFrame:
+    """ONE corpus-wide pass over raw text: whitespace-split, lowercase,
+    groupBy word — the only stage whose input scales with the corpus;
+    its output is vocabulary-bounded. Optional ``max_words`` keeps the
+    table top-K by ``(freq DESC, word ASC)`` for open-vocabulary
+    corpora (the standard trainer cap), bounding every later stage."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    if max_words is not None:
+        words = words.orderBy(F.desc("freq"), F.asc("w")).limit(max_words)
+    return words
+
+
+def train_bpe_merges_spark(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 50,
+    max_words: int | None = None,
+    driver_vocab_limit: int = 200_000,
+) -> list[tuple[str, str]]:
+    """Whole-corpus BPE training with NO corpus-sized collect at any
+    corpus size. Word counting is always ONE distributed aggregation
+    (`word_freq_table`) — the only stage whose input scales with the
+    corpus; everything after runs on its vocabulary-bounded output.
+
+    Two exact, equivalent merge-loop paths (pinned equal by
+    tests/test_corpus_boilerplate.py):
+
+    - **driver path** (vocab ≤ ``driver_vocab_limit`` rows, or capped
+      by ``max_words``): collect the bounded word-frequency table and
+      run the classic loop — the same bounded-driver-state posture as
+      the PQ codebook / IVF centroid trainers.
+    - **Spark-rounds path** (open vocabulary above the limit): each
+      merge round is a Spark aggregation over the symbol table
+      (adjacent-pair explode → freq-weighted sum → top-1); the ONLY
+      per-round collect is the single winning pair. The merge apply is
+      the JVM-side `_merge_pair_expr` fold with an eager
+      localCheckpoint barrier (the PageRank loop shape,
+      operators/graph.py). Per-round cost is O(vocab), independent of
+      corpus size.
+
+    Tie-break and stop rule (max freq, then lexicographically smallest
+    pair; stop when the best pair occurs < 2 times) match
+    `train_merges_on_texts` on both paths."""
+    del id_col  # kept for signature parity with train_bpe_merges
+    words = word_freq_table(df, text_col, max_words)
+    # ONE probe job decides the path: a (limit+1)-bounded collect —
+    # never more than driver_vocab_limit+1 rows reach the driver, and
+    # the common small-vocab case skips a separate count() pass.
+    probe = words.limit(driver_vocab_limit + 1).collect()
+    if len(probe) <= driver_vocab_limit:
+        freqs = {
+            tuple(list(r["w"]) + [END]): int(r["freq"]) for r in probe
+        }
+        return _train_on_freqs(freqs, n_merges)
+    return _train_merges_spark_rounds(words, n_merges)
+
+
+def _train_merges_spark_rounds(
+    words: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    """Open-vocabulary merge loop: all per-round state stays on the
+    executors; the driver sees one (pair, count) row per round."""
+    sym_df = (
+        words.select(
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit(END))).alias(
+                "sym"
+            ),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = F.expr(
+        "transform(slice(sym, 1, size(sym)-1),"
+        " (s, i) -> struct(s AS a, sym[i+1] AS b))"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            sym_df.select(F.explode(pair_expr).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        sym_df = sym_df.select(
+            _merge_pair_expr("sym", a, b).alias("sym"), "freq"
+        ).localCheckpoint(eager=True)
+    return merges
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:

@@ -251,3 +251,35 @@ def test_cdc_chunk_token_counts_conserve(spark):
     for r in out:
         assert r.n_tokens >= r.n_chunks >= 1
         assert 0 <= r.n_shared_chunks <= r.n_chunks
+
+
+def test_bpe_spark_trainer_paths_agree(spark, sf_dir):
+    """The three trainers are exact replicas of one another: the
+    pure-Python loop (Python tokenization), the distributed trainer's
+    driver path (Spark word count, driver merge loop), and its
+    open-vocabulary Spark-rounds path (per-round pair aggregation,
+    JVM-side merge fold) — same merges, same order, on a real corpus."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    py = bpe.train_merges_on_texts(texts, 12)
+    driver_path = bpe.train_bpe_merges_spark(docs, n_merges=12)
+    rounds_path = bpe.train_bpe_merges_spark(
+        docs, n_merges=12, driver_vocab_limit=0
+    )
+    assert py == driver_path == rounds_path
+    assert len(py) == 12
+
+
+def test_bpe_spark_trainer_max_words_cap(spark):
+    """max_words keeps only the top-K words by (freq DESC, word ASC)
+    before the merge loop: with K=1 only 'low low low' survives, so
+    the merges are exactly the 'low</w>' collapse chain."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import bpe
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "low lower")], ["doc_id", "text"]
+    )
+    merges = bpe.train_bpe_merges_spark(df, n_merges=10, max_words=1)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]

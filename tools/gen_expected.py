@@ -877,19 +877,13 @@ def _bpe_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
     return len(s)
 
 
-def gen_bpe_tokens(
-    sf_dir: str, n_merges: int = 50, sample_docs: int = 500
-) -> pd.DataFrame:
-    """Expected output of functions/bpe.py end to end: the training
-    sample is the ``sample_docs`` lowest xxhash64(doc_id) documents
-    (ties: ascending id — mirrored via tools/pyxxh64, which pytest
-    pins bit-for-bit against Spark's xxhash64)."""
+def gen_bpe_tokens(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
+    """Expected output of functions/bpe.py end to end: training runs
+    over the WHOLE corpus (mirroring train_bpe_merges_spark, whose
+    only corpus-scaled stage is the distributed word count), apply
+    over every document."""
     docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
-    ordered = sorted(
-        (xxhash64(int(r.doc_id)), int(r.doc_id), r.text)
-        for r in docs.itertuples()
-    )
-    merges = _bpe_train([t for _, _, t in ordered[:sample_docs]], n_merges)
+    merges = _bpe_train([r.text for r in docs.itertuples()], n_merges)
     ranks = {p: i for i, p in enumerate(merges)}
     cache: dict[str, int] = {}
     out = {"doc_id": [], "n_words": [], "n_bpe_tokens": []}
