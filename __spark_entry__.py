@@ -2028,6 +2028,19 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_token_counts(docs, merges).orderBy("doc_id")
 
 
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (functions/text.py:bm25_topk): the
+    full corpus scored against a fixed 3-term query, top-20 kept via
+    TakeOrderedAndProject with the rank window applied after the
+    limit. Per-term idf and per-(doc,term) contributions are
+    floor-truncated before the exact DECIMAL per-doc sum (the
+    unigram_surprisal discipline), so the oracle is plain SQL."""
+    return text_fn.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        query_terms=["spark", "hash", "join"],
+    )
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA projection of the embeddings table
     (operators/similarity.py: pca_project) — one-scan integer-exact
@@ -2717,6 +2730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_forecast_eval": behavior.seasonal_naive_forecast_eval,
         # round 5: revenue concentration (Gini over customer revenue)
         "revenue_gini": behavior.revenue_gini,
+        # round 7: Okapi BM25 top-k lexical retrieval
+        "doc_bm25_topk": q_doc_bm25_topk,
     }
     ordered = {name: all_q[name] for name in _R7_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -6527,6 +6542,65 @@ def oracle_sql() -> dict[str, str]:
             )
         ) + """
             ORDER BY column_name
+        """,
+        # round 7: Okapi BM25 top-k — division shapes and per-term /
+        # per-contribution floor-truncation mirror bm25_topk exactly
+        # ((b*dl)/avgdl with avgdl formed first; DECIMAL(28,6) sum).
+        "doc_bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, term FROM toks WHERE length(term) > 0
+            ), dl AS (
+              SELECT doc_id, COUNT(*) AS dl FROM nz GROUP BY doc_id
+            ), stats AS (
+              SELECT n_docs, tot / n_docs AS avgdl FROM (
+                SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                         AS n_docs,
+                       (SELECT CAST(COALESCE(SUM(dl), 0) AS DOUBLE) FROM dl)
+                         AS tot
+              )
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM nz WHERE term IN ('spark', 'hash', 'join')
+              GROUP BY doc_id, term
+            ), idf AS (
+              SELECT term,
+                     floor(ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+                           * 1e6) / 1e6 AS idf
+              FROM (
+                SELECT term, CAST(COUNT(*) AS DOUBLE) AS dft
+                FROM tf GROUP BY term
+              ), stats
+            ), contrib AS (
+              SELECT tf.doc_id, dl.dl,
+                     floor(idf
+                           * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2 * (1.0 - 0.75
+                                       + (0.75 * CAST(dl.dl AS DOUBLE))
+                                         / avgdl))
+                           * 1e6) / 1e6 AS c
+              FROM tf
+              JOIN dl USING (doc_id)
+              JOIN idf USING (term), stats
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(MAX(dl) AS BIGINT) AS n_tokens,
+                     SUM(CAST(c AS DECIMAL(28,6))) AS s
+              FROM contrib GROUP BY doc_id
+            )
+            SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id,
+                   n_tokens,
+                   CAST(s AS DOUBLE) AS score
+            FROM scored
+            ORDER BY s DESC, doc_id
+            LIMIT 20
         """,
     }
     return oracles

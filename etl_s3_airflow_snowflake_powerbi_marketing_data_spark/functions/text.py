@@ -848,3 +848,152 @@ def gopher_quality_flags(
             "keep"
         ),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Okapi BM25 retrieval (Robertson & Zaragoza 2009): score every
+    document against a fixed bag of query terms and keep the top-k —
+    the lexical-retrieval primitive of a RAG / hard-negative-mining
+    pipeline, expressed as pure DataFrame ops.
+
+    Plan shape at 100 TB — ONE corpus-scaled shuffle: because the
+    query-term list is fixed and small, per-term tfs are conditional
+    aggregates inside the single doc-keyed groupBy that also counts
+    doc length (no explode→filter→join chain); per-term document
+    frequencies, N, and avgdl then come from one 1-row aggregate of
+    that per-doc table, broadcast back as scalars. Scoring is pure
+    map-side column arithmetic and top-k plans as
+    TakeOrderedAndProject (per-partition heads, one bounded merge);
+    the rank window runs AFTER the limit, over ≤ top_k rows.
+
+    Determinism discipline (the unigram_surprisal precedent): each
+    per-term idf — the one transcendental, BM25+ form
+    ln(1 + (N - df + 0.5)/(df + 0.5)), always positive — is
+    floor-truncated to 6 decimals immediately; each per-(doc,term)
+    contribution is truncated right after the tf/length saturation
+    ratio; the per-doc sum adds the truncated terms as DECIMAL(28,6)
+    so it is exact. Division shapes ((b·dl)/avgdl with avgdl = tot/N
+    formed first) are written identically in the DuckDB oracle.
+
+    Output: (rank, id_col, n_tokens, score) — only documents matching
+    ≥1 query term compete, standard retrieval semantics.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))
+    toks = (
+        _spread_if_narrow(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count("*").alias("__dl"),
+        *[
+            F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = (
+        df.select(F.col(id_col))
+        .agg(F.count("*").cast("double").alias("__n_docs"))
+        .crossJoin(
+            F.broadcast(
+                per_doc.agg(
+                    F.coalesce(F.sum("__dl"), F.lit(0))
+                    .cast("double")
+                    .alias("__tot"),
+                    *[
+                        F.coalesce(
+                            F.sum(
+                                (F.col(f"__tf_{i}") > 0).cast("long")
+                            ),
+                            F.lit(0),
+                        )
+                        .cast("double")
+                        .alias(f"__dft_{i}")
+                        for i in range(len(terms))
+                    ],
+                )
+            )
+        )
+        .select(
+            "__n_docs",
+            (F.col("__tot") / F.col("__n_docs")).alias("__avgdl"),
+            *[
+                trunc6(
+                    F.log(
+                        F.lit(1.0)
+                        + (
+                            F.col("__n_docs")
+                            - F.col(f"__dft_{i}")
+                            + F.lit(0.5)
+                        )
+                        / (F.col(f"__dft_{i}") + F.lit(0.5))
+                    )
+                ).alias(f"__idf_{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+
+    def _contrib(i: int):
+        tf = F.col(f"__tf_{i}").cast("double")
+        return trunc6(
+            F.col(f"__idf_{i}")
+            * (tf * F.lit(k1 + 1.0))
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(b)
+                    + (F.lit(b) * F.col("__dl").cast("double"))
+                    / F.col("__avgdl")
+                )
+            )
+        ).cast("decimal(28,6)")
+
+    scored = (
+        per_doc.filter(
+            sum(
+                (F.col(f"__tf_{i}") for i in range(len(terms))),
+                F.lit(0),
+            )
+            > 0
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("__dl").cast("long").alias("n_tokens"),
+            sum(
+                (_contrib(i) for i in range(1, len(terms))),
+                _contrib(0),
+            )
+            .cast("double")
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col(id_col),
+        "n_tokens",
+        "score",
+    ).orderBy("rank")

@@ -283,3 +283,41 @@ def test_bpe_spark_trainer_max_words_cap(spark):
     )
     merges = bpe.train_bpe_merges_spark(df, n_merges=10, max_words=1)
     assert merges == [("l", "o"), ("lo", "w"), ("low", "</w>")]
+
+
+def test_bm25_topk_ranking_properties(spark):
+    """BM25 sanity on a constructed corpus: a document saturated with a
+    query term outranks a balanced one; documents with no query term
+    never appear; rank is contiguous from 1; n_tokens is the doc's
+    whitespace token count; idf weighting makes the rarer query term
+    worth more than the common one."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    rows = [
+        (1, "spark spark spark spark filter"),   # tf-heavy on 'spark'
+        (2, "spark filter scan sort group"),     # one hit
+        (3, "filter scan sort group order"),     # no hits -> excluded
+        (4, "join filter scan sort group"),      # rare term 'join'
+        (5, "spark filter scan sort group by"),  # one hit, longer doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text_fn.bm25_topk(
+        df, ["spark", "join"], top_k=10
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 3 not in got
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    assert got[1]["n_tokens"] == 5
+    # tf saturation still rewards repetition: doc 1 beats doc 2
+    assert got[1]["score"] > got[2]["score"]
+    # 'join' appears in 1/5 docs vs 'spark' in 3/5: idf makes the
+    # single rare-term doc beat the single common-term doc
+    assert got[4]["score"] > got[2]["score"]
+    # longer doc with same tf scores lower (length normalization)
+    assert got[2]["score"] > got[5]["score"]
+    # all scores positive, truncated to the 1e-6 grid
+    for r in out:
+        assert r["score"] > 0
+        assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-3

@@ -25,6 +25,9 @@ from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import get_sp
 
 # query -> why a nested-loop/cross against a bounded side is fine there
 BOUNDED_BNLJ_OK = {
+    # BM25: corpus N/avgdl ride a 1-row broadcast onto the idf and
+    # contribution stages (functions/text.py:bm25_topk)
+    "doc_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast",
     # star builds: ordered_surrogate_key's bucket math joins a 1-row
     # min/max aggregate of the ordering key (operators/keys.py:98,139)
     "event_raw": "1-row min/max bounds for surrogate-key buckets",
