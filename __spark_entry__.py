@@ -444,6 +444,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights (operators/sampling.py:
+    source_temperature_mix — the multilingual-BERT / GPT-3 sampling
+    rule): per-source size^0.7 weights, trunc6 + DECIMAL normalizer so
+    both engines floor identically, doc budget of 1000 allocated by
+    exact decimal multiply."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (  # noqa: PLC0415
+        sampling,
+    )
+
+    return sampling.source_temperature_mix(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_corpus_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture curation (operators/sampling.py:
     mixture_budget_select — the Pile/Dolma mix builder): one global
@@ -2732,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": behavior.revenue_gini,
         # round 7: Okapi BM25 top-k lexical retrieval
         "doc_bm25_topk": q_doc_bm25_topk,
+        # round 7: temperature-based source mixing weights
+        "source_temperature_mix": q_source_temperature_mix,
     }
     ordered = {name: all_q[name] for name in _R7_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -6601,6 +6618,34 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY s DESC, doc_id
             LIMIT 20
+        """,
+        # round 7: temperature mixing — pow trunc6'd per source, the
+        # normalizer summed as DECIMAL(28,6), weight one double
+        # division trunc6'd, allocation an exact DECIMAL multiply.
+        "source_temperature_mix": """
+            WITH sized AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+              FROM documents GROUP BY source
+            ), powed AS (
+              SELECT source, n_docs, n_bytes,
+                     CAST(floor(pow(CAST(n_bytes AS DOUBLE), 0.7) * 1e6)
+                          / 1e6 AS DECIMAL(28,6)) AS p
+              FROM sized
+            ), tot AS (
+              SELECT SUM(p) AS t FROM powed
+            ), weighted AS (
+              SELECT source, n_docs, n_bytes,
+                     floor(CAST(p AS DOUBLE) / CAST(t AS DOUBLE) * 1e6)
+                       / 1e6 AS weight
+              FROM powed, tot
+            )
+            SELECT source, n_docs, n_bytes, weight,
+                   CAST(floor(CAST(weight AS DECIMAL(18,6)) * 1000)
+                        AS BIGINT) AS alloc_docs
+            FROM weighted
+            ORDER BY source
         """,
     }
     return oracles

@@ -28,6 +28,7 @@ __all__ = [
     "weighted_sample",
     "split_assign",
     "corpus_shuffle",
+    "source_temperature_mix",
     "token_budget_select",
 ]
 
@@ -492,3 +493,74 @@ def mixture_budget_select(
         .filter(F.col(cum_name) <= budget)
     )
     return out.drop("__band", "__score", "__prior", "__total", "__prop")
+
+
+def source_temperature_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    alpha: float = 0.7,
+    budget_docs: int = 1000,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-corpus
+    sampling rule of Devlin et al. 2019 App. A / GPT-3's dataset
+    weighting): each source's sampling weight is its size raised to
+    ``alpha`` < 1, normalized — upweighting small sources relative to
+    raw proportions without letting any source dominate. Returns per
+    source: doc count, total size, the normalized weight, and the
+    floor-allocated document budget at ``budget_docs``.
+
+    Determinism discipline: the one transcendental per source —
+    pow(size, alpha) — is floor-truncated to 6 decimals immediately;
+    the normalizer sums those truncated values as DECIMAL(28,6)
+    (exact); the weight is one double division of two exact values,
+    truncated again; and the budget allocation multiplies the
+    truncated weight as DECIMAL so the floor cannot flip on a binary
+    ulp. Mirrored shape-for-shape in the DuckDB oracle.
+
+    Plan: one groupBy(source) over the corpus — map-side combined,
+    output is |sources| rows — then a 1-row broadcast of the
+    normalizer. Nothing else scales with the corpus.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    sized = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(size_col)).cast("long").alias("n_bytes"),
+    )
+    p = F.floor(
+        F.pow(F.col("n_bytes").cast("double"), F.lit(alpha)) * 1000000.0
+    ) / 1000000.0
+    powed = sized.select(
+        "source", "n_docs", "n_bytes", p.cast("decimal(28,6)").alias("__p")
+    )
+    tot = powed.agg(F.sum("__p").alias("__tot"))
+    weight = (
+        F.floor(
+            F.col("__p").cast("double")
+            / F.col("__tot").cast("double")
+            * 1000000.0
+        )
+        / 1000000.0
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_bytes",
+            weight.alias("weight"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_bytes",
+            "weight",
+            F.floor(
+                F.col("weight").cast("decimal(18,6)") * F.lit(budget_docs)
+            )
+            .cast("long")
+            .alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )

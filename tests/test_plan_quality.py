@@ -322,3 +322,24 @@ def test_kmv_sketch_rank_pushes_to_window_group_limit(spark):
     plan = _plan(sketches.kmv_source_overlap(docs))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_single_corpus_shuffle_and_topk(spark):
+    # BM25's only corpus-scaled shuffle is the doc-keyed groupBy that
+    # carries dl + per-term conditional tfs; the corpus stats ride
+    # 1-row broadcasts (BNLJ is fine THERE and nowhere else), and the
+    # top-k must plan as a true distributed TakeOrderedAndProject,
+    # never a global sort before the limit.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(text_fn.bm25_topk(docs, ["spark", "hash", "join"]))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # no per-term explode->join chain: zero hash joins, the only joins
+    # are the two 1-row stats broadcasts
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2

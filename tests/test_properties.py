@@ -590,3 +590,41 @@ def test_mixture_budget_select_matches_python_model(spark, rows, bf_pct):
                 want[i] = cum
     got = {r["id"]: r["cum_w"] for r in out}
     assert got == want
+
+
+def test_source_temperature_mix_flattens_toward_uniform(spark):
+    """alpha < 1 compresses size disparities: the weight ratio between
+    the largest and smallest source must be strictly smaller than
+    their raw size ratio, weights must sum to ~1, and alpha=1 must
+    reproduce raw proportions (to truncation)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    rows = (
+        [(i, "a", 100) for i in range(8)]
+        + [(100 + i, "b", 400) for i in range(4)]
+        + [(200 + i, "c", 50) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {
+        r["source"]: r
+        for r in sampling.source_temperature_mix(df, alpha=0.7).collect()
+    }
+    sizes = {s: out[s]["n_bytes"] for s in out}
+    big, small = max(sizes, key=sizes.get), min(sizes, key=sizes.get)
+    assert sum(r["weight"] for r in out.values()) > 0.999
+    assert (
+        out[big]["weight"] / out[small]["weight"]
+        < sizes[big] / sizes[small]
+    )
+    # allocation follows floor(weight * budget)
+    for r in out.values():
+        assert r["alloc_docs"] == int(r["weight"] * 1000 + 1e-9)
+    flat = {
+        r["source"]: r["weight"]
+        for r in sampling.source_temperature_mix(df, alpha=1.0).collect()
+    }
+    total = sum(sizes.values())
+    for s, w in flat.items():
+        assert abs(w - sizes[s] / total) < 2e-6

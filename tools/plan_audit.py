@@ -28,6 +28,9 @@ BOUNDED_BNLJ_OK = {
     # BM25: corpus N/avgdl ride a 1-row broadcast onto the idf and
     # contribution stages (functions/text.py:bm25_topk)
     "doc_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast",
+    # temperature mixing: the weight normalizer is a 1-row sum
+    # broadcast onto the |sources|-row table
+    "source_temperature_mix": "1-row weight-normalizer broadcast",
     # star builds: ordered_surrogate_key's bucket math joins a 1-row
     # min/max aggregate of the ordering key (operators/keys.py:98,139)
     "event_raw": "1-row min/max bounds for surrogate-key buckets",

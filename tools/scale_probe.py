@@ -309,11 +309,13 @@ def main() -> None:
     # its shape) to the small config — r07's first cut showed many
     # ops "faster at 10x than 1x" and charged pca ~6x its bench cost.
     # The bench's own rule is MIN over repeated sweeps; mirror it
-    # here: 1x = min of two executions (cheap at sf0.001), 10x = one
-    # execution (warm by then, and 10x is the expensive sweep).
+    # here for BOTH tags — this host shows random per-query noise
+    # bursts up to 5x, and a single-shot 10x number makes the growth
+    # ratio jitter by that much.
     def timed(run, tag: str) -> float:
+        del tag
         times = []
-        for _ in range(2 if tag == "1x" else 1):
+        for _ in range(2):
             t0 = time.time()
             run()
             times.append(time.time() - t0)
