@@ -303,36 +303,44 @@ def main() -> None:
             ),
         }
 
-    # Measurement discipline (VERDICT r06 item 5, continued): the 1x
-    # sweep runs FIRST, so single-shot timing charged every op's
-    # first-execution warm-up (codegen/JIT, Arrow worker spin-up for
-    # its shape) to the small config — r07's first cut showed many
-    # ops "faster at 10x than 1x" and charged pca ~6x its bench cost.
-    # The bench's own rule is MIN over repeated sweeps; mirror it
-    # here for BOTH tags — this host shows random per-query noise
-    # bursts up to 5x, and a single-shot 10x number makes the growth
-    # ratio jitter by that much.
-    def timed(run, tag: str) -> float:
-        del tag
-        times = []
+    # Measurement discipline (VERDICT r06 item 5, continued). Two
+    # failure modes, both observed this round: (a) single-shot timing
+    # with the whole 1x sweep first charged every op's first-execution
+    # JIT/codegen warm-up to the small config (pca measured at ~6x its
+    # bench cost, many ops "faster at 10x than 1x"); (b) even min-of-2
+    # per tag jitters when the two tags run ~20 min apart — this host
+    # has documented multi-hour ambient drift windows of ±25% and
+    # random noise bursts up to 5x (pca 1x measured 2.1 s and 8.4 s in
+    # two same-methodology runs). The growth RATIO is the artifact, so
+    # follow the repo's A/B rule: interleave the two configs PER OP in
+    # one process — 1x, Nx, 1x, Nx back-to-back — and take the min of
+    # each tag's two executions. Both numbers then sample the same
+    # drift window and the ratio is drift-immune; the first 1x
+    # execution absorbs the op's warm-up for both.
+    def timed_ab(run_small, run_big) -> tuple[float, float]:
+        t_small, t_big = [], []
         for _ in range(2):
-            t0 = time.time()
-            run()
-            times.append(time.time() - t0)
-            # Drop the localCheckpoint blocks iterative operators pin —
-            # bench and check_oracles both do this between queries;
-            # accumulated pins bleed GC pressure into later ops.
-            release_persisted_rdds(spark)
-        return round(min(times), 2)
+            for run, sink in ((run_small, t_small), (run_big, t_big)):
+                t0 = time.time()
+                run()
+                sink.append(time.time() - t0)
+                # Drop the localCheckpoint blocks iterative operators
+                # pin — accumulated pins bleed GC pressure into later
+                # ops (bench and check_oracles do the same).
+                release_persisted_rdds(spark)
+        return round(min(t_small), 2), round(min(t_big), 2)
 
     results: dict[str, dict[str, float]] = {}
-    for tag, path in [("1x", BASE), (f"{replicas}x", big_path)]:
-        df = spark.read.parquet(path)
-        for name, fn in ops(df).items():
-            results.setdefault(name, {})[tag] = timed(
-                lambda: fn().write.format("noop").mode("overwrite").save(),
-                tag,
-            )
+    df_small = spark.read.parquet(BASE)
+    df_big = spark.read.parquet(big_path)
+    ops_small, ops_big = ops(df_small), ops(df_big)
+    for name in ops_small:
+        fn_s, fn_b = ops_small[name], ops_big[name]
+        s_t, b_t = timed_ab(
+            lambda: fn_s().write.format("noop").mode("overwrite").save(),
+            lambda: fn_b().write.format("noop").mode("overwrite").save(),
+        )
+        results[name] = {"1x": s_t, f"{replicas}x": b_t}
 
     # --- star-schema path: replicate EVENTS Nx into an sf_dir-shaped
     # probe dir (other tables symlinked), then time the fact build and
@@ -562,15 +570,18 @@ def main() -> None:
             "corpus_mixture_select": entrymod.q_corpus_mixture_select,
         }
     )
-    for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]:
-        for name, fn in star_ops.items():
-            results.setdefault(name, {})[tag] = timed(
-                lambda: fn(spark, d)
-                .write.format("noop")
-                .mode("overwrite")
-                .save(),
-                tag,
-            )
+    for name, fn in star_ops.items():
+        s_t, b_t = timed_ab(
+            lambda: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            lambda: fn(spark, star_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        results[name] = {"1x": s_t, f"{replicas}x": b_t}
 
     # candidate-count evidence for the fuzzy-match prefilter: output
     # pair counts at 1x vs Nx (the length-band+block design should
