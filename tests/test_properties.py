@@ -628,3 +628,62 @@ def test_source_temperature_mix_flattens_toward_uniform(spark):
     total = sum(sizes.values())
     for s, w in flat.items():
         assert abs(w - sizes[s] / total) < 2e-6
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "hash", "join", "scan", "sort", "x"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@SETTINGS
+def test_bm25_matches_naive_python_model(spark, docs):
+    """Differential oracle: bm25_topk against a from-scratch pure-Python
+    BM25 replica (same trunc6/decimal discipline) on random corpora —
+    scores, ranks, and membership all agree."""
+    import math
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    terms = ["spark", "join"]
+    k1, b = 1.2, 0.75
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = text_fn.bm25_topk(df, terms, top_k=5).collect()
+
+    def t6(x: float) -> float:
+        return math.floor(x * 1e6) / 1e6
+
+    n = len(texts)
+    dl = {i: len(t.split()) for i, t in enumerate(texts)}
+    avgdl = sum(dl.values()) / n
+    scores = {}
+    for q in terms:
+        dft = sum(1 for t in texts if q in t.split())
+        idf = t6(math.log(1.0 + (n - dft + 0.5) / (dft + 0.5)))
+        for i, t in enumerate(texts):
+            tf = t.split().count(q)
+            if tf == 0:
+                continue
+            c = t6(
+                idf * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + (b * dl[i]) / avgdl))
+            )
+            # DECIMAL-exact accumulation on the 1e-6 grid
+            scores[i] = scores.get(i, 0) + round(c * 1e6)
+    expect = sorted(
+        ((s, i) for i, s in scores.items()), key=lambda p: (-p[0], p[1])
+    )[:5]
+    assert [(r["doc_id"], round(r["score"] * 1e6)) for r in got] == [
+        (i, s) for s, i in expect
+    ]
+    assert [r["rank"] for r in got] == list(range(1, len(expect) + 1))
