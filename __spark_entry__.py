@@ -444,6 +444,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_feature_table(load_table(spark, sf_dir, "documents"))
 
 
+def q_cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix
+    (operators/dedup.py:cross_source_ngram_matrix): DISTINCT shared
+    13-grams per source pair — shingle → md5 → per-source distinct,
+    one fingerprint-keyed self-join bounded by |sources| per key,
+    never a document-pair expansion."""
+    return dedup.cross_source_ngram_matrix(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing weights (operators/sampling.py:
     source_temperature_mix — the multilingual-BERT / GPT-3 sampling
@@ -2749,6 +2760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": q_doc_bm25_topk,
         # round 7: temperature-based source mixing weights
         "source_temperature_mix": q_source_temperature_mix,
+        # round 7: cross-source 13-gram contamination matrix
+        "cross_source_ngram_matrix": q_cross_source_ngram_matrix,
     }
     ordered = {name: all_q[name] for name in _R7_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -6646,6 +6659,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS alloc_docs
             FROM weighted
             ORDER BY source
+        """,
+        # round 7: contamination matrix — per-source DISTINCT shingle
+        # fingerprints intersected per pair; the _SHINGLES slice shape
+        # at n=13 (short docs yield their full token-join), no
+        # document-pair expansion on either engine.
+        "cross_source_ngram_matrix": """
+            WITH sh AS (
+              SELECT source,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(string_split_regex(
+                         lower(trim(text)), '\\s+')) - 12, 1)),
+                       i -> array_to_string(list_slice(
+                              string_split_regex(lower(trim(text)),
+                                                 '\\s+'),
+                              i + 1, i + 13), ' ')
+                     )) AS shingles
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT source, md5(g) AS fp
+              FROM (SELECT source, unnest(shingles) AS g FROM sh)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+            FROM grams a JOIN grams b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
+            ORDER BY source_a, source_b
         """,
     }
     return oracles

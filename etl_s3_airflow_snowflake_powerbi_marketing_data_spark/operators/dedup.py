@@ -1073,3 +1073,52 @@ def minhash_incremental(
             ).alias("keep"),
         )
     )
+
+
+def cross_source_ngram_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 13,
+) -> DataFrame:
+    """Cross-source contamination matrix in the decontamination
+    currency: for every source pair (a < b), how many DISTINCT word
+    ``n``-grams they share — the governance panel a multi-corpus
+    training pipeline reads before mixing (is source X a re-crawl of
+    source Y? which pair needs a decontam pass?). n=13 is the
+    standard eval-overlap window (GPT-3 appendix C / the
+    ``operators/decontam.py`` rule), applied corpus-to-corpus.
+
+    Plan (never materializes a document or occurrence pair): shingle →
+    md5 fingerprint → per-source DISTINCT (one shuffle keyed by the
+    16-byte fingerprint, payload never the raw 13-word string), then a
+    fingerprint-keyed self-join whose per-key group size is bounded by
+    |sources| — a gram shared by a million documents contributes ONE
+    row per source containing it. Shingling mirrors
+    ``word_shingles`` exactly (docs shorter than n yield their full
+    token-join) so the SQL oracle is the established _SHINGLES shape.
+
+    Output: (source_a, source_b, shared_ngrams), a < b, only pairs
+    sharing at least one gram, ordered.
+    """
+    del id_col  # grain is (source, gram); ids never matter
+    grams = (
+        _spread(df, source_col)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        )
+        .select("src", F.md5("g").alias("fp"))
+        .distinct()
+    )
+    a = grams.select(F.col("fp"), F.col("src").alias("source_a"))
+    b = grams.select(
+        F.col("fp").alias("fpb"), F.col("src").alias("source_b")
+    )
+    return (
+        a.join(b, (a.fp == b.fpb) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_ngrams"))
+        .orderBy("source_a", "source_b")
+    )

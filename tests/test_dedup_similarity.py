@@ -461,3 +461,44 @@ def test_pca_whiten_unit_variance(spark):
     out = similarity.pca_project(df, n_components=3, whiten=True).toPandas()
     for k, g in out.groupby("component"):
         assert abs(g["value"].var(ddof=1) - 1.0) < 0.05, k
+
+
+def test_cross_source_ngram_matrix_counts_distinct_shared_grams(spark):
+    """Two sources sharing one 13-token span -> exactly the spans'
+    distinct 13-grams in their cell; a third source with disjoint text
+    appears in no pair; repeats within a source never inflate counts
+    (the grain is DISTINCT grams per source)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup,
+    )
+
+    span = " ".join(f"w{i}" for i in range(14))  # 14 tokens -> two 13-grams
+    rows = [
+        (1, span + " tail_a only_a", "A"),
+        (2, span + " tail_b", "B"),
+        (3, span, "A"),  # duplicate span inside A: no double count
+        (4, "totally different words " * 5, "C"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dedup.cross_source_ngram_matrix(df).collect()
+    cells = {(r["source_a"], r["source_b"]): r["shared_ngrams"] for r in out}
+    # A and B share exactly the two 13-grams of the common 14-token span
+    assert cells == {("A", "B"): 2}
+
+
+def test_cross_source_ngram_matrix_short_docs_use_full_join(spark):
+    """Docs shorter than n collapse to their full token-join (the
+    word_shingles contract) — two sources with the same short doc
+    share exactly that one gram."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tiny shared doc", "A"), (2, "tiny shared doc", "B")],
+        ["doc_id", "text", "source"],
+    )
+    out = dedup.cross_source_ngram_matrix(df).collect()
+    assert [(r["source_a"], r["source_b"], r["shared_ngrams"]) for r in out] == [
+        ("A", "B", 1)
+    ]
