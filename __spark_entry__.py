@@ -2436,9 +2436,11 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the judge's local gate re-runs the full registry).
 _R7_FRONT_50 = [
     # --- the last 22 never-driver-graded registry names (VERDICT r06
-    # item 1): after this window comes back green, every one of the 173
-    # registry names has a driver-graded green row and future windows
-    # are pure canary rotation.
+    # item 1): after this window comes back green, every one of the
+    # 173 names registered through round 6 has a driver-graded green
+    # row; the round-7 additions (doc_bm25_topk, source_temperature_mix,
+    # cross_source_ngram_matrix) queue for the next window and are
+    # verified meanwhile by the full vanilla oracle gate.
     "above_nation_average_customers",
     "conversion_funnel",
     "corpus_mixture_select",

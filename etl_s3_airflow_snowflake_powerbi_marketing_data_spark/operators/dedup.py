@@ -1102,9 +1102,11 @@ def cross_source_ngram_matrix(
     Output: (source_a, source_b, shared_ngrams), a < b, only pairs
     sharing at least one gram, ordered.
     """
-    del id_col  # grain is (source, gram); ids never matter
+    # spread by the UNIQUE id, never by source: hashing ~|sources|
+    # distinct values into the shuffle would cap the CPU-heavy
+    # shingling at |sources| partitions and inherit source skew
     grams = (
-        _spread(df, source_col)
+        _spread(df, id_col)
         .select(
             F.col(source_col).alias("src"),
             F.explode(word_shingles(F.col(text_col), n)).alias("g"),

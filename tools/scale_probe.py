@@ -214,6 +214,9 @@ def main() -> None:
     big.write.mode("overwrite").parquet(big_path)
 
     def ops(df):
+        from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+            bpe,
+        )
         from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
             lines as lines_mod,
             sampling,
@@ -224,6 +227,23 @@ def main() -> None:
             # .count() would let Catalyst prune the computed columns;
             # the noop sink forces the full plan.
             "text_profile": lambda: text_fn.profile_documents(df),
+            # round 7 additions: BM25 is one doc-keyed conditional-agg
+            # shuffle; the contamination matrix's self-join is bounded
+            # by |sources| per fingerprint; whole-corpus BPE training
+            # must stay word-count-bound (vocab is replication-
+            # invariant, so the merge loop's cost cannot grow at 10x)
+            "bm25_topk": lambda: text_fn.bm25_topk(
+                df, ["spark", "hash", "join"]
+            ),
+            "cross_source_ngram_matrix": (
+                lambda: dedup.cross_source_ngram_matrix(df)
+            ),
+            "source_temperature_mix": (
+                lambda: sampling.source_temperature_mix(df)
+            ),
+            "bpe_train_apply": lambda: bpe.bpe_token_counts(
+                df, bpe.train_bpe_merges_spark(df)
+            ),
             "repetition_profile": lambda: text_fn.repetition_profile(df),
             "winnow": lambda: text_fn.winnow_fingerprints(df),
             "simhash_near_dups": lambda: dedup.simhash_near_dups(df),
