@@ -2436,11 +2436,10 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the judge's local gate re-runs the full registry).
 _R7_FRONT_50 = [
     # --- the last 22 never-driver-graded registry names (VERDICT r06
-    # item 1): after this window comes back green, every one of the
-    # 173 names registered through round 6 has a driver-graded green
-    # row; the round-7 additions (doc_bm25_topk, source_temperature_mix,
-    # cross_source_ngram_matrix) queue for the next window and are
-    # verified meanwhile by the full vanilla oracle gate.
+    # item 1): after this window comes back green, every registry name
+    # ever added — including the three round-7 additions slotted in
+    # below in place of three already-green canaries — has a
+    # driver-graded green row; future windows are pure canary rotation.
     "above_nation_average_customers",
     "conversion_funnel",
     "corpus_mixture_select",
@@ -2463,13 +2462,17 @@ _R7_FRONT_50 = [
     "user_item_set_ops",
     "user_sessions",
     "versioned_rollback_restore",
-    # --- 28 canaries, spread one-per-family across previously
-    # driver-graded-green rounds (r1-r6)
+    # --- the three round-7 additions (never yet in a window)
+    "doc_bm25_topk",
+    "source_temperature_mix",
+    "cross_source_ngram_matrix",
+    # --- 25 canaries, spread one-per-family across previously
+    # driver-graded-green rounds (r1-r6); kpi_view_count_by_period,
+    # merge_update_orders, and minhash_lsh_dups stood down this round
+    # (graded green in BOTH r5 and r6) to make room
     "fact_events",
     "dim_event",
-    "kpi_view_count_by_period",
     "kpi_item_view_rank_by_period",
-    "merge_update_orders",
     "merge_scd2_orders",
     "csv_ingest_rollup",
     "ddl_table_roundtrip",
@@ -2482,7 +2485,6 @@ _R7_FRONT_50 = [
     "streaming_dedup_events",
     "text_profile",
     "dedup_exact_docs",
-    "minhash_lsh_dups",
     "simhash_near_dups",
     "embedding_topk_lsh",
     "embedding_outliers",
