@@ -889,6 +889,16 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = list(dict.fromkeys(query_terms))
+    # The conditional-agg design widens the per-doc row by 2·|Q|
+    # columns — the right trade for ad-hoc retrieval queries, the
+    # wrong one past a few hundred terms (plan size, codegen limits).
+    # Fail loudly instead of silently compiling a megabyte plan; a
+    # term list that size is an inverted-index build, not a query.
+    if len(terms) > 128:
+        raise ValueError(
+            f"bm25_topk supports at most 128 distinct query terms "
+            f"(got {len(terms)}); batch or index instead"
+        )
     toks = (
         _spread_if_narrow(df)
         .select(

@@ -321,3 +321,17 @@ def test_bm25_topk_ranking_properties(spark):
     for r in out:
         assert r["score"] > 0
         assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-3
+
+
+def test_bm25_rejects_oversized_query_term_list(spark):
+    import pytest
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="at most 128"):
+        text_fn.bm25_topk(df, [f"t{i}" for i in range(129)])
+    # duplicates collapse before the cap: 200 copies of one term is fine
+    assert text_fn.bm25_topk(df, ["a"] * 200).count() == 1
