@@ -687,3 +687,52 @@ def test_bm25_matches_naive_python_model(spark, docs):
         (i, s) for s, i in expect
     ]
     assert [r["rank"] for r in got] == list(range(1, len(expect) + 1))
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+@SETTINGS
+def test_cross_source_ngram_matrix_matches_set_model(spark, docs, n):
+    """Differential oracle: the matrix equals per-source shingle-set
+    intersections computed by a from-scratch Python model (including
+    the short-doc full-join fallback of word_shingles)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup,
+    )
+
+    rows = [(i, " ".join(ws), src) for i, (src, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_ngrams"]
+        for r in dedup.cross_source_ngram_matrix(df, n=n).collect()
+    }
+
+    def shingles(ws: list[str]) -> set[str]:
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    per_src: dict[str, set[str]] = {}
+    for src, ws in docs:
+        per_src.setdefault(src, set()).update(shingles(ws))
+    srcs = sorted(per_src)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            k = len(per_src[a] & per_src[b])
+            if k:
+                expect[(a, b)] = k
+    assert got == expect
