@@ -455,6 +455,20 @@ def q_cross_source_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional source-interleaved epoch order (operators/
+    sampling.py:source_interleave_order — stride scheduling): integer
+    midpoint keys on a fixed grid, per-source ranks via the
+    group-prefixed bucketed two-pass, exact on both engines."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (  # noqa: PLC0415
+        sampling,
+    )
+
+    return sampling.source_interleave_order(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing weights (operators/sampling.py:
     source_temperature_mix — the multilingual-BERT / GPT-3 sampling
@@ -2766,6 +2780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_temperature_mix": q_source_temperature_mix,
         # round 7: cross-source 13-gram contamination matrix
         "cross_source_ngram_matrix": q_cross_source_ngram_matrix,
+        # round 7: stride-scheduled source-interleaved epoch order
+        "source_interleave_order": q_source_interleave_order,
     }
     ordered = {name: all_q[name] for name in _R7_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -6690,6 +6706,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.fp = b.fp AND a.source < b.source
             GROUP BY a.source, b.source
             ORDER BY source_a, source_b
+        """,
+        # round 7: stride interleave — integer midpoint keys, exact
+        # (row_number per source over the md5 order, // floor-div).
+        "source_interleave_order": """
+            WITH hashed AS (
+              SELECT doc_id, source,
+                     md5(CAST(doc_id AS VARCHAR)) AS k
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY k, doc_id) AS rn
+              FROM hashed
+            ), sizes AS (
+              SELECT source, COUNT(*) AS m FROM documents GROUP BY source
+            )
+            SELECT CAST(rn AS BIGINT) AS src_rank, doc_id, source,
+                   CAST((2 * rn - 1) * 1048576 // (2 * m) AS BIGINT)
+                     AS interleave_key
+            FROM ranked JOIN sizes USING (source)
+            ORDER BY interleave_key, source, src_rank
         """,
     }
     return oracles

@@ -29,6 +29,7 @@ __all__ = [
     "split_assign",
     "corpus_shuffle",
     "source_temperature_mix",
+    "source_interleave_order",
     "token_budget_select",
 ]
 
@@ -563,4 +564,86 @@ def source_temperature_mix(
             .alias("alloc_docs"),
         )
         .orderBy("source")
+    )
+
+
+def source_interleave_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "",
+    scale: int = 1_048_576,
+) -> DataFrame:
+    """Proportional source-interleaved training order (stride
+    scheduling): each source's documents land at evenly spaced
+    positions, so a sequential reader sees every source at its corpus
+    proportion EVERYWHERE in the epoch — the guarantee a plain
+    hash shuffle gives only in expectation. Document i of a source
+    with m docs gets the integer key floor((2i-1)·scale / (2m)) — its
+    stride midpoint on a fixed grid — and the epoch order is
+    (interleave_key, source, src_rank).
+
+    Per-source ranks use the group-prefixed form of the
+    ordered_surrogate_key two-pass (operators/keys.py): md5(salt||id)
+    is the shuffle key, its leading 4 hex digits bucket each source's
+    rows order-contiguously (fixed-width lowercase hex compares like
+    its value), per-(source, bucket) counts roll into offsets with a
+    window over ≤ |sources|·n_buckets COUNT rows (bounded by
+    construction, never by data), and the only full-data shuffle is
+    the (source, bucket) hash exchange — no per-source single
+    partition, no skew from big sources.
+
+    Output: (src_rank, id_col, source_col, interleave_key), ordered.
+    Keys are integers on both engines (DIV), so the oracle is exact;
+    readers wanting a contiguous global position compose this with
+    the corpus_shuffle ranking on (interleave_key, source, src_rank).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    spark = df.sparkSession
+    n = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    shufkey = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    hashed = df.select(
+        F.col(id_col), F.col(source_col).alias("__src"), shufkey.alias("__k")
+    )
+    # leading 16 bits of the hash, scaled to n order-contiguous buckets
+    bucket = (
+        F.conv(F.substring("__k", 1, 4), 16, 10).cast("long")
+        * n
+        / 65536
+    ).cast("int")
+    bucketed = hashed.withColumn("__b", bucket)
+    counts = bucketed.groupBy("__src", "__b").agg(
+        F.count("*").alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy("__src")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__src",
+        "__b",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    sizes = counts.groupBy("__src").agg(F.sum("__cnt").alias("__m"))
+    w_local = Window.partitionBy("__src", "__b").orderBy("__k", id_col)
+    return (
+        bucketed.join(F.broadcast(offsets), ["__src", "__b"])
+        .join(F.broadcast(sizes), "__src")
+        .withColumn(
+            "__rn",
+            (F.row_number().over(w_local) + F.col("__off")).cast("long"),
+        )
+        .select(
+            F.col("__rn").alias("src_rank"),
+            F.col(id_col),
+            F.col("__src").alias(source_col),
+            F.expr(
+                f"CAST((2 * __rn - 1) * {scale} DIV (2 * __m) AS BIGINT)"
+            ).alias("interleave_key"),
+        )
+        .orderBy("interleave_key", source_col, "src_rank")
     )

@@ -335,3 +335,40 @@ def test_conversion_funnel_ordering(spark, tmp_path):
     assert out["click_after_view"][0] == 2   # users 1,3
     assert out["purchase_after_click"][0] == 1  # user 1 only
     assert out["purchase_after_click"][1] == 50.0
+
+
+def test_source_interleave_order_matches_python_model_and_is_even(spark):
+    """Differential: ranks and keys equal a hashlib-md5 Python replica.
+    Evenness (the property a hash shuffle lacks): in every prefix of
+    the epoch order, each source's share is within 1 of proportional."""
+    import hashlib
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(30)] + [
+        (100 + i, "s_big") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sampling.source_interleave_order(df, "doc_id", "source").collect()
+
+    by_src: dict[str, list[tuple[str, int]]] = {}
+    for i, src in rows:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        by_src.setdefault(src, []).append((h, i))
+    expect = {}
+    for src, hs in by_src.items():
+        m = len(hs)
+        for rn, (_, i) in enumerate(sorted(hs), start=1):
+            expect[i] = (rn, (2 * rn - 1) * 1_048_576 // (2 * m))
+    assert {r["doc_id"]: (r["src_rank"], r["interleave_key"]) for r in out} == expect
+
+    ordered = sorted(out, key=lambda r: (r["interleave_key"], r["source"], r["src_rank"]))
+    total = len(rows)
+    sizes = {s: sum(1 for _, src in rows if src == s) for s in by_src}
+    seen = {s: 0 for s in by_src}
+    for pos, r in enumerate(ordered, start=1):
+        seen[r["source"]] += 1
+        for s in sizes:
+            assert abs(seen[s] - pos * sizes[s] / total) <= 1.0
