@@ -2476,17 +2476,18 @@ _R7_FRONT_50 = [
     "user_item_set_ops",
     "user_sessions",
     "versioned_rollback_restore",
-    # --- the three round-7 additions (never yet in a window)
+    # --- the four round-7 additions (never yet in a window)
     "doc_bm25_topk",
     "source_temperature_mix",
     "cross_source_ngram_matrix",
-    # --- 25 canaries, spread one-per-family across previously
+    "source_interleave_order",
+    # --- 24 canaries, spread one-per-family across previously
     # driver-graded-green rounds (r1-r6); kpi_view_count_by_period,
-    # merge_update_orders, and minhash_lsh_dups stood down this round
-    # (graded green in BOTH r5 and r6) to make room
+    # merge_update_orders, minhash_lsh_dups, and
+    # kpi_item_view_rank_by_period stood down this round (each graded
+    # green in at least two prior rounds) to make room
     "fact_events",
     "dim_event",
-    "kpi_item_view_rank_by_period",
     "merge_scd2_orders",
     "csv_ingest_rollup",
     "ddl_table_roundtrip",
