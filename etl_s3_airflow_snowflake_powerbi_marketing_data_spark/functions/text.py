@@ -177,10 +177,17 @@ def unigram_surprisal(
     drift with partition order; the band compare runs on the truncated
     mean, never a raw double.
 
-    Plan (the rare_token_ratio shape): one vocabulary groupBy (map-side
-    combined), a 1-row total-token scalar broadcast onto the vocab, one
-    term-keyed join of tokens→surprisal, one groupBy back to document
-    grain. Nothing scales beyond the two term-keyed shuffles at 100 TB.
+    Plan (the rare_token_ratio shape): tokens pre-aggregate to
+    (doc, term) grain FIRST — one map-side-combined groupBy whose
+    exchange is the only token-scaled stage and is REUSED by both
+    consumers (the vocabulary rollup derives from it, so the corpus
+    tokenizes exactly once); a 1-row total-token scalar broadcasts
+    onto the vocab, the model joins back on term, and the final
+    doc-grain groupBy weights each term's surprisal by its in-doc
+    count. Every post-explode shuffle carries (doc, term) rows, never
+    token instances — the within-doc repetition factor is pure shuffle
+    savings at 100 TB (SCALE_PROBE_r07 flagged the token-grain join as
+    the steepest curve in the repo; VERDICT r07 item 4).
 
     Output: (id_col, n_tokens, mean_surprisal, ppl_band); empty
     documents report surprisal 0.0 / band 'head'. Default thresholds
@@ -196,7 +203,8 @@ def unigram_surprisal(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).filter(F.length("term") > 0)
-    freq = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    per_dt = toks.groupBy(id_col, "term").agg(F.count("*").alias("__c"))
+    freq = per_dt.groupBy("term").agg(F.sum("__c").alias("__tf"))
     total = freq.agg(F.sum("__tf").cast("double").alias("__n"))
     term_s = freq.crossJoin(F.broadcast(total)).select(
         "term",
@@ -204,12 +212,16 @@ def unigram_surprisal(
             "__s"
         ),
     )
+    # decimal × integer count == adding the truncated term __c times —
+    # exact, so the weighted form equals the per-token sum bit-for-bit
     per_doc = (
-        toks.join(term_s, "term")
+        per_dt.join(term_s, "term")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.col("__s").cast("decimal(28,6)")).alias("__sum"),
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.col("__s").cast("decimal(28,6)") * F.col("__c")).alias(
+                "__sum"
+            ),
         )
     )
     mean = trunc6(F.col("__sum").cast("double") / F.col("n_tokens"))
@@ -253,10 +265,14 @@ def bigram_surprisal(
     per-doc sums then accumulate exact DECIMAL(28,6).
 
     Plan: bigrams come from a shuffle-free zip of two array slices
-    (map-only per doc), the model is one (w1,w2) groupBy whose w1
-    totals re-aggregate the MODEL rows (never the corpus), and docs
-    join the model on the bigram key — two pair-keyed shuffles at any
-    scale, the same shape as the unigram/tfidf family.
+    (map-only per doc), then pre-aggregate to (doc, w1, w2) grain in
+    one map-side-combined groupBy whose exchange both consumers reuse
+    (the (w1,w2) model counts derive from it — the corpus shingles
+    exactly once); w1 totals re-aggregate the MODEL rows (never the
+    corpus), docs join the model on the bigram key, and the doc-grain
+    rollup weights each bigram's surprisal by its in-doc count. Every
+    post-explode shuffle carries (doc, bigram) rows, never bigram
+    instances (the unigram/rare-token restructure, VERDICT r07 item 4).
 
     Output: (id_col, n_bigrams, mean_bigram_surprisal); documents with
     < 2 tokens report 0 bigrams / 0.0 surprisal.
@@ -276,7 +292,8 @@ def bigram_surprisal(
         .select(F.col(id_col), F.explode(pairs).alias("__p"))
         .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
     )
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    per_db = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__c"))
+    c12 = per_db.groupBy("w1", "w2").agg(F.sum("__c").alias("__c12"))
     c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     model = c12.join(c1, "w1").select(
         "w1",
@@ -288,11 +305,13 @@ def bigram_surprisal(
         ).alias("__s"),
     )
     per_doc = (
-        bg.join(model, ["w1", "w2"])
+        per_db.join(model, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(F.col("__s").cast("decimal(28,6)")).alias("__sum"),
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("__s").cast("decimal(28,6)") * F.col("__c")).alias(
+                "__sum"
+            ),
         )
     )
     mean = trunc6(F.col("__sum").cast("double") / F.col("n_bigrams"))
@@ -435,11 +454,13 @@ def rare_token_ratio(
     rarity" family), and it needs a corpus frequency table by
     construction.
 
-    Plan: tokens materialize once (cached staged projection is not
-    needed — both consumers fold into one shuffle pair): one groupBy
-    over the vocabulary (map-side combined counts), one term-keyed join
-    of tokens→frequency (both sides partitioned on term — the exchange
-    is reused), one groupBy back to document grain. All counts are
+    Plan: tokens pre-aggregate to (doc, term) grain in one map-side-
+    combined groupBy whose exchange both consumers reuse (the corpus-
+    frequency table derives from it — the corpus tokenizes once), the
+    frequency table joins back on term, and the doc-grain rollup
+    weights rarity by the in-doc count. Every post-explode shuffle
+    carries (doc, term) rows, never token instances (the surprisal-
+    family restructure, VERDICT r07 item 4). All counts are
     integers; the final ratio is a single IEEE division, reproducible
     across engines (``trunc6`` belt-and-braces for the value hash).
 
@@ -452,14 +473,15 @@ def rare_token_ratio(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).filter(F.length("term") > 0)
-    freq = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    per_dt = toks.groupBy(id_col, "term").agg(F.count("*").alias("__c"))
+    freq = per_dt.groupBy("term").agg(F.sum("__c").alias("__tf"))
     per_doc = (
-        toks.join(freq, "term")
+        per_dt.join(freq, "term")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("__c").cast("long").alias("n_tokens"),
             F.sum(
-                F.when(F.col("__tf") <= max_count, 1).otherwise(0)
+                F.when(F.col("__tf") <= max_count, F.col("__c")).otherwise(0)
             ).cast("long").alias("n_rare"),
         )
     )
@@ -858,21 +880,37 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 20,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Okapi BM25 retrieval (Robertson & Zaragoza 2009): score every
     document against a fixed bag of query terms and keep the top-k —
     the lexical-retrieval primitive of a RAG / hard-negative-mining
     pipeline, expressed as pure DataFrame ops.
 
-    Plan shape at 100 TB — ONE corpus-scaled shuffle: because the
-    query-term list is fixed and small, per-term tfs are conditional
-    aggregates inside the single doc-keyed groupBy that also counts
-    doc length (no explode→filter→join chain); per-term document
-    frequencies, N, and avgdl then come from one 1-row aggregate of
-    that per-doc table, broadcast back as scalars. Scoring is pure
-    map-side column arithmetic and top-k plans as
-    TakeOrderedAndProject (per-partition heads, one bounded merge);
-    the rank window runs AFTER the limit, over ≤ top_k rows.
+    Two physical strategies behind one API (``strategy`` = ``auto`` |
+    ``conditional`` | ``inverted``; auto picks by term count at the
+    128-term line where the conditional plan's width stops paying):
+
+    - **conditional** (≤128 terms): per-term tfs are conditional
+      aggregates inside the single doc-keyed groupBy that also counts
+      doc length (no explode→filter→join chain).
+    - **inverted** (any term count — the RAG hard-negative-mining
+      batch shape, VERDICT r07 item 5): explode → broadcast
+      term-table semi-filter → per-(doc,term) groupBy, so the plan
+      never widens with |Q| and the only shuffled rows are MATCHED
+      (doc, term) pairs. See :func:`_bm25_topk_inverted`.
+
+    Plan shape at 100 TB — ONE corpus-scaled shuffle: the doc-keyed
+    (or (doc,term)-keyed) groupBy materializes once via a lazy
+    ``localCheckpoint`` — it feeds BOTH the 1-row stats aggregate and
+    the scored branch, and without the checkpoint Spark recomputes the
+    tokenize→explode→shuffle chain once per consumer (two corpus
+    passes where this docstring promises one; ADVICE r07). Per-term
+    document frequencies, N, and avgdl come from one 1-row aggregate,
+    broadcast back as scalars. Scoring is pure map-side column
+    arithmetic and top-k plans as TakeOrderedAndProject
+    (per-partition heads, one bounded merge); the rank window runs
+    AFTER the limit, over ≤ top_k rows.
 
     Determinism discipline (the unigram_surprisal precedent): each
     per-term idf — the one transcendental, BM25+ form
@@ -888,16 +926,26 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    if strategy not in ("auto", "conditional", "inverted"):
+        raise ValueError(f"unknown bm25 strategy {strategy!r}")
     terms = list(dict.fromkeys(query_terms))
     # The conditional-agg design widens the per-doc row by 2·|Q|
     # columns — the right trade for ad-hoc retrieval queries, the
     # wrong one past a few hundred terms (plan size, codegen limits).
-    # Fail loudly instead of silently compiling a megabyte plan; a
-    # term list that size is an inverted-index build, not a query.
+    # Past 128 distinct terms auto-dispatch to the inverted-index
+    # plan, which never widens with |Q|; forcing `conditional` keeps
+    # the original fail-loudly contract for callers who sized for it.
     if len(terms) > 128:
-        raise ValueError(
-            f"bm25_topk supports at most 128 distinct query terms "
-            f"(got {len(terms)}); batch or index instead"
+        if strategy == "conditional":
+            raise ValueError(
+                f"bm25_topk strategy='conditional' supports at most 128 "
+                f"distinct query terms (got {len(terms)}); use "
+                f"strategy='auto'/'inverted'"
+            )
+        strategy = "inverted"
+    if strategy == "inverted":
+        return _bm25_topk_inverted(
+            df, terms, text_col, id_col, k1, b, top_k
         )
     toks = (
         _spread_if_narrow(df)
@@ -916,6 +964,13 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    # Lazy checkpoint: per_doc feeds BOTH the stats aggregate and the
+    # scored branch; unbroken, each consumer re-runs the tokenize →
+    # explode → doc-keyed shuffle (plan showed 2 Exchanges, ADVICE
+    # r07). Materialized it is |docs| rows × (2+|Q|) columns —
+    # corpus-independent width, doc-count height — the same bounded
+    # posture as the repo's iterative operators.
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = (
         df.select(F.col(id_col))
         .agg(F.count("*").cast("double").alias("__n_docs"))
@@ -1000,6 +1055,118 @@ def bm25_topk(
     )
     from pyspark.sql import Window  # noqa: PLC0415
 
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return scored.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col(id_col),
+        "n_tokens",
+        "score",
+    ).orderBy("rank")
+
+
+def _bm25_topk_inverted(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+    top_k: int,
+) -> DataFrame:
+    """Inverted-index BM25 strategy (any |Q| — dispatched from
+    :func:`bm25_topk`): explode tokens, broadcast-join the term table
+    (a map-side semi-filter — only matched tokens survive), aggregate
+    to (doc, term) tf grain, then score. Bit-identical scores to the
+    conditional plan: same tokenizer, same trunc6-then-DECIMAL(28,6)
+    discipline, same (b·dl)/avgdl division shape.
+
+    100 TB posture: the tokenize→explode scan is map-only; the only
+    data-scaled shuffle carries MATCHED (doc, term) pairs (bounded by
+    matching docs × |Q|, not by corpus tokens). Doc length rides the
+    explode as a per-row column (size of the pre-filtered token
+    array — no second corpus pass, no join back to a doc-length
+    table); corpus N / total tokens come from one map-only 1-row
+    aggregate. The per-(doc,term) table localCheckpoints because both
+    the per-term document-frequency rollup and the scoring branch
+    consume it (the bm25_topk double-reference lesson, ADVICE r07).
+    Top-k plans as TakeOrderedAndProject; the rank window runs after
+    the limit over ≤ top_k rows.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    spark = df.sparkSession
+    terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    base = _spread_if_narrow(df).select(
+        F.col(id_col),
+        F.size(tk).alias("__dl"),
+        F.explode(tk).alias("term"),
+    )
+    per_dt = (
+        base.join(F.broadcast(terms_df), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("__tf"), F.max("__dl").alias("__dl"))
+        .localCheckpoint(eager=False)
+    )
+    # N and total tokens in ONE map-only scan; avgdl formed first as
+    # tot/N (the division shape the oracle mirrors).
+    stats = (
+        df.agg(
+            F.count("*").cast("double").alias("__n_docs"),
+            F.coalesce(F.sum(F.size(tk)), F.lit(0))
+            .cast("double")
+            .alias("__tot"),
+        )
+        .select(
+            "__n_docs",
+            (F.col("__tot") / F.col("__n_docs")).alias("__avgdl"),
+        )
+    )
+    idf = (
+        per_dt.groupBy("term")
+        .agg(F.count("*").cast("double").alias("__dft"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            trunc6(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n_docs") - F.col("__dft") + F.lit(0.5))
+                    / (F.col("__dft") + F.lit(0.5))
+                )
+            ).alias("__idf"),
+        )
+    )
+    tf = F.col("__tf").cast("double")
+    contrib = trunc6(
+        F.col("__idf")
+        * (tf * F.lit(k1 + 1.0))
+        / (
+            tf
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + (F.lit(b) * F.col("__dl").cast("double"))
+                / F.col("__avgdl")
+            )
+        )
+    ).cast("decimal(28,6)")
+    scored = (
+        per_dt.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("__dl"), contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__dl").cast("long").alias("n_tokens"),
+            F.sum("__c").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return scored.select(
         F.row_number().over(w).cast("long").alias("rank"),

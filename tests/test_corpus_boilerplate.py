@@ -323,7 +323,7 @@ def test_bm25_topk_ranking_properties(spark):
         assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-3
 
 
-def test_bm25_rejects_oversized_query_term_list(spark):
+def test_bm25_oversized_term_list_dispatches_to_inverted(spark):
     import pytest
 
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
@@ -331,7 +331,40 @@ def test_bm25_rejects_oversized_query_term_list(spark):
     )
 
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    # >128 distinct terms: auto dispatches to the inverted-index plan
+    # (VERDICT r07 item 5) and still scores correctly
+    out = text_fn.bm25_topk(df, [f"t{i}" for i in range(129)] + ["b"])
+    assert out.count() == 1
+    # forcing the conditional plan keeps the original fail-loudly cap
     with pytest.raises(ValueError, match="at most 128"):
-        text_fn.bm25_topk(df, [f"t{i}" for i in range(129)])
+        text_fn.bm25_topk(
+            df, [f"t{i}" for i in range(129)], strategy="conditional"
+        )
+    with pytest.raises(ValueError, match="unknown bm25 strategy"):
+        text_fn.bm25_topk(df, ["a"], strategy="bogus")
     # duplicates collapse before the cap: 200 copies of one term is fine
     assert text_fn.bm25_topk(df, ["a"] * 200).count() == 1
+
+
+def test_bm25_inverted_matches_conditional(spark):
+    """Differential gate between the two physical strategies: identical
+    (rank, doc, n_tokens, score) rows on the same corpus and query —
+    the inverted plan is a pure execution-strategy change."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    rows = [
+        (1, "spark spark spark spark filter"),
+        (2, "spark filter scan sort group"),
+        (3, "filter scan sort group order"),
+        (4, "join filter scan sort group"),
+        (5, "spark filter scan sort group by"),
+        (6, ""),
+        (7, "join join spark"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    terms = ["spark", "join", "absent_term"]
+    cond = text_fn.bm25_topk(df, terms, strategy="conditional").collect()
+    inv = text_fn.bm25_topk(df, terms, strategy="inverted").collect()
+    assert cond == inv

@@ -326,10 +326,15 @@ def test_kmv_sketch_rank_pushes_to_window_group_limit(spark):
 
 def test_bm25_single_corpus_shuffle_and_topk(spark):
     # BM25's only corpus-scaled shuffle is the doc-keyed groupBy that
-    # carries dl + per-term conditional tfs; the corpus stats ride
-    # 1-row broadcasts (BNLJ is fine THERE and nowhere else), and the
-    # top-k must plan as a true distributed TakeOrderedAndProject,
-    # never a global sort before the limit.
+    # carries dl + per-term conditional tfs — and it must run ONCE:
+    # per_doc feeds both the stats aggregate and the scored branch, so
+    # it localCheckpoints (ADVICE r07: without it the tokenize→explode→
+    # shuffle chain executed twice, visible as 2 'Exchange
+    # hashpartitioning' with 0 reuse). After the checkpoint the
+    # downstream plan reads an ExistingRDD and carries ZERO
+    # hash-partitioned exchanges. The corpus stats ride 1-row
+    # broadcasts, and the top-k must plan as a true distributed
+    # TakeOrderedAndProject, never a global sort before the limit.
     from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
         text as text_fn,
     )
@@ -340,6 +345,32 @@ def test_bm25_single_corpus_shuffle_and_topk(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     # no per-term explode->join chain: zero hash joins, the only joins
-    # are the two 1-row stats broadcasts
+    # are the 1-row stats broadcasts
     assert "BroadcastHashJoin" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # the one corpus shuffle happened inside the checkpoint; nothing
+    # downstream re-shuffles the corpus
+    assert "ExistingRDD" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_bm25_inverted_plan_shape(spark):
+    # The >128-term strategy (VERDICT r07 item 5): term table and idf
+    # table broadcast (never a shuffled join), the per-(doc,term) table
+    # checkpoints once (both the dft rollup and the scoring branch read
+    # the ExistingRDD), the only exchanges downstream are over MATCHED
+    # rows, and top-k is a distributed TakeOrderedAndProject.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        text_fn.bm25_topk(
+            docs, ["spark", "hash", "join"], strategy="inverted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" in plan
