@@ -25,17 +25,33 @@ exact by construction.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 END = "</w>"
 
+# Java \s (the Spark-side split in word_freq_table) matches ONLY
+# ASCII whitespace; Python str.split() also splits on Unicode
+# whitespace (U+00A0, U+0085, U+2028, ...). Every Python-side
+# tokenizer here must use this regex or the driver path, the
+# Spark-rounds path, and the apply pass silently disagree on
+# non-ASCII-whitespace corpora (ADVICE r07).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _java_ws_words(t: str | None) -> list[str]:
+    """Tokenize exactly like Spark's ``split(lower(x), '\\\\s+')`` +
+    empty filter: lowercase, split on ASCII whitespace only."""
+    return [w for w in _JAVA_WS.split((t or "").lower()) if w]
+
 
 def _word_freqs(texts: list[str]) -> dict[tuple[str, ...], int]:
     freqs: dict[tuple[str, ...], int] = {}
     for t in texts:
-        for w in (t or "").strip().lower().split():
+        for w in _java_ws_words(t):
             sym = tuple(list(w) + [END])
             freqs[sym] = freqs.get(sym, 0) + 1
     return freqs
@@ -311,7 +327,7 @@ def bpe_token_counts(
         for pdf in it:
             ids, nw, nt = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                words = (t or "").strip().lower().split()
+                words = _java_ws_words(t)
                 total = 0
                 for w in words:
                     c = cache.get(w)

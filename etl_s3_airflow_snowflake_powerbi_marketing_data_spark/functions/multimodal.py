@@ -338,9 +338,117 @@ FRAME_SCHEMA = T.StructType(
 
 
 def fake_duration_ms(payload: bytes) -> int:
-    """STUB duration probe — deterministic fake milliseconds from the
-    payload length (a real deployment uses ffprobe/container metadata)."""
+    """STUB duration probe for UNKNOWN containers only — deterministic
+    fake milliseconds from the payload length. RIFF/WAVE payloads never
+    reach this: :func:`riff_wav_meta` parses their real duration from
+    the fmt-chunk byte rate and data-chunk size (VERDICT r07 item 6).
+    A real deployment extends the known-container set with
+    ffprobe/container metadata."""
     return (len(payload) % 120 + 1) * 1000
+
+
+def riff_wav_meta(payload: bytes) -> tuple[int, int, float] | None:
+    """REAL pure-Python WAV/RIFF header parse (the decode_image
+    posture — no codec package): walk the chunk list, read the fmt
+    chunk (PCM format tag, channels, sample rate, byte rate, bits) and
+    the data chunk size, and return ``(duration_ms, sample_rate,
+    rms)``. Returns None for anything that is not a well-formed
+    RIFF/WAVE container — the caller falls back to the documented
+    deterministic fake.
+
+    duration_ms = data_bytes * 1000 // byte_rate (the container's own
+    definition — exact integer arithmetic, oracle-reproducible). RMS
+    is computed from the real samples for 16-bit PCM (sqrt of the
+    exact integer mean square, normalized by 32768); non-PCM or
+    non-16-bit payloads report 0.0 (metadata parses, sample decode
+    out of scope).
+    """
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import struct  # noqa: PLC0415
+
+    fmt = None
+    data: tuple[int, int] | None = None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt " and size >= 16 and i + 8 + 16 <= n:
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = (i + 8, min(size, n - i - 8))
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, _channels, sample_rate, byte_rate, _block, bits = fmt
+    if byte_rate <= 0:
+        return None
+    off, size = data
+    duration_ms = size * 1000 // byte_rate
+    rms = 0.0
+    if audio_format == 1 and bits == 16 and size >= 2:
+        import numpy as np  # noqa: PLC0415
+
+        samples = np.frombuffer(
+            b[off : off + size - (size % 2)], dtype="<i2"
+        ).astype(np.float64)
+        rms = float(np.sqrt(np.mean(samples * samples)) / 32768.0)
+    return duration_ms, sample_rate, rms
+
+
+def media_duration_ms(payload: bytes) -> int:
+    """Container-aware duration: real RIFF/WAVE header math when the
+    payload is a WAV, the deterministic fake for unknown containers."""
+    meta = riff_wav_meta(payload)
+    return meta[0] if meta is not None else fake_duration_ms(payload)
+
+
+def encode_wav(
+    n_samples: int, sample_rate: int, amplitude: int = 10_000
+) -> bytes:
+    """Minimal valid mono 16-bit PCM WAV — the committed-fixture
+    generator :func:`riff_wav_meta` is verified as the inverse of
+    (see :func:`encode_bmp`). Samples alternate +A/−A (a square
+    wave), so the true RMS has the closed form A/32768 the SQL
+    oracle recomputes exactly (every sample² = A², the integer mean
+    is exact in a double, and sqrt of a perfect square is exact)."""
+    import struct  # noqa: PLC0415
+
+    data = b"".join(
+        struct.pack("<h", amplitude if i % 2 == 0 else -amplitude)
+        for i in range(n_samples)
+    )
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synthetic_audio_table(spark, n: int = 24) -> DataFrame:
+    """Deterministic real-WAV fixture in MEDIA_SCHEMA shape: media_id
+    1..n, sample rate cycling 8000/16000/22050/44100 by ``id % 4``,
+    ``(id % 7 + 1) · sr // 8`` samples, square-wave amplitude
+    ``(id · 997) % 30000 + 1`` — duration, rate, and RMS all have
+    closed forms the SQL oracle recomputes, so the RIFF parser is
+    verified as the inverse of a committed encoder. Bounded
+    driver-side generation (n rows) — a fixture, not a data path."""
+    rows = []
+    for i in range(1, n + 1):
+        sr = (8000, 16000, 22050, 44100)[i % 4]
+        n_samples = (i % 7 + 1) * sr // 8
+        amp = (i * 997) % 30000 + 1
+        rows.append((i, "audio/wav", encode_wav(n_samples, sr, amp), "fixture"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def sample_media_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
@@ -365,7 +473,8 @@ def sample_media_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             }
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 blob = bytes(payload)
-                duration = fake_duration_ms(blob)  # STUB: ffprobe here
+                # real RIFF duration for WAV, fake for unknown containers
+                duration = media_duration_ms(blob)  # STUB only if unknown
                 for i in range(n_frames):
                     out["media_id"].append(media_id)
                     out["frame_index"].append(i)
@@ -426,23 +535,34 @@ AUDIO_SCHEMA = T.StructType(
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """Audio-shaped feature extraction: duration, sample rate, RMS
-    energy. Decode STUBBED (deterministic fakes from the raw bytes — a
-    real build uses soundfile/torchaudio); the plan is a shuffle-free
+    """Audio feature extraction: duration, sample rate, RMS energy.
+    RIFF/WAVE payloads decode for REAL — pure-Python header walk
+    (:func:`riff_wav_meta`: fmt-chunk byte rate + data-chunk size →
+    duration; 16-bit PCM samples → exact RMS; VERDICT r07 item 6).
+    Unknown containers keep the documented deterministic fakes
+    (length-derived duration, 16 kHz, byte-mean RMS) — the seam where
+    soundfile/torchaudio plugs in. The plan is a shuffle-free
     Arrow-batched scan like every other media op here.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             blobs = [bytes(p) for p in pdf["payload"]]
+            metas = [riff_wav_meta(b) for b in blobs]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "duration_ms": [fake_duration_ms(b) for b in blobs],
-                    "sample_rate": [16000 for _ in blobs],
-                    # STUB decode: byte-mean stands in for PCM RMS.
+                    "duration_ms": [
+                        m[0] if m else fake_duration_ms(b)
+                        for m, b in zip(metas, blobs)
+                    ],
+                    "sample_rate": [m[1] if m else 16000 for m in metas],
+                    # real PCM RMS for WAV; byte-mean stub otherwise
                     "rms": [
-                        (sum(b) / len(b)) / 255.0 if b else 0.0 for b in blobs
+                        m[2]
+                        if m
+                        else ((sum(b) / len(b)) / 255.0 if b else 0.0)
+                        for m, b in zip(metas, blobs)
                     ],
                 }
             )

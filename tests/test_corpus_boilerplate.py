@@ -272,6 +272,36 @@ def test_bpe_spark_trainer_paths_agree(spark, sf_dir):
     assert len(py) == 12
 
 
+def test_bpe_unicode_whitespace_tokenizes_like_java(spark):
+    """Whitespace-parity guard (ADVICE r07): U+00A0 and U+0085 are
+    whitespace to Python str.split() but NOT to Java \\s — the
+    Spark-side word count keeps 'a\\u00a0b' as ONE word, and every
+    Python-side replica (driver merge path, apply-pass tokenizer) must
+    agree or the exact-by-construction oracle silently breaks on
+    non-ASCII-whitespace corpora."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import bpe
+
+    text = "a b xy p q\tr"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    # Spark word count: the glued tokens survive as single words
+    words = {
+        r["w"]: r["freq"] for r in bpe.word_freq_table(df).collect()
+    }
+    assert set(words) == {"a b", "xy", "p", "q", "r"}
+    # Python replica tokenizer agrees exactly
+    assert sorted(bpe._java_ws_words(text)) == sorted(words)
+    # end to end: driver path == Spark-rounds path == pure-Python loop
+    # on the unicode-whitespace corpus
+    py = bpe.train_merges_on_texts([text], 6)
+    assert py == bpe.train_bpe_merges_spark(df, n_merges=6)
+    assert py == bpe.train_bpe_merges_spark(
+        df, n_merges=6, driver_vocab_limit=0
+    )
+    # apply pass counts the glued words as single words too
+    out = bpe.bpe_token_counts(df, py).collect()[0]
+    assert out["n_words"] == 5
+
+
 def test_bpe_spark_trainer_max_words_cap(spark):
     """max_words keeps only the top-K words by (freq DESC, word ASC)
     before the merge loop: with K=1 only 'low low low' survives, so

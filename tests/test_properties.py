@@ -631,6 +631,60 @@ def test_source_temperature_mix_flattens_toward_uniform(spark):
 
 
 @given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=14), min_size=1, max_size=5
+    ),
+)
+@SETTINGS
+def test_interleave_order_matches_stride_model_and_prefix_share(
+    spark, sizes
+):
+    """source_interleave_order at the API boundary (VERDICT r07 item
+    7). Two properties:
+
+    1. EXACT stride model: the ordered (interleave_key, source,
+       src_rank) sequence equals the pure-Python stride schedule —
+       doc i of an m-doc source at key (2i−1)·scale div (2m), epoch
+       sorted by (key, source, rank). (Which document holds a given
+       rank is hash-assigned and not part of the contract.)
+    2. Proportional prefixes — the docstring's guarantee, quantified:
+       every prefix of length L holds each source within ±1 document
+       of its proportional share L·m/M after rounding (deviation
+       strictly < 2; stride scheduling does NOT promise a strict ±1
+       against the unrounded fluid share — sims find deviations up to
+       ~1.3 — so <2 is the honest bound).
+    """
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    scale = 1_048_576
+    rows = []
+    doc_id = 0
+    for j, m in enumerate(sizes):
+        for _ in range(m):
+            rows.append((doc_id, f"s{j}"))
+            doc_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = [
+        (r["interleave_key"], r["source"], r["src_rank"])
+        for r in sampling.source_interleave_order(df).collect()
+    ]
+    model = sorted(
+        ((2 * i - 1) * scale // (2 * m), f"s{j}", i)
+        for j, m in enumerate(sizes)
+        for i in range(1, m + 1)
+    )
+    assert got == model
+    total = sum(sizes)
+    seen = dict.fromkeys((f"s{j}" for j in range(len(sizes))), 0)
+    for pos, (_k, src, _i) in enumerate(got, 1):
+        seen[src] += 1
+        for j, m in enumerate(sizes):
+            assert abs(seen[f"s{j}"] - pos * m / total) < 2
+
+
+@given(
     docs=st.lists(
         st.lists(
             st.sampled_from(["spark", "hash", "join", "scan", "sort", "x"]),

@@ -174,6 +174,57 @@ def test_decode_image_png_gif_jpeg():
     )
 
 
+def test_riff_wav_meta_real_parse():
+    """Round-8 WAV/RIFF parse: encoder round-trip (duration from the
+    fmt byte rate + data size, exact square-wave RMS), chunk-walk
+    robustness (extra chunks, odd-size word alignment), and None for
+    everything that is not a well-formed RIFF/WAVE."""
+    import struct
+
+    # 16000 samples @ 16 kHz mono 16-bit -> exactly 1000 ms; RMS = A/32768
+    wav = multimodal.encode_wav(16000, 16000, amplitude=12345)
+    assert multimodal.riff_wav_meta(wav) == (1000, 16000, 12345 / 32768.0)
+    # non-integer duration floors like the container math says
+    dur, sr, _ = multimodal.riff_wav_meta(
+        multimodal.encode_wav(22051, 22050, amplitude=7)
+    )
+    assert (dur, sr) == (22051 * 2 * 1000 // (22050 * 2), 22050)
+    # a LIST chunk with an ODD size before fmt/data: the walker must
+    # skip its pad byte or it desyncs off the chunk grid
+    body = wav[12:]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00" + body
+    wavodd = b"RIFF" + struct.pack("<I", 4 + len(odd)) + b"WAVE" + odd
+    assert multimodal.riff_wav_meta(wavodd) == (
+        1000, 16000, 12345 / 32768.0,
+    )
+    # not RIFF / truncated / RIFF-but-not-WAVE -> None (fake fallback)
+    for bad in (b"", b"RIFF", b"RIFFxxxxAVI ", b"not audio at all"):
+        assert multimodal.riff_wav_meta(bad) is None
+    assert multimodal.media_duration_ms(b"xyz") == multimodal.fake_duration_ms(
+        b"xyz"
+    )
+    assert multimodal.media_duration_ms(wav) == 1000
+
+
+def test_audio_features_wav_real_unknown_fake(spark):
+    """audio_features: WAV rows report header-derived duration/rate and
+    PCM RMS; unknown containers keep the documented deterministic
+    fakes — both paths in one Arrow batch."""
+    rows = [
+        (1, "audio/wav", multimodal.encode_wav(8000, 8000, 100), "f"),
+        (2, "application/octet-stream", b"just some bytes", "f"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.audio_features(df).collect()}
+    assert got[1]["duration_ms"] == 1000
+    assert got[1]["sample_rate"] == 8000
+    assert abs(got[1]["rms"] - 100 / 32768.0) < 1e-12
+    blob = b"just some bytes"
+    assert got[2]["duration_ms"] == multimodal.fake_duration_ms(blob)
+    assert got[2]["sample_rate"] == 16000
+    assert abs(got[2]["rms"] - (sum(blob) / len(blob)) / 255.0) < 1e-12
+
+
 def test_streaming_counts_match_batch(spark, sf_dir):
     out = pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events"), query_name="t_stream"

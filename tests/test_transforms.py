@@ -21,6 +21,38 @@ def test_rename_columns(spark):
     assert out.columns == ["id", "event_payload"]
 
 
+def test_parse_json_variant_and_field(spark):
+    """VARIANT form of P2 (round 8, closes the dead-code finding):
+    try_parse_json keeps malformed JSON as NULL (the Snowflake
+    semantic), variant_get extracts typed fields, missing paths are
+    NULL not errors, and nested paths work without a declared schema."""
+    df = _df(
+        spark,
+        [
+            (1, '{"k": 69, "tags": {"env": "prod"}}'),
+            (2, "{definitely not json"),
+            (3, None),
+        ],
+        "id int, payload string",
+    )
+    v = transforms.parse_json_variant(df, "payload", "v")
+    out = v.select(
+        "id",
+        transforms.variant_field("v", "$.k", "bigint").alias("k"),
+        transforms.variant_field("v", "$.tags.env", "string").alias("env"),
+        transforms.variant_field("v", "$.missing", "string").alias("gone"),
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["k"] == 69
+    assert rows[1]["env"] == "prod"
+    assert rows[1]["gone"] is None
+    # malformed and NULL inputs flow through as NULLs, never a failure
+    assert rows[2]["k"] is None and rows[3]["k"] is None
+    # default parsed_name replaces the source column in place
+    inplace = transforms.parse_json_variant(df, "payload")
+    assert dict(inplace.dtypes)["payload"] == "variant"
+
+
 def test_parse_and_flatten_json(spark):
     schema = T.StructType(
         [

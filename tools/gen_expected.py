@@ -826,13 +826,17 @@ def _bpe_train(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
     stronger gate than one mirrored one). Same pinned semantics:
     whitespace words lowercased, </w> end marker, merge the most
     frequent pair per round (ties: lexicographically smallest), stop
-    when no pair repeats."""
+    when no pair repeats. Tokenization splits on ASCII whitespace only
+    (re [ \\t\\n\\x0b\\f\\r]) — Java \\s, the Spark-side split —
+    never str.split(), which also splits Unicode whitespace
+    (ADVICE r07)."""
     from collections import Counter  # noqa: PLC0415
 
     wf: Counter = Counter()
     for t in texts:
-        for w in (t or "").strip().lower().split():
-            wf[tuple(w) + ("</w>",)] += 1
+        for w in re.split(r"[ \t\n\x0b\f\r]+", (t or "").lower()):
+            if w:
+                wf[tuple(w) + ("</w>",)] += 1
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pc: Counter = Counter()
@@ -888,7 +892,11 @@ def gen_bpe_tokens(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
     cache: dict[str, int] = {}
     out = {"doc_id": [], "n_words": [], "n_bpe_tokens": []}
     for r in docs.itertuples():
-        words = (r.text or "").strip().lower().split()
+        words = [
+            w
+            for w in re.split(r"[ \t\n\x0b\f\r]+", (r.text or "").lower())
+            if w
+        ]
         total = 0
         for w in words:
             if w not in cache:
