@@ -2130,6 +2130,18 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_token_counts(docs, merges).orderBy("doc_id")
 
 
+def q_doc_bpe_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer OUTPUT a pretraining pipeline actually writes
+    (functions/bpe.py:bpe_tokenize — round 8): full-corpus-trained
+    merges applied to every document, one row per token with its
+    0-based stream position. Map-only Arrow fan-out, shuffle-free at
+    any corpus size. Oracle = the independent pure-Python replica
+    (gen_expected:gen_bpe_token_stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_merges_spark(docs)
+    return bpe.bpe_tokenize(docs, merges).orderBy("doc_id", "token_pos")
+
+
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical retrieval (functions/text.py:bm25_topk): the
     full corpus scored against a fixed 3-term query, top-20 kept via
@@ -2553,10 +2565,11 @@ _R8_FRONT_50 = [
     # audio/frames: real WAV/RIFF duration parse behind both
     "media_audio_features",
     "media_frame_sample",
-    # --- the three round-8 additions ------------------------------
+    # --- the four round-8 additions -------------------------------
     "doc_bm25_topk_inverted",
     "event_variant_extract",
     "media_wav_duration",
+    "doc_bpe_token_stream",
     # --- the four BENCH_r07 outliers (code untouched; graded here
     # while bench re-measures them min-of-2, VERDICT r07 item 2)
     "salted_join_rates",
@@ -2566,7 +2579,7 @@ _R8_FRONT_50 = [
     # --- property-test subjects this round + family sibling -------
     "source_interleave_order",
     "tfidf_top_terms",
-    # --- 34 canaries, spread one-per-family, rotated AWAY from the
+    # --- 33 canaries, spread one-per-family, rotated AWAY from the
     # r07 canary set (those 24 stood down; each name below last saw a
     # window in r1-r6)
     "event_raw",
@@ -2602,7 +2615,6 @@ _R8_FRONT_50 = [
     "versioned_orders_time_travel",
     "partitioned_events_by_type",
     "rfm_segments",
-    "coview_triangles",
 ]
 
 
@@ -2611,8 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training-data extensions), reordered so the driver's 50-entry
     CORRECTNESS window (_R8_FRONT_50) re-grades every op whose
     implementation changed this round (led by doc_bpe_tokens, the one
-    stale grade), the three round-8 additions, the four bench
-    outliers, and 34 rotated canaries. The O(N^2)
+    stale grade), the four round-8 additions, the four bench
+    outliers, and 33 rotated canaries. The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
     test_dedup_similarity.py); every registered similarity query is
@@ -2884,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_variant_extract": q_event_variant_extract,
         # round 8: real WAV/RIFF header decode over the audio fixture
         "media_wav_duration": q_media_wav_duration,
+        # round 8: tokenizer token-stream output (train -> tokenize)
+        "doc_bpe_token_stream": q_doc_bpe_token_stream,
     }
     ordered = {name: all_q[name] for name in _R8_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -3940,6 +3954,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, n_bpe_tokens
             FROM read_parquet('/root/repo/expected/sf0.01/doc_bpe_tokens.parquet')
             ORDER BY doc_id
+        """,
+        "doc_bpe_token_stream": """
+            SELECT doc_id, token_pos, token
+            FROM read_parquet('/root/repo/expected/sf0.01/doc_bpe_token_stream.parquet')
+            ORDER BY doc_id, token_pos
         """,
         "minhash_incremental_docs": """
             SELECT doc_id, matched_store_id, matched_batch_id, keep

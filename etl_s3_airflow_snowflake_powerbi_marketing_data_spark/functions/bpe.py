@@ -284,10 +284,12 @@ def _train_merges_spark_rounds(
     return merges
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+def encode_word_symbols(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
     """Greedy merge-rank apply (the GPT-2 loop): repeatedly merge the
     present pair with the LOWEST training rank until none applies;
-    returns the resulting token count."""
+    returns the final symbol list (the word's BPE tokens)."""
     sym = list(word) + [END]
     while len(sym) > 1:
         best_rank = None
@@ -300,7 +302,12 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
         if best_rank is None:
             break
         sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
-    return len(sym)
+    return sym
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of :func:`encode_word_symbols`."""
+    return len(encode_word_symbols(word, ranks))
 
 
 def bpe_token_counts(
@@ -342,6 +349,63 @@ def bpe_token_counts(
 
             yield pd.DataFrame(
                 {id_col: ids, "n_words": nw, "n_bpe_tokens": nt}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The actual tokenizer output a pretraining pipeline writes: one
+    row per BPE token — (id, token_pos, token) with token_pos the
+    0-based position in the document's token stream. This is the
+    train→tokenize→pack chain's middle stage (`doc_pack_sequences`
+    consumes per-doc token counts; this emits the tokens themselves).
+
+    Map-only Arrow-batched apply (the bpe_token_counts posture) with a
+    per-batch word→symbols cache (Zipf makes the hit rate high); the
+    1→N row fan-out happens inside the batch, so the plan is a
+    shuffle-free scan at any corpus size. Token STRINGS are emitted
+    rather than ids: an id table is one broadcast-join away when a
+    fixed vocabulary exists, and strings keep the output
+    engine-comparable (the expected-file oracle replica re-derives the
+    exact stream).
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    from pyspark.sql.types import StringType  # noqa: PLC0415
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("token_pos", LongType()),
+            StructField("token", StringType()),
+        ]
+    )
+
+    def batches(it):
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            ids, pos, toks = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                p = 0
+                for w in _java_ws_words(t):
+                    syms = cache.get(w)
+                    if syms is None:
+                        syms = encode_word_symbols(w, ranks)
+                        cache[w] = syms
+                    for s in syms:
+                        ids.append(int(i))
+                        pos.append(p)
+                        toks.append(s)
+                        p += 1
+            import pandas as pd  # noqa: PLC0415
+
+            yield pd.DataFrame(
+                {id_col: ids, "token_pos": pos, "token": toks}
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema)

@@ -202,3 +202,21 @@ def test_bpe_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     # more than words (the </w>-terminated lower bound)
     assert (got["n_bpe_tokens"] >= got["n_words"]).all()
     assert got["n_bpe_tokens"].sum() < expected["n_words"].sum() * 8
+
+
+def test_bpe_token_stream_generator_matches_spark_on_alternate_sf(
+    spark, sf_dir
+):
+    import __spark_entry__ as entrymod
+
+    expected = gen_expected.gen_bpe_token_stream(sf_dir)
+    got = entrymod.q_doc_bpe_token_stream(spark, sf_dir).toPandas()
+    key = ["doc_id", "token_pos", "token"]
+    assert [tuple(r) for r in got[key].itertuples(index=False)] == [
+        tuple(r) for r in expected[key].itertuples(index=False)
+    ]
+    # the stream's per-doc token counts must agree with bpe_token_counts
+    counts = entrymod.q_doc_bpe_tokens(spark, sf_dir).toPandas()
+    per_doc = got.groupby("doc_id").size()
+    for doc_id, n in zip(counts["doc_id"], counts["n_bpe_tokens"]):
+        assert per_doc.get(doc_id, 0) == n

@@ -866,7 +866,9 @@ def _bpe_train(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
     return merges
 
 
-def _bpe_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+def _bpe_symbols(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
     s = list(word) + ["</w>"]
     while len(s) > 1:
         cand = [
@@ -878,7 +880,40 @@ def _bpe_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
             break
         _, i = min(cand)
         s[i : i + 2] = [s[i] + s[i + 1]]
-    return len(s)
+    return s
+
+
+def _bpe_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    return len(_bpe_symbols(word, ranks))
+
+
+def gen_bpe_token_stream(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
+    """Expected output of bpe_tokenize: the (doc_id, token_pos, token)
+    stream under full-corpus-trained merges — independent replica, same
+    ASCII-whitespace tokenization as the trainer."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    merges = _bpe_train([r.text for r in docs.itertuples()], n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    cache: dict[str, list[str]] = {}
+    out = {"doc_id": [], "token_pos": [], "token": []}
+    for r in docs.itertuples():
+        pos = 0
+        for w in [
+            x
+            for x in re.split(r"[ \t\n\x0b\f\r]+", (r.text or "").lower())
+            if x
+        ]:
+            if w not in cache:
+                cache[w] = _bpe_symbols(w, ranks)
+            for s in cache[w]:
+                out["doc_id"].append(int(r.doc_id))
+                out["token_pos"].append(pos)
+                out["token"].append(s)
+                pos += 1
+    df = pd.DataFrame(out)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["token_pos"] = df["token_pos"].astype("int64")
+    return df
 
 
 def gen_bpe_tokens(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
@@ -1188,6 +1223,7 @@ def main() -> None:
         ("embedding_topk_ivf_pq", gen_ivf_pq_topk(vecs)),
         ("embedding_pca_project", gen_pca_project(vecs)),
         ("doc_bpe_tokens", gen_bpe_tokens(sf_dir)),
+        ("doc_bpe_token_stream", gen_bpe_token_stream(sf_dir)),
         ("minhash_incremental_docs", gen_minhash_incremental(docs)),
         ("item_pagerank", gen_item_pagerank(sf_dir)),
         ("join_size_estimate", gen_join_size_estimate(sf_dir)),
