@@ -235,6 +235,14 @@ def main() -> None:
             "bm25_topk": lambda: text_fn.bm25_topk(
                 df, ["spark", "hash", "join"]
             ),
+            # round 8: the >128-term inverted-index strategy — the only
+            # data-scaled shuffle carries matched (doc,term) pairs, so
+            # growth must track the map-only tokenize scan, not |Q|
+            "bm25_topk_inverted": lambda: text_fn.bm25_topk(
+                df,
+                ["spark", "hash", "join", "the", "vector"]
+                + [f"zzpad{i:04d}" for i in range(130)],
+            ),
             "cross_source_ngram_matrix": (
                 lambda: dedup.cross_source_ngram_matrix(df)
             ),
