@@ -28,6 +28,10 @@ BOUNDED_BNLJ_OK = {
     # BM25: corpus N/avgdl ride a 1-row broadcast onto the idf and
     # contribution stages (functions/text.py:bm25_topk)
     "doc_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast",
+    "doc_bm25_topk_inverted": (
+        "1-row corpus-stats (N, avgdl) broadcast — once onto the "
+        "term-idf table, once onto the scoring branch"
+    ),
     # temperature mixing: the weight normalizer is a 1-row sum
     # broadcast onto the |sources|-row table
     "source_temperature_mix": "1-row weight-normalizer broadcast",
