@@ -682,6 +682,31 @@ def q_media_wav_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_media_mp4_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF duration decode (functions/multimodal.py:
+    mp4_duration_meta — pure-Python box walk to moov/mvhd, v0 and v1
+    headers, no codec package) over the deterministic generated MP4
+    fixture: timescale cycles by id%4, duration (id%9+1)·ts//3 ticks,
+    mvhd version alternates by id%2. The oracle recomputes duration_ms
+    (ticks·1000 // timescale) AND the exact fixture byte sizes (ftyp
+    20 + moov: v0 116 / v1 128) from the same arithmetic — the video
+    leg of the image/audio/video header-decode family (round 8)."""
+    return multimodal.video_meta(
+        multimodal.synthetic_video_table(spark, 20)
+    ).orderBy("media_id")
+
+
+def q_doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (functions/text.py:
+    compression_ratio — zlib level 6 per document, Arrow-batched
+    map-only): the Dolma/RefinedWeb one-number repetition complement.
+    Oracle = expected parquet from the gen_expected replica (same
+    in-container zlib; generator re-validated at sf0.001)."""
+    return text_fn.compression_ratio(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
     feats = multimodal.audio_features(media)
@@ -2565,11 +2590,13 @@ _R8_FRONT_50 = [
     # audio/frames: real WAV/RIFF duration parse behind both
     "media_audio_features",
     "media_frame_sample",
-    # --- the four round-8 additions -------------------------------
+    # --- the six round-8 additions --------------------------------
     "doc_bm25_topk_inverted",
     "event_variant_extract",
     "media_wav_duration",
     "doc_bpe_token_stream",
+    "media_mp4_duration",
+    "doc_compression_ratio",
     # --- the four BENCH_r07 outliers (code untouched; graded here
     # while bench re-measures them min-of-2, VERDICT r07 item 2)
     "salted_join_rates",
@@ -2579,7 +2606,7 @@ _R8_FRONT_50 = [
     # --- property-test subjects this round + family sibling -------
     "source_interleave_order",
     "tfidf_top_terms",
-    # --- 33 canaries, spread one-per-family, rotated AWAY from the
+    # --- 31 canaries, spread one-per-family, rotated AWAY from the
     # r07 canary set (those 24 stood down; each name below last saw a
     # window in r1-r6)
     "event_raw",
@@ -2613,8 +2640,6 @@ _R8_FRONT_50 = [
     "quantile_sketch_merge_rollup",
     "kmv_source_overlap",
     "versioned_orders_time_travel",
-    "partitioned_events_by_type",
-    "rfm_segments",
 ]
 
 
@@ -2623,8 +2648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training-data extensions), reordered so the driver's 50-entry
     CORRECTNESS window (_R8_FRONT_50) re-grades every op whose
     implementation changed this round (led by doc_bpe_tokens, the one
-    stale grade), the four round-8 additions, the four bench
-    outliers, and 33 rotated canaries. The O(N^2)
+    stale grade), the six round-8 additions, the four bench
+    outliers, and 31 rotated canaries. The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
     test_dedup_similarity.py); every registered similarity query is
@@ -2898,6 +2923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_duration": q_media_wav_duration,
         # round 8: tokenizer token-stream output (train -> tokenize)
         "doc_bpe_token_stream": q_doc_bpe_token_stream,
+        # round 8: MP4 mvhd duration — the video leg of the real
+        # header-decode family
+        "media_mp4_duration": q_media_mp4_duration,
+        # round 8: zlib compression-ratio quality signal
+        "doc_compression_ratio": q_doc_compression_ratio,
     }
     ordered = {name: all_q[name] for name in _R8_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -6879,6 +6909,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sr AS INTEGER) AS sample_rate,
                    floor(CAST(amp AS DOUBLE) / 32768.0 * 1e6) / 1e6 AS rms
             FROM s ORDER BY media_id
+        """,
+        # round 8: MP4 fixture arithmetic — duration is the container
+        # definition ticks*1000 // timescale; byte sizes are the exact
+        # encoder closed forms (ftyp 20 + moov 116/128 by mvhd version)
+        "media_mp4_duration": """
+            WITH ids AS (SELECT unnest(range(1, 21)) AS i),
+            d AS (SELECT i,
+                         CASE i % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                              WHEN 2 THEN 90000 ELSE 48000 END AS ts,
+                         (i % 9) + 1 AS k
+                  FROM ids),
+            s AS (SELECT i, ts, (k * ts) // 3 AS ticks FROM d)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST((ticks * 1000) // ts AS BIGINT) AS duration_ms,
+                   CAST(ts AS INTEGER) AS timescale,
+                   CAST(CASE WHEN i % 2 = 0 THEN 136 ELSE 148 END
+                        AS BIGINT) AS n_bytes
+            FROM s ORDER BY media_id
+        """,
+        # round 8: zlib ratio — expected parquet from the in-container
+        # replica (generator re-validated at sf0.001)
+        "doc_compression_ratio": """
+            SELECT doc_id, n_bytes, n_compressed, ratio
+            FROM read_parquet('/root/repo/expected/sf0.01/doc_compression_ratio.parquet')
+            ORDER BY doc_id
         """,
         # round 7: temperature mixing — pow trunc6'd per source, the
         # normalizer summed as DECIMAL(28,6), weight one double

@@ -545,6 +545,77 @@ def hashed_features(
     )
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal (the Dolma/RefinedWeb family):
+    zlib-compressed bytes / raw bytes per document. Highly repetitive
+    machine-generated text compresses far below natural prose, and
+    random/encrypted noise compresses above it — the cheap one-number
+    complement to the n-gram repetition profile that needs no
+    vocabulary or model.
+
+    Arrow-batched ``mapInPandas`` (CPython's zlib is the one
+    compressor in the container; a per-row JVM expression cannot
+    express DEFLATE) — map-only, shuffle-free, scan-speed at any
+    corpus size. Determinism: zlib output at a fixed level is stable
+    within one zlib build, and the expected-file oracle replica runs
+    the SAME interpreter/library (the md5 precedent: the oracle pins
+    values generated in this container, the sf0.001 generator gate
+    re-derives them independently of the committed file).
+
+    Output: (id, n_bytes, n_compressed, ratio) with ratio =
+    trunc6(compressed/raw), 0.0 for empty text.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import math  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
+
+        for pdf in it:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level) if raw else b""
+                ids.append(int(i))
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(
+                    math.floor(len(comp) / len(raw) * 1e6) / 1e6
+                    if raw
+                    else 0.0
+                )
+            import pandas as pd  # noqa: PLC0415
+
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": ratio,
+                }
+            )
+
+    return (
+        _spread_if_narrow(df)
+        .select(id_col, text_col)
+        .mapInPandas(batches, schema)
+    )
+
+
 def _spread_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition only when the scan yields fewer splits than the
     session's parallelism (few/large row groups — the regex suite below

@@ -13,11 +13,44 @@ the sink to a partitioned table — the plan in between is identical.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.transforms import PROPS_SCHEMA
+
+
+@contextmanager
+def bounded_state_partitions(spark: SparkSession, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming query's
+    lifetime (set BEFORE ``.start()`` — the number is baked into the
+    checkpoint at first start), restoring the session value on exit so
+    batch queries keep their scan-sized tuning.
+
+    Why: every stateful operator keeps one state store PER shuffle
+    partition (×4 for a stream-stream join: two sides × key/value
+    stores), and every micro-batch snapshots every store — so the
+    per-batch FIXED cost scales with the partition count, independent
+    of data volume. A production stream sizes this to its state volume
+    at provisioning; the replayed finite smokes here carry 10²–10⁵
+    state rows, where a scan-sized default (32 local, 200 on a stock
+    session) is pure snapshot overhead — measured 11.9 s → 2.6 s on
+    the sf0.1 stream-stream attribution join going 32 → 4 partitions.
+    Results are partition-count invariant (hash-partitioned aggs and
+    joins; the oracles compare by value), only the state-store fan-out
+    changes. Also the self-sufficiency rule (SKILL gotchas): the conf
+    is set at runtime inside the query path, never assumed from the
+    session factory.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 # Logical schema of the event stream; the physical type of ``ts`` is
 # resolved per-source in read_event_stream (see below).
@@ -108,23 +141,27 @@ def streaming_event_counts(
 
 
 def run_stream_to_memory(
-    spark: SparkSession, source_path: str, query_name: str = "stream_counts"
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "stream_counts",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive the streaming plan to completion over the current contents
     of ``source_path`` (Trigger.AvailableNow-style) and return the
     result as a batch DataFrame from the memory sink."""
     stream = read_event_stream(spark, source_path)
     agg = streaming_event_counts(stream)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 
@@ -150,7 +187,10 @@ def streaming_dedup(
 
 
 def run_dedup_stream_to_memory(
-    spark: SparkSession, source_path: str, query_name: str = "dedup_events"
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "dedup_events",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive the dedup stream over a DOUBLED source — the same prefix
     mounted as two file streams, the local stand-in for an
@@ -163,16 +203,17 @@ def run_dedup_stream_to_memory(
     deduped = streaming_dedup(doubled).select(
         "event_id", "user_id", "event_type", "value"
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 
@@ -200,20 +241,24 @@ def streaming_sliding_counts(
 
 
 def run_sliding_to_memory(
-    spark: SparkSession, source_path: str, query_name: str = "sliding_counts"
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "sliding_counts",
+    state_partitions: int = 8,
 ) -> DataFrame:
     stream = read_event_stream(spark, source_path)
     agg = streaming_sliding_counts(stream)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 
@@ -222,6 +267,7 @@ def run_hll_stream_to_memory(
     source_path: str,
     p: int = 10,
     query_name: str = "hll_registers_stream",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Streaming HyperLogLog: maintain the per-(event_type, bucket)
     MAX(rho) registers as a Structured Streaming aggregation (complete
@@ -238,16 +284,17 @@ def run_hll_stream_to_memory(
 
     stream = read_event_stream(spark, source_path)
     regs = hll_registers(stream, "user_id", ["event_type"], p)
-    q = (
-        regs.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return hll_finalize(spark.table(query_name), ["event_type"], p).orderBy(
         "event_type"
     )
@@ -259,6 +306,7 @@ def run_cms_stream_to_memory(
     depth: int = 4,
     width: int = 2048,
     query_name: str = "cms_registers_stream",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Streaming count-min sketch: maintain the (hash-row, cell) COUNT
     registers as a Structured Streaming aggregation (complete mode —
@@ -276,16 +324,17 @@ def run_cms_stream_to_memory(
 
     stream = read_event_stream(spark, source_path)
     regs = cms_registers(stream, "user_id", depth=depth, width=width)
-    q = (
-        regs.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     watch = (
@@ -299,7 +348,10 @@ def run_cms_stream_to_memory(
 
 
 def _run_register_stream_to_versioned(
-    regs: DataFrame, table_path: str, checkpoint_dir: str | None
+    regs: DataFrame,
+    table_path: str,
+    checkpoint_dir: str | None,
+    state_partitions: int = 8,
 ) -> None:
     """Drive a complete-mode register aggregation into the versioned
     table layer: every micro-batch delivers the FULL recomputed
@@ -319,16 +371,17 @@ def _run_register_stream_to_versioned(
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         vt.write_version(batch, table_path)
 
-    q = (
-        regs.writeStream.outputMode("complete")
-        .foreachBatch(commit_batch)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(regs.sparkSession, state_partitions):
+        q = (
+            regs.writeStream.outputMode("complete")
+            .foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
 
 def run_hll_stream_to_versioned(
@@ -432,19 +485,21 @@ def run_enriched_stream_to_memory(
     source_path: str,
     items: DataFrame,
     query_name: str = "enriched_brand_counts",
+    state_partitions: int = 8,
 ) -> DataFrame:
     stream = read_event_stream(spark, source_path)
     agg = streaming_enriched_brand_counts(stream, items)
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 
@@ -563,12 +618,18 @@ def run_attribution_stream_to_memory(
     spark: SparkSession,
     source_path: str,
     query_name: str = "view_purchase_attr",
+    state_partitions: int = 4,
 ) -> DataFrame:
     """Drive the stream-stream attribution join over the source's
     current contents and return the joined pairs. Over a replayed
     finite stream the inner join emits exactly the batch-join result
     (watermarks bound state, not the final answer), which is what the
-    batch-SQL oracle checks."""
+    batch-SQL oracle checks.
+
+    The join keeps FOUR state stores per shuffle partition (two sides
+    × key/value), the heaviest per-partition fixed cost in the
+    streaming family — so the partition count is pinned small for the
+    smoke-scale state (see :func:`bounded_state_partitions`)."""
     # Two independent file-stream sources over the same prefix (the
     # production shape: two topics/prefixes); a same-DataFrame self-join
     # would also work but hides the two-source state bookkeeping this
@@ -581,16 +642,17 @@ def run_attribution_stream_to_memory(
             F.col("event_type") == "purchase"
         ),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(query_name)
 
 

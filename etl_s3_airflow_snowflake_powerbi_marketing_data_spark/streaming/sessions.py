@@ -146,20 +146,28 @@ def latest_sessions(upserts: DataFrame) -> DataFrame:
 
 
 def run_streaming_sessions(
-    spark: SparkSession, source_path: str, query_name: str = "stream_sessions"
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "stream_sessions",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive the stateful plan over the current contents of
-    ``source_path`` and return the collapsed session table."""
+    ``source_path`` and return the collapsed session table (state
+    partition count pinned for the smoke-scale state — see
+    pipeline.bounded_state_partitions)."""
+    from .pipeline import bounded_state_partitions  # noqa: PLC0415
+
     stream = read_event_stream(spark, source_path)
-    q = (
-        streaming_sessions(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            streaming_sessions(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return latest_sessions(spark.table(query_name))

@@ -204,6 +204,20 @@ def test_bpe_generator_matches_spark_on_alternate_sf(spark, sf_dir):
     assert got["n_bpe_tokens"].sum() < expected["n_words"].sum() * 8
 
 
+def test_compression_ratio_generator_matches_spark_on_alternate_sf(
+    spark, sf_dir
+):
+    import __spark_entry__ as entrymod
+
+    expected = gen_expected.gen_compression_ratio(sf_dir)
+    got = entrymod.q_doc_compression_ratio(spark, sf_dir).toPandas()
+    assert _canon(got) == _canon(expected)
+    # natural prose must compress but not vanish: every non-empty doc's
+    # ratio strictly inside (0, 1.5)
+    nz = got[got["n_bytes"] > 0]
+    assert ((nz["ratio"] > 0) & (nz["ratio"] < 1.5)).all()
+
+
 def test_bpe_token_stream_generator_matches_spark_on_alternate_sf(
     spark, sf_dir
 ):

@@ -206,6 +206,62 @@ def test_riff_wav_meta_real_parse():
     assert multimodal.media_duration_ms(wav) == 1000
 
 
+def test_mp4_duration_meta_real_parse():
+    """Round-8 MP4/ISO-BMFF parse: encoder round-trip for v0 and v1
+    mvhd headers, 64-bit largesize boxes, size==0 to-end boxes, and
+    None for anything that is not a well-formed MP4."""
+    import struct
+
+    # 90000 ticks at timescale 90000 -> exactly 1000 ms
+    assert multimodal.mp4_duration_meta(
+        multimodal.encode_mp4(90000, 90000)
+    ) == (1000, 90000)
+    # v1 (64-bit) header, non-integer ms floors per the container math
+    assert multimodal.mp4_duration_meta(
+        multimodal.encode_mp4(600, 601, version=1)
+    ) == (601 * 1000 // 600, 600)
+    # a largesize (size==1) moov box must still parse
+    mp4 = multimodal.encode_mp4(1000, 2500)
+    moov = mp4[20:]
+    large = (
+        struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", 8 + len(moov))
+        + moov[8:]
+    )
+    assert multimodal.mp4_duration_meta(mp4[:20] + large) == (2500, 1000)
+    # size==0 (to end of file) on the moov box
+    tail0 = struct.pack(">I", 0) + moov[4:]
+    assert multimodal.mp4_duration_meta(mp4[:20] + tail0) == (2500, 1000)
+    # not MP4 / truncated / zero timescale -> None (fake fallback)
+    for bad in (b"", b"RIFFxxxxWAVE", b"\x00\x00\x00\x14ftypisom",
+                multimodal.encode_mp4(0, 100)):
+        assert multimodal.mp4_duration_meta(bad) is None
+    # media_duration_ms dispatch: WAV -> RIFF math, MP4 -> mvhd math,
+    # unknown -> fake
+    assert multimodal.media_duration_ms(mp4) == 2500
+    wav = multimodal.encode_wav(8000, 8000, 5)
+    assert multimodal.media_duration_ms(wav) == 1000
+    assert multimodal.media_duration_ms(b"???") == (
+        multimodal.fake_duration_ms(b"???")
+    )
+
+
+def test_video_meta_mp4_real_unknown_fake(spark):
+    """video_meta: MP4 rows report mvhd-derived duration/timescale,
+    unknown containers keep the fake duration with NULL timescale."""
+    rows = [
+        (1, "video/mp4", multimodal.encode_mp4(1000, 4500), "f"),
+        (2, "application/octet-stream", b"not a video", "f"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.video_meta(df).collect()}
+    assert got[1]["duration_ms"] == 4500
+    assert got[1]["timescale"] == 1000
+    assert got[2]["duration_ms"] == multimodal.fake_duration_ms(b"not a video")
+    assert got[2]["timescale"] is None
+
+
 def test_audio_features_wav_real_unknown_fake(spark):
     """audio_features: WAV rows report header-derived duration/rate and
     PCM RMS; unknown containers keep the documented deterministic

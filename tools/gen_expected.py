@@ -887,6 +887,31 @@ def _bpe_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
     return len(_bpe_symbols(word, ranks))
 
 
+def gen_compression_ratio(sf_dir: str, level: int = 6) -> pd.DataFrame:
+    """Expected output of text.compression_ratio: zlib level-6 size per
+    document — same interpreter/zlib as the Spark-side batches (the
+    md5 precedent: in-container determinism, re-validated at sf0.001
+    by the generator gate)."""
+    import math
+    import zlib
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    out = {"doc_id": [], "n_bytes": [], "n_compressed": [], "ratio": []}
+    for r in docs.itertuples():
+        raw = (r.text or "").encode("utf-8")
+        comp = zlib.compress(raw, level) if raw else b""
+        out["doc_id"].append(int(r.doc_id))
+        out["n_bytes"].append(len(raw))
+        out["n_compressed"].append(len(comp))
+        out["ratio"].append(
+            math.floor(len(comp) / len(raw) * 1e6) / 1e6 if raw else 0.0
+        )
+    df = pd.DataFrame(out)
+    for c in ("doc_id", "n_bytes", "n_compressed"):
+        df[c] = df[c].astype("int64")
+    return df
+
+
 def gen_bpe_token_stream(sf_dir: str, n_merges: int = 50) -> pd.DataFrame:
     """Expected output of bpe_tokenize: the (doc_id, token_pos, token)
     stream under full-corpus-trained merges — independent replica, same
@@ -1224,6 +1249,7 @@ def main() -> None:
         ("embedding_pca_project", gen_pca_project(vecs)),
         ("doc_bpe_tokens", gen_bpe_tokens(sf_dir)),
         ("doc_bpe_token_stream", gen_bpe_token_stream(sf_dir)),
+        ("doc_compression_ratio", gen_compression_ratio(sf_dir)),
         ("minhash_incremental_docs", gen_minhash_incremental(docs)),
         ("item_pagerank", gen_item_pagerank(sf_dir)),
         ("join_size_estimate", gen_join_size_estimate(sf_dir)),
