@@ -281,6 +281,22 @@ def test_audio_features_wav_real_unknown_fake(spark):
     assert abs(got[2]["rms"] - (sum(blob) / len(blob)) / 255.0) < 1e-12
 
 
+def test_bounded_state_partitions_restores_conf(spark):
+    """The streaming state-partition pin must restore the session conf
+    on BOTH the clean path and the exception path — a leaked value
+    would silently retune every later batch query in the session."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    with pipeline.bounded_state_partitions(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == old
+    with pytest.raises(RuntimeError, match="boom"):
+        with pipeline.bounded_state_partitions(spark, 5):
+            assert spark.conf.get(key) == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == old
+
+
 def test_streaming_counts_match_batch(spark, sf_dir):
     out = pipeline.run_stream_to_memory(
         spark, table_path(sf_dir, "events"), query_name="t_stream"
