@@ -2380,6 +2380,37 @@ def q_doc_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "feature_index")
 
 
+def q_doc_nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality-classifier filter (functions/text.py:
+    nb_class_log_odds): multinomial Naive Bayes fit on the corpus's own
+    labels (target class = lang 'en', the balanced slice of this
+    corpus), every document scored by its mean per-token log-odds under
+    Laplace smoothing — the aggregation-form analog of the
+    fastText curated-vs-crawl quality filter in the GPT-3/CCNet
+    pipelines. Per-term logs trunc6 immediately; all downstream math is
+    exact decimal, so the oracle is plain SQL."""
+    return text_fn.nb_class_log_odds(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
+def q_doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py:importance_resample,
+    Xie et al. 2023): hashed-bucket (md5 mod 256) unigram distributions
+    for a curated target slice (sources src0-src3) vs the raw corpus;
+    every non-target document scored by mean log importance ratio and
+    the top-50 selected via TakeOrderedAndProject. Vocabulary-free by
+    construction — both models are 256 rows at any corpus size."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    target = F.col("source").isin("src0", "src1", "src2", "src3")
+    return sampling.importance_resample(
+        load_table(spark, sf_dir, "documents"), target, k=50
+    )
+
+
 def q_user_order_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped pandas transform — the one Arrow API surface the other
     pandas paths (grouped applyInPandas, mapInPandas, stateful) don't
@@ -2590,13 +2621,15 @@ _R8_FRONT_50 = [
     # audio/frames: real WAV/RIFF duration parse behind both
     "media_audio_features",
     "media_frame_sample",
-    # --- the six round-8 additions --------------------------------
+    # --- the eight round-8 additions ------------------------------
     "doc_bm25_topk_inverted",
     "event_variant_extract",
     "media_wav_duration",
     "doc_bpe_token_stream",
     "media_mp4_duration",
     "doc_compression_ratio",
+    "doc_nb_quality_score",
+    "doc_importance_resample",
     # --- the four BENCH_r07 outliers (code untouched; graded here
     # while bench re-measures them min-of-2, VERDICT r07 item 2)
     "salted_join_rates",
@@ -2606,9 +2639,11 @@ _R8_FRONT_50 = [
     # --- property-test subjects this round + family sibling -------
     "source_interleave_order",
     "tfidf_top_terms",
-    # --- 31 canaries, spread one-per-family, rotated AWAY from the
+    # --- 29 canaries, spread one-per-family, rotated AWAY from the
     # r07 canary set (those 24 stood down; each name below last saw a
-    # window in r1-r6)
+    # window in r1-r6; two sketch-family canaries stood down to make
+    # room for the late round-8 additions — kmv_source_overlap keeps
+    # the family covered)
     "event_raw",
     "kpi_view_count_by_period",
     "kpi_top_event_type_by_period",
@@ -2636,8 +2671,6 @@ _R8_FRONT_50 = [
     "gopher_quality_flags",
     "doc_hashed_features",
     "doc_winnow_fingerprints",
-    "cms_user_counts",
-    "quantile_sketch_merge_rollup",
     "kmv_source_overlap",
     "versioned_orders_time_travel",
 ]
@@ -2928,6 +2961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_duration": q_media_mp4_duration,
         # round 8: zlib compression-ratio quality signal
         "doc_compression_ratio": q_doc_compression_ratio,
+        # round 8: trained NB quality-classifier score (fastText-filter
+        # analog) + DSIR hashed importance resampling
+        "doc_nb_quality_score": q_doc_nb_quality_score,
+        "doc_importance_resample": q_doc_importance_resample,
     }
     ordered = {name: all_q[name] for name in _R8_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -7010,6 +7047,108 @@ def oracle_sql() -> dict[str, str]:
                      AS interleave_key
             FROM ranked JOIN sizes USING (source)
             ORDER BY interleave_key, source, src_rank
+        """,
+        # round 8: NB quality classifier — per-class per-term log-probs
+        # trunc6'd immediately (the surprisal precedent), log-odds an
+        # exact DECIMAL subtraction, doc rollup exact decimal×integer.
+        "doc_nb_quality_score": """
+            WITH toks AS (
+              SELECT doc_id, lang = 'en' AS t,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, t, term FROM toks WHERE length(term) > 0
+            ), per_dt AS (
+              SELECT doc_id, t, term, COUNT(*) AS c
+              FROM nz GROUP BY doc_id, t, term
+            ), model AS (
+              SELECT term,
+                     SUM(CASE WHEN t THEN c ELSE 0 END) AS ct,
+                     SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS co
+              FROM per_dt GROUP BY term
+            ), tot AS (
+              SELECT SUM(ct) AS nt, SUM(co) AS no, COUNT(*) AS v
+              FROM model
+            ), scored AS (
+              SELECT term,
+                     CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+                                   / CAST(nt + v AS DOUBLE)) * 1e6) / 1e6
+                          AS DECIMAL(28,6))
+                     - CAST(floor(ln(CAST(co + 1 AS DOUBLE)
+                                     / CAST(no + v AS DOUBLE)) * 1e6) / 1e6
+                            AS DECIMAL(28,6)) AS s
+              FROM model, tot
+            ), per_doc AS (
+              SELECT doc_id,
+                     SUM(c) AS n_tokens,
+                     SUM(s * c) AS ssum
+              FROM per_dt JOIN scored USING (term)
+              GROUP BY doc_id
+            ), final AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
+                                    * 1e6) / 1e6, 0.0) AS mean_log_odds
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, mean_log_odds,
+                   CASE WHEN mean_log_odds > 0.0 THEN 'target'
+                        ELSE 'other' END AS nb_label
+            FROM final
+            ORDER BY doc_id
+        """,
+        # round 8: DSIR importance resampling — hashed-bucket (md5 mod
+        # 256) target vs raw-corpus distributions, log ratio trunc6'd
+        # per bucket, top-50 non-target docs by exact-decimal rollup.
+        "doc_importance_resample": """
+            WITH toks AS (
+              SELECT doc_id, source IN ('src0','src1','src2','src3') AS t,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, t,
+                     CAST(CAST(('0x' || substring(md5(term), 1, 8))
+                               AS UBIGINT) % 256 AS BIGINT) AS b
+              FROM toks WHERE length(term) > 0
+            ), per_db AS (
+              SELECT doc_id, t, b, COUNT(*) AS c
+              FROM nz GROUP BY doc_id, t, b
+            ), model AS (
+              SELECT b,
+                     SUM(CASE WHEN t THEN c ELSE 0 END) AS ct,
+                     SUM(c) AS cr
+              FROM per_db GROUP BY b
+            ), tot AS (
+              SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model
+            ), scored AS (
+              SELECT b,
+                     CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+                                   / CAST(nt + 256 AS DOUBLE)) * 1e6) / 1e6
+                          AS DECIMAL(28,6))
+                     - CAST(floor(ln(CAST(cr + 1 AS DOUBLE)
+                                     / CAST(nr + 256 AS DOUBLE)) * 1e6) / 1e6
+                            AS DECIMAL(28,6)) AS s
+              FROM model, tot
+            ), per_doc AS (
+              SELECT doc_id,
+                     SUM(c) AS n_tokens,
+                     SUM(s * c) AS ssum
+              FROM per_db JOIN scored USING (b)
+              WHERE NOT t
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
+                                  * 1e6) / 1e6, 0.0) AS log_weight
+            FROM documents d
+            LEFT JOIN per_doc p USING (doc_id)
+            WHERE d.source NOT IN ('src0','src1','src2','src3')
+            ORDER BY log_weight DESC, doc_id
+            LIMIT 50
         """,
     }
     return oracles

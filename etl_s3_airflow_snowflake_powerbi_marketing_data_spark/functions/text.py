@@ -545,6 +545,97 @@ def hashed_features(
     )
 
 
+def nb_class_log_odds(
+    df: DataFrame,
+    label_flag: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trained quality-classifier scoring — the fastText-style filter
+    of the GPT-3/CCNet/palm-era pipelines, re-expressed as multinomial
+    Naive Bayes so training is a pure aggregation: fit P(term | class)
+    on the corpus's own labels (``label_flag`` marks the high-quality /
+    target class), then score every document with the mean per-token
+    log-odds ln P(t|target) - ln P(t|other) under Laplace(+1)
+    smoothing over the joint vocabulary. Positive mean ⇒ the document
+    reads like the target class. (A production pipeline fits fastText
+    on curated-vs-crawl labels and keeps docs by classifier score —
+    NB over unigrams is the exact aggregation-form analog, and at
+    100 TB the training pass IS the scoring pass's first stage.)
+
+    Determinism discipline (the surprisal precedent): each class's
+    per-term log-probability — one ``ln`` of an exactly-computed IEEE
+    ratio of integers — floor-truncates to 6 decimals immediately;
+    the log-odds is then an exact DECIMAL subtraction and every
+    downstream aggregate is exact decimal × integer arithmetic, so
+    partition order can never move the score.
+
+    Plan (the (doc,term)-grain family shape): tokens pre-aggregate
+    once to (doc, class, term) grain in a map-side-combined groupBy
+    whose exchange both consumers reuse (the class-conditional model
+    derives from it — the corpus tokenizes exactly once); a 1-row
+    totals scalar broadcasts onto the model, the model joins back on
+    term, and the doc-grain rollup weights each term's log-odds by its
+    in-doc count. No post-explode shuffle ever carries token instances.
+
+    Output: (id_col, n_tokens, mean_log_odds, nb_label) — label
+    'target' iff the truncated mean is > 0; empty documents report
+    0 tokens / 0.0 / 'other'.
+    """
+    toks = _spread_if_narrow(df).select(
+        F.col(id_col),
+        label_flag.cast("boolean").alias("__t"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    per_dt = toks.groupBy(id_col, "__t", "term").agg(
+        F.count("*").alias("__c")
+    )
+    model = per_dt.groupBy("term").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__co"),
+    )
+    tot = model.agg(
+        F.sum("__ct").alias("__nt"),
+        F.sum("__co").alias("__no"),
+        F.count("*").alias("__v"),
+    )
+    log_p = trunc6(
+        F.log(
+            (F.col("__ct") + 1).cast("double")
+            / (F.col("__nt") + F.col("__v")).cast("double")
+        )
+    ).cast("decimal(28,6)")
+    log_q = trunc6(
+        F.log(
+            (F.col("__co") + 1).cast("double")
+            / (F.col("__no") + F.col("__v")).cast("double")
+        )
+    ).cast("decimal(28,6)")
+    scored = model.crossJoin(F.broadcast(tot)).select(
+        "term", (log_p - log_q).alias("__s")
+    )
+    per_doc = (
+        per_dt.join(scored, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.col("__s") * F.col("__c")).alias("__sum"),
+        )
+    )
+    mean = trunc6(F.col("__sum").cast("double") / F.col("n_tokens"))
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(mean, F.lit(0.0)).alias("mean_log_odds"),
+    )
+    label = F.when(
+        F.col("mean_log_odds") > 0.0, F.lit("target")
+    ).otherwise(F.lit("other"))
+    return out.withColumn("nb_label", label)
+
+
 def compression_ratio(
     df: DataFrame,
     text_col: str = "text",

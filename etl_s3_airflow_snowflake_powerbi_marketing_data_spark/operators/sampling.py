@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import trunc6
+
 __all__ = [
     "hash_bucket",
     "deterministic_sample",
@@ -31,6 +33,7 @@ __all__ = [
     "source_temperature_mix",
     "source_interleave_order",
     "token_budget_select",
+    "importance_resample",
 ]
 
 _BUCKETS = 10_000
@@ -646,4 +649,104 @@ def source_interleave_order(
             ).alias("interleave_key"),
         )
         .orderBy("interleave_key", source_col, "src_rank")
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_flag: Column,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    dim: int = 256,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the ``k`` raw documents whose HASHED n-gram distribution looks
+    most like a curated target slice. Fit two bucket distributions over
+    the same ``dim`` md5 buckets — p = tokens of target docs
+    (``target_flag``), q = tokens of the WHOLE corpus (the raw pool the
+    paper importance-weights against) — and score every document by the
+    mean per-token log importance ratio ln p(b)/q(b) under Laplace(+1)
+    smoothing; the top-``k`` non-target documents by score are the
+    resampled selection. The hashing trick (shared with
+    ``functions.text.hashed_features``: md5 → first 8 hex → mod dim) is
+    the load-bearing scale property: model size is ``dim`` regardless of
+    vocabulary, so the two distributions broadcast at any corpus size.
+
+    Determinism discipline (the surprisal/NB precedent): each bucket's
+    two log-probabilities truncate to 6 decimals immediately; the log
+    ratio is an exact DECIMAL subtraction and the per-doc rollup is
+    exact decimal × integer, so partition order cannot move a score.
+    Ties break by ``id_col`` ascending.
+
+    Plan: tokens pre-aggregate once to (doc, target, bucket) grain in a
+    map-side-combined groupBy whose exchange both consumers reuse (both
+    bucket distributions derive from it); the dim-row scored model and
+    the 1-row totals broadcast back, and the final top-k is a global
+    TakeOrderedAndProject — no window, no single-partition stage.
+
+    Output: (id_col, source_col, n_tokens, log_weight) — the selected
+    ``k`` rows, highest weight first.
+    """
+    h = F.md5(F.col("term"))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    toks = df.select(
+        F.col(id_col),
+        target_flag.cast("boolean").alias("__t"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0).select(
+        id_col, "__t", bucket.alias("__b")
+    )
+    per_db = toks.groupBy(id_col, "__t", "__b").agg(
+        F.count("*").alias("__c")
+    )
+    model = per_db.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"),
+        F.sum("__c").alias("__cr"),
+    )
+    tot = model.agg(
+        F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr")
+    )
+    log_p = trunc6(
+        F.log(
+            (F.col("__ct") + 1).cast("double")
+            / (F.col("__nt") + dim).cast("double")
+        )
+    ).cast("decimal(28,6)")
+    log_q = trunc6(
+        F.log(
+            (F.col("__cr") + 1).cast("double")
+            / (F.col("__nr") + dim).cast("double")
+        )
+    ).cast("decimal(28,6)")
+    scored = model.crossJoin(F.broadcast(tot)).select(
+        "__b", (log_p - log_q).alias("__s")
+    )
+    per_doc = (
+        per_db.filter(~F.col("__t"))
+        .join(F.broadcast(scored), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_tokens"),
+            F.sum(F.col("__s") * F.col("__c")).alias("__sum"),
+        )
+    )
+    weight = trunc6(F.col("__sum").cast("double") / F.col("n_tokens"))
+    return (
+        df.filter(~target_flag)
+        .select(id_col, source_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(weight, F.lit(0.0)).alias("log_weight"),
+        )
+        .orderBy(F.desc("log_weight"), F.asc(id_col))
+        .limit(k)
     )

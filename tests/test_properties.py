@@ -790,3 +790,141 @@ def test_cross_source_ngram_matrix_matches_set_model(spark, docs, n):
             if k:
                 expect[(a, b)] = k
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e"]),
+                min_size=0,
+                max_size=10,
+            ),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+)
+@SETTINGS
+def test_nb_log_odds_matches_python_model(spark, docs):
+    """Differential oracle: nb_class_log_odds against a from-scratch
+    pure-Python multinomial NB (same trunc6 floats, same Laplace
+    smoothing, same decimal-grid accumulation) on random labeled
+    corpora — token counts, scores, and labels all agree, including
+    empty documents and single-class corpora."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    rows = [(i, flag, " ".join(ws)) for i, (flag, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "is_tgt", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            round(r["mean_log_odds"] * 1e6),
+            r["nb_label"],
+        )
+        for r in text_fn.nb_class_log_odds(df, F.col("is_tgt")).collect()
+    }
+
+    per_dt: dict[tuple[int, str], int] = {}
+    for i, (flag, ws) in enumerate(docs):
+        for w in ws:
+            per_dt[(i, w)] = per_dt.get((i, w), 0) + 1
+    ct: dict[str, int] = {}
+    co: dict[str, int] = {}
+    for (i, w), c in per_dt.items():
+        if docs[i][0]:
+            ct[w] = ct.get(w, 0) + c
+        else:
+            co[w] = co.get(w, 0) + c
+    vocab = sorted({w for _i, w in per_dt})
+    nt, no, v = sum(ct.values()), sum(co.values()), len(vocab)
+    s_micro = {
+        w: math.floor(math.log((ct.get(w, 0) + 1) / (nt + v)) * 1e6)
+        - math.floor(math.log((co.get(w, 0) + 1) / (no + v)) * 1e6)
+        for w in vocab
+    }
+    for i, (_flag, ws) in enumerate(docs):
+        n = len(ws)
+        if n == 0:
+            assert got[i] == (0, 0, "other")
+            continue
+        micros = sum(s_micro[w] * per_dt[(i, w)] for w in set(ws))
+        mean_micro = math.floor((micros / 1e6) / n * 1e6)
+        label = "target" if mean_micro / 1e6 > 0.0 else "other"
+        assert got[i] == (n, mean_micro, label)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["tgt0", "tgt1", "raw0", "raw1"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                min_size=0,
+                max_size=10,
+            ),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+)
+@SETTINGS
+def test_importance_resample_matches_python_model(spark, docs):
+    """Differential oracle: importance_resample against a from-scratch
+    DSIR replica (hashlib md5 buckets, same trunc6/decimal-grid math,
+    same (-weight, doc_id) tie-break) on random multi-source corpora."""
+    import hashlib
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    dim, k = 16, 5
+    rows = [(i, src, " ".join(ws)) for i, (src, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    target = F.col("source").isin("tgt0", "tgt1")
+    got = [
+        (r["doc_id"], r["n_tokens"], round(r["log_weight"] * 1e6))
+        for r in sampling.importance_resample(
+            df, target, k=k, dim=dim
+        ).collect()
+    ]
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % dim
+
+    per_db: dict[tuple[int, int], int] = {}
+    for i, (_src, ws) in enumerate(docs):
+        for w in ws:
+            b = bucket(w)
+            per_db[(i, b)] = per_db.get((i, b), 0) + 1
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for (i, b), c in per_db.items():
+        cr[b] = cr.get(b, 0) + c
+        if docs[i][0].startswith("tgt"):
+            ct[b] = ct.get(b, 0) + c
+    nt, nr = sum(ct.values()), sum(cr.values())
+    s_micro = {
+        b: math.floor(math.log((ct.get(b, 0) + 1) / (nt + dim)) * 1e6)
+        - math.floor(math.log((cr[b] + 1) / (nr + dim)) * 1e6)
+        for b in cr
+    }
+    expect = []
+    for i, (src, ws) in enumerate(docs):
+        if src.startswith("tgt"):
+            continue
+        n = len(ws)
+        if n == 0:
+            expect.append((0, 0, i))
+            continue
+        micros = sum(
+            s_micro[b] * c for (j, b), c in per_db.items() if j == i
+        )
+        mean_micro = math.floor((micros / 1e6) / n * 1e6)
+        expect.append((mean_micro, n, i))
+    expect.sort(key=lambda p: (-p[0], p[2]))
+    assert got == [(i, n, m) for m, n, i in expect[:k]]

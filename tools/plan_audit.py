@@ -35,6 +35,12 @@ BOUNDED_BNLJ_OK = {
     # temperature mixing: the weight normalizer is a 1-row sum
     # broadcast onto the |sources|-row table
     "source_temperature_mix": "1-row weight-normalizer broadcast",
+    # NB classifier: class totals + vocab size ride a 1-row broadcast
+    # onto the per-term model (functions/text.py:nb_class_log_odds)
+    "doc_nb_quality_score": "1-row class-totals (Nt, No, V) broadcast",
+    # DSIR: bucket totals ride a 1-row broadcast onto the dim-row
+    # model (operators/sampling.py:importance_resample)
+    "doc_importance_resample": "1-row bucket-totals (Nt, Nr) broadcast",
     # star builds: ordered_surrogate_key's bucket math joins a 1-row
     # min/max aggregate of the ordering key (operators/keys.py:98,139)
     "event_raw": "1-row min/max bounds for surrogate-key buckets",
