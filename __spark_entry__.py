@@ -2411,6 +2411,23 @@ def q_doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel (functions/text.py:curation_funnel):
+    Gopher rule filter → trained NB quality classifier (target =
+    lang 'en', keep iff score > 0) → exact dedup keep-first among the
+    classifier survivors — one row per stage with surviving doc/token
+    counts, the per-snapshot report a production pipeline publishes.
+    Same Gopher thresholds as gopher_quality_flags; all stage booleans
+    aggregate in one conditional pass."""
+    return text_fn.curation_funnel(
+        load_table(spark, sf_dir, "documents"),
+        F.col("lang") == "en",
+        min_words=20,
+        max_words=100_000,
+        min_stopword_ratio=0.05,
+    )
+
+
 def q_user_order_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped pandas transform — the one Arrow API surface the other
     pandas paths (grouped applyInPandas, mapInPandas, stateful) don't
@@ -2621,7 +2638,7 @@ _R8_FRONT_50 = [
     # audio/frames: real WAV/RIFF duration parse behind both
     "media_audio_features",
     "media_frame_sample",
-    # --- the eight round-8 additions ------------------------------
+    # --- the nine round-8 additions -------------------------------
     "doc_bm25_topk_inverted",
     "event_variant_extract",
     "media_wav_duration",
@@ -2630,6 +2647,7 @@ _R8_FRONT_50 = [
     "doc_compression_ratio",
     "doc_nb_quality_score",
     "doc_importance_resample",
+    "doc_curation_funnel",
     # --- the four BENCH_r07 outliers (code untouched; graded here
     # while bench re-measures them min-of-2, VERDICT r07 item 2)
     "salted_join_rates",
@@ -2639,11 +2657,12 @@ _R8_FRONT_50 = [
     # --- property-test subjects this round + family sibling -------
     "source_interleave_order",
     "tfidf_top_terms",
-    # --- 29 canaries, spread one-per-family, rotated AWAY from the
+    # --- 28 canaries, spread one-per-family, rotated AWAY from the
     # r07 canary set (those 24 stood down; each name below last saw a
-    # window in r1-r6; two sketch-family canaries stood down to make
-    # room for the late round-8 additions — kmv_source_overlap keeps
-    # the family covered)
+    # window in r1-r6; two sketch-family canaries and one of the three
+    # sampling-family canaries stood down to make room for the late
+    # round-8 additions — kmv_source_overlap / stratified_mix_sample /
+    # corpus_shuffle_order keep those families covered)
     "event_raw",
     "kpi_view_count_by_period",
     "kpi_top_event_type_by_period",
@@ -2667,7 +2686,6 @@ _R8_FRONT_50 = [
     "media_embeddings",
     "stratified_mix_sample",
     "corpus_shuffle_order",
-    "token_budget_select",
     "gopher_quality_flags",
     "doc_hashed_features",
     "doc_winnow_fingerprints",
@@ -2965,6 +2983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analog) + DSIR hashed importance resampling
         "doc_nb_quality_score": q_doc_nb_quality_score,
         "doc_importance_resample": q_doc_importance_resample,
+        # round 8: end-to-end curation funnel (gopher -> classifier ->
+        # dedup survivor report)
+        "doc_curation_funnel": q_doc_curation_funnel,
     }
     ordered = {name: all_q[name] for name in _R8_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -7149,6 +7170,118 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.source NOT IN ('src0','src1','src2','src3')
             ORDER BY log_weight DESC, doc_id
             LIMIT 50
+        """,
+        # round 8: curation funnel — gopher keep expr (same thresholds
+        # as gopher_quality_flags), NB mean (same CTEs as
+        # doc_nb_quality_score), fingerprint keep-first among
+        # classifier survivors; four stage aggregates in one pass.
+        "doc_curation_funnel": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END) AS BIGINT) AS n_words,
+                     CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+')) END) = 0
+                          THEN 0.0
+                          ELSE floor(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) * 1000000.0
+                               / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text),
+                                                              '\\s+')) END))
+                               / 1000000.0 END AS mean_word_len,
+                     floor((CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE len(regexp_extract_all(text,
+                                   '[!-/:-@\\[-`{-~]')) * 1.0 / length(text)
+                            END) * 1000000.0) / 1000000.0 AS punct_ratio,
+                     floor((CASE WHEN (CASE WHEN length(trim(text)) = 0
+                                       THEN 0
+                                       ELSE len(string_split_regex(
+                                              trim(text), '\\s+')) END) = 0
+                            THEN 0.0
+                            ELSE len(regexp_extract_all(lower(text),
+                                   '\\b(the|and|of|to|a|in|is|it|that|for)\\b'))
+                                 * 1.0
+                                 / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text),
+                                                                '\\s+')) END)
+                            END) * 1000000.0) / 1000000.0 AS stopword_ratio
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_words,
+                     ((n_words >= 20 AND n_words <= 100000)
+                      AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                      AND (punct_ratio <= 0.20)
+                      AND (stopword_ratio >= 0.05)) AS keep
+              FROM m
+            ), toks AS (
+              SELECT doc_id, lang = 'en' AS t,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS term
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, t, term FROM toks WHERE length(term) > 0
+            ), per_dt AS (
+              SELECT doc_id, t, term, COUNT(*) AS c
+              FROM nz GROUP BY doc_id, t, term
+            ), model AS (
+              SELECT term,
+                     SUM(CASE WHEN t THEN c ELSE 0 END) AS ct,
+                     SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS co
+              FROM per_dt GROUP BY term
+            ), tot AS (
+              SELECT SUM(ct) AS nt, SUM(co) AS no, COUNT(*) AS v
+              FROM model
+            ), scored AS (
+              SELECT term,
+                     CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+                                   / CAST(nt + v AS DOUBLE)) * 1e6) / 1e6
+                          AS DECIMAL(28,6))
+                     - CAST(floor(ln(CAST(co + 1 AS DOUBLE)
+                                     / CAST(no + v AS DOUBLE)) * 1e6) / 1e6
+                            AS DECIMAL(28,6)) AS s
+              FROM model, tot
+            ), nb AS (
+              SELECT doc_id,
+                     floor(CAST(SUM(s * c) AS DOUBLE) / SUM(c) * 1e6) / 1e6
+                       AS mean_log_odds
+              FROM per_dt JOIN scored USING (term)
+              GROUP BY doc_id
+            ), j AS (
+              SELECT d.doc_id, md5(d.text) AS fp, g.n_words,
+                     g.keep AS gk,
+                     (g.keep AND COALESCE(nb.mean_log_odds, 0.0) > 0.0) AS ck
+              FROM documents d
+              JOIN g USING (doc_id)
+              LEFT JOIN nb USING (doc_id)
+            ), keepers AS (
+              SELECT fp, MIN(doc_id) AS keep_id FROM j WHERE ck GROUP BY fp
+            ), j2 AS (
+              SELECT j.*, (ck AND doc_id = keep_id) AS dk
+              FROM j LEFT JOIN keepers USING (fp)
+            ), a AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                     CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS t0,
+                     CAST(COUNT(*) FILTER (gk) AS BIGINT) AS n1,
+                     CAST(COALESCE(SUM(n_words) FILTER (gk), 0) AS BIGINT)
+                       AS t1,
+                     CAST(COUNT(*) FILTER (ck) AS BIGINT) AS n2,
+                     CAST(COALESCE(SUM(n_words) FILTER (ck), 0) AS BIGINT)
+                       AS t2,
+                     CAST(COUNT(*) FILTER (dk) AS BIGINT) AS n3,
+                     CAST(COALESCE(SUM(n_words) FILTER (dk), 0) AS BIGINT)
+                       AS t3
+              FROM j2
+            )
+            SELECT '0_total' AS stage, n0 AS n_docs, t0 AS n_tokens FROM a
+            UNION ALL
+            SELECT '1_gopher', n1, t1 FROM a
+            UNION ALL
+            SELECT '2_classifier', n2, t2 FROM a
+            UNION ALL
+            SELECT '3_dedup', n3, t3 FROM a
+            ORDER BY stage
         """,
     }
     return oracles

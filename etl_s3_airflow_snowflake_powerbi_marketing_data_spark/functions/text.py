@@ -1034,6 +1034,96 @@ def gopher_quality_flags(
     )
 
 
+def curation_funnel(
+    df: DataFrame,
+    label_flag: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """End-to-end curation funnel — the survivor-count report every
+    production training-data pipeline publishes per snapshot: documents
+    flow through (1) the Gopher/MassiveText rule filter, (2) the
+    trained NB quality classifier (:func:`nb_class_log_odds`, keep iff
+    score > 0), (3) exact dedup (keep-first by md5 fingerprint AMONG
+    the classifier survivors — dedup runs last because upstream filters
+    change which duplicate group members remain, exactly as in
+    RefinedWeb/Dolma stage ordering). One row per stage with surviving
+    doc and token counts — the numbers a data-mixture plan is built
+    from.
+
+    Plan: rule flags and fingerprints are map-only over the scan; the
+    classifier adds its (doc, class, term)-grain shuffles; stage
+    booleans land in ONE frame so all four stage aggregates are a
+    single conditional pass (no per-stage rescan); the dedup keeper
+    election is one fingerprint-keyed min aggregate over classifier
+    survivors only. The per-doc boolean frame feeds BOTH the keeper
+    election and the final aggregate, so it lazily localCheckpoints
+    (the bm25_topk precedent) — without it the whole classifier
+    subtree would tokenize the corpus twice. Nothing here widens with
+    corpus size except those keyed aggregations.
+
+    Output: (stage, n_docs, n_tokens), stages '0_total' → '3_dedup'.
+    """
+    flags = gopher_quality_flags(
+        df,
+        text_col,
+        id_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_stopword_ratio=min_stopword_ratio,
+    )
+    nb = nb_class_log_odds(df, label_flag, text_col, id_col)
+    base = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp"))
+    j = (
+        base.join(flags.select(id_col, "n_words", "keep"), id_col)
+        .join(
+            nb.select(id_col, F.col("mean_log_odds").alias("__nb")), id_col
+        )
+        .select(
+            id_col,
+            "__fp",
+            "n_words",
+            F.col("keep").alias("__g"),
+            (F.col("keep") & (F.col("__nb") > 0.0)).alias("__c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    keepers = (
+        j.filter(F.col("__c"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("__keep_id"))
+    )
+    j2 = j.join(keepers, "__fp", "left").withColumn(
+        "__d", F.col("__c") & (F.col(id_col) == F.col("__keep_id"))
+    )
+    zero = F.lit(0)
+    agg = j2.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.coalesce(F.sum("n_words"), zero).cast("long").alias("t0"),
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__g"), F.col("n_words")).otherwise(0)), zero
+        ).cast("long").alias("t1"),
+        F.sum(F.when(F.col("__c"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c"), F.col("n_words")).otherwise(0)), zero
+        ).cast("long").alias("t2"),
+        F.sum(F.when(F.col("__d"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.coalesce(
+            F.sum(F.when(F.col("__d"), F.col("n_words")).otherwise(0)), zero
+        ).cast("long").alias("t3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, '0_total', n0, t0, '1_gopher', n1, t1,"
+            " '2_classifier', n2, t2, '3_dedup', n3, t3)"
+        ).alias("stage", "n_docs", "n_tokens")
+    ).orderBy("stage")
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

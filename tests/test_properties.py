@@ -928,3 +928,60 @@ def test_importance_resample_matches_python_model(spark, docs):
         expect.append((mean_micro, n, i))
     expect.sort(key=lambda p: (-p[0], p[2]))
     assert got == [(i, n, m) for m, n, i in expect[:k]]
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.sampled_from(
+                ["a a a b", "z z y x", "a b a b", "q", "", "a a a b"]
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_curation_funnel_composes_its_stages(spark, docs):
+    """curation_funnel equals the composition of its independently
+    tested stages: gopher flags → NB score > 0 → keep-first exact
+    dedup among classifier survivors, with stage counts computed by a
+    Python fold over the two component operators' own outputs."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    rows = [(i, flag, t) for i, (flag, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "is_tgt", "text"])
+    got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in text_fn.curation_funnel(
+            df, F.col("is_tgt"), min_words=2
+        ).collect()
+    }
+
+    gop = {
+        r["doc_id"]: (r["n_words"], r["keep"])
+        for r in text_fn.gopher_quality_flags(df, min_words=2).collect()
+    }
+    nb = {
+        r["doc_id"]: r["mean_log_odds"]
+        for r in text_fn.nb_class_log_odds(df, F.col("is_tgt")).collect()
+    }
+    g_ids = [i for i, _f in enumerate(docs) if gop[i][1]]
+    c_ids = [i for i in g_ids if nb[i] > 0.0]
+    first_by_text: dict[str, int] = {}
+    for i in c_ids:
+        first_by_text.setdefault(docs[i][1], i)
+    d_ids = [i for i in c_ids if first_by_text[docs[i][1]] == i]
+
+    def stage(ids):
+        return (len(ids), sum(gop[i][0] for i in ids))
+
+    assert got == {
+        "0_total": stage(range(len(docs))),
+        "1_gopher": stage(g_ids),
+        "2_classifier": stage(c_ids),
+        "3_dedup": stage(d_ids),
+    }

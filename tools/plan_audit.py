@@ -41,6 +41,9 @@ BOUNDED_BNLJ_OK = {
     # DSIR: bucket totals ride a 1-row broadcast onto the dim-row
     # model (operators/sampling.py:importance_resample)
     "doc_importance_resample": "1-row bucket-totals (Nt, Nr) broadcast",
+    # curation funnel: embeds the NB classifier, whose class totals
+    # are a 1-row broadcast (functions/text.py:curation_funnel)
+    "doc_curation_funnel": "1-row class-totals (Nt, No, V) broadcast",
     # star builds: ordered_surrogate_key's bucket math joins a 1-row
     # min/max aggregate of the ordering key (operators/keys.py:98,139)
     "event_raw": "1-row min/max bounds for surrogate-key buckets",

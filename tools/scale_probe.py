@@ -311,6 +311,23 @@ def main() -> None:
             # so cost must track the doc-side scan + model join only.
             "unigram_surprisal": lambda: text_fn.unigram_surprisal(df),
             "bigram_surprisal": lambda: text_fn.bigram_surprisal(df),
+            # round 8: NB model size = vocabulary (replication-
+            # invariant), DSIR model size = 256 buckets (constant) —
+            # both must track the (doc,grain) shuffle only; the funnel
+            # adds map-only flags + one fingerprint min-agg on top of
+            # the NB pass.
+            "nb_log_odds": lambda: text_fn.nb_class_log_odds(
+                df, F.col("lang") == "en"
+            ),
+            "importance_resample": lambda: sampling.importance_resample(
+                df, F.col("source").isin("src0", "src1", "src2", "src3")
+            ),
+            "curation_funnel": lambda: text_fn.curation_funnel(
+                df,
+                F.col("lang") == "en",
+                min_words=20,
+                min_stopword_ratio=0.05,
+            ),
             # round 5: sources and vocabulary are both unchanged by
             # replication, so every post-explode stage (counts, pair
             # join, S×S grid) is constant-size — growth must track
