@@ -1103,15 +1103,21 @@ def curation_funnel(
     agg = j2.agg(
         F.count("*").cast("long").alias("n0"),
         F.coalesce(F.sum("n_words"), zero).cast("long").alias("t0"),
-        F.sum(F.when(F.col("__g"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__g"), 1).otherwise(0)), zero
+        ).cast("long").alias("n1"),
         F.coalesce(
             F.sum(F.when(F.col("__g"), F.col("n_words")).otherwise(0)), zero
         ).cast("long").alias("t1"),
-        F.sum(F.when(F.col("__c"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c"), 1).otherwise(0)), zero
+        ).cast("long").alias("n2"),
         F.coalesce(
             F.sum(F.when(F.col("__c"), F.col("n_words")).otherwise(0)), zero
         ).cast("long").alias("t2"),
-        F.sum(F.when(F.col("__d"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.coalesce(
+            F.sum(F.when(F.col("__d"), 1).otherwise(0)), zero
+        ).cast("long").alias("n3"),
         F.coalesce(
             F.sum(F.when(F.col("__d"), F.col("n_words")).otherwise(0)), zero
         ).cast("long").alias("t3"),

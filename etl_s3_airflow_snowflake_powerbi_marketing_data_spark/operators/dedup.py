@@ -742,6 +742,108 @@ def shared_gram_hotspots(
     ).limit(top)
 
 
+def dedup_exact_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication with document REWRITING (the
+    ExactSubstr remediation of Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", word-gram form): every token
+    covered by a word ``n``-gram that occurs ≥ ``min_occurrences``
+    times corpus-wide is removed from its document; the cleaned text is
+    what a pretraining pipeline actually feeds the tokenizer. The
+    detection ops (:func:`shared_gram_hotspots`, line dedup) report
+    duplication — this operator is the remediation stage that excises
+    it. Lee et al. use a corpus suffix array; the Spark-native analog
+    is fingerprint counting over full n-gram windows, which matches the
+    suffix-array criterion exactly for spans ≥ n tokens.
+
+    Plan (100 TB posture): the corpus-scaled stages are one shingle
+    explode into a map-side-combinable fingerprint count and one
+    semi-join of window rows against the flagged fingerprints. Token-
+    grain reconstruction (posexplode → anti-join covered positions →
+    order-restoring re-agg) runs ONLY for contaminated documents —
+    clean documents (the overwhelming majority of a real corpus) take
+    a map-only pass-through branch and never shuffle token rows.
+    Documents shorter than ``n`` tokens have no full window and always
+    pass through. All values are strings/integers — exact on any
+    engine, plain-SQL oracle.
+
+    Output: (id_col, n_tokens, n_removed, cleaned_text) —
+    whitespace-normalized (single-space joined) in both branches so
+    the pass-through and rebuilt forms are comparable.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("id"), toks.alias("__t")
+    )
+    n_starts = F.greatest(F.size("__t") - F.lit(n - 1), F.lit(0))
+    starts = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(0), n_starts - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    windows = base.select(
+        "id",
+        F.explode(starts).alias("start"),
+        F.col("__t").alias("__tt"),
+    ).select(
+        "id",
+        "start",
+        F.md5(F.array_join(F.slice("__tt", F.col("start") + 1, n), " ")).alias(
+            "fp"
+        ),
+    )
+    dup_fps = (
+        windows.groupBy("fp")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("fp")
+    )
+    flagged = windows.join(dup_fps, "fp", "left_semi").select("id", "start")
+    dirty_ids = flagged.select("id").distinct()
+    covered = flagged.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    dirty = base.join(dirty_ids, "id", "left_semi")
+    kept = (
+        dirty.select("id", F.posexplode("__t").alias("pos", "tok"))
+        .join(covered, ["id", "pos"], "left_anti")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    dirty_out = (
+        dirty.join(rebuilt, "id", "left")
+        .select(
+            F.col("id"),
+            F.size("__t").cast("long").alias("n_tokens"),
+            (
+                F.size("__t") - F.coalesce("__n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+    clean_out = base.join(dirty_ids, "id", "left_anti").select(
+        F.col("id"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.array_join("__t", " ").alias("cleaned_text"),
+    )
+    return dirty_out.unionByName(clean_out).withColumnRenamed("id", id_col)
+
+
 def fuzzy_string_matches(
     df: DataFrame,
     text_col: str,

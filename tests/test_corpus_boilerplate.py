@@ -398,3 +398,41 @@ def test_bm25_inverted_matches_conditional(spark):
     cond = text_fn.bm25_topk(df, terms, strategy="conditional").collect()
     inv = text_fn.bm25_topk(df, terms, strategy="inverted").collect()
     assert cond == inv
+
+
+def test_round8_ops_on_empty_corpus(spark):
+    """The four round-8 curation ops must survive a zero-row corpus
+    with their declared schemas intact (the shape an incremental
+    pipeline hits on an empty partition/day)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup as dedup_mod,
+        sampling,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    nb = text_fn.nb_class_log_odds(empty, F.col("lang") == "en")
+    assert nb.columns == ["doc_id", "n_tokens", "mean_log_odds", "nb_label"]
+    assert nb.count() == 0
+
+    dsir = sampling.importance_resample(
+        empty, F.col("source") == "src0", k=5
+    )
+    assert dsir.columns == ["doc_id", "source", "n_tokens", "log_weight"]
+    assert dsir.count() == 0
+
+    funnel = text_fn.curation_funnel(empty, F.col("lang") == "en").collect()
+    assert [(r["stage"], r["n_docs"], r["n_tokens"]) for r in funnel] == [
+        ("0_total", 0, 0),
+        ("1_gopher", 0, 0),
+        ("2_classifier", 0, 0),
+        ("3_dedup", 0, 0),
+    ]
+
+    sub = dedup_mod.dedup_exact_substrings(empty)
+    assert sub.columns == ["doc_id", "n_tokens", "n_removed", "cleaned_text"]
+    assert sub.count() == 0

@@ -985,3 +985,48 @@ def test_curation_funnel_composes_its_stages(spark, docs):
         "2_classifier": stage(c_ids),
         "3_dedup": stage(d_ids),
     }
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    min_occ=st.sampled_from([2, 3]),
+)
+@SETTINGS
+def test_substring_dedup_matches_python_model(spark, docs, min_occ):
+    """Differential oracle: dedup_exact_substrings against a
+    from-scratch Python ExactSubstr replica (n-gram occurrence counts
+    over full windows, covered-position union, order-preserving
+    rebuild) on random corpora — small alphabet guarantees repeated
+    grams, short docs exercise the no-window pass-through."""
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in dedup.dedup_exact_substrings(
+            df, n=n, min_occurrences=min_occ
+        ).collect()
+    }
+
+    counts: dict[tuple[str, ...], int] = {}
+    for ws in docs:
+        for s in range(len(ws) - n + 1):
+            g = tuple(ws[s : s + n])
+            counts[g] = counts.get(g, 0) + 1
+    expect = {}
+    for i, ws in enumerate(docs):
+        covered: set[int] = set()
+        for s in range(len(ws) - n + 1):
+            if counts[tuple(ws[s : s + n])] >= min_occ:
+                covered.update(range(s, s + n))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        expect[i] = (len(ws), len(covered), " ".join(kept))
+    assert got == expect

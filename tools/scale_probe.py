@@ -328,6 +328,11 @@ def main() -> None:
                 min_words=20,
                 min_stopword_ratio=0.05,
             ),
+            # round 8: ExactSubstr rewrite — replication multiplies
+            # every window's occurrence count ABOVE the threshold, so
+            # at Nx nearly every doc goes dirty: the adversarial case
+            # for the dirty-only reconstruction branch.
+            "substring_dedup": lambda: dedup.dedup_exact_substrings(df),
             # round 5: sources and vocabulary are both unchanged by
             # replication, so every post-explode stage (counts, pair
             # join, S×S grid) is constant-size — growth must track
