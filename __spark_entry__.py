@@ -2441,6 +2441,26 @@ def q_doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_doc_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination (operators/decontam.py:
+    decontaminate_rewrite): train docs (doc_id % 5 != 0, the
+    q_decontaminate split) rewritten by excising every token covered by
+    a 13-gram that appears in the eval slice — the keep-the-rest
+    remediation counterpart of the ngram_collisions report. Eval
+    window fingerprints semi-filter train windows; reconstruction runs
+    only for the train docs that contain a leaked span."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        decontam,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.decontaminate_rewrite(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        n=13,
+    ).orderBy("doc_id")
+
+
 def q_user_order_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped pandas transform — the one Arrow API surface the other
     pandas paths (grouped applyInPandas, mapInPandas, stateful) don't
@@ -2651,7 +2671,7 @@ _R8_FRONT_50 = [
     # audio/frames: real WAV/RIFF duration parse behind both
     "media_audio_features",
     "media_frame_sample",
-    # --- the ten round-8 additions --------------------------------
+    # --- the eleven round-8 additions -----------------------------
     "doc_bm25_topk_inverted",
     "event_variant_extract",
     "media_wav_duration",
@@ -2662,6 +2682,7 @@ _R8_FRONT_50 = [
     "doc_importance_resample",
     "doc_curation_funnel",
     "doc_substring_dedup",
+    "doc_decontaminate_rewrite",
     # --- the four BENCH_r07 outliers (code untouched; graded here
     # while bench re-measures them min-of-2, VERDICT r07 item 2)
     "salted_join_rates",
@@ -2671,14 +2692,14 @@ _R8_FRONT_50 = [
     # --- property-test subjects this round + family sibling -------
     "source_interleave_order",
     "tfidf_top_terms",
-    # --- 27 canaries, spread one-per-family, rotated AWAY from the
+    # --- 26 canaries, spread one-per-family, rotated AWAY from the
     # r07 canary set (those 24 stood down; each name below last saw a
-    # window in r1-r6; two sketch-family, one sampling-family, and one
+    # window in r1-r6; two sketch-family, one sampling-family, and two
     # of the five dedup-family canaries stood down to make room for
     # the late round-8 additions — kmv_source_overlap /
     # stratified_mix_sample / corpus_shuffle_order keep those families
-    # covered, and the dedup family keeps four canaries PLUS the new
-    # doc_substring_dedup)
+    # covered, and the dedup family keeps three canaries PLUS the new
+    # doc_substring_dedup / doc_decontaminate_rewrite)
     "event_raw",
     "kpi_view_count_by_period",
     "kpi_top_event_type_by_period",
@@ -2691,7 +2712,6 @@ _R8_FRONT_50 = [
     "events_last_order",
     "streaming_user_sessions",
     "streaming_hll_users",
-    "ngram_jaccard_dups",
     "minhash_lsh_dups",
     "dedup_semantic_embeddings",
     "line_dedup_docs",
@@ -3004,6 +3024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8: exact-substring dedup with document rewriting
         # (Lee et al. 2021 ExactSubstr remediation)
         "doc_substring_dedup": q_doc_substring_dedup,
+        # round 8: surgical train-side decontamination rewrite
+        "doc_decontaminate_rewrite": q_doc_decontaminate_rewrite,
     }
     ordered = {name: all_q[name] for name in _R8_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -7325,6 +7347,65 @@ def oracle_sql() -> dict[str, str]:
               SELECT fp FROM win GROUP BY fp HAVING COUNT(*) >= 2
             ), flagged AS (
               SELECT doc_id, start FROM win JOIN dup USING (fp)
+            ), covered AS (
+              SELECT DISTINCT doc_id, start + u.i AS pos
+              FROM flagged, UNNEST(range(0, 13)) AS u(i)
+            ), tokpos AS (
+              SELECT doc_id, unnest(t) AS tk,
+                     unnest(range(0, len(t))) AS pos
+              FROM tok
+            ), kept AS (
+              SELECT tp.doc_id, tp.tk, tp.pos
+              FROM tokpos tp
+              ANTI JOIN covered c
+                ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+            ), reb AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_kept,
+                     string_agg(tk, ' ' ORDER BY pos) AS cleaned
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(len(t.t) - COALESCE(r.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   COALESCE(r.cleaned, '') AS cleaned_text
+            FROM tok t LEFT JOIN reb r USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # round 8: surgical decontamination — eval-slice 13-gram
+        # fingerprints semi-filter the train windows, then the same
+        # covered-position excision as doc_substring_dedup.
+        "doc_decontaminate_rewrite": """
+            WITH tokall AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0
+                     ) AS t
+              FROM documents
+            ), tok AS (
+              SELECT * FROM tokall WHERE doc_id % 5 != 0
+            ), ev AS (
+              SELECT * FROM tokall WHERE doc_id % 5 = 0
+            ), evfp AS (
+              SELECT DISTINCT
+                     md5(array_to_string(
+                           list_slice(t, u.s + 1, u.s + 13), ' ')) AS fp
+              FROM ev,
+                   UNNEST(range(0, CASE WHEN len(t) >= 13
+                                        THEN len(t) - 12 ELSE 0 END))
+                     AS u(s)
+            ), win AS (
+              SELECT doc_id, u.s AS start,
+                     md5(array_to_string(
+                           list_slice(t, u.s + 1, u.s + 13), ' ')) AS fp
+              FROM tok,
+                   UNNEST(range(0, CASE WHEN len(t) >= 13
+                                        THEN len(t) - 12 ELSE 0 END))
+                     AS u(s)
+            ), flagged AS (
+              SELECT doc_id, start FROM win SEMI JOIN evfp USING (fp)
             ), covered AS (
               SELECT DISTINCT doc_id, start + u.i AS pos
               FROM flagged, UNNEST(range(0, 13)) AS u(i)

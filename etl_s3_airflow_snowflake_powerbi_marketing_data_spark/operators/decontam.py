@@ -85,3 +85,52 @@ def ngram_collisions(
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.col("n_hits") > 0).alias("contaminated"),
     )
+
+
+def decontaminate_rewrite(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Surgical decontamination: REWRITE training documents by excising
+    every token covered by an ``n``-gram that appears in the eval set —
+    the remediation counterpart of :func:`ngram_collisions` (which only
+    reports leakage, and from the eval side). Dropping whole train docs
+    over one leaked span wastes data at 100 TB; the production move
+    (PaLM/Llama-style decontamination) is to cut the leaked span and
+    keep the rest.
+
+    Both sides fingerprint FULL n-token windows (md5 of the
+    space-joined window — the :func:`dedup.dedup_exact_substrings`
+    convention, SQL-reproducible); eval documents shorter than ``n``
+    tokens are below the protection granularity by definition.
+
+    Scale shape: the eval side is small by contract, so its distinct
+    window fingerprints semi-filter the train windows (AQE broadcasts
+    the eval set — a map-side kill at scan speed); token-grain
+    reconstruction then runs only for the train documents that
+    actually contain a leaked span, every other document passes
+    through map-only (the `_excise_covered` branch discipline).
+
+    Output: (id_col, n_tokens, n_removed, cleaned_text) per TRAIN doc.
+    """
+    from .dedup import (  # noqa: PLC0415
+        _excise_covered,
+        _token_windows,
+        _tokenized_base,
+    )
+
+    base = _tokenized_base(train, text_col, id_col)
+    eval_fps = (
+        _token_windows(_tokenized_base(eval_df, text_col, id_col), n)
+        .select("fp")
+        .distinct()
+    )
+    flagged = (
+        _token_windows(base, n)
+        .join(eval_fps, "fp", "left_semi")
+        .select("id", "start")
+    )
+    return _excise_covered(base, flagged, n, id_col)

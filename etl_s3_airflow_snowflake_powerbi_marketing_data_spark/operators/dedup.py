@@ -776,15 +776,35 @@ def dedup_exact_substrings(
     whitespace-normalized (single-space joined) in both branches so
     the pass-through and rebuilt forms are comparable.
     """
+    base = _tokenized_base(df, text_col, id_col)
+    windows = _token_windows(base, n)
+    dup_fps = (
+        windows.groupBy("fp")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_occurrences)
+        .select("fp")
+    )
+    flagged = windows.join(dup_fps, "fp", "left_semi").select("id", "start")
+    return _excise_covered(base, flagged, n, id_col)
+
+
+def _tokenized_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __t) frame: spread + empty-filtered whitespace tokens."""
     toks = F.filter(_tokens(F.col(text_col)), lambda x: F.length(x) > 0)
-    base = _spread(df, id_col).select(
+    return _spread(df, id_col).select(
         F.col(id_col).alias("id"), toks.alias("__t")
     )
+
+
+def _token_windows(base: DataFrame, n: int) -> DataFrame:
+    """All FULL n-token windows of a tokenized base: (id, start, fp)
+    with fp = md5 of the space-joined window (md5 so any SQL engine
+    reproduces it). Documents shorter than ``n`` yield no window."""
     n_starts = F.greatest(F.size("__t") - F.lit(n - 1), F.lit(0))
     starts = F.when(
         F.size("__t") >= n, F.sequence(F.lit(0), n_starts - 1)
     ).otherwise(F.array().cast("array<int>"))
-    windows = base.select(
+    return base.select(
         "id",
         F.explode(starts).alias("start"),
         F.col("__t").alias("__tt"),
@@ -795,13 +815,17 @@ def dedup_exact_substrings(
             "fp"
         ),
     )
-    dup_fps = (
-        windows.groupBy("fp")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_occurrences)
-        .select("fp")
-    )
-    flagged = windows.join(dup_fps, "fp", "left_semi").select("id", "start")
+
+
+def _excise_covered(
+    base: DataFrame, flagged: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Remove every token covered by a flagged (id, start) n-window and
+    rebuild the cleaned text. Token-grain work (posexplode → covered-
+    position anti-join → order-restoring re-agg) runs ONLY for
+    documents with at least one flagged window; clean documents take a
+    map-only pass-through branch. Output: (id_col, n_tokens,
+    n_removed, cleaned_text), whitespace-normalized in both branches."""
     dirty_ids = flagged.select("id").distinct()
     covered = flagged.select(
         "id",

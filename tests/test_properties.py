@@ -1030,3 +1030,53 @@ def test_substring_dedup_matches_python_model(spark, docs, min_occ):
         kept = [w for p, w in enumerate(ws) if p not in covered]
         expect[i] = (len(ws), len(covered), " ".join(kept))
     assert got == expect
+
+
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    ),
+    ev=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@SETTINGS
+def test_decontaminate_rewrite_matches_python_model(spark, train, ev):
+    """Differential oracle: decontaminate_rewrite against a
+    from-scratch Python replica (eval n-gram set → covered-position
+    union over train windows → order-preserving rebuild)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        decontam,
+    )
+
+    n = 3
+    train_df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(train)],
+        ["doc_id", "text"],
+    )
+    ev_df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(ev)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in decontam.decontaminate_rewrite(train_df, ev_df, n=n).collect()
+    }
+
+    ev_grams = {
+        tuple(ws[s : s + n])
+        for ws in ev
+        for s in range(len(ws) - n + 1)
+    }
+    expect = {}
+    for i, ws in enumerate(train):
+        covered: set[int] = set()
+        for s in range(len(ws) - n + 1):
+            if tuple(ws[s : s + n]) in ev_grams:
+                covered.update(range(s, s + n))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        expect[i] = (len(ws), len(covered), " ".join(kept))
+    assert got == expect

@@ -218,6 +218,7 @@ def main() -> None:
             bpe,
         )
         from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+            decontam,
             lines as lines_mod,
             sampling,
             sketches,
@@ -333,6 +334,14 @@ def main() -> None:
             # at Nx nearly every doc goes dirty: the adversarial case
             # for the dirty-only reconstruction branch.
             "substring_dedup": lambda: dedup.dedup_exact_substrings(df),
+            # round 8: replicas duplicate eval TEXTS, so the distinct
+            # eval-fingerprint set is replication-invariant (the
+            # realistic shape: eval benchmarks don't grow with the
+            # crawl); flagged spans and the dirty reconstruction grow
+            # ~Nx, the semi-filter stays a broadcast kill.
+            "decontaminate_rewrite": lambda: decontam.decontaminate_rewrite(
+                df, df.filter(F.col("doc_id") % 1_000_000 % 5 == 0)
+            ),
             # round 5: sources and vocabulary are both unchanged by
             # replication, so every post-explode stage (counts, pair
             # join, S×S grid) is constant-size — growth must track
