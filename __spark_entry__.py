@@ -1800,6 +1800,18 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-ingest quality gate (streaming/pipeline.py:
+    streaming_doc_quality_counts): the Gopher rule filter evaluated
+    per arriving document (the batch operator runs unchanged on the
+    stream — map-only), rolled up live into per-(source, keep)
+    doc/token counts. The oracle is the equivalent batch SQL over the
+    same corpus — complete-mode streaming must converge to it."""
+    return streaming_pipeline.run_doc_quality_stream_to_memory(
+        spark, table_path(sf_dir, "documents")
+    ).orderBy("source", "keep")
+
+
 def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: two-phase salted agg over events keyed by
     event_type — 5 distinct keys over the whole table is exactly the
@@ -2671,7 +2683,7 @@ _R8_FRONT_50 = [
     # audio/frames: real WAV/RIFF duration parse behind both
     "media_audio_features",
     "media_frame_sample",
-    # --- the eleven round-8 additions -----------------------------
+    # --- the twelve round-8 additions -----------------------------
     "doc_bm25_topk_inverted",
     "event_variant_extract",
     "media_wav_duration",
@@ -2683,6 +2695,7 @@ _R8_FRONT_50 = [
     "doc_curation_funnel",
     "doc_substring_dedup",
     "doc_decontaminate_rewrite",
+    "streaming_doc_quality_gate",
     # --- the four BENCH_r07 outliers (code untouched; graded here
     # while bench re-measures them min-of-2, VERDICT r07 item 2)
     "salted_join_rates",
@@ -2692,14 +2705,16 @@ _R8_FRONT_50 = [
     # --- property-test subjects this round + family sibling -------
     "source_interleave_order",
     "tfidf_top_terms",
-    # --- 26 canaries, spread one-per-family, rotated AWAY from the
+    # --- 25 canaries, spread one-per-family, rotated AWAY from the
     # r07 canary set (those 24 stood down; each name below last saw a
     # window in r1-r6; two sketch-family, one sampling-family, and two
     # of the five dedup-family canaries stood down to make room for
     # the late round-8 additions — kmv_source_overlap /
     # stratified_mix_sample / corpus_shuffle_order keep those families
     # covered, and the dedup family keeps three canaries PLUS the new
-    # doc_substring_dedup / doc_decontaminate_rewrite)
+    # doc_substring_dedup / doc_decontaminate_rewrite; one of the two
+    # streaming canaries stood down — streaming_user_sessions plus the
+    # new streaming_doc_quality_gate keep that family covered)
     "event_raw",
     "kpi_view_count_by_period",
     "kpi_top_event_type_by_period",
@@ -2711,7 +2726,6 @@ _R8_FRONT_50 = [
     "order_set_ops",
     "events_last_order",
     "streaming_user_sessions",
-    "streaming_hll_users",
     "minhash_lsh_dups",
     "dedup_semantic_embeddings",
     "line_dedup_docs",
@@ -3026,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup": q_doc_substring_dedup,
         # round 8: surgical train-side decontamination rewrite
         "doc_decontaminate_rewrite": q_doc_decontaminate_rewrite,
+        # round 8: streaming crawl-ingest quality gate
+        "streaming_doc_quality_gate": q_streaming_doc_quality,
     }
     ordered = {name: all_q[name] for name in _R8_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -7372,6 +7388,54 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(r.cleaned, '') AS cleaned_text
             FROM tok t LEFT JOIN reb r USING (doc_id)
             ORDER BY doc_id
+        """,
+        # round 8: streaming quality gate — batch-SQL convergence
+        # target for the complete-mode stream (same gopher rule exprs
+        # as gopher_quality_flags / doc_curation_funnel).
+        "streaming_doc_quality_gate": """
+            WITH m AS (
+              SELECT doc_id, source,
+                     CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END) AS BIGINT) AS n_words,
+                     CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+')) END) = 0
+                          THEN 0.0
+                          ELSE floor(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) * 1000000.0
+                               / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text),
+                                                              '\\s+')) END))
+                               / 1000000.0 END AS mean_word_len,
+                     floor((CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE len(regexp_extract_all(text,
+                                   '[!-/:-@\\[-`{-~]')) * 1.0 / length(text)
+                            END) * 1000000.0) / 1000000.0 AS punct_ratio,
+                     floor((CASE WHEN (CASE WHEN length(trim(text)) = 0
+                                       THEN 0
+                                       ELSE len(string_split_regex(
+                                              trim(text), '\\s+')) END) = 0
+                            THEN 0.0
+                            ELSE len(regexp_extract_all(lower(text),
+                                   '\\b(the|and|of|to|a|in|is|it|that|for)\\b'))
+                                 * 1.0
+                                 / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text),
+                                                                '\\s+')) END)
+                            END) * 1000000.0) / 1000000.0 AS stopword_ratio
+              FROM documents
+            )
+            SELECT source,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                    AND (punct_ratio <= 0.20)
+                    AND (stopword_ratio >= 0.05)) AS keep,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words
+            FROM m
+            GROUP BY source, keep
+            ORDER BY source, keep
         """,
         # round 8: surgical decontamination — eval-slice 13-gram
         # fingerprints semi-filter the train windows, then the same

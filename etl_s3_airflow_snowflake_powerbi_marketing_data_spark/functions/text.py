@@ -986,10 +986,13 @@ def gopher_quality_flags(
     max_mean_word_len: float = 12.0,
     max_punct_ratio: float = 0.20,
     min_stopword_ratio: float = 0.0,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher/MassiveText-family rule filter with NAMED per-rule flags —
     curation pipelines keep the per-rule booleans, not just the verdict,
     because rule hit-rates are the primary corpus-drift monitor.
+    ``extra_cols`` pass through untouched (e.g. ``source`` for per-source
+    gate rollups — map-only, so the passthrough also works on streams).
 
     Rules (each a pure column expression, all thresholds caller-set):
     word count bounds, mean word length bounds, punctuation-character
@@ -1020,6 +1023,7 @@ def gopher_quality_flags(
     flag_stop = s_ratio >= min_stopword_ratio
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         p_ratio.alias("punct_ratio"),

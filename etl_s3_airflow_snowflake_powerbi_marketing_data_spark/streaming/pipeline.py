@@ -698,3 +698,81 @@ def run_streaming_versioned_merge(
     finally:
         q.stop()
     return vt.read_version(spark, table_path)
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a documents parquet prefix (one file per
+    micro-batch locally; at crawl scale, an object-store prefix each
+    fetch wave appends to). Schema probed from a driver-side batch
+    metadata read — the document schema is stable (no nanos-timestamp
+    variance), so no column normalization is needed."""
+    import os  # noqa: PLC0415
+
+    base_dir, file_name = os.path.split(path.rstrip("/"))
+    schema = (
+        spark.read.option("pathGlobFilter", file_name or "*")
+        .parquet(base_dir)
+        .schema
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", file_name or "*")
+        .parquet(base_dir)
+    )
+
+
+def streaming_doc_quality_counts(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """Streaming quality gate — the crawl-ingest curation monitor: the
+    Gopher rule filter evaluated per arriving document (map-only, so
+    the exact batch operator runs unchanged on the stream) rolled up
+    into per-(source, keep) doc/token counts. This is the signal a
+    crawl operator watches live: a source whose keep-rate collapses
+    mid-crawl is broken upstream, and the decision must not wait for
+    the nightly batch.
+
+    State is O(|sources| × 2) rows — no watermark needed; complete-mode
+    output stays trivially small at any stream length.
+    """
+    from ..functions.text import gopher_quality_flags  # noqa: PLC0415
+
+    flags = gopher_quality_flags(
+        docs,
+        min_words=min_words,
+        max_words=max_words,
+        min_stopword_ratio=min_stopword_ratio,
+        extra_cols=("source",),
+    )
+    return flags.groupBy("source", "keep").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+    )
+
+
+def run_doc_quality_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    query_name: str = "doc_quality_gate",
+    state_partitions: int = 4,
+) -> DataFrame:
+    """Drive the document quality gate to completion over the current
+    contents of ``source_path`` and return the memory-sink table."""
+    stream = read_document_stream(spark, source_path)
+    agg = streaming_doc_quality_counts(stream)
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(query_name)

@@ -683,3 +683,49 @@ def test_source_divergence_hand_computed(spark):
     for pair in [("A", "C"), ("B", "C")]:
         assert out[pair]["n_shared_terms"] == 0
         assert out[pair]["js_divergence"] == 0.693147
+
+
+def test_streaming_doc_quality_gate_multibatch_converges(spark, tmp_path):
+    """The streaming quality gate over a THREE-file corpus (three
+    micro-batches under maxFilesPerTrigger=1) converges to exactly the
+    batch gopher rollup of the union — per-(source, keep) doc and
+    token counts."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+        pipeline as sp,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog " * 3  # 27 words
+    bad = "zzz qqq"  # fails min_words
+    rows = [
+        (i, good if i % 3 else bad, "en", f"s{i % 2}", 1)
+        for i in range(12)
+    ]
+    src = tmp_path / "docs"
+    for part in range(3):
+        spark.createDataFrame(
+            [r for r in rows if r[0] % 3 == part],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    got = {
+        (r["source"], r["keep"]): (r["n_docs"], r["n_words"])
+        for r in sp.run_doc_quality_stream_to_memory(
+            spark, str(src) + "/*.parquet", query_name="gate_mb"
+        ).collect()
+    }
+    flags = text_fn.gopher_quality_flags(
+        spark.read.parquet(str(src)),
+        min_words=20,
+        max_words=100_000,
+        min_stopword_ratio=0.05,
+        extra_cols=("source",),
+    )
+    expect = {
+        (r["source"], r["keep"]): (r["n_docs"], r["n_words"])
+        for r in flags.groupBy("source", "keep")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_words").alias("n_words"))
+        .collect()
+    }
+    assert got == expect
+    # both keep outcomes are actually present in the fixture
+    assert {k for _s, k in got} == {True, False}
