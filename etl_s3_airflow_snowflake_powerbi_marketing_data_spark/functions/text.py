@@ -178,16 +178,20 @@ def unigram_surprisal(
     mean, never a raw double.
 
     Plan (the rare_token_ratio shape): tokens pre-aggregate to
-    (doc, term) grain FIRST — one map-side-combined groupBy whose
-    exchange is the only token-scaled stage and is REUSED by both
-    consumers (the vocabulary rollup derives from it, so the corpus
-    tokenizes exactly once); a 1-row total-token scalar broadcasts
-    onto the vocab, the model joins back on term, and the final
-    doc-grain groupBy weights each term's surprisal by its in-doc
-    count. Every post-explode shuffle carries (doc, term) rows, never
-    token instances — the within-doc repetition factor is pure shuffle
-    savings at 100 TB (SCALE_PROBE_r07 flagged the token-grain join as
-    the steepest curve in the repo; VERDICT r07 item 4).
+    (doc, term) grain FIRST — one map-side-combined groupBy that
+    lazily localCheckpoints because BOTH consumers read it (the
+    vocabulary rollup derives from it, so the corpus tokenizes exactly
+    once; AQE exchange reuse is structure-dependent and measurably
+    does NOT fire for this two-consumer-plus-left-join shape — without
+    the checkpoint the executed plan carries two complete
+    tokenize→shuffle chains, the bm25 ADVICE-r07 failure mode); a
+    1-row total-token scalar broadcasts onto the vocab, the model
+    joins back on term, and the final doc-grain groupBy weights each
+    term's surprisal by its in-doc count. Every post-explode shuffle
+    carries (doc, term) rows, never token instances — the within-doc
+    repetition factor is pure shuffle savings at 100 TB
+    (SCALE_PROBE_r07 flagged the token-grain join as the steepest
+    curve in the repo; VERDICT r07 item 4).
 
     Output: (id_col, n_tokens, mean_surprisal, ppl_band); empty
     documents report surprisal 0.0 / band 'head'. Default thresholds
@@ -203,7 +207,9 @@ def unigram_surprisal(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).filter(F.length("term") > 0)
-    per_dt = toks.groupBy(id_col, "term").agg(F.count("*").alias("__c"))
+    per_dt = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("__c")
+    ).localCheckpoint(eager=False)
     freq = per_dt.groupBy("term").agg(F.sum("__c").alias("__tf"))
     total = freq.agg(F.sum("__tf").cast("double").alias("__n"))
     term_s = freq.crossJoin(F.broadcast(total)).select(
@@ -266,13 +272,15 @@ def bigram_surprisal(
 
     Plan: bigrams come from a shuffle-free zip of two array slices
     (map-only per doc), then pre-aggregate to (doc, w1, w2) grain in
-    one map-side-combined groupBy whose exchange both consumers reuse
-    (the (w1,w2) model counts derive from it — the corpus shingles
-    exactly once); w1 totals re-aggregate the MODEL rows (never the
-    corpus), docs join the model on the bigram key, and the doc-grain
-    rollup weights each bigram's surprisal by its in-doc count. Every
-    post-explode shuffle carries (doc, bigram) rows, never bigram
-    instances (the unigram/rare-token restructure, VERDICT r07 item 4).
+    one map-side-combined groupBy that lazily localCheckpoints because
+    both consumers read it (the (w1,w2) model counts derive from it —
+    the corpus shingles exactly once; AQE exchange reuse measurably
+    does not fire for this shape, see unigram_surprisal); w1 totals
+    re-aggregate the MODEL rows (never the corpus), docs join the
+    model on the bigram key, and the doc-grain rollup weights each
+    bigram's surprisal by its in-doc count. Every post-explode shuffle
+    carries (doc, bigram) rows, never bigram instances (the
+    unigram/rare-token restructure, VERDICT r07 item 4).
 
     Output: (id_col, n_bigrams, mean_bigram_surprisal); documents with
     < 2 tokens report 0 bigrams / 0.0 surprisal.
@@ -292,7 +300,9 @@ def bigram_surprisal(
         .select(F.col(id_col), F.explode(pairs).alias("__p"))
         .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
     )
-    per_db = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__c"))
+    per_db = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").alias("__c")
+    ).localCheckpoint(eager=False)
     c12 = per_db.groupBy("w1", "w2").agg(F.sum("__c").alias("__c12"))
     c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     model = c12.join(c1, "w1").select(
@@ -455,12 +465,14 @@ def rare_token_ratio(
     construction.
 
     Plan: tokens pre-aggregate to (doc, term) grain in one map-side-
-    combined groupBy whose exchange both consumers reuse (the corpus-
-    frequency table derives from it — the corpus tokenizes once), the
-    frequency table joins back on term, and the doc-grain rollup
-    weights rarity by the in-doc count. Every post-explode shuffle
-    carries (doc, term) rows, never token instances (the surprisal-
-    family restructure, VERDICT r07 item 4). All counts are
+    combined groupBy that lazily localCheckpoints because both
+    consumers read it (the corpus-frequency table derives from it —
+    the corpus tokenizes once; AQE exchange reuse measurably does not
+    fire for this shape, see unigram_surprisal), the frequency table
+    joins back on term, and the doc-grain rollup weights rarity by
+    the in-doc count. Every post-explode shuffle carries (doc, term)
+    rows, never token instances (the surprisal-family restructure,
+    VERDICT r07 item 4). All counts are
     integers; the final ratio is a single IEEE division, reproducible
     across engines (``trunc6`` belt-and-braces for the value hash).
 
@@ -473,7 +485,9 @@ def rare_token_ratio(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).filter(F.length("term") > 0)
-    per_dt = toks.groupBy(id_col, "term").agg(F.count("*").alias("__c"))
+    per_dt = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("__c")
+    ).localCheckpoint(eager=False)
     freq = per_dt.groupBy("term").agg(F.sum("__c").alias("__tf"))
     per_doc = (
         per_dt.join(freq, "term")
@@ -572,11 +586,13 @@ def nb_class_log_odds(
 
     Plan (the (doc,term)-grain family shape): tokens pre-aggregate
     once to (doc, class, term) grain in a map-side-combined groupBy
-    whose exchange both consumers reuse (the class-conditional model
-    derives from it — the corpus tokenizes exactly once); a 1-row
-    totals scalar broadcasts onto the model, the model joins back on
-    term, and the doc-grain rollup weights each term's log-odds by its
-    in-doc count. No post-explode shuffle ever carries token instances.
+    that lazily localCheckpoints because both consumers read it (the
+    class-conditional model derives from it — the corpus tokenizes
+    exactly once; AQE exchange reuse measurably does not fire for this
+    shape, see unigram_surprisal); a 1-row totals scalar broadcasts
+    onto the model, the model joins back on term, and the doc-grain
+    rollup weights each term's log-odds by its in-doc count. No
+    post-explode shuffle ever carries token instances.
 
     Output: (id_col, n_tokens, mean_log_odds, nb_label) — label
     'target' iff the truncated mean is > 0; empty documents report
@@ -591,7 +607,7 @@ def nb_class_log_odds(
     ).filter(F.length("term") > 0)
     per_dt = toks.groupBy(id_col, "__t", "term").agg(
         F.count("*").alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     model = per_dt.groupBy("term").agg(
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"),
         F.sum(F.when(~F.col("__t"), F.col("__c")).otherwise(0)).alias("__co"),

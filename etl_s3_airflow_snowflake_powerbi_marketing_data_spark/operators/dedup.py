@@ -761,10 +761,15 @@ def dedup_exact_substrings(
     is fingerprint counting over full n-gram windows, which matches the
     suffix-array criterion exactly for spans ≥ n tokens.
 
-    Plan (100 TB posture): the corpus-scaled stages are one shingle
-    explode into a map-side-combinable fingerprint count and one
-    semi-join of window rows against the flagged fingerprints. Token-
-    grain reconstruction (posexplode → anti-join covered positions →
+    Plan (100 TB posture): the corpus-scaled stages are the shingle
+    explode feeding a map-side-combinable fingerprint count, and the
+    semi-join of window rows against the flagged fingerprints. The
+    explode runs twice (once per consumer) — a deliberate
+    recompute-over-materialize choice: it is pure map work off the
+    scan, and checkpointing a token-grain intermediate would cost more
+    at corpus scale than recomputing it (contrast bm25/curation_funnel,
+    which checkpoint small doc-grain frames). Token-grain
+    reconstruction (posexplode → anti-join covered positions →
     order-restoring re-agg) runs ONLY for contaminated documents —
     clean documents (the overwhelming majority of a real corpus) take
     a map-only pass-through branch and never shuffle token rows.

@@ -680,9 +680,11 @@ def importance_resample(
     exact decimal × integer, so partition order cannot move a score.
     Ties break by ``id_col`` ascending.
 
-    Plan: tokens pre-aggregate once to (doc, target, bucket) grain in a
-    map-side-combined groupBy whose exchange both consumers reuse (both
-    bucket distributions derive from it); the dim-row scored model and
+    Plan: tokens pre-aggregate once to (doc, target, bucket) grain in
+    a map-side-combined groupBy that lazily localCheckpoints because
+    both consumers read it (both bucket distributions derive from it;
+    AQE exchange reuse measurably does not fire for this shape — see
+    functions.text.unigram_surprisal); the dim-row scored model and
     the 1-row totals broadcast back, and the final top-k is a global
     TakeOrderedAndProject — no window, no single-partition stage.
 
@@ -704,7 +706,7 @@ def importance_resample(
     )
     per_db = toks.groupBy(id_col, "__t", "__b").agg(
         F.count("*").alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     model = per_db.groupBy("__b").agg(
         F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias("__ct"),
         F.sum("__c").alias("__cr"),
