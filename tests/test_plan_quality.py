@@ -374,3 +374,40 @@ def test_bm25_inverted_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "ExistingRDD" in plan
+
+
+def test_doc_term_family_single_tokenize_checkpoint(spark):
+    """The (doc,term)-grain family's single-tokenize contract is
+    materialization-backed (round 8): AQE exchange reuse measurably
+    does NOT fire for the two-consumer-plus-left-join shape (executed
+    plans carried two complete tokenize→shuffle chains, 0
+    ReusedExchange — the bm25 ADVICE-r07 mode), so the per-(doc,term)
+    pre-aggregation lazily localCheckpoints in every family op. The
+    downstream plan must read an ExistingRDD and must NOT contain the
+    token-explode chain (no Generate/explode) — the corpus tokenizes
+    exactly once, inside the checkpoint."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frames = {
+        "unigram": text_fn.unigram_surprisal(docs),
+        "bigram": text_fn.bigram_surprisal(docs),
+        "rare_token": text_fn.rare_token_ratio(docs),
+        "nb": text_fn.nb_class_log_odds(docs, F.col("lang") == "en"),
+        "dsir": sampling.importance_resample(
+            docs, F.col("source") == "src0"
+        ),
+    }
+    for name, frame in frames.items():
+        plan = _plan(frame)
+        assert "ExistingRDD" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the explode chain lives inside the checkpoint; its presence
+        # downstream would mean a second tokenize of the corpus
+        assert "Generate explode" not in plan, name
