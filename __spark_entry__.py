@@ -2748,8 +2748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     training-data extensions), reordered so the driver's 50-entry
     CORRECTNESS window (_R8_FRONT_50) re-grades every op whose
     implementation changed this round (led by doc_bpe_tokens, the one
-    stale grade), the ten round-8 additions, the four bench
-    outliers, and 27 rotated canaries. The O(N^2)
+    stale grade), the twelve round-8 additions, the four bench
+    outliers, and 25 rotated canaries. The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
     test_dedup_similarity.py); every registered similarity query is
