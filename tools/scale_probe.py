@@ -376,9 +376,14 @@ def main() -> None:
     # each tag's two executions. Both numbers then sample the same
     # drift window and the ratio is drift-immune; the first 1x
     # execution absorbs the op's warm-up for both.
+    # Min-of-3 (round 8, was min-of-2): two samples still let a single
+    # ambient burst own one tag's min — the token-explode family
+    # measured 1.4x-3.9x growth across five same-code runs. A third
+    # interleaved sample per tag cuts the burst-capture probability
+    # without changing the drift-immune A/B structure.
     def timed_ab(run_small, run_big) -> tuple[float, float]:
         t_small, t_big = [], []
-        for _ in range(2):
+        for _ in range(3):
             for run, sink in ((run_small, t_small), (run_big, t_big)):
                 t0 = time.time()
                 run()
