@@ -4998,9 +4998,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CAST(({tokcount}) AS BIGINT) AS n_words,
                      CASE WHEN ({tokcount}) = 0 THEN 0.0
-                          ELSE floor(length(regexp_replace(trim(text),
-                                 '\\s+', '', 'g')) * 1000000.0
-                               / ({tokcount})) / 1000000.0 END
+                          ELSE floor(CAST(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) AS DOUBLE)
+                               / ({tokcount}) * 1000000.0) / 1000000.0 END
                        AS mean_word_len,
                      floor(({punct_ratio}) * 1000000.0) / 1000000.0
                        AS punct_ratio,
@@ -6184,7 +6184,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT win.order_day,
                    CAST(win.rev AS DOUBLE) AS daily_revenue,
                    win.n_in_window,
-                   floor(CAST(num AS DOUBLE) / CAST(nm AS DOUBLE) * 1e6)
+                   -- decimal->double via VARCHAR: DuckDB's direct
+                   -- decimal cast double-rounds (int128->double, then
+                   -- x10^-16) and lands 1 ulp off Java's correctly-
+                   -- rounded BigDecimal.doubleValue on ~1/1000 rows,
+                   -- which crosses the floor boundary (caught by the
+                   -- sf0.1 sweep); string->double parsing is
+                   -- correctly rounded on both engines.
+                   floor(CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(nm AS VARCHAR) AS DOUBLE) * 1e6)
                      / 1e6 AS ewma_revenue
             FROM win JOIN norms ON norms.s = win.n_in_window
             ORDER BY win.order_day
@@ -7241,12 +7249,12 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE len(string_split_regex(trim(text),
                                                             '\\s+')) END) = 0
                           THEN 0.0
-                          ELSE floor(length(regexp_replace(trim(text),
-                                 '\\s+', '', 'g')) * 1000000.0
+                          ELSE floor(CAST(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) AS DOUBLE)
                                / (CASE WHEN length(trim(text)) = 0 THEN 0
                                   ELSE len(string_split_regex(trim(text),
-                                                              '\\s+')) END))
-                               / 1000000.0 END AS mean_word_len,
+                                                              '\\s+')) END)
+                               * 1000000.0) / 1000000.0 END AS mean_word_len,
                      floor((CASE WHEN length(text) = 0 THEN 0.0
                             ELSE len(regexp_extract_all(text,
                                    '[!-/:-@\\[-`{-~]')) * 1.0 / length(text)
@@ -7402,12 +7410,12 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE len(string_split_regex(trim(text),
                                                             '\\s+')) END) = 0
                           THEN 0.0
-                          ELSE floor(length(regexp_replace(trim(text),
-                                 '\\s+', '', 'g')) * 1000000.0
+                          ELSE floor(CAST(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) AS DOUBLE)
                                / (CASE WHEN length(trim(text)) = 0 THEN 0
                                   ELSE len(string_split_regex(trim(text),
-                                                              '\\s+')) END))
-                               / 1000000.0 END AS mean_word_len,
+                                                              '\\s+')) END)
+                               * 1000000.0) / 1000000.0 END AS mean_word_len,
                      floor((CASE WHEN length(text) = 0 THEN 0.0
                             ELSE len(regexp_extract_all(text,
                                    '[!-/:-@\\[-`{-~]')) * 1.0 / length(text)
