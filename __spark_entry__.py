@@ -4284,7 +4284,7 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(p.ta AS DOUBLE))
                       + (1.0 - CAST(COALESCE(n.ccb, 0) AS DOUBLE)
                                / CAST(p.tb AS DOUBLE))) * 0.693147
-                     + COALESCE(CAST(n.s AS DOUBLE), 0.0)
+                     + COALESCE(CAST(CAST(n.s AS VARCHAR) AS DOUBLE), 0.0)
                    ) * 1e6) / 1e6 AS jsd_vs_prev
             FROM day_pairs p
             LEFT JOIN shared n USING (day)
@@ -5335,14 +5335,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens * 1e6)
+                   COALESCE(floor(CAST(CAST(p.ssum AS VARCHAR) AS DOUBLE) / p.n_tokens * 1e6)
                               / 1e6,
                             0.0) AS mean_surprisal,
                    CASE
-                     WHEN COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
+                     WHEN COALESCE(floor(CAST(CAST(p.ssum AS VARCHAR) AS DOUBLE) / p.n_tokens
                                          * 1e6) / 1e6, 0.0) < 3.401
                        THEN 'head'
-                     WHEN COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
+                     WHEN COALESCE(floor(CAST(CAST(p.ssum AS VARCHAR) AS DOUBLE) / p.n_tokens
                                          * 1e6) / 1e6, 0.0) > 3.404
                        THEN 'tail'
                      ELSE 'middle'
@@ -5917,7 +5917,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                   COALESCE(floor(CAST(p.ss AS DOUBLE) / p.n_bigrams
+                   COALESCE(floor(CAST(CAST(p.ss AS VARCHAR) AS DOUBLE) / p.n_bigrams
                                   * 1e6) / 1e6,
                             0.0) AS mean_bigram_surprisal
             FROM (SELECT DISTINCT doc_id FROM documents) d
@@ -5971,7 +5971,7 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(g.ta AS DOUBLE))
                       + (1.0 - CAST(COALESCE(n.ccb, 0) AS DOUBLE)
                                / CAST(g.tb AS DOUBLE))) * 0.693147
-                     + COALESCE(CAST(n.s AS DOUBLE), 0.0)
+                     + COALESCE(CAST(CAST(n.s AS VARCHAR) AS DOUBLE), 0.0)
                    ) * 1e6) / 1e6 AS js_divergence
             FROM grid g
             LEFT JOIN agg n ON n.sa = g.sa AND n.sb = g.sb
@@ -7173,7 +7173,7 @@ def oracle_sql() -> dict[str, str]:
             ), final AS (
               SELECT d.doc_id,
                      CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-                     COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
+                     COALESCE(floor(CAST(CAST(p.ssum AS VARCHAR) AS DOUBLE) / p.n_tokens
                                     * 1e6) / 1e6, 0.0) AS mean_log_odds
               FROM (SELECT DISTINCT doc_id FROM documents) d
               LEFT JOIN per_doc p USING (doc_id)
@@ -7226,11 +7226,11 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY doc_id
             )
             SELECT d.doc_id, d.source,
-                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   COALESCE(floor(CAST(p.ssum AS DOUBLE) / p.n_tokens
-                                  * 1e6) / 1e6, 0.0) AS log_weight
+                   CAST(p.n_tokens AS BIGINT) AS n_tokens,
+                   floor(CAST(CAST(p.ssum AS VARCHAR) AS DOUBLE) / p.n_tokens
+                         * 1e6) / 1e6 AS log_weight
             FROM documents d
-            LEFT JOIN per_doc p USING (doc_id)
+            JOIN per_doc p USING (doc_id)
             WHERE d.source NOT IN ('src0','src1','src2','src3')
             ORDER BY log_weight DESC, doc_id
             LIMIT 50
@@ -7308,7 +7308,8 @@ def oracle_sql() -> dict[str, str]:
               FROM model, tot
             ), nb AS (
               SELECT doc_id,
-                     floor(CAST(SUM(s * c) AS DOUBLE) / SUM(c) * 1e6) / 1e6
+                     floor(CAST(CAST(SUM(s * c) AS VARCHAR) AS DOUBLE) / SUM(c)
+                           * 1e6) / 1e6
                        AS mean_log_odds
               FROM per_dt JOIN scored USING (term)
               GROUP BY doc_id

@@ -739,15 +739,23 @@ def importance_resample(
         )
     )
     weight = trunc6(F.col("__sum").cast("double") / F.col("n_tokens"))
+    # Inner join: a zero-token document has no per_doc row and is
+    # excluded from the ranked selection entirely. The earlier left
+    # join coalesced empties to log_weight 0.0, which outranked every
+    # document with a negative mean log ratio — and raw-pool documents
+    # typically score negative, so empty documents crowded out real
+    # ones (ADVICE r08). DSIR selects documents that LOOK LIKE the
+    # target; an empty document carries no evidence either way and
+    # must not be selected.
     return (
         df.filter(~target_flag)
         .select(id_col, source_col)
-        .join(per_doc, id_col, "left")
+        .join(per_doc, id_col)
         .select(
             F.col(id_col),
             F.col(source_col),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.coalesce(weight, F.lit(0.0)).alias("log_weight"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            weight.alias("log_weight"),
         )
         .orderBy(F.desc("log_weight"), F.asc(id_col))
         .limit(k)

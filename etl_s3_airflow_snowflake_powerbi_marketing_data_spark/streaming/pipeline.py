@@ -66,6 +66,23 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _stream_source_parts(path: str) -> tuple[str, str]:
+    """(base_dir, glob) for a file-source stream target. A single-file
+    target (the testdata contract — ``.../documents.parquet`` is one
+    file) streams its parent directory filtered to that leaf; a
+    DIRECTORY target (a Spark-written dataset — e.g. the scale probe's
+    ``/tmp/star10x`` outputs) is streamed directly with glob ``*``,
+    because splitting it into (parent, leaf) would match no part files
+    and fail schema inference (ADVICE r08)."""
+    import os  # noqa: PLC0415
+
+    p = path.rstrip("/")
+    if os.path.isdir(p):
+        return p, "*"
+    base_dir, file_name = os.path.split(p)
+    return base_dir, file_name or "*"
+
+
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events parquet prefix (one file per
     micro-batch locally; an S3 prefix with notification-based listing at
@@ -82,9 +99,7 @@ def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     and normalize to a session-zone TIMESTAMP — the same contract as
     ``tables.load_table``.
     """
-    import os  # noqa: PLC0415
-
-    base_dir, file_name = os.path.split(path.rstrip("/"))
+    base_dir, file_name = _stream_source_parts(path)
     probed = (
         spark.read.option("pathGlobFilter", file_name or "*")
         .parquet(base_dir)
@@ -705,10 +720,9 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     micro-batch locally; at crawl scale, an object-store prefix each
     fetch wave appends to). Schema probed from a driver-side batch
     metadata read — the document schema is stable (no nanos-timestamp
-    variance), so no column normalization is needed."""
-    import os  # noqa: PLC0415
-
-    base_dir, file_name = os.path.split(path.rstrip("/"))
+    variance), so no column normalization is needed. Directory-shaped
+    targets stream the directory itself (``_stream_source_parts``)."""
+    base_dir, file_name = _stream_source_parts(path)
     schema = (
         spark.read.option("pathGlobFilter", file_name or "*")
         .parquet(base_dir)
