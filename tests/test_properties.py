@@ -1080,3 +1080,61 @@ def test_decontaminate_rewrite_matches_python_model(spark, train, ev):
         kept = [w for p, w in enumerate(ws) if p not in covered]
         expect[i] = (len(ws), len(covered), " ".join(kept))
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    pick=st.data(),
+)
+@SETTINGS
+def test_excise_covered_matches_position_model(spark, docs, pick):
+    """Differential oracle for the SHARED span algebra itself
+    (operators/dedup.py:_excise_covered), independent of how callers
+    detect windows: flagged (id, start) sets are drawn ARBITRARILY
+    from each doc's valid window starts — overlapping spans, adjacent
+    spans, the boundary window at len-n, full coverage (empty rebuilt
+    text), and shorter-than-n docs (no valid start → the map-only
+    clean branch) all arise — and the output must equal a brute-force
+    covered-position-set model (VERDICT r08 item 7)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators.dedup import (
+        _excise_covered,
+        _tokenized_base,
+    )
+
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    flagged_rows = []
+    flagged_model: dict[int, list[int]] = {}
+    for i, ws in enumerate(docs):
+        valid = list(range(max(len(ws) - n + 1, 0)))
+        starts = pick.draw(
+            st.lists(st.sampled_from(valid), unique=True, max_size=6)
+            if valid
+            else st.just([])
+        )
+        flagged_model[i] = starts
+        flagged_rows.extend((i, s) for s in starts)
+    base = _tokenized_base(df, "text", "doc_id")
+    flagged = spark.createDataFrame(
+        flagged_rows or [(None, None)], "id long, start int"
+    )
+    if not flagged_rows:
+        flagged = flagged.filter(F.col("id").isNotNull())
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in _excise_covered(base, flagged, n, "doc_id").collect()
+    }
+
+    expect = {}
+    for i, ws in enumerate(docs):
+        covered: set[int] = set()
+        for s in flagged_model[i]:
+            covered.update(range(s, s + n))
+        kept = [w for p, w in enumerate(ws) if p not in covered]
+        expect[i] = (len(ws), len(covered), " ".join(kept))
+    assert got == expect
