@@ -324,6 +324,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join("fingerprints", ",").alias("fingerprints"),
         "n_fingerprints",
+        "truncated",
     )
 
 
@@ -3961,7 +3962,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    array_to_string(fingerprints, ',') AS fingerprints,
-                   CAST(len(fingerprints) AS BIGINT) AS n_fingerprints
+                   CAST(len(fingerprints) AS BIGINT) AS n_fingerprints,
+                   false AS truncated
             FROM wn
         """,
         "exact_dup_groups": f"""
@@ -4000,7 +4002,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b,
                    floor(n_common / (size_a + size_b - n_common) * 1000000.0)
-                     / 1000000.0 AS jaccard
+                     / 1000000.0 AS jaccard,
+                   false AS truncated
             FROM common
             WHERE floor(n_common / (size_a + size_b - n_common) * 1000000.0)
                     / 1000000.0 >= 0.5
@@ -5043,7 +5046,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.id AS id_a, b.id AS id_b,
                    a.name AS name_a, b.name AS name_b,
-                   levenshtein(a.name, b.name) AS distance
+                   levenshtein(a.name, b.name) AS distance,
+                   false AS truncated
             FROM s a JOIN s b
               ON a.blk = b.blk AND a.id < b.id
              AND abs(length(a.name) - length(b.name)) <= 2
@@ -5118,7 +5122,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram,
                    COUNT(DISTINCT doc_id) AS n_docs,
-                   COUNT(*) AS n_occurrences
+                   COUNT(*) AS n_occurrences,
+                   CAST(0 AS BIGINT) AS n_docs_truncated
             FROM grams GROUP BY gram
             HAVING COUNT(DISTINCT doc_id) >= 2
             ORDER BY n_docs DESC, n_occurrences DESC, gram

@@ -502,3 +502,46 @@ def test_cross_source_ngram_matrix_short_docs_use_full_join(spark):
     assert [(r["source_a"], r["source_b"], r["shared_ngrams"]) for r in out] == [
         ("A", "B", 1)
     ]
+
+
+def test_default_caps_on_with_uncapped_escape_hatch(docs):
+    """Round 9: the worst-case caps are DEFAULT-ON — the default run
+    carries the observability column (all-false below the cap) and
+    ``uncapped=True`` restores the exact legacy schema/rows."""
+    default_pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+    assert "truncated" in default_pairs.columns
+    esc = dedup.ngram_jaccard_pairs(docs, threshold=0.4, uncapped=True)
+    assert "truncated" not in esc.columns
+    assert {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in default_pairs.collect()
+    } == {(r["id_a"], r["id_b"], r["jaccard"]) for r in esc.collect()}
+
+
+def test_hotspots_gram_cap_observable(spark):
+    """Default-on gram cap: below the cap the report is identical with
+    n_docs_truncated 0; a binding cap counts only each doc's first N
+    grams and reports how many docs were cut — never silent."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),
+        (3, "x y a b c z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.shared_gram_hotspots(df, n=3, min_docs=2, top=10)
+    assert all(r["n_docs_truncated"] == 0 for r in full.collect())
+    esc = dedup.shared_gram_hotspots(
+        df, n=3, min_docs=2, top=10, uncapped=True
+    )
+    assert "n_docs_truncated" not in esc.columns
+    assert {(r["gram"], r["n_docs"], r["n_occurrences"])
+            for r in full.collect()} == {
+        (r["gram"], r["n_docs"], r["n_occurrences"]) for r in esc.collect()
+    }
+    capped = dedup.shared_gram_hotspots(
+        df, n=3, min_docs=2, top=10, max_grams_per_doc=2
+    ).collect()
+    # docs 1..3 each have 6 grams > 2 → all three truncated; only the
+    # first two grams of each doc are counted
+    assert all(r["n_docs_truncated"] == 3 for r in capped)
+    grams = {r["gram"] for r in capped}
+    assert grams == {"a b c", "b c d"}

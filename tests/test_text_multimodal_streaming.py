@@ -729,3 +729,34 @@ def test_streaming_doc_quality_gate_multibatch_converges(spark, tmp_path):
     assert got == expect
     # both keep outcomes are actually present in the fixture
     assert {k for _s, k in got} == {True, False}
+
+
+def test_winnow_char_cap_observable(spark):
+    """Default-on giant-doc cap: below the cap, identical fingerprints
+    with truncated false; a binding cap fingerprints the prefix only
+    and flags the row; uncapped=True restores the legacy schema."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    long_text = "abcdefghij" * 10
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "tiny doc")], "doc_id long, text string"
+    )
+    full = {r["doc_id"]: r for r in text_fn.winnow_fingerprints(df).collect()}
+    assert all(not r["truncated"] for r in full.values())
+    esc = text_fn.winnow_fingerprints(df, uncapped=True)
+    assert "truncated" not in esc.columns
+    capped = {
+        r["doc_id"]: r
+        for r in text_fn.winnow_fingerprints(df, max_chars=20).collect()
+    }
+    assert capped[1]["truncated"] and not capped[2]["truncated"]
+    prefix = {
+        r["doc_id"]: r["fingerprints"]
+        for r in text_fn.winnow_fingerprints(
+            df.select("doc_id", F.substring("text", 1, 20).alias("text"))
+        ).collect()
+    }
+    assert capped[1]["fingerprints"] == prefix[1]
+    assert capped[2]["fingerprints"] == full[2]["fingerprints"]

@@ -102,6 +102,10 @@ BOUNDED_BNLJ_OK = {
     # operators/heavyhitters — the exact-recount ratio crosses the
     # 1-row corpus-total aggregate onto the candidate counts
     "heavy_hitter_lines": "1-row corpus-total scalar for the ratio",
+    # hotspots: the default-on gram cap reports its corpus-wide
+    # truncation count as a 1-row broadcast onto the top-k report
+    # (operators/dedup.py:shared_gram_hotspots)
+    "dup_span_hotspots": "1-row n_docs_truncated cap-observability scalar",
     # plans/behavior.session_path_mining — session share crosses the
     # 1-row session-count total onto the per-path counts
     "session_path_mining": "1-row session-total scalar for share",

@@ -259,12 +259,19 @@ def main() -> None:
             "minhash_dedup_pairs": lambda: dedup.minhash_dedup_pairs(
                 df, threshold=0.5
             ),
+            # round 9 (VERDICT r08 item 4): the DEFAULT path is now
+            # capped at 256 candidates/doc — under this flood (max
+            # 1274, p99 976 candidates/doc at 10×) it must grow like
+            # the capped curve, not the uncapped one.
             "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(
                 df, threshold=0.5
             ),
-            # round 7 (VERDICT r06 item 4): the opt-in candidate cap
+            "ngram_jaccard_pairs_uncapped": lambda: dedup.ngram_jaccard_pairs(
+                df, threshold=0.5, uncapped=True
+            ),
+            # round 7 (VERDICT r06 item 4): a tighter explicit cap
             # bounds the verify stage + output under a duplicate flood;
-            # its growth curve should sit at-or-below the uncapped one.
+            # its growth curve should sit at-or-below the default one.
             "ngram_jaccard_pairs_cap50": lambda: dedup.ngram_jaccard_pairs(
                 df, threshold=0.5, max_candidates_per_doc=50
             ),
@@ -524,7 +531,20 @@ def main() -> None:
     # prefix granularity; IVF-PQ's shuffle is bounded by probed cells.
     star_ops.update(
         {
+            # round 9 (VERDICT r08 item 4): the DEFAULT path is now
+            # capped at 100 ids/name — at 10× replication groups reach
+            # ~260 ids, so the default must grow like the capped curve.
             "fuzzy_part_name_matches": entrymod.q_fuzzy_part_names,
+            "fuzzy_part_name_matches_uncapped": lambda spark, d: (
+                dedup.fuzzy_string_matches(
+                    load_table(spark, d, "part"),
+                    "p_name",
+                    "p_partkey",
+                    "p_brand",
+                    max_distance=2,
+                    uncapped=True,
+                )
+            ),
             # round 7 (VERDICT r06 item 4): duplicate-group cap — at
             # N× replication every name group is ~N× bigger, so the
             # capped expansion should grow like the scan, not like N²
