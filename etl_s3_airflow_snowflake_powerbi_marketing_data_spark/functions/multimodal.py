@@ -327,6 +327,249 @@ def media_feature_table(documents: DataFrame) -> DataFrame:
     return extract_media_features(documents_as_media(documents)).orderBy("media_id")
 
 
+def encode_bmp_pixels(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """24-bit bottom-up BMP from an explicit pixel grid (``rows[y][x]``
+    = (r, g, b), y = 0 at the TOP) — the pixel-level sibling of
+    :func:`encode_bmp` for fixtures whose content, not just dimensions,
+    must survive a decode round-trip (the dHash near-dup oracle)."""
+    import struct  # noqa: PLC0415
+
+    height, width = len(rows), len(rows[0])
+    stride = ((3 * width + 3) // 4) * 4
+    pixel_bytes = stride * height
+    body = b"".join(
+        (
+            b"".join(bytes((b_, g_, r_)) for r_, g_, b_ in row)
+            + b"\x00" * (stride - 3 * width)
+        )
+        for row in reversed(rows)
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835,
+        2835, 0, 0,
+    )
+    return header + body
+
+
+def encode_ppm_pixels(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Binary PPM (P6) from an explicit pixel grid — see
+    :func:`encode_bmp_pixels`."""
+    height, width = len(rows), len(rows[0])
+    return (
+        f"P6\n{width} {height}\n255\n".encode("ascii")
+        + b"".join(bytes(px) for row in rows for px in row)
+    )
+
+
+def _bmp_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
+    """Full pixel decode of an uncompressed 24-bit BITMAPINFOHEADER
+    BMP (the format :func:`encode_bmp_pixels` writes — bottom-up rows,
+    4-byte stride alignment; top-down negative heights normalized).
+    Returns ``rows[y][x]`` = (r, g, b), y = 0 at the top. Anything
+    fancier (palettes, RLE, other bit depths) raises — the documented
+    codec seam."""
+    import struct  # noqa: PLC0415
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("pixel decode needs BITMAPINFOHEADER")
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp, comp = struct.unpack_from("<HI", b, 28)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("pixel decode supports 24-bit BI_RGB only")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((3 * w + 3) // 4) * 4
+    rows = []
+    for ry in range(h):
+        base = offset + ry * stride
+        row = [
+            (b[base + 3 * x + 2], b[base + 3 * x + 1], b[base + 3 * x])
+            for x in range(w)
+        ]
+        rows.append(row)
+    return rows if top_down else rows[::-1]
+
+
+def _ppm_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
+    """Full pixel decode of a binary PPM (P6, maxval ≤ 255): netpbm
+    header tokenizer (whitespace-separated, ``#`` comments), then the
+    raw RGB raster starting one whitespace byte after maxval."""
+    if b[:2] != b"P6":
+        raise NotImplementedError("pixel decode supports P6 PPM only")
+    toks: list[int] = []
+    i, n = 2, len(b)
+    while len(toks) < 3 and i < n:
+        c = b[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"#":
+            while i < n and b[i] not in (10, 13):
+                i += 1
+            continue
+        j = i
+        while j < n and not b[j : j + 1].isspace():
+            j += 1
+        toks.append(int(b[i:j]))
+        i = j
+    if len(toks) < 3 or toks[2] > 255:
+        raise NotImplementedError("truncated PPM or 16-bit maxval")
+    w, h = toks[0], toks[1]
+    i += 1  # the single whitespace byte separating header from raster
+    return [
+        [
+            (b[i + 3 * (y * w + x)], b[i + 3 * (y * w + x) + 1],
+             b[i + 3 * (y * w + x) + 2])
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+
+def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
+    """Pixel grid for the codec-free raster formats (24-bit BMP, P6
+    PPM). Compressed formats (PNG/GIF/JPEG) need a real codec and
+    raise — the same documented seam as :func:`decode_image_stub`."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return _bmp_pixels(b)
+    if b[:2] == b"P6":
+        return _ppm_pixels(b)
+    raise NotImplementedError("pixel decode requires an image codec")
+
+
+# dHash geometry: a (DHASH_GRID+1) × DHASH_GRID grayscale box grid;
+# bit (y*8+x) compares horizontally adjacent box means.
+DHASH_GRID = 8
+
+
+def image_dhash(payload: bytes) -> int:
+    """64-bit difference hash (dHash) of a decodable raster image —
+    the standard perceptual near-dup signature (resize to 9×8
+    grayscale, one bit per horizontal gradient sign). All-integer
+    arithmetic so any replica reproduces it bit-for-bit: grayscale =
+    (299R + 587G + 114B) // 1000; box (ty, tx) spans pixel rows
+    [ty·h//8, (ty+1)·h//8) and cols [tx·w//9, (tx+1)·w//9) (lower
+    bound forced non-empty for tiny images); box value = sum // count;
+    bit ty·8+tx = 1 iff the right box mean exceeds the left. Returned
+    as a SIGNED 64-bit int (bit 63 → negative), matching the simhash
+    column convention so the banded Hamming join applies unchanged."""
+    rows = decode_image_pixels(payload)
+    h, w = len(rows), len(rows[0])
+    gray = [[(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in row]
+            for row in rows]
+    gw, gh = DHASH_GRID + 1, DHASH_GRID
+    box = [[0] * gw for _ in range(gh)]
+    for ty in range(gh):
+        y0, y1 = ty * h // gh, max((ty + 1) * h // gh, ty * h // gh + 1)
+        y1 = min(y1, h)
+        for tx in range(gw):
+            x0 = tx * w // gw
+            x1 = min(max((tx + 1) * w // gw, x0 + 1), w)
+            total = sum(
+                gray[y][x] for y in range(y0, y1) for x in range(x0, x1)
+            )
+            box[ty][tx] = total // ((y1 - y0) * (x1 - x0))
+    bits = 0
+    for ty in range(gh):
+        for tx in range(DHASH_GRID):
+            if box[ty][tx + 1] > box[ty][tx]:
+                bits |= 1 << (ty * DHASH_GRID + tx)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def dhash_table(df: DataFrame) -> DataFrame:
+    """(media_id, dhash) per decodable image via ``mapInPandas`` —
+    map-only Arrow batches, zero shuffles; the join-side half of the
+    perceptual near-dup pipeline (operators/dedup.py:
+    image_dhash_near_dups)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [
+                        image_dhash(bytes(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def _dup_group_pixels(
+    g: int, w: int, h: int, variant: int
+) -> list[list[tuple[int, int, int]]]:
+    """Pixel grid for near-dup fixture group ``g``: a per-group
+    pseudo-random sawtooth base pattern, with variants 1/2 whitening
+    the dHash grid's corner boxes — each whitened box touches at most
+    one/two hash bits, so intra-group Hamming distances are ≤ 2 by
+    construction while inter-group hashes are effectively random
+    (~32 bits apart)."""
+    rows = [
+        [
+            (
+                (x * 17 + y * 23 + g * 41) % 256,
+                (x * 29 + y * 13 + g * 57) % 256,
+                (x * 11 + y * 31 + g * 73) % 256,
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    gw, gh = DHASH_GRID + 1, DHASH_GRID
+
+    def whiten(ty: int, tx: int) -> None:
+        y0, y1 = ty * h // gh, max((ty + 1) * h // gh, ty * h // gh + 1)
+        x0 = tx * w // gw
+        x1 = min(max((tx + 1) * w // gw, x0 + 1), w)
+        for y in range(y0, min(y1, h)):
+            for x in range(x0, x1):
+                rows[y][x] = (255, 255, 255)
+
+    if variant >= 1:
+        whiten(0, 0)  # participates in bit (0,0) only
+    if variant >= 2:
+        whiten(gh - 1, gw - 1)  # participates in bit (7,7) only
+    return rows
+
+
+def synthetic_near_dup_image_table(spark, groups: int = 16) -> DataFrame:
+    """Deterministic perceptual near-dup fixture in MEDIA_SCHEMA shape:
+    ``groups`` triples (base, 1-box variant, 2-box variant) of REAL
+    raster images — BMP for even groups, P6 PPM for odd — with
+    per-group dimensions ≥ the 9×8 dHash grid. media_id = g·3 +
+    variant + 1. The oracle generator (tools/gen_expected.py)
+    recomputes every hash from the same pattern arithmetic WITHOUT the
+    encode/decode round-trip, so equality proves encoder, pixel
+    decoder, and hash are mutually consistent. Bounded driver-side
+    generation — a fixture, not a data path."""
+    rows = []
+    for g in range(groups):
+        w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
+        for v in range(3):
+            px = _dup_group_pixels(g, w, h, v)
+            if g % 2 == 0:
+                payload, mt = encode_bmp_pixels(px), "image/bmp"
+            else:
+                payload, mt = encode_ppm_pixels(px), "image/ppm"
+            rows.append((g * 3 + v + 1, mt, payload, "fixture"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -234,3 +234,21 @@ def test_bpe_token_stream_generator_matches_spark_on_alternate_sf(
     per_doc = got.groupby("doc_id").size()
     for doc_id, n in zip(counts["doc_id"], counts["n_bpe_tokens"]):
         assert per_doc.get(doc_id, 0) == n
+
+
+def test_dhash_generator_matches_spark_on_alternate_group_count(spark):
+    """The dhash replica must agree with the full Spark path (encode →
+    pixel decode → hash → banded join) on a DIFFERENT fixture size
+    (24 groups) than the committed expected files (16), so the
+    generator can't be fitted to one fixture's quirks."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    tbl = mm.synthetic_near_dup_image_table(spark, 24)
+    got_h = _canon(mm.dhash_table(tbl).toPandas())
+    exp_h = _canon(gen_expected.gen_image_dhash(24))
+    assert got_h == exp_h
+    got_p = _canon(dedup.image_dhash_near_dups(tbl, max_hamming=3).toPandas())
+    exp_p = _canon(gen_expected.gen_image_dhash_dups(24))
+    assert got_p == exp_p

@@ -760,3 +760,54 @@ def test_winnow_char_cap_observable(spark):
     }
     assert capped[1]["fingerprints"] == prefix[1]
     assert capped[2]["fingerprints"] == full[2]["fingerprints"]
+
+
+def test_pixel_codec_roundtrip():
+    """encode_bmp_pixels/_bmp_pixels and encode_ppm_pixels/_ppm_pixels
+    are exact inverses — including odd widths exercising BMP's 4-byte
+    row stride padding and PPM's header tokenizer."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    for w, h in [(1, 1), (3, 2), (5, 4), (18, 16)]:
+        rows = [
+            [((x * 7 + y) % 256, (y * 5 + x) % 256, (x * y + 3) % 256)
+             for x in range(w)]
+            for y in range(h)
+        ]
+        assert mm._bmp_pixels(mm.encode_bmp_pixels(rows)) == rows
+        assert mm._ppm_pixels(mm.encode_ppm_pixels(rows)) == rows
+    # comments in the PPM header must be skipped
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes((1, 2, 3, 4, 5, 6))
+    assert mm._ppm_pixels(ppm) == [[(1, 2, 3), (4, 5, 6)]]
+
+
+def test_image_dhash_banded_join_is_exact():
+    """The banded Hamming join must find EXACTLY the brute-force pair
+    set (pigeonhole blocking is lossless) on the fixture."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("t")
+    tbl = mm.synthetic_near_dup_image_table(spark, 8)
+    hashes = {r["media_id"]: r["dhash"] for r in mm.dhash_table(tbl).collect()}
+    brute = {
+        (a, b, bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b
+        and bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in dedup.image_dhash_near_dups(tbl, max_hamming=3).collect()
+    }
+    assert got == brute and len(got) >= 8

@@ -1220,6 +1220,85 @@ def gen_item_hits(sf_dir: str, iters: int = 8) -> pd.DataFrame:
     )
 
 
+def _dhash_replica(g: int, w: int, h: int, variant: int) -> int:
+    """From-scratch dHash of near-dup fixture group (g, variant),
+    computed STRAIGHT from the pattern arithmetic — no byte encoding,
+    no package import — so a match proves the committed encoders, the
+    pixel decoders, and the hash are mutually consistent inverses
+    (functions/multimodal.py:synthetic_near_dup_image_table shares
+    only the pattern formulas)."""
+    px = [
+        [
+            (
+                (x * 17 + y * 23 + g * 41) % 256,
+                (x * 29 + y * 13 + g * 57) % 256,
+                (x * 11 + y * 31 + g * 73) % 256,
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+    def box_bounds(t: int, size: int, n: int) -> tuple[int, int]:
+        lo = t * size // n
+        return lo, min(max((t + 1) * size // n, lo + 1), size)
+
+    if variant >= 1:
+        y0, y1 = box_bounds(0, h, 8)
+        x0, x1 = box_bounds(0, w, 9)
+        for y in range(y0, y1):
+            for x in range(x0, x1):
+                px[y][x] = (255, 255, 255)
+    if variant >= 2:
+        y0, y1 = box_bounds(7, h, 8)
+        x0, x1 = box_bounds(8, w, 9)
+        for y in range(y0, y1):
+            for x in range(x0, x1):
+                px[y][x] = (255, 255, 255)
+
+    gray = [[(299 * r + 587 * gg + 114 * b) // 1000 for (r, gg, b) in row]
+            for row in px]
+    box = [[0] * 9 for _ in range(8)]
+    for ty in range(8):
+        y0, y1 = box_bounds(ty, h, 8)
+        for tx in range(9):
+            x0, x1 = box_bounds(tx, w, 9)
+            vals = [gray[y][x] for y in range(y0, y1) for x in range(x0, x1)]
+            box[ty][tx] = sum(vals) // len(vals)
+    bits = 0
+    for ty in range(8):
+        for tx in range(8):
+            if box[ty][tx + 1] > box[ty][tx]:
+                bits |= 1 << (ty * 8 + tx)
+    return bits - (1 << 64) if bits >= SIGN else bits
+
+
+def gen_image_dhash(groups: int = 16) -> pd.DataFrame:
+    """(media_id, dhash) for the perceptual near-dup image fixture."""
+    rows = []
+    for g in range(groups):
+        w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
+        for v in range(3):
+            rows.append((g * 3 + v + 1, _dhash_replica(g, w, h, v)))
+    return pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+
+def gen_image_dhash_dups(groups: int = 16, max_hamming: int = 3) -> pd.DataFrame:
+    """Brute-force all-pairs Hamming ≤ radius over the fixture hashes —
+    the exact answer the banded join must reproduce (the banding is a
+    lossless pigeonhole filter, so recall is 1.0 by construction)."""
+    hashes = gen_image_dhash(groups)
+    ids = hashes["media_id"].tolist()
+    hs = hashes["dhash"].tolist()
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin((hs[i] ^ hs[j]) & M64).count("1")
+            if d <= max_hamming:
+                rows.append((ids[i], ids[j], d))
+    return pd.DataFrame(rows, columns=["media_id_a", "media_id_b", "hamming"])
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -1254,6 +1333,8 @@ def main() -> None:
         ("item_pagerank", gen_item_pagerank(sf_dir)),
         ("join_size_estimate", gen_join_size_estimate(sf_dir)),
         ("item_hits_scores", gen_item_hits(sf_dir)),
+        ("media_image_dhash", gen_image_dhash()),
+        ("image_dhash_dups", gen_image_dhash_dups()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
