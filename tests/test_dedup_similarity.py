@@ -144,7 +144,9 @@ def test_lsh_topk_recall_vs_exact(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in similarity.lsh_topk(df, q, k=5, bands=8, bits=16).collect()
+        for r in similarity.lsh_topk(
+            df, q, k=5, bands=8, bits_per_band=2, probe_hamming=0
+        ).collect()
     }
     # banded LSH with 8 bands of 2 bits is permissive: expect decent recall
     assert len(approx & exact) / len(exact) >= 0.5

@@ -312,25 +312,44 @@ def _rank_topk(
 
 
 def gen_lsh_topk(vecs: list[tuple[int, list[float]]]) -> pd.DataFrame:
-    k, bits, bands = 5, 32, 8
-    bits_per_band = bits // bands
-    mask = (1 << bits_per_band) - 1
+    """Replica of the round-9 multi-probe banded LSH (46 bands × 20
+    bits, Hamming≤3 probe ball on the query side): per-band
+    sequential-fold signatures from plane slices [j*b, (j+1)*b), the
+    probe ball unioned over bands, exact trunc6 cosine re-rank of the
+    candidate set."""
+    from itertools import combinations  # noqa: PLC0415
+
+    k, bits_per_band, bands, probe_d = 5, 20, 46, 3
     dim = len(vecs[0][1])
-    planes = _hyperplanes(bits, dim)
+    planes = _hyperplanes(bands * bits_per_band, dim)
     queries = [(i, v) for i, v in vecs if i < 10]
-    sig = {i: _signature(v, planes) for i, v in vecs}
+    band_sig = {
+        i: [
+            _signature(v, planes[j * bits_per_band : (j + 1) * bits_per_band])
+            for j in range(bands)
+        ]
+        for i, v in vecs
+    }
+    masks = [0]
+    for d in range(1, probe_d + 1):
+        for combo in combinations(range(bits_per_band), d):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            masks.append(m)
     corpus_buckets: dict[tuple[int, int], list[int]] = {}
     for i, _ in vecs:
         for b in range(bands):
-            key = (sig[i] >> (b * bits_per_band)) & mask
-            corpus_buckets.setdefault((b, key), []).append(i)
+            corpus_buckets.setdefault((b, band_sig[i][b]), []).append(i)
     by_id = dict(vecs)
     scored: dict[int, dict[int, float]] = {}
     for qid, qvec in queries:
         cand: set[int] = set()
         for b in range(bands):
-            key = (sig[qid] >> (b * bits_per_band)) & mask
-            cand.update(corpus_buckets.get((b, key), []))
+            for m in masks:
+                cand.update(
+                    corpus_buckets.get((b, band_sig[qid][b] ^ m), [])
+                )
         cand.discard(qid)
         scored[qid] = {
             nid: trunc6(seq_cosine(qvec, by_id[nid])) for nid in cand

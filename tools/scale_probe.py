@@ -111,20 +111,25 @@ def recall_probe(spark, sf_dir: str) -> dict:
         .itertuples()
     }
 
-    # Candidate fraction of the registered lsh_topk config (32 bits /
-    # 8 bands): the share of the corpus each query must exact-score.
-    # This is the honest cost axis of the banded-LSH recall knob — on
-    # a near-orthogonal corpus more bands buy recall almost linearly
-    # in scanned fraction (measured 64/16 → recall 0.92 at ~0.6
-    # fraction), which is why the high-recall serving paths here are
-    # IVF/PQ + exact re-rank, not wider LSH.
-    bits, bands = 32, 8
-    bpb = bits // bands
+    # Candidate fraction of the registered lsh_topk config: the share
+    # of the corpus each query must exact-score — the honest cost axis
+    # of the banded-LSH recall knob. The r8 config (32 bits / 8 bands,
+    # no probing) sat at 0.403 fraction for 0.74 recall; plain
+    # band-widening could not beat it (64/16 → recall 0.92 at ~0.6
+    # fraction). Multi-probe breaks that trade: selective 20-bit bands
+    # for few random collisions, a Hamming≤3 probe ball on the QUERY
+    # side for recall. Query-DIRECTED probing (lowest-|margin| flips,
+    # Lv et al.) was swept and loses badly here — near-orthogonal
+    # neighbors flip bits ~independently of the query's margins.
+    # round 9 registered config (VERDICT r08 item 5): 46 bands ×
+    # 20 bits with the Hamming≤3 multi-probe ball on the query side.
+    bpb, bands, probe_d = 20, 46, 3
     import hashlib
+    import itertools
     import struct
 
     planes = []
-    for seed in range(bits):
+    for seed in range(bands * bpb):
         row = []
         for i in range(mat.shape[1]):
             h = hashlib.md5(f"{seed}:{i}".encode()).digest()
@@ -132,20 +137,26 @@ def recall_probe(spark, sf_dir: str) -> dict:
             row.append((w / 2**64) * 2.0 - 1.0)
         planes.append(row)
     sig_bits = (mat @ np.array(planes).T) > 0
-    sig = np.zeros(len(ids), dtype=np.int64)
-    for b in range(bits):
-        sig |= sig_bits[:, b].astype(np.int64) << b
-    mask = (1 << bpb) - 1
+    band_vals = np.zeros((len(ids), bands), dtype=np.int64)
+    for j in range(bands):
+        for i in range(bpb):
+            band_vals[:, j] |= sig_bits[:, j * bpb + i].astype(np.int64) << i
+    flips = [0]
+    for d in range(1, probe_d + 1):
+        for combo in itertools.combinations(range(bpb), d):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            flips.append(m)
+    flips_arr = np.array(flips, dtype=np.int64)
     cand_counts = []
     for qi in q_rows:
-        cand = set()
-        for b in range(bands):
-            key = (sig[qi] >> (b * bpb)) & mask
-            cand.update(
-                np.where(((sig >> (b * bpb)) & mask) == key)[0].tolist()
-            )
-        cand.discard(int(qi))
-        cand_counts.append(len(cand) / (len(ids) - 1))
+        cand = np.zeros(len(ids), dtype=bool)
+        for j in range(bands):
+            probe_vals = band_vals[qi, j] ^ flips_arr
+            cand |= np.isin(band_vals[:, j], probe_vals)
+        cand[qi] = False
+        cand_counts.append(cand.sum() / (len(ids) - 1))
     lsh_candidate_fraction = round(float(np.mean(cand_counts)), 3)
     return {
         "sf_dir": sf_dir,
