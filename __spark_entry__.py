@@ -1837,6 +1837,94 @@ def q_streaming_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "keep")
 
 
+def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup gate (streaming/pipeline.py:
+    run_streaming_minhash_dedup, VERDICT r08 item 6): two ordered
+    micro-batches of documents are MinHash-signed and LSH-joined live
+    against a persisted signature store seeded with the even-id corpus;
+    decisions and survivor signatures commit effectively-once through
+    the versioned layer, so batch 2's recrawled copies of batch-1 docs
+    MUST hit the store entries batch 1 appended (the cross-batch path a
+    single-batch smoke can't exercise). Batch composition: b1 = ids
+    %4==1 plus two recrawls of even docs (%20==0 → +300000, %40==0 →
+    +400000: store-hit and within-batch paths); b2 = ids %4==3 plus
+    recrawls of batch-1 docs (%20==1 → +200000: cross-batch store
+    path) and of even docs (%10==0 → +100000). Oracle: independent
+    sequential two-batch replica (tools/gen_expected.py:
+    gen_streaming_minhash)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    base = _scratch_path("stream_mhdedup", sf_dir)
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    decisions = os.path.join(base, "decisions")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (src_dir, store, decisions, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+
+    b1 = (
+        odds.filter(F.col("doc_id") % 4 == 1)
+        .unionByName(
+            evens.filter(F.col("doc_id") % 20 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(300000)
+            )
+        )
+        .unionByName(
+            evens.filter(F.col("doc_id") % 40 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(400000)
+            )
+        )
+    )
+    b2 = (
+        odds.filter(F.col("doc_id") % 4 == 3)
+        .unionByName(
+            odds.filter(F.col("doc_id") % 20 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(200000)
+            )
+        )
+        .unionByName(
+            evens.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(100000)
+            )
+        )
+    )
+    # Stage each batch as ONE parquet file with ascending mtimes — the
+    # file stream source orders by modification time, which makes the
+    # two-trigger sequence deterministic.
+    import time as _time  # noqa: PLC0415
+
+    now = _time.time()
+    for i, frame in enumerate((b1, b2)):
+        tmp = os.path.join(base, f"stage{i}")
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (  # noqa: PLC0415
+        versioned as vt,
+    )
+
+    vt.write_version(
+        dedup.minhash_signatures(evens).withColumnRenamed("id", "doc_id"),
+        store,
+    )
+    return streaming_pipeline.run_streaming_minhash_dedup(
+        spark, src_dir, store, decisions, checkpoint_dir=ckpt
+    ).orderBy("doc_id")
+
+
 def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: two-phase salted agg over events keyed by
     event_type — 5 distinct keys over the whole table is exactly the
@@ -3069,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_rewrite": q_doc_decontaminate_rewrite,
         # round 8: streaming crawl-ingest quality gate
         "streaming_doc_quality_gate": q_streaming_doc_quality,
+        "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
     ordered = {name: all_q[name] for name in _R8_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
@@ -4111,6 +4200,15 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_dups": """
             SELECT media_id_a, media_id_b, hamming
             FROM read_parquet('/root/repo/expected/sf0.01/image_dhash_dups.parquet')
+        """,
+        # round 9: streaming near-dup gate — independent sequential
+        # two-micro-batch replica (store seeding, survivor append,
+        # cross-batch recrawl hits), tools/gen_expected.py:
+        # gen_streaming_minhash
+        "streaming_minhash_dedup": """
+            SELECT doc_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/streaming_minhash_dedup.parquet')
+            ORDER BY doc_id
         """,
         "embedding_topk_lsh": """
             SELECT query_id, neighbor_id, cosine_sim, rank

@@ -790,3 +790,98 @@ def run_doc_quality_stream_to_memory(
         finally:
             q.stop()
     return spark.table(query_name)
+
+
+def run_streaming_minhash_dedup(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    decisions_path: str,
+    threshold: float = 0.5,
+    state_partitions: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup gate — the crawl-ingest leg VERDICT r08
+    item 6 named: exact streaming dedup existed
+    (:func:`run_dedup_stream_to_memory` family) and batch incremental
+    MinHash existed (operators/dedup.py:minhash_incremental), but
+    nothing joined an arriving micro-batch against the persisted
+    near-dup signature store live.
+
+    Per micro-batch (foreachBatch):
+
+    1. sign the batch (MinHash signatures — one pass, banded keys);
+    2. LSH-join it against the persisted signature store AND itself
+       (``minhash_incremental`` runs UNCHANGED on the batch — the
+       same batch-operator-reuse discipline as the quality gate);
+    3. commit the per-doc decisions to a versioned table via
+       insert-if-absent MERGE — a replayed batch re-commits a
+       content-identical decision set, so the gate is
+       effectively-once (the ``run_streaming_versioned_merge``
+       contract);
+    4. append the SURVIVORS' signatures (never text — the ~0.5 KB/doc
+       index posture) to the store the same way, so the next batch
+       dedups against everything kept so far.
+
+    State: the signature store is the only cross-batch state and it
+    lives in the versioned table layer, not the streaming state store
+    — Spark-side state is zero rows, and ``bounded_state_partitions``
+    pins the foreachBatch join shuffles. Output: the final decisions
+    snapshot — (doc_id, matched_store_id, matched_batch_id, keep),
+    -1 sentinels for no-match.
+    """
+    import tempfile  # noqa: PLC0415
+
+    from ..operators import dedup as dedup_ops  # noqa: PLC0415
+    from ..operators.merge import versioned_merge  # noqa: PLC0415
+    from ..sources import versioned as vt  # noqa: PLC0415
+
+    stream = read_document_stream(spark, source_path)
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="stream_mhdedup_ckpt_")
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        docs = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        if vt.table_versions(store_path):
+            store = vt.read_version(sess, store_path).select(
+                "doc_id", "signature"
+            )
+        else:
+            store = sess.createDataFrame(
+                [], "doc_id long, signature array<bigint>"
+            )
+        decisions = dedup_ops.minhash_incremental(
+            store, docs, threshold=threshold
+        ).localCheckpoint(eager=True)
+        if vt.table_versions(decisions_path):
+            versioned_merge(
+                sess, decisions_path, decisions, ["doc_id"], update=False
+            )
+        else:
+            vt.write_version(decisions, decisions_path)
+        survivors = (
+            dedup_ops.minhash_signatures(docs)
+            .join(
+                decisions.filter(F.col("keep")).select("doc_id"),
+                F.col("id") == F.col("doc_id"),
+            )
+            .select("doc_id", "signature")
+        )
+        if vt.table_versions(store_path):
+            versioned_merge(
+                sess, store_path, survivors, ["doc_id"], update=False
+            )
+        else:
+            vt.write_version(survivors, store_path)
+
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return vt.read_version(spark, decisions_path)

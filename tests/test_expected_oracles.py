@@ -252,3 +252,21 @@ def test_dhash_generator_matches_spark_on_alternate_group_count(spark):
     got_p = _canon(dedup.image_dhash_near_dups(tbl, max_hamming=3).toPandas())
     exp_p = _canon(gen_expected.gen_image_dhash_dups(24))
     assert got_p == exp_p
+
+
+def test_streaming_minhash_generator_matches_spark_on_alternate_sf(spark):
+    """The sequential two-batch replica must agree with the real
+    streaming path (file-source micro-batches + versioned store/
+    decision commits) at sf0.001 — a different corpus than the
+    committed expected file (sf0.01)."""
+    import pyarrow.parquet as papq
+
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = _canon(
+        entrymod.q_streaming_minhash_dedup(spark, sf_dir).toPandas()
+    )
+    docs = papq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    exp = _canon(gen_expected.gen_streaming_minhash(docs))
+    assert got == exp

@@ -1318,6 +1318,113 @@ def gen_image_dhash_dups(groups: int = 16, max_hamming: int = 3) -> pd.DataFrame
     return pd.DataFrame(rows, columns=["media_id_a", "media_id_b", "hamming"])
 
 
+def gen_streaming_minhash(
+    docs: pd.DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> pd.DataFrame:
+    """Sequential two-micro-batch replica of the streaming near-dup
+    gate (streaming/pipeline.py:run_streaming_minhash_dedup): store
+    seeded with even-id signatures; batch 1 = ids %4==1 plus recrawls
+    of even docs (%20==0 -> +300000, %40==0 -> +400000); batch 2 =
+    ids %4==3 plus recrawls of batch-1 docs (%20==1 -> +200000) and
+    even docs (%10==0 -> +100000). After each batch the SURVIVORS'
+    signatures join the store — so batch 2's +200000 recrawls must
+    match the store entries batch 1 appended, the cross-batch path
+    the oracle exists to pin."""
+    rpb = num_hashes // bands
+    text_by_id = dict(zip(docs["doc_id"], docs["text"]))
+    sets = shingle_hash_sets(docs, 3)
+    sig_cache = {
+        d: [
+            min(xxhash64(("int", i), h) for h in hs)
+            for i in range(num_hashes)
+        ]
+        for d, hs in sets.items()
+    }
+
+    def band_keys(sig: list[int]) -> list[tuple[int, int]]:
+        return [
+            (
+                b,
+                xxhash64(
+                    ",".join(str(x) for x in sig[b * rpb : (b + 1) * rpb])
+                ),
+            )
+            for b in range(bands)
+        ]
+
+    def est_ok(a: list[int], b: list[int]) -> bool:
+        return sum(1 for x, y in zip(a, b) if x == y) >= threshold * num_hashes
+
+    evens = sorted(d for d in text_by_id if d % 2 == 0)
+    odds = sorted(d for d in text_by_id if d % 2 == 1)
+    store = {d: sig_cache[d] for d in evens}
+    batches = [
+        sorted(
+            [d for d in odds if d % 4 == 1]
+            + [d + 300000 for d in evens if d % 20 == 0]
+            + [d + 400000 for d in evens if d % 40 == 0]
+        ),
+        sorted(
+            [d for d in odds if d % 4 == 3]
+            + [d + 200000 for d in odds if d % 20 == 1]
+            + [d + 100000 for d in evens if d % 10 == 0]
+        ),
+    ]
+    out = {
+        "doc_id": [],
+        "matched_store_id": [],
+        "matched_batch_id": [],
+        "keep": [],
+    }
+    for batch_ids in batches:
+        batch = {d: sig_cache[d % 100000] for d in batch_ids}
+        store_buckets: dict[tuple[int, int], list[int]] = {}
+        for d, sg in store.items():
+            for key in band_keys(sg):
+                store_buckets.setdefault(key, []).append(d)
+        batch_buckets: dict[tuple[int, int], list[int]] = {}
+        for d, sg in batch.items():
+            for key in band_keys(sg):
+                batch_buckets.setdefault(key, []).append(d)
+        survivors = {}
+        for d in sorted(batch):
+            sg = batch[d]
+            store_cands = {
+                c for key in band_keys(sg) for c in store_buckets.get(key, [])
+            }
+            batch_cands = {
+                c
+                for key in band_keys(sg)
+                for c in batch_buckets.get(key, [])
+                if c < d
+            }
+            ms = min(
+                (c for c in store_cands if est_ok(sg, store[c])), default=-1
+            )
+            mb = min(
+                (c for c in batch_cands if est_ok(sg, batch[c])), default=-1
+            )
+            out["doc_id"].append(d)
+            out["matched_store_id"].append(ms)
+            out["matched_batch_id"].append(mb)
+            out["keep"].append(ms == -1 and mb == -1)
+            if ms == -1 and mb == -1:
+                survivors[d] = sg
+        store.update(survivors)
+    df = pd.DataFrame(out).astype(
+        {
+            "doc_id": "int64",
+            "matched_store_id": "int64",
+            "matched_batch_id": "int64",
+            "keep": "bool",
+        }
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -1354,6 +1461,7 @@ def main() -> None:
         ("item_hits_scores", gen_item_hits(sf_dir)),
         ("media_image_dhash", gen_image_dhash()),
         ("image_dhash_dups", gen_image_dhash_dups()),
+        ("streaming_minhash_dedup", gen_streaming_minhash(docs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
