@@ -86,6 +86,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Commit-able full per-query artifact (VERDICT r08 item 3): the
+    # driver's stdout tail truncates the ~189-entry map, leaving most
+    # queries invisible in BENCH_r{N}.json — so every run also writes
+    # BENCH_DETAIL_r{N}.json next to this script, where N = next round
+    # (max existing BENCH_r* + 1, override via SPARK_GRAFT_ROUND). The
+    # builder commits it so the judge can diff all queries
+    # round-over-round without depending on the driver's window.
+    import glob  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    rnd = int(
+        os.environ.get("SPARK_GRAFT_ROUND", (max(rounds) + 1) if rounds else 1)
+    )
+    detail = {
+        "round": rnd,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "total_sec": total,
+        "queries": dict(sorted(timings.items())),
+    }
+    with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
     # Full per-query detail first (for humans and the judge) ...
     print(
         json.dumps(

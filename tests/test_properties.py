@@ -919,7 +919,9 @@ def test_importance_resample_matches_python_model(spark, docs):
             continue
         n = len(ws)
         if n == 0:
-            expect.append((0, 0, i))
+            # zero-token documents are EXCLUDED from the ranked
+            # selection (ADVICE r08: an empty doc's coalesced 0.0
+            # outranked every negatively-scored real document)
             continue
         micros = sum(
             s_micro[b] * c for (j, b), c in per_db.items() if j == i
