@@ -1184,6 +1184,7 @@ def minhash_incremental(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    incoming_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup detection — the daily-load posture of
     :func:`dedup_incremental`, lifted from exact fingerprints to
@@ -1224,9 +1225,18 @@ def minhash_incremental(
         store_sigs = minhash_signatures(
             existing, text_col, id_col, num_hashes, shingle_n
         )
-    inc_sigs = minhash_signatures(
-        incoming, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=False)
+    if incoming_sigs is not None:
+        # Caller-provided (id, signature) frame — the streaming gate
+        # signs each micro-batch ONCE and shares the materialized
+        # signatures between this check and the survivor store-append
+        # (each batch otherwise pays two 64-aggregate signing passes
+        # plus a second multi-frame plan build).
+        key = id_col if id_col in incoming_sigs.columns else "id"
+        inc_sigs = incoming_sigs.select(F.col(key).alias("id"), "signature")
+    else:
+        inc_sigs = minhash_signatures(
+            incoming, text_col, id_col, num_hashes, shingle_n
+        ).localCheckpoint(eager=False)
 
     matches = F.size(
         F.filter(

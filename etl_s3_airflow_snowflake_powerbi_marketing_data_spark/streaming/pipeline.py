@@ -841,7 +841,13 @@ def run_streaming_minhash_dedup(
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        docs = batch.select("doc_id", "text").localCheckpoint(eager=True)
+        docs = batch.select("doc_id", "text")
+        # Sign the batch ONCE (eager — both the dedup check and the
+        # survivor append read it) instead of paying two 64-aggregate
+        # signing passes per micro-batch.
+        sigs = dedup_ops.minhash_signatures(docs).localCheckpoint(
+            eager=True
+        )
         if vt.table_versions(store_path):
             store = vt.read_version(sess, store_path).select(
                 "doc_id", "signature"
@@ -851,7 +857,7 @@ def run_streaming_minhash_dedup(
                 [], "doc_id long, signature array<bigint>"
             )
         decisions = dedup_ops.minhash_incremental(
-            store, docs, threshold=threshold
+            store, docs, threshold=threshold, incoming_sigs=sigs
         ).localCheckpoint(eager=True)
         if vt.table_versions(decisions_path):
             versioned_merge(
@@ -860,8 +866,7 @@ def run_streaming_minhash_dedup(
         else:
             vt.write_version(decisions, decisions_path)
         survivors = (
-            dedup_ops.minhash_signatures(docs)
-            .join(
+            sigs.join(
                 decisions.filter(F.col("keep")).select("doc_id"),
                 F.col("id") == F.col("doc_id"),
             )
