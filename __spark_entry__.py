@@ -686,6 +686,70 @@ def q_image_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id_a", "media_id_b")
 
 
+def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image dedup (operators/dedup.py:
+    image_dedup_survivors): connected components over the dHash pair
+    graph, min-id survivor per component with member count — the image
+    twin of dedup_semantic's survivor election. Oracle: union-find over
+    the independently recomputed brute-force pair set."""
+    return dedup.image_dedup_survivors(
+        multimodal.synthetic_near_dup_image_table(spark, 16), max_hamming=3
+    )
+
+
+def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (operators/sampling.py:
+    split_assign_leakage_safe): buckets key on the normalized-content
+    fingerprint, so byte-identical duplicates land in the SAME split.
+    The corpus is augmented with an injected duplicate slice (every
+    50th doc re-appended under doc_id+1000000 — the exact_dup_groups
+    pattern) so the coupling is actually exercised: the oracle computes
+    every assignment independently, and each injected copy necessarily
+    carries its original's split."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return (
+        sampling.split_assign_leakage_safe(
+            docs.unionByName(injected), salt="lsplit"
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization audit (functions/text.py:
+    unicode_normalize_docs). The corpus is ASCII, so decomposed
+    combining sequences are injected deterministically first — docs
+    with id%3==0 get 'e'→'e'+U+0301, id%3==1 get 'a'→'a'+U+0300 — and
+    the operator must compose them back; the oracle replays the same
+    injection with DuckDB's nfc_normalize (utf8proc) against CPython's
+    unicodedata, pinning the two engines' NFC agreement plus the md5
+    of the normalized bytes and the codepoint deltas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            # decomposed: 'e' + COMBINING ACUTE (U+0301)
+            F.regexp_replace("text", "e", "é"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            # decomposed: 'a' + COMBINING GRAVE (U+0300)
+            F.regexp_replace("text", "a", "à"),
+        )
+        .otherwise(F.col("text")),
+    )
+    return text_fn.unicode_normalize_docs(injected).orderBy("doc_id")
+
+
 def q_media_wav_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV/RIFF audio decode (functions/multimodal.py:
     riff_wav_meta — pure-Python chunk walk, no codec package) over the
@@ -2811,6 +2875,14 @@ _R9_FRONT_50 = [
     "streaming_hll_versioned",
     "streaming_user_sessions",
     "doc_importance_resample",
+    # --- late round-9 additions (rule b: new names enter the window
+    # the round they land; three canaries below stood down — their
+    # families stay covered by in-window siblings: sampling by
+    # doc_importance_resample/doc_split_leakage_safe, sketches by
+    # hll_user_overlap_by_type, sessions by streaming_user_sessions)
+    "image_dedup_survivors",
+    "doc_split_leakage_safe",
+    "doc_unicode_normalize",
     # --- round-9 oracle-SQL edits (hand-attributed: the VARCHAR
     # round-trip for decimal-sum casts, ADVICE r08) ----------------
     "doc_unigram_surprisal",
@@ -2841,9 +2913,6 @@ _R9_FRONT_50 = [
     "merge_update_orders",
     "csv_ingest_rollup",
     "pricing_summary",
-    "user_sessions",
-    "cms_user_counts",
-    "doc_sample_10pct",
     "item_pagerank",
     "purchase_last_view_asof",
     "orc_roundtrip_flags",
@@ -2966,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_embeddings": q_media_embeddings,
         "media_image_dhash": q_media_image_dhash,
         "image_dhash_dups": q_image_dhash_dups,
+        "image_dedup_survivors": q_image_dedup_survivors,
         "media_frame_sample": q_media_frames,
         "media_audio_features": q_media_audio,
         "weighted_sample_docs": q_weighted_sample,
@@ -2982,6 +3052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": q_line_dedup_docs,
         "merge_scd2_orders": q_merge_scd2,
         "doc_split_assign": q_split_assign,
+        "doc_split_leakage_safe": q_doc_split_leakage_safe,
+        "doc_unicode_normalize": q_doc_unicode_normalize,
         "corpus_shuffle_order": q_corpus_shuffle,
         "fuzzy_part_name_matches": q_fuzzy_part_names,
         "user_event_type_map": q_user_event_type_map,
@@ -4196,6 +4268,58 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_dups": """
             SELECT media_id_a, media_id_b, hamming
             FROM read_parquet('/root/repo/expected/sf0.01/image_dhash_dups.parquet')
+        """,
+        "image_dedup_survivors": """
+            SELECT media_id, n_merged
+            FROM read_parquet('/root/repo/expected/sf0.01/image_dedup_survivors.parquet')
+            ORDER BY media_id
+        """,
+        # round 9: dedup-aware split — bucket keys on the normalized
+        # content fingerprint, so the injected +1000000 duplicates
+        # necessarily carry their originals' split
+        "doc_split_leakage_safe": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 50 = 0
+            ), fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS f
+              FROM corpus
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN ('0x' || substr(md5('lsplit' || f), 1, 15))::BIGINT
+                          % 10000 < 9000 THEN 'train'
+                     WHEN ('0x' || substr(md5('lsplit' || f), 1, 15))::BIGINT
+                          % 10000 < 9500 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM fp ORDER BY doc_id
+        """,
+        # round 9: NFC audit — same decomposed-accent injection
+        # (chr(769)=U+0301, chr(768)=U+0300), DuckDB utf8proc
+        # nfc_normalize vs CPython unicodedata
+        "doc_unicode_normalize": """
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 3 = 0
+                         THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+                       WHEN doc_id % 3 = 1
+                         THEN regexp_replace(text, 'a', 'a' || chr(768), 'g')
+                       ELSE text
+                     END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(nfc_normalize(t)) AS norm_md5,
+                   nfc_normalize(t) <> t AS changed,
+                   CAST(length(t) AS BIGINT) AS n_chars_before,
+                   CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_after
+            FROM injected ORDER BY doc_id
         """,
         # round 9: streaming near-dup gate — independent sequential
         # two-micro-batch replica (store seeding, survivor append,

@@ -1477,3 +1477,74 @@ def _bm25_topk_inverted(
         "n_tokens",
         "score",
     ).orderBy("rank")
+
+
+def unicode_normalize_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization audit + canonicalization — the text-clean
+    step every dedup/fingerprint stage silently depends on: the same
+    visible string in composed ('é') and decomposed ('e' + U+0301)
+    form hashes to DIFFERENT fingerprints, so un-normalized corpora
+    under-deduplicate and leak near-identical documents across splits.
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    ``mapInPandas`` over CPython's ``unicodedata`` — map-only,
+    shuffle-free, scan-speed at any corpus size. Cross-engine
+    determinism: NFC/NFKC are Unicode-versioned algorithms; DuckDB's
+    ``nfc_normalize`` (utf8proc) and CPython agree on the composed
+    forms the oracle injects (Latin combining marks — stable across
+    Unicode versions since 3.0), which is what the oracle pins.
+
+    Output per doc: ``norm_md5`` (md5 of the normalized UTF-8 bytes —
+    the canonical fingerprint downstream dedup should key on),
+    ``changed`` (normalization altered the string), ``n_chars_before``
+    / ``n_chars_after`` (codepoint counts — the delta is the number of
+    combining sequences composed).
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("norm_md5", T.StringType()),
+            T.StructField("changed", T.BooleanType()),
+            T.StructField("n_chars_before", T.LongType()),
+            T.StructField("n_chars_after", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import hashlib  # noqa: PLC0415
+        import unicodedata  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            ids, md5s, chg, nb, na = [], [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t or ""
+                norm = unicodedata.normalize(form, raw)
+                ids.append(int(i))
+                md5s.append(hashlib.md5(norm.encode("utf-8")).hexdigest())
+                chg.append(norm != raw)
+                nb.append(len(raw))
+                na.append(len(norm))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "norm_md5": md5s,
+                    "changed": chg,
+                    "n_chars_before": nb,
+                    "n_chars_after": na,
+                }
+            )
+
+    return (
+        _spread_if_narrow(df)
+        .select(id_col, text_col)
+        .mapInPandas(batches, schema)
+    )

@@ -1381,3 +1381,39 @@ def cross_source_ngram_matrix(
         .agg(F.count("*").cast("long").alias("shared_ngrams"))
         .orderBy("source_a", "source_b")
     )
+
+
+def image_dedup_survivors(
+    media_df: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual image dedup END-TO-END: connected components over
+    the dHash near-dup pair graph (:func:`image_dhash_near_dups`),
+    keeping the min-id member of each component — the image twin of
+    :func:`dedup_semantic`'s survivor election, so the image leg has
+    pair DETECTION and survivor REMEDIATION just like text. Chains
+    matter the same way: A~B, B~C, A≁C must collapse to one survivor,
+    which per-pair filtering gets wrong.
+
+    Output: one row per SURVIVOR — (media_id, n_merged), n_merged = 1
+    for images with no near-duplicate. Scale shape: map-only hash,
+    banded pair join, O(log d) CC rounds — no all-pairs stage."""
+    pairs = image_dhash_near_dups(media_df, max_hamming).select(
+        F.col("media_id_a").alias("id_a"),
+        F.col("media_id_b").alias("id_b"),
+    )
+    comps = connected_components(pairs)
+    survivors = (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_merged"))
+        .select(F.col("component").alias("media_id"), "n_merged")
+    )
+    unpaired = (
+        media_df.select("media_id")
+        .join(
+            comps.select(F.col("id").alias("media_id")),
+            "media_id",
+            "left_anti",
+        )
+        .withColumn("n_merged", F.lit(1).cast("long"))
+    )
+    return survivors.unionByName(unpaired).orderBy("media_id")

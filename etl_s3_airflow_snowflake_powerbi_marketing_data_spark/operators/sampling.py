@@ -29,6 +29,7 @@ __all__ = [
     "curate_top_per_group",
     "weighted_sample",
     "split_assign",
+    "split_assign_leakage_safe",
     "corpus_shuffle",
     "source_temperature_mix",
     "source_interleave_order",
@@ -760,3 +761,36 @@ def importance_resample(
         .orderBy(F.desc("log_weight"), F.asc(id_col))
         .limit(k)
     )
+
+
+def split_assign_leakage_safe(
+    df: DataFrame,
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Dedup-AWARE train/val/test split: the bucket hash keys on the
+    normalized-content fingerprint instead of the document id, so
+    byte-identical duplicates land in the SAME split by construction.
+    Splitting on ids silently leaks training data into eval whenever
+    the corpus still contains duplicates (two copies, two ids, two
+    coin flips) — the standard contamination mode dedup-then-split
+    pipelines exist to prevent, closed here even when the split runs
+    BEFORE dedup.
+
+    Same bucket arithmetic and cumulative carving as
+    :func:`split_assign` (stable across runs/engines/cluster sizes);
+    the fingerprint is md5 of whitespace-collapsed lowercased text —
+    the :func:`operators.dedup.exact_duplicates` normalization, so
+    "duplicate" means exactly what the dedup suite means by it. Pure
+    map-side expression: no shuffle, rides the scan.
+    """
+    from .dedup import normalize_text  # noqa: PLC0415
+
+    if fractions is None:
+        fractions = {"train": 0.90, "val": 0.05, "test": 0.05}
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return split_assign(
+        df.withColumn("__fp", fp), "__fp", fractions, salt, split_col
+    ).drop("__fp")

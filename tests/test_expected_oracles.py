@@ -270,3 +270,17 @@ def test_streaming_minhash_generator_matches_spark_on_alternate_sf(spark):
     docs = papq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
     exp = _canon(gen_expected.gen_streaming_minhash(docs))
     assert got == exp
+
+
+def test_image_survivor_generator_matches_spark_on_alternate_group_count(spark):
+    """Union-find replica vs the full Spark path (hash → banded join →
+    connected components → survivor election) at a different fixture
+    size than the committed expected file."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    tbl = mm.synthetic_near_dup_image_table(spark, 24)
+    got = _canon(dedup.image_dedup_survivors(tbl, max_hamming=3).toPandas())
+    exp = _canon(gen_expected.gen_image_dedup_survivors(24))
+    assert got == exp

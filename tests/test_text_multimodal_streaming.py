@@ -811,3 +811,53 @@ def test_image_dhash_banded_join_is_exact():
         for r in dedup.image_dhash_near_dups(tbl, max_hamming=3).collect()
     }
     assert got == brute and len(got) >= 8
+
+
+def test_leakage_safe_split_couples_duplicates(spark):
+    """Byte-identical (and whitespace/case-variant) duplicates must
+    land in the same split; the assignment must also be id-invariant
+    (re-ingesting a doc under a new id keeps its split)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        sampling,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "The  quick   BROWN fox  "),  # normalizes equal to doc 1
+        (3, "a different document entirely"),
+        (1000003, "a different document entirely"),  # re-crawl of 3
+    ] + [(10 + i, f"unique doc number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign_leakage_safe(df, salt="s").collect()
+    }
+    assert out[1] == out[2]
+    assert out[3] == out[1000003]
+    # and the splits are not degenerate: >1 split present across docs
+    assert len(set(out.values())) > 1
+
+
+def test_unicode_normalize_composes_and_fingerprints(spark):
+    """Decomposed and composed forms of the same visible string must
+    produce the SAME norm_md5, with changed flagged only on the
+    decomposed row; pure-ASCII text passes through unchanged."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    rows = [
+        (1, "café society"),        # composed é
+        (2, "café society"),       # decomposed e + U+0301
+        (3, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text_fn.unicode_normalize_docs(df).collect()
+    }
+    assert out[1]["norm_md5"] == out[2]["norm_md5"]
+    assert not out[1]["changed"] and out[2]["changed"]
+    assert out[2]["n_chars_before"] == out[2]["n_chars_after"] + 1
+    assert not out[3]["changed"]
+    assert out[3]["n_chars_before"] == out[3]["n_chars_after"]

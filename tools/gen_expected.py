@@ -1425,6 +1425,36 @@ def gen_streaming_minhash(
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def gen_image_dedup_survivors(
+    groups: int = 16, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Union-find over the brute-force dHash pair set: min-id survivor
+    per component with member count, singletons at n_merged=1 — the
+    independent replica of operators/dedup.py:image_dedup_survivors."""
+    pairs = gen_image_dhash_dups(groups, max_hamming)
+    ids = list(range(1, groups * 3 + 1))
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["media_id_a"], pairs["media_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members: dict[int, int] = {}
+    for i in ids:
+        members[find(i)] = members.get(find(i), 0) + 1
+    rows = sorted((root, n) for root, n in members.items())
+    return pd.DataFrame(
+        rows, columns=["media_id", "n_merged"]
+    ).astype({"media_id": "int64", "n_merged": "int64"})
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -1462,6 +1492,7 @@ def main() -> None:
         ("media_image_dhash", gen_image_dhash()),
         ("image_dhash_dups", gen_image_dhash_dups()),
         ("streaming_minhash_dedup", gen_streaming_minhash(docs)),
+        ("image_dedup_survivors", gen_image_dedup_survivors()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
