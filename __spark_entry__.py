@@ -750,6 +750,44 @@ def q_doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fn.unicode_normalize_docs(injected).orderBy("doc_id")
 
 
+def q_image_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual image dedup (operators/dedup.py:
+    image_dhash_incremental): even groups' BASE images are the
+    persisted 8-byte hash store; the batch contains even-group
+    variants (store-hit path), odd-group variants (batch-internal
+    path), and odd-group bases (keep path). Exact pigeonhole banding —
+    no misses within the radius, unlike the probabilistic MinHash
+    store. Oracle: brute-force replica over independently recomputed
+    hashes."""
+    tbl = multimodal.synthetic_near_dup_image_table(spark, 16)
+    store = multimodal.dhash_table(
+        tbl.filter(F.col("media_id") % 6 == 1)
+    )
+    batch = tbl.filter(F.col("media_id") % 6 != 1)
+    return dedup.image_dhash_incremental(store, batch).orderBy("media_id")
+
+
+def q_doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script mix profile (functions/text.py:
+    script_mix_profile) over the corpus with deterministic multilingual
+    injection (the testdata is ASCII): id%4==0 gains Cyrillic, %4==1
+    Han, %4==2 Greek. The oracle replays the same injection and counts
+    with RE2's script classes against Java's — a cross-engine parity
+    pin for the regexp_count path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" привет мир")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.col("text"), F.lit(" 世界 漢字")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.col("text"), F.lit(" γεια σου")))
+        .otherwise(F.col("text")),
+    )
+    return text_fn.script_mix_profile(injected).orderBy("doc_id")
+
+
 def q_media_wav_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV/RIFF audio decode (functions/multimodal.py:
     riff_wav_meta — pure-Python chunk walk, no codec package) over the
@@ -2877,12 +2915,15 @@ _R9_FRONT_50 = [
     "doc_importance_resample",
     # --- late round-9 additions (rule b: new names enter the window
     # the round they land; three canaries below stood down — their
-    # families stay covered by in-window siblings: sampling by
+    # families stay covered by in-window siblings (storage-layout by
+    # null_safe_bucket_join): sampling by
     # doc_importance_resample/doc_split_leakage_safe, sketches by
     # hll_user_overlap_by_type, sessions by streaming_user_sessions)
     "image_dedup_survivors",
+    "image_dhash_incremental",
     "doc_split_leakage_safe",
     "doc_unicode_normalize",
+    "doc_script_mix",
     # --- round-9 oracle-SQL edits (hand-attributed: the VARCHAR
     # round-trip for decimal-sum casts, ADVICE r08) ----------------
     "doc_unigram_surprisal",
@@ -2914,8 +2955,6 @@ _R9_FRONT_50 = [
     "csv_ingest_rollup",
     "pricing_summary",
     "item_pagerank",
-    "purchase_last_view_asof",
-    "orc_roundtrip_flags",
 ]
 
 
@@ -3036,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_dhash": q_media_image_dhash,
         "image_dhash_dups": q_image_dhash_dups,
         "image_dedup_survivors": q_image_dedup_survivors,
+        "image_dhash_incremental": q_image_dhash_incremental,
         "media_frame_sample": q_media_frames,
         "media_audio_features": q_media_audio,
         "weighted_sample_docs": q_weighted_sample,
@@ -3054,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": q_split_assign,
         "doc_split_leakage_safe": q_doc_split_leakage_safe,
         "doc_unicode_normalize": q_doc_unicode_normalize,
+        "doc_script_mix": q_doc_script_mix,
         "corpus_shuffle_order": q_corpus_shuffle,
         "fuzzy_part_name_matches": q_fuzzy_part_names,
         "user_event_type_map": q_user_event_type_map,
@@ -4274,6 +4315,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/root/repo/expected/sf0.01/image_dedup_survivors.parquet')
             ORDER BY media_id
         """,
+        "image_dhash_incremental": """
+            SELECT media_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/image_dhash_incremental.parquet')
+            ORDER BY media_id
+        """,
         # round 9: dedup-aware split — bucket keys on the normalized
         # content fingerprint, so the injected +1000000 duplicates
         # necessarily carry their originals' split
@@ -4320,6 +4366,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(t) AS BIGINT) AS n_chars_before,
                    CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_after
             FROM injected ORDER BY doc_id
+        """,
+        # round 9: script-mix profile — same injection, RE2 script
+        # classes vs Java's (counts parity-pinned), same tie
+        # precedence in the dominant CASE
+        "doc_script_mix": """
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 4 = 0 THEN text || ' привет мир'
+                       WHEN doc_id % 4 = 1 THEN text || ' 世界 漢字'
+                       WHEN doc_id % 4 = 2 THEN text || ' γεια σου'
+                       ELSE text
+                     END AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '\\p{Latin}'))
+                          AS BIGINT) AS n_latin,
+                     CAST(len(regexp_extract_all(t, '\\p{Cyrillic}'))
+                          AS BIGINT) AS n_cyrillic,
+                     CAST(len(regexp_extract_all(t, '\\p{Han}'))
+                          AS BIGINT) AS n_han,
+                     CAST(len(regexp_extract_all(t, '\\p{Greek}'))
+                          AS BIGINT) AS n_greek
+              FROM injected
+            )
+            SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek,
+                   CASE
+                     WHEN n_latin > 0 AND n_latin >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'latin'
+                     WHEN n_cyrillic > 0 AND n_cyrillic >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'cyrillic'
+                     WHEN n_han > 0 AND n_han >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'han'
+                     WHEN n_greek > 0 AND n_greek >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'greek'
+                     ELSE 'none'
+                   END AS dominant_script,
+                   CASE
+                     WHEN n_latin + n_cyrillic + n_han + n_greek > 0
+                       THEN floor(CAST(n_latin AS DOUBLE)
+                            / (n_latin + n_cyrillic + n_han + n_greek)
+                            * 1e6) / 1e6
+                     ELSE 0.0
+                   END AS latin_ratio
+            FROM c ORDER BY doc_id
         """,
         # round 9: streaming near-dup gate — independent sequential
         # two-micro-batch replica (store seeding, survivor append,

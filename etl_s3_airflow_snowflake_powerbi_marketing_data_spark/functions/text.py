@@ -1548,3 +1548,56 @@ def unicode_normalize_docs(
         .select(id_col, text_col)
         .mapInPandas(batches, schema)
     )
+
+
+def script_mix_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode-script mix per document — the multilingual-crawl triage
+    signal language-ID alone misses: an n-gram language model needs
+    tokens, but script COUNTS are a pure codepoint property, so mixed
+    Latin/Cyrillic spam, CJK embedded in English pages, and
+    script-confusable injection (Cyrillic 'а' for Latin 'a') all
+    surface before any tokenizer runs.
+
+    Pure JVM expressions (``regexp_count`` over script classes —
+    codegen, no UDF); Java's ``\\p{IsX}`` and RE2's ``\\p{X}`` count
+    identically for these four scripts (parity-pinned by the oracle).
+    ``dominant_script`` breaks count ties by fixed precedence
+    latin > cyrillic > han > greek (deterministic, engine-portable as
+    a CASE over the same counts); ``latin_ratio`` is trunc6 of
+    latin / all-script letters, 0.0 for documents with none.
+    """
+    counts = {
+        "latin": F.regexp_count(F.col(text_col), F.lit(r"\p{IsLatin}")),
+        "cyrillic": F.regexp_count(F.col(text_col), F.lit(r"\p{IsCyrillic}")),
+        "han": F.regexp_count(F.col(text_col), F.lit(r"\p{IsHan}")),
+        "greek": F.regexp_count(F.col(text_col), F.lit(r"\p{IsGreek}")),
+    }
+    base = df.select(
+        F.col(id_col),
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+    )
+    total = sum(F.col(f"n_{k}") for k in counts)
+    dominant = F.lit("none")
+    # reversed precedence: later when() wins ties by overwriting —
+    # build from lowest precedence up so latin wins a 4-way tie
+    for k in ("greek", "han", "cyrillic", "latin"):
+        dominant = F.when(
+            (F.col(f"n_{k}") > 0)
+            & (F.col(f"n_{k}") >= F.greatest(*[F.col(f"n_{j}") for j in counts])),
+            F.lit(k),
+        ).otherwise(dominant)
+    return base.select(
+        id_col,
+        "n_latin",
+        "n_cyrillic",
+        "n_han",
+        "n_greek",
+        dominant.alias("dominant_script"),
+        F.when(total > 0, trunc6(F.col("n_latin") / total))
+        .otherwise(F.lit(0.0))
+        .alias("latin_ratio"),
+    )

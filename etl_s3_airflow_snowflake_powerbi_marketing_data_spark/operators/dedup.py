@@ -1417,3 +1417,122 @@ def image_dedup_survivors(
         .withColumn("n_merged", F.lit(1).cast("long"))
     )
     return survivors.unionByName(unpaired).orderBy("media_id")
+
+
+def image_dhash_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Incremental perceptual image dedup — the crawl-load posture of
+    :func:`minhash_incremental` at the image grain: each incoming
+    image is checked against the already-indexed corpus AND its own
+    batch without recomputing the historical index.
+
+    The store is HASHES, not pixels: when ``existing`` carries a
+    ``dhash`` column (written by a prior load via
+    ``multimodal.dhash_table``) its payloads are never decoded — 8
+    bytes per image however large the originals. Banding is the EXACT
+    pigeonhole split (:func:`hamming_near_dups`' blocking), so unlike
+    the probabilistic MinHash store there are no misses within the
+    radius: a batch image within ``max_hamming`` of any store image is
+    found, period.
+
+    Output: one row per incoming image — (media_id, matched_store_id,
+    matched_batch_id, keep), -1 sentinels for no-match; matches take
+    the min candidate id (greedy first-occurrence survivorship, chains
+    resolving across loads — the incremental-dedup contract).
+    """
+    from .banding import bit_band_exprs, explode_bands  # noqa: PLC0415
+    from ..functions.multimodal import dhash_table  # noqa: PLC0415
+
+    n_bands = max_hamming + 1
+    bits_per_band = num_bits // n_bands
+
+    if "dhash" in existing.columns:
+        store = existing.select(F.col("media_id").alias("id"),
+                                F.col("dhash").alias("sh"))
+    else:
+        store = dhash_table(existing).select(
+            F.col("media_id").alias("id"), F.col("dhash").alias("sh")
+        )
+    batch = (
+        dhash_table(incoming)
+        .select(F.col("media_id").alias("id"), F.col("dhash").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    bands = lambda df: explode_bands(  # noqa: E731
+        df, bit_band_exprs(F.col("sh"), n_bands, bits_per_band)
+    )
+    batch_b = bands(batch).select(
+        F.col("id").alias("__ia"), "band", "band_key"
+    )
+    store_b = bands(store).select(
+        F.col("id").alias("__ib"), "band", "band_key"
+    )
+    hamming_ok = (
+        F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= max_hamming
+    )
+
+    def verified(cands: DataFrame, right: DataFrame, out: str) -> DataFrame:
+        return (
+            cands.distinct()
+            .join(
+                batch.select(F.col("id").alias("__ia"),
+                             F.col("sh").alias("__sa")),
+                "__ia",
+            )
+            .join(
+                right.select(F.col("id").alias("__ib"),
+                             F.col("sh").alias("__sb")),
+                "__ib",
+            )
+            .filter(hamming_ok)
+            .groupBy("__ia")
+            .agg(F.min("__ib").alias(out))
+        )
+
+    store_hits = verified(
+        batch_b.join(store_b, ["band", "band_key"]).select("__ia", "__ib"),
+        store,
+        "matched_store_id",
+    )
+    batch_hits = verified(
+        batch_b.join(
+            batch_b.select(F.col("__ia").alias("__ib"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("__ib") < F.col("__ia"))
+        .select("__ia", "__ib"),
+        batch,
+        "matched_batch_id",
+    )
+    return (
+        batch.select(F.col("id").alias("media_id"))
+        .join(
+            store_hits.select(F.col("__ia").alias("media_id"),
+                              "matched_store_id"),
+            "media_id",
+            "left",
+        )
+        .join(
+            batch_hits.select(F.col("__ia").alias("media_id"),
+                              "matched_batch_id"),
+            "media_id",
+            "left",
+        )
+        .select(
+            "media_id",
+            F.coalesce("matched_store_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_store_id"),
+            F.coalesce("matched_batch_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_batch_id"),
+            (
+                F.col("matched_store_id").isNull()
+                & F.col("matched_batch_id").isNull()
+            ).alias("keep"),
+        )
+    )

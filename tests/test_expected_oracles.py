@@ -284,3 +284,22 @@ def test_image_survivor_generator_matches_spark_on_alternate_group_count(spark):
     got = _canon(dedup.image_dedup_survivors(tbl, max_hamming=3).toPandas())
     exp = _canon(gen_expected.gen_image_dedup_survivors(24))
     assert got == exp
+
+
+def test_image_incremental_generator_matches_spark_on_alternate_group_count(
+    spark,
+):
+    """Brute-force incremental replica vs the banded store/batch join
+    at a different fixture size than the committed expected file."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    tbl = mm.synthetic_near_dup_image_table(spark, 24)
+    store = mm.dhash_table(tbl.filter(F.col("media_id") % 6 == 1))
+    batch = tbl.filter(F.col("media_id") % 6 != 1)
+    got = _canon(
+        dedup.image_dhash_incremental(store, batch).toPandas()
+    )
+    exp = _canon(gen_expected.gen_image_dhash_incremental(24))
+    assert got == exp

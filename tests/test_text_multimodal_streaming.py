@@ -861,3 +861,27 @@ def test_unicode_normalize_composes_and_fingerprints(spark):
     assert out[2]["n_chars_before"] == out[2]["n_chars_after"] + 1
     assert not out[3]["changed"]
     assert out[3]["n_chars_before"] == out[3]["n_chars_after"]
+
+
+def test_script_mix_dominant_precedence_and_none(spark):
+    """Hand corpus: dominant script picks the max count with the fixed
+    latin>cyrillic>han>greek tie precedence; pure-punctuation docs land
+    on 'none' with latin_ratio 0."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    rows = [
+        (1, "abc где"),      # 3 latin vs 3 cyrillic -> tie -> latin
+        (2, "мир мир ok"),   # cyrillic dominant
+        (3, "... 123 !!!"),  # no script letters -> none
+        (4, "αβγδ ab"),      # greek dominant
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_fn.script_mix_profile(df).collect()}
+    assert out[1]["dominant_script"] == "latin"
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["dominant_script"] == "none"
+    assert out[3]["latin_ratio"] == 0.0
+    assert out[4]["dominant_script"] == "greek"
+    assert out[2]["n_cyrillic"] == 6 and out[2]["n_latin"] == 2

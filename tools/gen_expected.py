@@ -1455,6 +1455,41 @@ def gen_image_dedup_survivors(
     ).astype({"media_id": "int64", "n_merged": "int64"})
 
 
+def gen_image_dhash_incremental(
+    groups: int = 16, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Brute-force replica of operators/dedup.py:image_dhash_incremental
+    over the registered split: EVEN groups' base images (media_id%6==1)
+    are the persisted hash store; everything else is the incoming
+    batch — so even-group variants exercise the store-hit path,
+    odd-group variants the batch-internal path, and odd-group BASES
+    the keep path (nothing like them indexed or earlier in batch)."""
+    hashes = gen_image_dhash(groups)
+    hs = dict(zip(hashes["media_id"], hashes["dhash"]))
+    store = sorted(i for i in hs if i % 6 == 1)
+    batch = sorted(i for i in hs if i % 6 != 1)
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & M64).count("1")
+
+    out = {"media_id": [], "matched_store_id": [],
+           "matched_batch_id": [], "keep": []}
+    for d in batch:
+        ms = min((c for c in store if ham(hs[d], hs[c]) <= max_hamming),
+                 default=-1)
+        mb = min((c for c in batch
+                  if c < d and ham(hs[d], hs[c]) <= max_hamming),
+                 default=-1)
+        out["media_id"].append(d)
+        out["matched_store_id"].append(ms)
+        out["matched_batch_id"].append(mb)
+        out["keep"].append(ms == -1 and mb == -1)
+    return pd.DataFrame(out).astype(
+        {"media_id": "int64", "matched_store_id": "int64",
+         "matched_batch_id": "int64", "keep": "bool"}
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -1493,6 +1528,7 @@ def main() -> None:
         ("image_dhash_dups", gen_image_dhash_dups()),
         ("streaming_minhash_dedup", gen_streaming_minhash(docs)),
         ("image_dedup_survivors", gen_image_dedup_survivors()),
+        ("image_dhash_incremental", gen_image_dhash_incremental()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
