@@ -485,10 +485,14 @@ def image_dhash(payload: bytes) -> int:
 
 
 def dhash_table(df: DataFrame) -> DataFrame:
-    """(media_id, dhash) per decodable image via ``mapInPandas`` —
+    """(media_id, dhash) per DECODABLE image via ``mapInPandas`` —
     map-only Arrow batches, zero shuffles; the join-side half of the
     perceptual near-dup pipeline (operators/dedup.py:
-    image_dhash_near_dups)."""
+    image_dhash_near_dups). Payloads the pixel decoder can't handle
+    (structural GIF/JPEG fixtures, truncated files) are SKIPPED, not
+    fatal (ADVICE r09): a crawl's media table is format-mixed, and one
+    exotic payload must not kill the executor — undecodable images
+    simply never enter the near-dup graph."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -498,12 +502,18 @@ def dhash_table(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    h = image_dhash(bytes(p))
+                except NotImplementedError:
+                    continue
+                ids.append(mid)
+                hashes.append(h)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "dhash": [
-                        image_dhash(bytes(p)) for p in pdf["payload"]
-                    ],
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
                 }
             )
 

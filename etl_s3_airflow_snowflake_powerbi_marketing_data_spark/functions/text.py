@@ -834,8 +834,9 @@ def winnow_fingerprints(
     All higher-order expressions, no UDF; the "hash" is the md5 hex
     string (lexicographic minima), which is engine-portable so the
     DuckDB oracle can verify the exact selected values, not just
-    counts. Output: (doc_id, n_fingerprints, fingerprints sorted,
-    truncated).
+    counts. Output columns, in emitted order (ADVICE r09): (doc_id,
+    fingerprints sorted, truncated, n_fingerprints) — ``truncated``
+    absent when ``uncapped=True``.
 
     Worst-case guard (DEFAULT-ON, VERDICT r08 item 4): the per-row
     gram array materializes one md5 hex string per character, so a

@@ -289,11 +289,18 @@ def lsh_topk(
 
     Cost shape at 100 TB: the probe ball multiplies only the QUERY
     side (Q × bands × 1351 probe rows — broadcast), never the corpus;
-    the corpus side stays one row per (vector, band). The 920-plane
-    signature is ~29× more scan-side compute than the old 32-bit one —
-    map-only work, the cheap currency — traded for 4.6× less
-    candidate scoring, the shuffle-and-payload currency. The join key
-    is (band, probed_bits): shuffle ∝ collisions, never O(N·Q).
+    the corpus side stays one row per (vector, band). The broadcast
+    probe rows carry ONLY (query_id, band, band_bits) — 24 bytes each,
+    so the full ball for 10K queries is ~15 GB-rows → ~15 MB of longs,
+    NOT 10K × 62K copies of the embedding (ADVICE r09: vectors in the
+    probe ball detonate the broadcast at any realistic query count).
+    Candidates reduce to distinct (query_id, neighbor_id) BEFORE any
+    vector touches a shuffle; both vectors are re-joined by id for the
+    exact cosine only after dedup. The 920-plane signature is ~29×
+    more scan-side compute than the old 32-bit one — map-only work,
+    the cheap currency — traded for 4.6× less candidate scoring, the
+    shuffle-and-payload currency. The join key is (band, probed_bits):
+    shuffle ∝ collisions, never O(N·Q).
     """
     n_planes = bands * bits_per_band
     planes = [_hyperplane(s, dim) for s in range(n_planes)]
@@ -302,10 +309,17 @@ def lsh_topk(
     # serialize it (30.7 s → 2.5 s measured at sf0.01). Spread the
     # corpus before the signature — at production scale the scan is
     # already split and AQE-exempt user repartition is a no-op cost
-    # next to the projection.
-    corpus = corpus.repartition(
-        int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # next to the projection. The conf may be "auto" under
+    # AQE-managed partition counts (ADVICE r09) — fall back to the
+    # context's default parallelism.
+    spark = corpus.sparkSession
+    conf_parts = str(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = (
+        int(conf_parts)
+        if conf_parts.isdigit()
+        else spark.sparkContext.defaultParallelism
     )
+    corpus = corpus.repartition(n_parts)
 
     # one ≤64-bit signature PER BAND (total bits exceed one long),
     # each from its own plane slice — band j uses planes
@@ -322,23 +336,41 @@ def lsh_topk(
     masks_lit = F.expr(
         "array(" + ",".join(f"{m}L" for m in masks) + ")"
     )
+    # probe rows are id+key only — the embedding never rides the
+    # broadcast or the candidate shuffle (ADVICE r09).
     q = q.select(
         "query_id",
-        "query_vec",
         "band",
         F.explode(
             F.transform(masks_lit, lambda m: F.col("band_bits").bitwiseXOR(m))
         ).alias("band_bits"),
     )
     candidates = (
-        c.join(F.broadcast(q), ["band", "band_bits"])
+        c.select("neighbor_id", "band", "band_bits")
+        .join(F.broadcast(q), ["band", "band_bits"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = candidates.withColumn(
-        "cosine_sim", trunc6(cosine(F.col("query_vec"), F.col("neighbor_vec")))
-    ).select("query_id", "neighbor_id", "cosine_sim")
+    # re-join both vectors by id: the query side is broadcast (Q rows);
+    # the corpus side is a keyed equi-join against the deduped
+    # candidate list — vectors appear exactly once per surviving pair.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("neighbor_vec"),
+    )
+    scored = (
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn(
+            "cosine_sim",
+            trunc6(cosine(F.col("query_vec"), F.col("neighbor_vec"))),
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
