@@ -363,6 +363,192 @@ def encode_ppm_pixels(rows: list[list[tuple[int, int, int]]]) -> bytes:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6): pick whichever of
+    left/up/up-left is closest to a + b − c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_line(
+    ft: int, line: bytes, prior: bytes, bpp: int
+) -> bytes:
+    """Apply scanline filter ``ft`` (the ENCODE direction) to raw
+    bytes ``line`` given the prior reconstructed scanline."""
+    out = bytearray(len(line))
+    for x in range(len(line)):
+        a = line[x - bpp] if x >= bpp else 0
+        b_ = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b_
+        elif ft == 3:
+            pred = (a + b_) // 2
+        else:
+            pred = _paeth(a, b_, c)
+        out[x] = (line[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_line(
+    ft: int, line: bytearray, prior: bytes, bpp: int
+) -> None:
+    """Undo scanline filter ``ft`` in place (the DECODE direction) —
+    the exact inverse of :func:`_png_filter_line`; reconstruction
+    reads already-reconstructed left neighbors, so the loop is
+    inherently sequential per scanline (scanlines of one image decode
+    on one executor core anyway — the parallel axis is images)."""
+    if ft == 0:
+        return
+    for x in range(len(line)):
+        a = line[x - bpp] if x >= bpp else 0
+        b_ = prior[x]
+        if ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b_
+        elif ft == 3:
+            pred = (a + b_) // 2
+        elif ft == 4:
+            c = prior[x - bpp] if x >= bpp else 0
+            pred = _paeth(a, b_, c)
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        line[x] = (line[x] + pred) & 0xFF
+
+
+def encode_png_pixels(
+    rows: list[list[tuple[int, int, int]]],
+    filters: list[int] | None = None,
+    alpha: bool = False,
+) -> bytes:
+    """Real 8-bit truecolor PNG from an explicit pixel grid — the
+    pixel-level sibling of :func:`encode_png` for fixtures whose
+    CONTENT must survive a decode round-trip (the dHash near-dup
+    oracle over the format real crawls actually contain, VERDICT r09
+    item 1). ``filters`` picks the filter type per scanline (default:
+    cycle 0..4 so every fixture image exercises all five); ``alpha``
+    writes color type 6 (RGBA, deterministic non-constant alpha) to
+    pin that the decoder parses 4-channel scanlines and drops alpha.
+    The IDAT stream is real zlib deflate, split into 2 chunks to pin
+    multi-IDAT concatenation."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    height, width = len(rows), len(rows[0])
+    bpp = 4 if alpha else 3
+    raw = bytearray()
+    prior = bytes(width * bpp)
+    for y, row in enumerate(rows):
+        ft = (filters[y % len(filters)] if filters else y % 5) & 0xFF
+        if alpha:
+            line = b"".join(
+                bytes((r, g, b_, (x * 7 + y * 3) % 256))
+                for x, (r, g, b_) in enumerate(row)
+            )
+        else:
+            line = b"".join(bytes(px) for px in row)
+        raw.append(ft)
+        raw += _png_filter_line(ft, line, prior, bpp)
+        prior = line
+    z = zlib.compress(bytes(raw), 6)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0
+    )
+    mid = max(1, len(z) // 2)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", z[:mid])
+        + chunk(b"IDAT", z[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
+    """Full pure-Python pixel decode of an 8-bit truecolor PNG
+    (color type 2 RGB or 6 RGBA, non-interlaced): chunk walk →
+    concatenated-IDAT zlib inflate (stdlib) → the five scanline
+    filters (None/Sub/Up/Average/Paeth) undone per RFC 2083 §6 —
+    keeping the repo's no-codec-dependency posture (VERDICT r09
+    item 1). Alpha is dropped: dHash grayscales over RGB. Palette,
+    grayscale, 16-bit, and Adam7-interlaced images raise — the
+    documented codec seam."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if b[:8] != _PNG_SIG or len(b) < 33:
+        raise NotImplementedError("not a PNG payload")
+    i, n = 8, len(b)
+    w = h = -1
+    bpp = 0
+    idat = bytearray()
+    while i + 8 <= n:
+        (length,) = struct.unpack_from(">I", b, i)
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6):
+                raise NotImplementedError(
+                    "PNG pixel decode supports 8-bit truecolor only"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "PNG pixel decode: non-interlaced deflate only"
+                )
+            bpp = 4 if color == 6 else 3
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    if w <= 0 or not idat:
+        raise NotImplementedError("truncated PNG")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("PNG raster shorter than IHDR dims")
+    rows: list[list[tuple[int, int, int]]] = []
+    prior = bytes(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        _png_unfilter_line(ft, line, prior, bpp)
+        rows.append(
+            [
+                (line[x * bpp], line[x * bpp + 1], line[x * bpp + 2])
+                for x in range(w)
+            ]
+        )
+        prior = bytes(line)
+    return rows
+
+
 def _bmp_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
     """Full pixel decode of an uncompressed 24-bit BITMAPINFOHEADER
     BMP (the format :func:`encode_bmp_pixels` writes — bottom-up rows,
@@ -433,14 +619,19 @@ def _ppm_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
 
 
 def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
-    """Pixel grid for the codec-free raster formats (24-bit BMP, P6
-    PPM). Compressed formats (PNG/GIF/JPEG) need a real codec and
-    raise — the same documented seam as :func:`decode_image_stub`."""
+    """Pixel grid for the codec-free raster formats — 24-bit BMP, P6
+    PPM, and (r10) 8-bit truecolor PNG via the stdlib-zlib decoder in
+    :func:`_png_pixels`. GIF/JPEG entropy coding needs a real codec
+    and raises — the same documented seam as
+    :func:`decode_image_stub`; :func:`dhash_table` skips such
+    payloads rather than failing the job."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return _bmp_pixels(b)
     if b[:2] == b"P6":
         return _ppm_pixels(b)
+    if b[:8] == _PNG_SIG:
+        return _png_pixels(b)
     raise NotImplementedError("pixel decode requires an image codec")
 
 
@@ -560,22 +751,29 @@ def _dup_group_pixels(
 def synthetic_near_dup_image_table(spark, groups: int = 16) -> DataFrame:
     """Deterministic perceptual near-dup fixture in MEDIA_SCHEMA shape:
     ``groups`` triples (base, 1-box variant, 2-box variant) of REAL
-    raster images — BMP for even groups, P6 PPM for odd — with
+    raster images — BMP for ``g % 3 == 0``, P6 PPM for ``g % 3 == 1``,
+    and (r10, VERDICT r09 item 1) deflate-compressed truecolor PNG for
+    ``g % 3 == 2`` (RGBA with non-constant alpha when additionally
+    ``g % 6 == 2``, RGB otherwise; scanline filters cycle 0..4) — with
     per-group dimensions ≥ the 9×8 dHash grid. media_id = g·3 +
     variant + 1. The oracle generator (tools/gen_expected.py)
     recomputes every hash from the same pattern arithmetic WITHOUT the
     encode/decode round-trip, so equality proves encoder, pixel
-    decoder, and hash are mutually consistent. Bounded driver-side
-    generation — a fixture, not a data path."""
+    decoder (incl. the five PNG filters + alpha drop), and hash are
+    mutually consistent. Bounded driver-side generation — a fixture,
+    not a data path."""
     rows = []
     for g in range(groups):
         w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
         for v in range(3):
             px = _dup_group_pixels(g, w, h, v)
-            if g % 2 == 0:
+            if g % 3 == 0:
                 payload, mt = encode_bmp_pixels(px), "image/bmp"
-            else:
+            elif g % 3 == 1:
                 payload, mt = encode_ppm_pixels(px), "image/ppm"
+            else:
+                payload = encode_png_pixels(px, alpha=(g % 6 == 2))
+                mt = "image/png"
             rows.append((g * 3 + v + 1, mt, payload, "fixture"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -783,6 +783,66 @@ def test_pixel_codec_roundtrip():
     assert mm._ppm_pixels(ppm) == [[(1, 2, 3), (4, 5, 6)]]
 
 
+def test_png_pixel_codec_roundtrip():
+    """encode_png_pixels/_png_pixels are exact inverses for every
+    scanline filter type (0-4), for RGB and RGBA (alpha dropped),
+    across widths that stress the x<bpp left-edge predictor cases —
+    and the hash a PNG payload yields is bit-identical to the same
+    grid's BMP/PPM hashes, so the near-dup graph is format-blind."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    for w, h in [(1, 1), (2, 3), (5, 4), (18, 16)]:
+        rows = [
+            [((x * 7 + y) % 256, (y * 5 + x) % 256, (x * y + 3) % 256)
+             for x in range(w)]
+            for y in range(h)
+        ]
+        for flt in ([0], [1], [2], [3], [4], None):
+            for alpha in (False, True):
+                payload = mm.encode_png_pixels(rows, filters=flt, alpha=alpha)
+                assert mm._png_pixels(payload) == rows, (w, h, flt, alpha)
+    grid = mm._dup_group_pixels(5, 21, 20, 2)
+    hashes = {
+        mm.image_dhash(mm.encode_bmp_pixels(grid)),
+        mm.image_dhash(mm.encode_ppm_pixels(grid)),
+        mm.image_dhash(mm.encode_png_pixels(grid)),
+        mm.image_dhash(mm.encode_png_pixels(grid, alpha=True)),
+    }
+    assert len(hashes) == 1
+    # the dimension fixture's stored-deflate IDAT is a valid zlib
+    # stream — the pixel decoder must accept it too
+    assert mm._png_pixels(mm.encode_png(4, 2, (9, 8, 7))) == [
+        [(9, 8, 7)] * 4
+    ] * 2
+
+
+def test_dhash_table_skips_undecodable(spark):
+    """A format-mixed media table (structural GIF/JPEG fixtures have
+    no raster) must yield hashes for decodable payloads and silently
+    drop the rest — one exotic payload must not fail the job
+    (ADVICE r09)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    grid = mm._dup_group_pixels(1, 18, 16, 0)
+    rows = [
+        (1, "image/bmp", mm.encode_bmp_pixels(grid), "fixture"),
+        (2, "image/png", mm.encode_png_pixels(grid), "fixture"),
+        (3, "image/gif", mm.encode_gif(8, 8), "fixture"),
+        (4, "image/jpeg", mm.encode_jpeg(8, 8), "fixture"),
+    ]
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in mm.dhash_table(
+            spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert set(got) == {1, 2} and got[1] == got[2]
+
+
 def test_image_dhash_banded_join_is_exact():
     """The banded Hamming join must find EXACTLY the brute-force pair
     set (pigeonhole blocking is lossless) on the fixture."""
