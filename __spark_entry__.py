@@ -697,6 +697,32 @@ def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit audio content fingerprint per clip (functions/
+    multimodal.py:audio_fingerprint) over the audio near-dup fixture:
+    REAL 16-bit PCM WAV decode, 65 integer segment energies, one sign
+    bit per adjacent energy delta — the dHash idea on the time axis
+    (VERDICT r09 item 2). The oracle is an independent replica
+    computing every fingerprint from the closed-form segment energies
+    (tools/gen_expected.py:gen_audio_fingerprint), so equality pins
+    WAV encoder → PCM decoder → fingerprint as mutually consistent."""
+    return multimodal.audio_fingerprint_table(
+        multimodal.synthetic_near_dup_audio_table(spark, 16)
+    )
+
+
+def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (operators/dedup.py:
+    audio_fingerprint_near_dups): energy-delta fingerprint + the exact
+    banded Hamming join (pigeonhole blocking, recall 1.0) — completes
+    text/image/audio dedup parity (VERDICT r09 item 2). Oracle:
+    brute-force all-pairs Hamming over independently recomputed
+    fingerprints."""
+    return dedup.audio_fingerprint_near_dups(
+        multimodal.synthetic_near_dup_audio_table(spark, 16), max_hamming=3
+    ).orderBy("media_id_a", "media_id_b")
+
+
 def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split (operators/sampling.py:
     split_assign_leakage_safe): buckets key on the normalized-content
@@ -3076,6 +3102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dups": q_image_dhash_dups,
         "image_dedup_survivors": q_image_dedup_survivors,
         "image_dhash_incremental": q_image_dhash_incremental,
+        "media_audio_fingerprint": q_media_audio_fingerprint,
+        "audio_fingerprint_dups": q_audio_fingerprint_dups,
         "media_frame_sample": q_media_frames,
         "media_audio_features": q_media_audio,
         "weighted_sample_docs": q_weighted_sample,
@@ -4319,6 +4347,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/image_dhash_incremental.parquet')
             ORDER BY media_id
+        """,
+        # round 10: audio content near-dup — independent closed-form
+        # segment-energy replica (no WAV bytes), brute-force all-pairs
+        # Hamming (VERDICT r09 item 2)
+        "media_audio_fingerprint": """
+            SELECT media_id, afp
+            FROM read_parquet('/root/repo/expected/sf0.01/media_audio_fingerprint.parquet')
+        """,
+        "audio_fingerprint_dups": """
+            SELECT media_id_a, media_id_b, hamming
+            FROM read_parquet('/root/repo/expected/sf0.01/audio_fingerprint_dups.parquet')
         """,
         # round 9: dedup-aware split — bucket keys on the normalized
         # content fingerprint, so the injected +1000000 duplicates

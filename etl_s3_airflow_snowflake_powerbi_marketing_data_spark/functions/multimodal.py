@@ -1122,6 +1122,180 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def encode_wav_samples(samples: list[int], sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV from an EXPLICIT sample list — the
+    audio-content sibling of :func:`encode_bmp_pixels` for fixtures
+    whose waveform, not just duration, must survive a decode
+    round-trip (the audio fingerprint near-dup oracle)."""
+    import struct  # noqa: PLC0415
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _wav_samples(payload: bytes) -> list[int]:
+    """16-bit PCM sample sequence of a RIFF/WAVE payload (channels
+    interleaved — the fingerprint treats the stream as one sequence).
+    Raises NotImplementedError for non-RIFF / non-16-bit-PCM payloads
+    — the documented codec seam; :func:`audio_fingerprint_table`
+    skips such rows the way :func:`dhash_table` skips GIF/JPEG."""
+    import struct  # noqa: PLC0415
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    fmt = None
+    data: tuple[int, int] | None = None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt " and size >= 16 and i + 8 + 16 <= n:
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = (i + 8, min(size, n - i - 8))
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
+        raise NotImplementedError("fingerprint needs 16-bit PCM WAV")
+    off, size = data
+    size -= size % 2
+    return list(
+        struct.unpack_from(f"<{size // 2}h", b, off)
+    )
+
+
+# Audio fingerprint geometry: AFP_SEGMENTS equal sample segments;
+# bit i compares the integer energy of segment i+1 vs segment i —
+# the dHash idea on the time axis (VERDICT r09 item 2).
+AFP_SEGMENTS = 65
+
+
+def audio_fingerprint(payload: bytes) -> int:
+    """64-bit audio content fingerprint of a 16-bit PCM WAV — the
+    audio analog of :func:`image_dhash`, all-integer so any replica
+    reproduces it bit-for-bit: the sample stream splits into
+    ``AFP_SEGMENTS`` (65) contiguous segments (segment i spans
+    [i·n//65, (i+1)·n//65), lower bound forced non-empty for tiny
+    clips, same bound arithmetic as the dHash boxes); segment energy
+    = Σ sample² (exact Python int); bit i = 1 iff energy[i+1] >
+    energy[i]. Energy-delta signs survive volume-invariant edits
+    poorly but re-encodes/padding-free trims well — the right cheap
+    first-pass fingerprint, and the banded Hamming join
+    (operators/dedup.py:hamming_near_dups) applies unchanged.
+    Returned SIGNED 64-bit (bit 63 → negative), matching the
+    simhash/dhash column convention."""
+    samples = _wav_samples(payload)
+    n = len(samples)
+    if n == 0:
+        raise NotImplementedError("empty PCM stream")
+    energies = []
+    for i in range(AFP_SEGMENTS):
+        lo = i * n // AFP_SEGMENTS
+        hi = min(max((i + 1) * n // AFP_SEGMENTS, lo + 1), n)
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    bits = 0
+    for i in range(AFP_SEGMENTS - 1):
+        if energies[i + 1] > energies[i]:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_fingerprint_table(df: DataFrame) -> DataFrame:
+    """(media_id, afp) per decodable 16-bit PCM WAV via
+    ``mapInPandas`` — map-only Arrow batches, zero shuffles; the
+    join-side half of the audio near-dup pipeline
+    (operators/dedup.py:audio_fingerprint_near_dups). Undecodable
+    payloads (MP4, truncated, non-PCM) are skipped, not fatal — the
+    :func:`dhash_table` posture."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    fp = audio_fingerprint(bytes(p))
+                except NotImplementedError:
+                    continue
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "afp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def _near_dup_audio_samples(g: int, variant: int) -> list[int]:
+    """Sample stream for audio near-dup fixture group ``g``: 65
+    segments of a square wave whose per-segment amplitude is a
+    deterministic pseudo-random pattern; variants 1/2 overwrite the
+    FIRST/LAST segment's amplitude with an out-of-range value — each
+    overwritten segment participates in exactly one fingerprint bit
+    (segment 0 → bit 0, segment 64 → bit 63), so intra-group Hamming
+    distances are ≤ 2 by construction while inter-group fingerprints
+    are effectively random (~32 bits apart)."""
+    n = 650 + g * 13
+
+    def amp(i: int) -> int:
+        if variant >= 1 and i == 0:
+            return 25000 + (g % 5) * 1000
+        if variant >= 2 and i == AFP_SEGMENTS - 1:
+            return 25000 + (g % 7) * 700
+        # Knuth multiplicative scramble — a MONOTONE pattern would
+        # make every group's delta signs mostly 1s and collapse
+        # inter-group distances to ~0 (measured min 0 before this).
+        return 100 + ((i * 37 + g * 101) * 2654435761 % (1 << 32)) % 4000
+
+    samples = []
+    for i in range(AFP_SEGMENTS):
+        lo = i * n // AFP_SEGMENTS
+        hi = (i + 1) * n // AFP_SEGMENTS
+        a = amp(i)
+        for j in range(lo, hi):
+            samples.append(a if j % 2 == 0 else -a)
+    return samples
+
+
+def synthetic_near_dup_audio_table(spark, groups: int = 16) -> DataFrame:
+    """Deterministic audio near-dup fixture in MEDIA_SCHEMA shape:
+    ``groups`` triples (base, first-segment variant, both-ends
+    variant) of REAL 16-bit PCM WAVs; media_id = g·3 + variant + 1;
+    sample rate cycles by group. The oracle generator
+    (tools/gen_expected.py:gen_audio_fingerprint) recomputes every
+    fingerprint from the closed-form segment energies WITHOUT the
+    encode/decode round-trip, so equality proves WAV encoder, PCM
+    decoder, and fingerprint are mutually consistent. Bounded
+    driver-side generation — a fixture, not a data path."""
+    rows = []
+    for g in range(groups):
+        sr = (8000, 16000, 22050, 44100)[g % 4]
+        for v in range(3):
+            payload = encode_wav_samples(_near_dup_audio_samples(g, v), sr)
+            rows.append((g * 3 + v + 1, "audio/wav", payload, "fixture"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def audio_features(df: DataFrame) -> DataFrame:
     """Audio feature extraction: duration, sample rate, RMS energy.
     RIFF/WAVE payloads decode for REAL — pure-Python header walk

@@ -601,6 +601,34 @@ def image_dhash_near_dups(
     )
 
 
+def audio_fingerprint_near_dups(
+    media_df: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Audio content near-dup pairs: 64-bit energy-delta fingerprint
+    per decodable PCM payload (functions/multimodal.py:
+    audio_fingerprint — 65 integer segment energies, one sign bit per
+    adjacent delta) joined by the exact banded Hamming machinery
+    (:func:`hamming_near_dups`) — completing text/image/audio dedup
+    parity (VERDICT r09 item 2).
+
+    Scale shape: identical to :func:`image_dhash_near_dups` — the
+    fingerprint is a map-only Arrow pass, the pair join is pigeonhole
+    banded (lossless, subquadratic), verification touches candidates
+    only. Output: (media_id_a, media_id_b, hamming)."""
+    from ..functions.multimodal import audio_fingerprint_table  # noqa: PLC0415
+
+    hashed = (
+        audio_fingerprint_table(media_df)
+        .select(F.col("media_id").alias("id"), F.col("afp").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    return hamming_near_dups(hashed, max_hamming).select(
+        F.col("id_a").alias("media_id_a"),
+        F.col("id_b").alias("media_id_b"),
+        "hamming",
+    )
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",

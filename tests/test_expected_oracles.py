@@ -254,6 +254,29 @@ def test_dhash_generator_matches_spark_on_alternate_group_count(spark):
     assert got_p == exp_p
 
 
+def test_audio_fingerprint_generator_matches_spark_on_alternate_group_count(
+    spark,
+):
+    """The closed-form segment-energy replica must agree with the full
+    Spark path (WAV encode → PCM decode → fingerprint → banded join)
+    on a DIFFERENT fixture size (24 groups) than the committed
+    expected files (16), so the generator can't be fitted to one
+    fixture's quirks."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    tbl = mm.synthetic_near_dup_audio_table(spark, 24)
+    got_h = _canon(mm.audio_fingerprint_table(tbl).toPandas())
+    exp_h = _canon(gen_expected.gen_audio_fingerprint(24))
+    assert got_h == exp_h
+    got_p = _canon(
+        dedup.audio_fingerprint_near_dups(tbl, max_hamming=3).toPandas()
+    )
+    exp_p = _canon(gen_expected.gen_audio_fingerprint_dups(24))
+    assert got_p == exp_p
+
+
 def test_streaming_minhash_generator_matches_spark_on_alternate_sf(spark):
     """The sequential two-batch replica must agree with the real
     streaming path (file-source micro-batches + versioned store/

@@ -873,6 +873,63 @@ def test_image_dhash_banded_join_is_exact():
     assert got == brute and len(got) >= 8
 
 
+def test_audio_fingerprint_banded_join_is_exact(spark):
+    """The banded Hamming join over audio fingerprints must find
+    EXACTLY the brute-force pair set (pigeonhole blocking is
+    lossless), and the WAV sample codec must round-trip."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        dedup,
+    )
+
+    samples = mm._near_dup_audio_samples(5, 2)
+    assert mm._wav_samples(mm.encode_wav_samples(samples, 16000)) == samples
+
+    tbl = mm.synthetic_near_dup_audio_table(spark, 8)
+    fps = {
+        r["media_id"]: r["afp"]
+        for r in mm.audio_fingerprint_table(tbl).collect()
+    }
+    brute = {
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for a in fps
+        for b in fps
+        if a < b
+        and bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in dedup.audio_fingerprint_near_dups(
+            tbl, max_hamming=3
+        ).collect()
+    }
+    assert got == brute and len(got) >= 8
+
+
+def test_audio_fingerprint_table_skips_undecodable(spark):
+    """Non-PCM payloads (MP4 video, truncated blobs) must be skipped,
+    not fatal — the dhash_table posture applied to audio."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    wav = mm.encode_wav_samples(mm._near_dup_audio_samples(2, 0), 8000)
+    rows = [
+        (1, "audio/wav", wav, "fixture"),
+        (2, "video/mp4", mm.encode_mp4(600, 1200), "fixture"),
+        (3, "audio/raw", b"\x01\x02\x03", "fixture"),
+    ]
+    got = {
+        r["media_id"]
+        for r in mm.audio_fingerprint_table(
+            spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert got == {1}
+
+
 def test_leakage_safe_split_couples_duplicates(spark):
     """Byte-identical (and whitespace/case-variant) duplicates must
     land in the same split; the assignment must also be id-invariant

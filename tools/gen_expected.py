@@ -1318,6 +1318,63 @@ def gen_image_dhash_dups(groups: int = 16, max_hamming: int = 3) -> pd.DataFrame
     return pd.DataFrame(rows, columns=["media_id_a", "media_id_b", "hamming"])
 
 
+def _afp_replica(g: int, variant: int) -> int:
+    """From-scratch audio fingerprint of near-dup fixture (g, variant)
+    computed from the CLOSED-FORM segment energies — count · amp² per
+    segment, no WAV bytes, no sample loop, no package import — so a
+    match proves the committed WAV encoder, the PCM decoder, and the
+    energy-delta fingerprint are mutually consistent inverses
+    (functions/multimodal.py:synthetic_near_dup_audio_table shares
+    only the amplitude formula)."""
+    n = 650 + g * 13
+    segs = 65
+
+    def amp(i: int) -> int:
+        if variant >= 1 and i == 0:
+            return 25000 + (g % 5) * 1000
+        if variant >= 2 and i == segs - 1:
+            return 25000 + (g % 7) * 700
+        return 100 + ((i * 37 + g * 101) * 2654435761 % (1 << 32)) % 4000
+
+    energies = []
+    for i in range(segs):
+        lo = i * n // segs
+        hi = min(max((i + 1) * n // segs, lo + 1), n)
+        a = amp(i)
+        energies.append((hi - lo) * a * a)
+    bits = 0
+    for i in range(segs - 1):
+        if energies[i + 1] > energies[i]:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= SIGN else bits
+
+
+def gen_audio_fingerprint(groups: int = 16) -> pd.DataFrame:
+    """(media_id, afp) for the audio near-dup fixture."""
+    rows = []
+    for g in range(groups):
+        for v in range(3):
+            rows.append((g * 3 + v + 1, _afp_replica(g, v)))
+    return pd.DataFrame(rows, columns=["media_id", "afp"])
+
+
+def gen_audio_fingerprint_dups(
+    groups: int = 16, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Brute-force all-pairs Hamming ≤ radius over the fixture audio
+    fingerprints — the exact answer the banded join must reproduce."""
+    fps = gen_audio_fingerprint(groups)
+    ids = fps["media_id"].tolist()
+    hs = fps["afp"].tolist()
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin((hs[i] ^ hs[j]) & M64).count("1")
+            if d <= max_hamming:
+                rows.append((ids[i], ids[j], d))
+    return pd.DataFrame(rows, columns=["media_id_a", "media_id_b", "hamming"])
+
+
 def gen_streaming_minhash(
     docs: pd.DataFrame,
     threshold: float = 0.5,
@@ -1529,6 +1586,8 @@ def main() -> None:
         ("streaming_minhash_dedup", gen_streaming_minhash(docs)),
         ("image_dedup_survivors", gen_image_dedup_survivors()),
         ("image_dhash_incremental", gen_image_dhash_incremental()),
+        ("media_audio_fingerprint", gen_audio_fingerprint()),
+        ("audio_fingerprint_dups", gen_audio_fingerprint_dups()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
