@@ -1236,9 +1236,35 @@ def ivf_pq_topk(
     (deterministic; the pure-Python oracle replays cells, codes, LUTs,
     and the fold call-for-call either way).
     """
-    import numpy as np  # noqa: PLC0415
+    cent, books = train_ivf_pq_index(
+        corpus, id_col, vec_col, n_cells, m, ksub, dim,
+        train_sample, iters, train_iters,
+    )
+    return _ivf_pq_scan(
+        corpus, queries, cent, books, k, id_col, vec_col,
+        n_probe, refine_factor,
+    )
 
-    dsub = dim // m
+
+def train_ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    train_sample: int = 512,
+    iters: int = 3,
+    train_iters: int = 0,
+):
+    """Train the IVF-PQ index artifact — (coarse centroids, subspace
+    codebooks) — WITHOUT scanning anything: the training half of
+    :func:`ivf_pq_topk`, split out (VERDICT r09 item 3) so the index
+    can be trained once, persisted to the versioned table layer
+    (:func:`save_ivf_pq_index`), and reused across incremental
+    batches instead of being retrained per query. Deterministic:
+    identical inputs + params → bit-identical centroids and books."""
     # ONE hash-ordered sample job serves both trainers: the coarse
     # seeds are exactly the first n_cells rows of the PQ training
     # sample (identical sampled_centroids total order), so there is no
@@ -1256,11 +1282,115 @@ def ivf_pq_topk(
         )
     else:
         cent = seeds
-    centroid_lit = _centroid_literal(cent)
     books = train_pq_codebooks(
         corpus, id_col, vec_col, m, ksub, dim, train_sample,
         iters, sample=base_sample[:train_sample],
     )
+    return cent, books
+
+
+def save_ivf_pq_index(spark, cent, books, path: str) -> dict:
+    """Commit a trained IVF-PQ index to the VERSIONED table layer —
+    two index-sized tables, ``{path}/centroids`` (cell, centroid) and
+    ``{path}/codebooks`` (subspace, code, centroid) — the embedding
+    analog of the image dHash store (operators/dedup.py:
+    image_dhash_incremental): at 100 TB nobody retrains per query;
+    the index is state, batches are data. Atomic versioned commits
+    give rollback/time-travel over index generations for free; the
+    payload is O(n_cells·dim + m·ksub·dim/m) doubles — kilobytes —
+    and parquet round-trips IEEE doubles exactly, so a loaded index
+    reproduces the retrain path bit-for-bit."""
+    from ..sources import versioned  # noqa: PLC0415
+
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cent],
+        "cell int, centroid array<double>",
+    )
+    book_rows = [
+        (s, c, [float(x) for x in books[s][c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    book_df = spark.createDataFrame(
+        book_rows, "subspace int, code int, centroid array<double>"
+    )
+    return {
+        "centroids": versioned.write_version(cent_df, f"{path}/centroids"),
+        "codebooks": versioned.write_version(book_df, f"{path}/codebooks"),
+    }
+
+
+def load_ivf_pq_index(spark, path: str, version: int | None = None):
+    """Load a persisted IVF-PQ index (latest version by default, or
+    time-travel to a prior index generation). Bounded collect —
+    n_cells + m·ksub rows by construction, never corpus-scaled."""
+    import numpy as np  # noqa: PLC0415
+
+    from ..sources import versioned  # noqa: PLC0415
+
+    cent = sorted(
+        (r["cell"], [float(x) for x in r["centroid"]])
+        for r in versioned.read_version(
+            spark, f"{path}/centroids", version
+        ).collect()
+    )
+    rows = versioned.read_version(
+        spark, f"{path}/codebooks", version
+    ).collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    n_seed = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((m, n_seed, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = [float(x) for x in r["centroid"]]
+    return cent, books
+
+
+def ivf_pq_topk_indexed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    refine_factor: int = 0,
+    version: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ADC scan against a PERSISTED index: load centroids +
+    codebooks from the versioned layer and score ``corpus`` (typically
+    an incremental batch) without any training job — the persist-once
+    lifecycle VERDICT r09 item 3 asked for. Bit-identical to
+    :func:`ivf_pq_topk` on the same data when the index was trained on
+    it (pinned by the oracle and pytest)."""
+    cent, books = load_ivf_pq_index(
+        corpus.sparkSession, index_path, version
+    )
+    return _ivf_pq_scan(
+        corpus, queries, cent, books, k, id_col, vec_col,
+        n_probe, refine_factor,
+    )
+
+
+def _ivf_pq_scan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cent,
+    books,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    refine_factor: int = 0,
+) -> DataFrame:
+    """The scan half of IVF-PQ (see :func:`ivf_pq_topk` for the full
+    cost-shape story): literal-centroid cell assignment, Arrow numpy
+    encoding, per-query LUTs, cell-keyed ADC join, per-query top-k,
+    optional exact re-rank."""
+    import numpy as np  # noqa: PLC0415
+
+    m, dsub = books.shape[0], books.shape[2]
+    centroid_lit = _centroid_literal(cent)
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     def encode_batches(it):

@@ -254,6 +254,31 @@ def test_dhash_generator_matches_spark_on_alternate_group_count(spark):
     assert got_p == exp_p
 
 
+def test_indexed_ivf_pq_generator_matches_spark_on_alternate_sf(
+    spark, sf_dir, tmp_path
+):
+    """The train-once/scan-batches replica must agree with the real
+    persisted-index path (versioned commit + load + per-batch ADC
+    scan) at sf0.001 — a different corpus than the committed expected
+    files."""
+    vecs = gen_expected.load_embeddings(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    cent, books = similarity.train_ivf_pq_index(emb, train_iters=2)
+    similarity.save_ivf_pq_index(spark, cent, books, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    parts = []
+    for batch_id, parity in ((1, 0), (2, 1)):
+        parts.append(
+            similarity.ivf_pq_topk_indexed(
+                emb.filter(F.col("vec_id") % 2 == parity),
+                queries, path, k=5, n_probe=8, refine_factor=16,
+            ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+    got = parts[0].unionByName(parts[1]).toPandas()
+    assert _canon(got) == _canon(gen_expected.gen_ivf_pq_topk_indexed(vecs))
+
+
 def test_audio_fingerprint_generator_matches_spark_on_alternate_group_count(
     spark,
 ):
