@@ -71,18 +71,51 @@ def main() -> None:
     # hiccup. Passes alternate whole sweeps so a single bad window
     # can't poison both samples of one query.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(max(1, repeat)):
         for name in names:
             t0 = time.time()
             force(qs[name](spark, sf_dir))
-            dt = round(time.time() - t0, 2)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples[name].append(round(time.time() - t0, 2))
             # drop the localCheckpoint blocks iterative operators pin:
             # left in place they accumulate across the ~240-execution
             # sweep and GC pressure bleeds into later measurements
             release_persisted_rdds(spark)
+    timings = {name: min(s) for name, s in samples.items()}
+
+    # Self-settling re-measure (VERDICT r09 item 5): when a query's
+    # two sweep samples disagree by >2x (and the discrepancy is
+    # material — max > 0.5 s), the committed number used to be
+    # whichever side of an ambient burst the sweep happened to land
+    # on, and outlier claims were settled by builder prose instead of
+    # the artifact. Re-measure such queries min-of-3, each run
+    # interleaved with a steady anchor query in THIS same process, so
+    # the committed detail carries its own evidence (resamples +
+    # anchor times) and needs no explanation.
+    anchor = "pricing_summary"
+    settled: dict[str, dict] = {}
+    for name, s in samples.items():
+        if len(s) < 2 or max(s) <= 0.5:
+            continue
+        if max(s) / max(min(s), 0.01) <= 2.0:
+            continue
+        resamples, anchor_times = [], []
+        for _ in range(3):
+            t0 = time.time()
+            force(qs[anchor](spark, sf_dir))
+            anchor_times.append(round(time.time() - t0, 2))
+            release_persisted_rdds(spark)
+            t0 = time.time()
+            force(qs[name](spark, sf_dir))
+            resamples.append(round(time.time() - t0, 2))
+            release_persisted_rdds(spark)
+        timings[name] = min(min(resamples), timings[name])
+        settled[name] = {
+            "sweep_samples": s,
+            "resamples": resamples,
+            "anchor_sec": anchor_times,
+            "settled": timings[name],
+        }
 
     total = round(sum(timings.values()), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -110,6 +143,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "total_sec": total,
+        "settled": settled,
         "queries": dict(sorted(timings.items())),
     }
     with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as fh:

@@ -688,12 +688,69 @@ def main() -> None:
     }
     for name, r in results.items():
         r["growth"] = round(r[f"{replicas}x"] / max(r["1x"], 0.01), 1)
+
+    # VERDICT r09 item 4: normalize the capped pair generators by
+    # EMITTED pair count. Wall growth alone can't separate "output
+    # genuinely grew N²-within-groups" (lossless prefix filtering,
+    # expected) from "per-pair cost grew" (a structural regression) —
+    # seconds-per-1K-emitted-pairs is the structure-free number: flat
+    # per-pair cost at 10× means the candidate machinery scales, the
+    # extra wall time IS the extra output.
+    def _pair_norm(name: str, n_small: int, n_big: int) -> dict:
+        r = results[name]
+        spk_s = r["1x"] / max(n_small, 1) * 1000
+        spk_b = r[f"{replicas}x"] / max(n_big, 1) * 1000
+        return {
+            "pairs_1x": n_small,
+            f"pairs_{replicas}x": n_big,
+            "sec_per_kpair_1x": round(spk_s, 4),
+            f"sec_per_kpair_{replicas}x": round(spk_b, 4),
+            "per_pair_growth": round(spk_b / max(spk_s, 1e-9), 2),
+        }
+
+    doc_pair_ops = {
+        "ngram_jaccard_pairs": lambda d: dedup.ngram_jaccard_pairs(
+            d, threshold=0.5
+        ),
+        "ngram_jaccard_pairs_uncapped": lambda d: dedup.ngram_jaccard_pairs(
+            d, threshold=0.5, uncapped=True
+        ),
+        "ngram_jaccard_pairs_cap50": lambda d: dedup.ngram_jaccard_pairs(
+            d, threshold=0.5, max_candidates_per_doc=50
+        ),
+    }
+    pair_normalized = {
+        name: _pair_norm(name, fn(df_small).count(), fn(df_big).count())
+        for name, fn in doc_pair_ops.items()
+    }
+    pair_normalized["fuzzy_part_name_matches"] = _pair_norm(
+        "fuzzy_part_name_matches",
+        fuzzy_rows["1x"],
+        fuzzy_rows[f"{replicas}x"],
+    )
+    fuzzy_uncapped = {
+        tag: dedup.fuzzy_string_matches(
+            load_table(spark, d, "part"),
+            "p_name",
+            "p_partkey",
+            "p_brand",
+            max_distance=2,
+            uncapped=True,
+        ).count()
+        for tag, d in [("1x", sf_dir), (f"{replicas}x", star_dir)]
+    }
+    pair_normalized["fuzzy_part_name_matches_uncapped"] = _pair_norm(
+        "fuzzy_part_name_matches_uncapped",
+        fuzzy_uncapped["1x"],
+        fuzzy_uncapped[f"{replicas}x"],
+    )
     print(
         json.dumps(
             {
                 "replicas": replicas,
                 "seconds": results,
                 "fuzzy_match_pairs": fuzzy_rows,
+                "pair_normalized": pair_normalized,
             }
         )
     )
