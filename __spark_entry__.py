@@ -1965,6 +1965,25 @@ def q_streaming_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "keep")
 
 
+def q_streaming_crawl_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl triage (streaming/pipeline.py:
+    streaming_crawl_triage_counts, VERDICT r09 item 7): the Gopher
+    gate PLUS the round-9 NFC-normalization audit and Unicode
+    script-mix profile, all evaluated per arriving document at ingest
+    (three map-only stages lifted onto the stream via their
+    extra_cols passthroughs) and rolled up live into per-(source,
+    keep, dominant_script, changed) doc/token counts — quarantine
+    decisions happen at ingest, not in the nightly batch. The stream
+    projection injects the same deterministic fixtures the batch
+    signal oracles use (combining marks by doc_id%3, non-Latin
+    suffixes by doc_id%4) so the signals vary on ASCII testdata.
+    Oracle: the equivalent batch SQL over the same injected corpus —
+    complete-mode streaming must converge to it."""
+    return streaming_pipeline.run_crawl_triage_stream_to_memory(
+        spark, table_path(sf_dir, "documents"), inject=True
+    ).orderBy("source", "keep", "dominant_script", "changed")
+
+
 def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup gate (streaming/pipeline.py:
     run_streaming_minhash_dedup, VERDICT r08 item 6): two ordered
@@ -3330,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_rewrite": q_doc_decontaminate_rewrite,
         # round 8: streaming crawl-ingest quality gate
         "streaming_doc_quality_gate": q_streaming_doc_quality,
+        "streaming_crawl_triage": q_streaming_crawl_triage,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
     ordered = {name: all_q[name] for name in _R9_FRONT_50}
@@ -7884,6 +7904,101 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             GROUP BY source, keep
             ORDER BY source, keep
+        """,
+        # round 10: streaming crawl triage — the quality gate SQL over
+        # the SAME injected corpus the stream projects (combining
+        # marks by doc_id%3, non-Latin suffixes by doc_id%4), plus the
+        # NFC changed flag (utf8proc vs CPython parity, pinned by
+        # doc_unicode_normalize) and the RE2-vs-Java script-class
+        # dominant (pinned by doc_script_mix)
+        "streaming_crawl_triage": """
+            WITH injected AS (
+              SELECT doc_id, source, text,
+                     (CASE
+                        WHEN doc_id % 3 = 0
+                          THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+                        WHEN doc_id % 3 = 1
+                          THEN regexp_replace(text, 'a', 'a' || chr(768), 'g')
+                        ELSE text
+                      END) ||
+                     (CASE
+                        WHEN doc_id % 4 = 0 THEN ' привет мир'
+                        WHEN doc_id % 4 = 1 THEN ' 世界 漢字'
+                        WHEN doc_id % 4 = 2 THEN ' γεια σου'
+                        ELSE ''
+                      END) AS t
+              FROM documents
+            ), m AS (
+              -- gate metrics read the RAW text (Java vs RE2 \\b
+              -- diverge on combining marks — see
+              -- streaming_crawl_triage_counts); signals read t
+              SELECT doc_id, source, t,
+                     CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END) AS BIGINT) AS n_words,
+                     CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+')) END) = 0
+                          THEN 0.0
+                          ELSE floor(CAST(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) AS DOUBLE)
+                               / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text),
+                                                              '\\s+')) END)
+                               * 1000000.0) / 1000000.0 END AS mean_word_len,
+                     floor((CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE len(regexp_extract_all(text,
+                                   '[!-/:-@\\[-`{-~]')) * 1.0 / length(text)
+                            END) * 1000000.0) / 1000000.0 AS punct_ratio,
+                     floor((CASE WHEN (CASE WHEN length(trim(text)) = 0
+                                       THEN 0
+                                       ELSE len(string_split_regex(
+                                              trim(text), '\\s+')) END) = 0
+                            THEN 0.0
+                            ELSE len(regexp_extract_all(lower(text),
+                                   '\\b(the|and|of|to|a|in|is|it|that|for)\\b'))
+                                 * 1.0
+                                 / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text),
+                                                                '\\s+')) END)
+                            END) * 1000000.0) / 1000000.0 AS stopword_ratio,
+                     nfc_normalize(t) <> t AS changed,
+                     CAST(len(regexp_extract_all(t, '\\p{Latin}'))
+                          AS BIGINT) AS n_latin,
+                     CAST(len(regexp_extract_all(t, '\\p{Cyrillic}'))
+                          AS BIGINT) AS n_cyrillic,
+                     CAST(len(regexp_extract_all(t, '\\p{Han}'))
+                          AS BIGINT) AS n_han,
+                     CAST(len(regexp_extract_all(t, '\\p{Greek}'))
+                          AS BIGINT) AS n_greek
+              FROM injected
+            )
+            SELECT source,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                    AND (punct_ratio <= 0.20)
+                    AND (stopword_ratio >= 0.05)) AS keep,
+                   CASE
+                     WHEN n_latin > 0 AND n_latin >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'latin'
+                     WHEN n_cyrillic > 0 AND n_cyrillic >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'cyrillic'
+                     WHEN n_han > 0 AND n_han >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'han'
+                     WHEN n_greek > 0 AND n_greek >=
+                          greatest(n_latin, n_cyrillic, n_han, n_greek)
+                       THEN 'greek'
+                     ELSE 'none'
+                   END AS dominant_script,
+                   changed,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words
+            FROM m
+            GROUP BY 1, 2, 3, 4
+            ORDER BY source, keep, dominant_script, changed
         """,
         # round 8: surgical decontamination — eval-slice 13-gram
         # fingerprints semi-filter the train windows, then the same

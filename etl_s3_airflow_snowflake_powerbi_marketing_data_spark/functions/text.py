@@ -738,8 +738,18 @@ def _spread_if_narrow(df: DataFrame) -> DataFrame:
     CPU-heavy profile would under-parallelize and we pay one cheap
     shuffle to spread it. Big inputs (the 100 TB case) naturally
     exceed the threshold and stay shuffle-free."""
+    if df.isStreaming:
+        # stats probing and repartition heuristics don't apply to a
+        # micro-batch source; the stream's file splits set parallelism
+        return df
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    conf_parts = str(spark.conf.get("spark.sql.shuffle.partitions"))
+    # "auto" under AQE-managed partition counts (ADVICE r09)
+    n = (
+        int(conf_parts)
+        if conf_parts.isdigit()
+        else spark.sparkContext.defaultParallelism
+    )
     try:
         size_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -1485,6 +1495,7 @@ def unicode_normalize_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     form: str = "NFC",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unicode normalization audit + canonicalization — the text-clean
     step every dedup/fingerprint stage silently depends on: the same
@@ -1504,7 +1515,9 @@ def unicode_normalize_docs(
     the canonical fingerprint downstream dedup should key on),
     ``changed`` (normalization altered the string), ``n_chars_before``
     / ``n_chars_after`` (codepoint counts — the delta is the number of
-    combining sequences composed).
+    combining sequences composed). ``extra_cols`` pass through
+    untouched (map-only, so the passthrough also works on streams —
+    the crawl-triage gate threads ``source``/``keep`` through here).
     """
     from pyspark.sql import types as T  # noqa: PLC0415
 
@@ -1515,6 +1528,7 @@ def unicode_normalize_docs(
             T.StructField("changed", T.BooleanType()),
             T.StructField("n_chars_before", T.LongType()),
             T.StructField("n_chars_after", T.LongType()),
+            *[df.schema[c] for c in extra_cols],
         ]
     )
 
@@ -1534,19 +1548,20 @@ def unicode_normalize_docs(
                 chg.append(norm != raw)
                 nb.append(len(raw))
                 na.append(len(norm))
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "norm_md5": md5s,
-                    "changed": chg,
-                    "n_chars_before": nb,
-                    "n_chars_after": na,
-                }
-            )
+            out = {
+                id_col: ids,
+                "norm_md5": md5s,
+                "changed": chg,
+                "n_chars_before": nb,
+                "n_chars_after": na,
+            }
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return (
         _spread_if_narrow(df)
-        .select(id_col, text_col)
+        .select(id_col, text_col, *extra_cols)
         .mapInPandas(batches, schema)
     )
 
@@ -1555,6 +1570,7 @@ def script_mix_profile(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unicode-script mix per document — the multilingual-crawl triage
     signal language-ID alone misses: an n-gram language model needs
@@ -1570,6 +1586,8 @@ def script_mix_profile(
     latin > cyrillic > han > greek (deterministic, engine-portable as
     a CASE over the same counts); ``latin_ratio`` is trunc6 of
     latin / all-script letters, 0.0 for documents with none.
+    ``extra_cols`` pass through untouched (map-only, stream-safe —
+    the crawl-triage gate threads ``source``/``keep`` through here).
     """
     counts = {
         "latin": F.regexp_count(F.col(text_col), F.lit(r"\p{IsLatin}")),
@@ -1580,6 +1598,7 @@ def script_mix_profile(
     base = df.select(
         F.col(id_col),
         *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+        *extra_cols,
     )
     total = sum(F.col(f"n_{k}") for k in counts)
     dominant = F.lit("none")
@@ -1601,4 +1620,5 @@ def script_mix_profile(
         F.when(total > 0, trunc6(F.col("n_latin") / total))
         .otherwise(F.lit(0.0))
         .alias("latin_ratio"),
+        *extra_cols,
     )

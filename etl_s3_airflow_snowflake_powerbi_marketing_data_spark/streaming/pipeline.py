@@ -768,6 +768,124 @@ def streaming_doc_quality_counts(
     )
 
 
+def streaming_crawl_triage_counts(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_stopword_ratio: float = 0.05,
+    signal_col: str = "text",
+) -> DataFrame:
+    """Streaming crawl-ingest TRIAGE — the quality gate plus the two
+    round-9 pre-tokenizer signals, all decided at ingest (VERDICT r09
+    item 7): per arriving document the Gopher rule verdict
+    (``keep``), the NFC normalization audit (``changed`` — an
+    un-normalized doc would under-deduplicate downstream), and the
+    Unicode script-mix profile (``dominant_script`` — script-
+    confusable spam triage), rolled up live into per-(source, keep,
+    dominant_script, changed) doc/token counts.
+
+    All three signals are map-only (JVM expressions + one Arrow
+    batch stage), so the exact batch operators run unchanged on the
+    stream via their ``extra_cols`` passthroughs; the single stateful
+    stage is the final bounded rollup — state is O(|sources| × 2 × 5
+    × 2) rows, no watermark needed, complete-mode output stays
+    trivially small at any stream length. A quarantine decision
+    (keep AND latin-or-none AND normalized) needs no second pass over
+    the crawl.
+
+    ``signal_col`` lets the NFC/script signals read a different
+    column than the Gopher gate (the fixture query injects
+    non-Latin/decomposed content into a derived column; a production
+    stream passes the one text column for both). Kept separate
+    deliberately: Java's ``\\b`` treats combining marks as word
+    characters while RE2's does not, so a gate whose stopword rule
+    ran over mark-injected text would diverge from any RE2-based
+    replica — the gate always reads the raw crawl text."""
+    from ..functions.text import (  # noqa: PLC0415
+        gopher_quality_flags,
+        script_mix_profile,
+        unicode_normalize_docs,
+    )
+
+    flags = gopher_quality_flags(
+        docs,
+        min_words=min_words,
+        max_words=max_words,
+        min_stopword_ratio=min_stopword_ratio,
+        extra_cols=("source", signal_col),
+    )
+    mix = script_mix_profile(
+        flags,
+        text_col=signal_col,
+        extra_cols=("source", signal_col, "keep", "n_words"),
+    )
+    nfc = unicode_normalize_docs(
+        mix,
+        text_col=signal_col,
+        extra_cols=("source", "keep", "n_words", "dominant_script"),
+    )
+    return nfc.groupBy(
+        "source", "keep", "dominant_script", "changed"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+    )
+
+
+def run_crawl_triage_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    inject: bool = False,
+    query_name: str = "crawl_triage",
+    state_partitions: int = 4,
+) -> DataFrame:
+    """Drive the crawl triage gate to completion over the current
+    contents of ``source_path`` and return the memory-sink table.
+    ``inject=True`` applies the deterministic fixture injections the
+    batch signal oracles use (combining marks by ``doc_id % 3``,
+    non-Latin suffixes by ``doc_id % 4``) INSIDE the stream
+    projection — into a derived ``sig_text`` column feeding the
+    NFC/script signals (the Gopher gate keeps reading the raw text;
+    see streaming_crawl_triage_counts on why) — so the triage signals
+    vary on the ASCII testdata."""
+    stream = read_document_stream(spark, source_path)
+    signal_col = "text"
+    if inject:
+        t = F.col("text")
+        t = (
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.regexp_replace(t, "e", "e\u0301"),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.regexp_replace(t, "a", "a\u0300"),
+            )
+            .otherwise(t)
+        )
+        t = (
+            F.when(F.col("doc_id") % 4 == 0, F.concat(t, F.lit(" привет мир")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(t, F.lit(" 世界 漢字")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(t, F.lit(" γεια σου")))
+            .otherwise(t)
+        )
+        signal_col = "sig_text"
+        stream = stream.withColumn(signal_col, t)
+    agg = streaming_crawl_triage_counts(stream, signal_col=signal_col)
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(query_name)
+
+
 def run_doc_quality_stream_to_memory(
     spark: SparkSession,
     source_path: str,

@@ -731,6 +731,48 @@ def test_streaming_doc_quality_gate_multibatch_converges(spark, tmp_path):
     assert {k for _s, k in got} == {True, False}
 
 
+def test_streaming_crawl_triage_matches_batch(spark, tmp_path):
+    """The triage stream (gate + NFC audit + script mix, production
+    path: one text column, no injection) over a multi-file corpus
+    converges to the batch composition of the same three operators —
+    per-(source, keep, dominant_script, changed) counts."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.streaming import (
+        pipeline as sp,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (0, good + " привет мир", "en", "s0", 1),     # cyrillic tail
+        (1, good + " e\u0301e\u0301", "en", "s0", 1),  # decomposed marks
+        (2, good, "en", "s1", 1),
+        (3, "zzz qqq", "en", "s1", 1),                # fails gate
+        (4, good + " 世界 漢字 世界 漢字 世界 漢字 " * 30, "en", "s0", 1),
+    ]
+    src = tmp_path / "docs"
+    for part in range(2):
+        spark.createDataFrame(
+            [r for r in rows if r[0] % 2 == part],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def key(r):
+        return (r["source"], r["keep"], r["dominant_script"], r["changed"])
+
+    got = {
+        key(r): (r["n_docs"], r["n_words"])
+        for r in sp.run_crawl_triage_stream_to_memory(
+            spark, str(src) + "/*.parquet", query_name="triage_mb"
+        ).collect()
+    }
+    batch = sp.streaming_crawl_triage_counts(spark.read.parquet(str(src)))
+    expect = {key(r): (r["n_docs"], r["n_words"]) for r in batch.collect()}
+    assert got == expect
+    # the fixture actually exercises every signal axis
+    assert {k[1] for k in got} == {True, False}          # keep
+    assert {k[3] for k in got} == {True, False}          # changed
+    assert "cyrillic" in {k[2] for k in got} or "han" in {k[2] for k in got}
+
+
 def test_winnow_char_cap_observable(spark):
     """Default-on giant-doc cap: below the cap, identical fingerprints
     with truncated false; a binding cap fingerprints the prefix only
