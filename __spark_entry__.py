@@ -723,6 +723,36 @@ def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id_a", "media_id_b")
 
 
+def q_audio_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio dedup (operators/dedup.py:
+    audio_dedup_survivors): connected components over the fingerprint
+    pair graph, min-id survivor per component with member count —
+    remediation parity with the image leg. Oracle: union-find over
+    the independently recomputed brute-force pair set."""
+    return dedup.audio_dedup_survivors(
+        multimodal.synthetic_near_dup_audio_table(spark, 16), max_hamming=3
+    )
+
+
+def q_audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental audio dedup (operators/dedup.py:
+    audio_fingerprint_incremental): even groups' BASE clips are the
+    persisted 8-byte fingerprint store; the batch contains even-group
+    variants (store-hit path), odd-group variants (batch-internal
+    path), and odd-group bases (keep path) — the image incremental
+    contract at the audio grain, via the shared hamming_incremental
+    machinery. Oracle: brute-force replica over independently
+    recomputed fingerprints."""
+    tbl = multimodal.synthetic_near_dup_audio_table(spark, 16)
+    store = multimodal.audio_fingerprint_table(
+        tbl.filter(F.col("media_id") % 6 == 1)
+    )
+    batch = tbl.filter(F.col("media_id") % 6 != 1)
+    return dedup.audio_fingerprint_incremental(store, batch).orderBy(
+        "media_id"
+    )
+
+
 def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split (operators/sampling.py:
     split_assign_leakage_safe): buckets key on the normalized-content
@@ -3158,6 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_incremental": q_image_dhash_incremental,
         "media_audio_fingerprint": q_media_audio_fingerprint,
         "audio_fingerprint_dups": q_audio_fingerprint_dups,
+        "audio_dedup_survivors": q_audio_dedup_survivors,
+        "audio_fingerprint_incremental": q_audio_fp_incremental,
         "media_frame_sample": q_media_frames,
         "media_audio_features": q_media_audio,
         "weighted_sample_docs": q_weighted_sample,
@@ -4414,6 +4446,16 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_dups": """
             SELECT media_id_a, media_id_b, hamming
             FROM read_parquet('/root/repo/expected/sf0.01/audio_fingerprint_dups.parquet')
+        """,
+        "audio_dedup_survivors": """
+            SELECT media_id, n_merged
+            FROM read_parquet('/root/repo/expected/sf0.01/audio_dedup_survivors.parquet')
+            ORDER BY media_id
+        """,
+        "audio_fingerprint_incremental": """
+            SELECT media_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/audio_fingerprint_incremental.parquet')
+            ORDER BY media_id
         """,
         # round 9: dedup-aware split — bucket keys on the normalized
         # content fingerprint, so the injected +1000000 duplicates

@@ -1447,6 +1447,66 @@ def image_dedup_survivors(
     return survivors.unionByName(unpaired).orderBy("media_id")
 
 
+def audio_dedup_survivors(
+    media_df: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Audio dedup END-TO-END: connected components over the
+    fingerprint near-dup pair graph
+    (:func:`audio_fingerprint_near_dups`), min-id survivor per
+    component — the audio twin of :func:`image_dedup_survivors`,
+    completing detection AND remediation parity across text, image,
+    and audio. Output: (media_id, n_merged)."""
+    pairs = audio_fingerprint_near_dups(media_df, max_hamming).select(
+        F.col("media_id_a").alias("id_a"),
+        F.col("media_id_b").alias("id_b"),
+    )
+    comps = connected_components(pairs)
+    survivors = (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_merged"))
+        .select(F.col("component").alias("media_id"), "n_merged")
+    )
+    unpaired = (
+        media_df.select("media_id")
+        .join(
+            comps.select(F.col("id").alias("media_id")),
+            "media_id",
+            "left_anti",
+        )
+        .withColumn("n_merged", F.lit(1).cast("long"))
+    )
+    return survivors.unionByName(unpaired).orderBy("media_id")
+
+
+def audio_fingerprint_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Incremental audio dedup — the crawl-load posture of
+    :func:`image_dhash_incremental` at the audio grain: incoming
+    clips check against a persisted FINGERPRINT store (8 bytes per
+    clip — when ``existing`` carries an ``afp`` column its payloads
+    are never decoded) and their own batch, via the shared exact
+    pigeonhole machinery (:func:`hamming_incremental`). Output: one
+    row per incoming clip — (media_id, matched_store_id,
+    matched_batch_id, keep), -1 sentinels for no-match."""
+    from ..functions.multimodal import audio_fingerprint_table  # noqa: PLC0415
+
+    if "afp" in existing.columns:
+        store = existing.select(F.col("media_id").alias("id"),
+                                F.col("afp").alias("sh"))
+    else:
+        store = audio_fingerprint_table(existing).select(
+            F.col("media_id").alias("id"), F.col("afp").alias("sh")
+        )
+    batch = audio_fingerprint_table(incoming).select(
+        F.col("media_id").alias("id"), F.col("afp").alias("sh")
+    )
+    return hamming_incremental(store, batch, max_hamming, num_bits)
+
+
 def image_dhash_incremental(
     existing: DataFrame,
     incoming: DataFrame,
@@ -1472,11 +1532,7 @@ def image_dhash_incremental(
     the min candidate id (greedy first-occurrence survivorship, chains
     resolving across loads — the incremental-dedup contract).
     """
-    from .banding import bit_band_exprs, explode_bands  # noqa: PLC0415
     from ..functions.multimodal import dhash_table  # noqa: PLC0415
-
-    n_bands = max_hamming + 1
-    bits_per_band = num_bits // n_bands
 
     if "dhash" in existing.columns:
         store = existing.select(F.col("media_id").alias("id"),
@@ -1485,11 +1541,32 @@ def image_dhash_incremental(
         store = dhash_table(existing).select(
             F.col("media_id").alias("id"), F.col("dhash").alias("sh")
         )
-    batch = (
-        dhash_table(incoming)
-        .select(F.col("media_id").alias("id"), F.col("dhash").alias("sh"))
-        .localCheckpoint(eager=True)
+    batch = dhash_table(incoming).select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("sh")
     )
+    return hamming_incremental(store, batch, max_hamming, num_bits)
+
+
+def hamming_incremental(
+    store: DataFrame,
+    batch: DataFrame,
+    max_hamming: int = 3,
+    num_bits: int = 64,
+    id_out: str = "media_id",
+) -> DataFrame:
+    """Incremental near-dup check of a signature BATCH against a
+    persisted signature STORE — the shared back half of
+    :func:`image_dhash_incremental` (dHash) and
+    :func:`audio_fingerprint_incremental` (energy-delta fingerprints);
+    both frames are (id, sh) 64-bit signature tables. Exact pigeonhole
+    banding, store-hit and within-batch paths, min-id greedy
+    survivorship, -1 sentinels — see :func:`image_dhash_incremental`
+    for the full contract."""
+    from .banding import bit_band_exprs, explode_bands  # noqa: PLC0415
+
+    n_bands = max_hamming + 1
+    bits_per_band = num_bits // n_bands
+    batch = batch.localCheckpoint(eager=True)
     bands = lambda df: explode_bands(  # noqa: E731
         df, bit_band_exprs(F.col("sh"), n_bands, bits_per_band)
     )
@@ -1537,21 +1614,21 @@ def image_dhash_incremental(
         "matched_batch_id",
     )
     return (
-        batch.select(F.col("id").alias("media_id"))
+        batch.select(F.col("id").alias(id_out))
         .join(
-            store_hits.select(F.col("__ia").alias("media_id"),
+            store_hits.select(F.col("__ia").alias(id_out),
                               "matched_store_id"),
-            "media_id",
+            id_out,
             "left",
         )
         .join(
-            batch_hits.select(F.col("__ia").alias("media_id"),
+            batch_hits.select(F.col("__ia").alias(id_out),
                               "matched_batch_id"),
-            "media_id",
+            id_out,
             "left",
         )
         .select(
-            "media_id",
+            id_out,
             F.coalesce("matched_store_id", F.lit(-1))
             .cast("long")
             .alias("matched_store_id"),

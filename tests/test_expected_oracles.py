@@ -300,6 +300,15 @@ def test_audio_fingerprint_generator_matches_spark_on_alternate_group_count(
     )
     exp_p = _canon(gen_expected.gen_audio_fingerprint_dups(24))
     assert got_p == exp_p
+    got_s = _canon(dedup.audio_dedup_survivors(tbl, max_hamming=3).toPandas())
+    assert got_s == _canon(gen_expected.gen_audio_dedup_survivors(24))
+    inc = dedup.audio_fingerprint_incremental(
+        mm.audio_fingerprint_table(tbl.filter(F.col("media_id") % 6 == 1)),
+        tbl.filter(F.col("media_id") % 6 != 1),
+    )
+    assert _canon(inc.toPandas()) == _canon(
+        gen_expected.gen_audio_fp_incremental(24)
+    )
 
 
 def test_streaming_minhash_generator_matches_spark_on_alternate_sf(spark):

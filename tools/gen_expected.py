@@ -1676,6 +1676,69 @@ def gen_image_dhash_incremental(
     )
 
 
+def gen_audio_dedup_survivors(
+    groups: int = 16, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Union-find over the brute-force audio fingerprint pair set —
+    the independent replica of operators/dedup.py:
+    audio_dedup_survivors (same union-find as the image twin)."""
+    pairs = gen_audio_fingerprint_dups(groups, max_hamming)
+    ids = list(range(1, groups * 3 + 1))
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["media_id_a"], pairs["media_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members: dict[int, int] = {}
+    for i in ids:
+        members[find(i)] = members.get(find(i), 0) + 1
+    rows = sorted((root, n) for root, n in members.items())
+    return pd.DataFrame(
+        rows, columns=["media_id", "n_merged"]
+    ).astype({"media_id": "int64", "n_merged": "int64"})
+
+
+def gen_audio_fp_incremental(
+    groups: int = 16, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Brute-force replica of operators/dedup.py:
+    audio_fingerprint_incremental over the registered split — same
+    store/batch partition rule as the image twin (even-group bases =
+    store, media_id%6==1)."""
+    fps = gen_audio_fingerprint(groups)
+    hs = dict(zip(fps["media_id"], fps["afp"]))
+    store = sorted(i for i in hs if i % 6 == 1)
+    batch = sorted(i for i in hs if i % 6 != 1)
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & M64).count("1")
+
+    out = {"media_id": [], "matched_store_id": [],
+           "matched_batch_id": [], "keep": []}
+    for d in batch:
+        ms = min((c for c in store if ham(hs[d], hs[c]) <= max_hamming),
+                 default=-1)
+        mb = min((c for c in batch
+                  if c < d and ham(hs[d], hs[c]) <= max_hamming),
+                 default=-1)
+        out["media_id"].append(d)
+        out["matched_store_id"].append(ms)
+        out["matched_batch_id"].append(mb)
+        out["keep"].append(ms == -1 and mb == -1)
+    return pd.DataFrame(out).astype(
+        {"media_id": "int64", "matched_store_id": "int64",
+         "matched_batch_id": "int64", "keep": "bool"}
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -1717,6 +1780,8 @@ def main() -> None:
         ("image_dhash_incremental", gen_image_dhash_incremental()),
         ("media_audio_fingerprint", gen_audio_fingerprint()),
         ("audio_fingerprint_dups", gen_audio_fingerprint_dups()),
+        ("audio_dedup_survivors", gen_audio_dedup_survivors()),
+        ("audio_fingerprint_incremental", gen_audio_fp_incremental()),
         ("embedding_topk_ivf_pq_indexed", gen_ivf_pq_topk_indexed(vecs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
