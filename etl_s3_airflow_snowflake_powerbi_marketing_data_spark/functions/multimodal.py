@@ -618,11 +618,202 @@ def _ppm_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
     ]
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW decode (LSB-first variable-width codes, CLEAR
+    resets the dictionary, widths grow at 2^width up to 12 bits) —
+    the standard algorithm from the GIF89a spec appendix."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+    width = prev = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        prev = -1
+
+    reset()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev == -1:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(table[prev] + [entry[0]])
+            else:
+                entry = table[prev] + [table[prev][0]]
+                table.append(entry)
+            out.extend(entry)
+            prev = code
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _gif_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
+    """Full pure-Python pixel decode of a palette GIF (87a/89a):
+    logical-screen + color-table parse, extension-block skip, LZW
+    index stream inflate (:func:`_gif_lzw_decode`), palette lookup,
+    interlace de-weave — keeping the no-codec-dependency posture.
+    Supports the dominant single-full-frame case; multi-frame
+    animations and frames smaller than the screen raise — the
+    documented codec seam."""
+    import struct  # noqa: PLC0415
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    palette: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = [
+            (b[i + 3 * j], b[i + 3 * j + 1], b[i + 3 * j + 2])
+            for j in range(n)
+        ]
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", b, i + 1)
+            i += 10
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError("GIF sub-frame images")
+            pal = palette
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = [
+                    (b[i + 3 * j], b[i + 3 * j + 1], b[i + 3 * j + 2])
+                    for j in range(n)
+                ]
+                i += 3 * n
+            if not pal:
+                raise NotImplementedError("GIF without a color table")
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i] != 0:
+                size = b[i]
+                data += b[i + 1 : i + 1 + size]
+                i += 1 + size
+            i += 1
+            idx = _gif_lzw_decode(min_code, bytes(data))
+            if len(idx) < w * h:
+                raise NotImplementedError("GIF raster shorter than dims")
+            grid = [
+                [pal[idx[y * w + x]] for x in range(w)] for y in range(h)
+            ]
+            if iflags & 0x40:  # interlaced: de-weave the 4 passes
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                woven = [None] * h
+                for src, dst in enumerate(order):
+                    woven[dst] = grid[src]
+                grid = woven
+            return grid
+        elif block == 0x3B:
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    raise NotImplementedError("GIF with no image data")
+
+
+def encode_gif_pixels(
+    rows: list[list[tuple[int, int, int]]], interlace: bool = False
+) -> bytes:
+    """Real palette GIF89a from an explicit pixel grid (≤256 unique
+    colors) — the pixel-level GIF sibling of :func:`encode_bmp_pixels`.
+    The LZW stream uses the classic literal-codes-only encoding: every
+    pixel index emitted as its own 9-bit code with a CLEAR every 254
+    literals so the width never grows — decodes under ANY conforming
+    LZW decoder (the committed :func:`_gif_lzw_decode` is verified as
+    its inverse)."""
+    import struct  # noqa: PLC0415
+
+    height, width = len(rows), len(rows[0])
+    colors = sorted({px for row in rows for px in row})
+    if len(colors) > 256:
+        raise ValueError("GIF fixture needs <=256 unique colors")
+    index = {c: i for i, c in enumerate(colors)}
+    table = colors + [(0, 0, 0)] * (256 - len(colors))
+
+    min_code = 8
+    clear, _end = 256, 257
+    codes: list[int] = [clear]
+    n_lit = 0
+    ys = list(range(height))
+    if interlace:
+        ys = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+    for y in ys:
+        for px in rows[y]:
+            if n_lit == 254:
+                codes.append(clear)
+                n_lit = 0
+            codes.append(index[px])
+            n_lit += 1
+    codes.append(_end)
+    acc = bits = 0
+    stream = bytearray()
+    for code in codes:
+        acc |= code << bits
+        bits += 9
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        stream.append(acc & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+    for r, g, b_ in table:
+        out += bytes((r, g, b_))
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
+    out.append(min_code)
+    for j in range(0, len(stream), 255):
+        chunk = stream[j : j + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
     """Pixel grid for the codec-free raster formats — 24-bit BMP, P6
-    PPM, and (r10) 8-bit truecolor PNG via the stdlib-zlib decoder in
-    :func:`_png_pixels`. GIF/JPEG entropy coding needs a real codec
-    and raises — the same documented seam as
+    PPM, and (r10) 8-bit truecolor PNG (stdlib-zlib inflate + the
+    five scanline filters, :func:`_png_pixels`) and palette GIF
+    (pure-Python LZW, :func:`_gif_pixels`). JPEG entropy coding needs
+    a real codec and raises — the remaining documented seam, same as
     :func:`decode_image_stub`; :func:`dhash_table` skips such
     payloads rather than failing the job."""
     b = bytes(payload)
@@ -632,6 +823,8 @@ def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
         return _ppm_pixels(b)
     if b[:8] == _PNG_SIG:
         return _png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(b)
     raise NotImplementedError("pixel decode requires an image codec")
 
 
@@ -712,25 +905,40 @@ def dhash_table(df: DataFrame) -> DataFrame:
 
 
 def _dup_group_pixels(
-    g: int, w: int, h: int, variant: int
+    g: int, w: int, h: int, variant: int, palette: bool = False
 ) -> list[list[tuple[int, int, int]]]:
     """Pixel grid for near-dup fixture group ``g``: a per-group
     pseudo-random sawtooth base pattern, with variants 1/2 whitening
     the dHash grid's corner boxes — each whitened box touches at most
     one/two hash bits, so intra-group Hamming distances are ≤ 2 by
     construction while inter-group hashes are effectively random
-    (~32 bits apart)."""
-    rows = [
-        [
-            (
-                (x * 17 + y * 23 + g * 41) % 256,
-                (x * 29 + y * 13 + g * 57) % 256,
-                (x * 11 + y * 31 + g * 73) % 256,
-            )
-            for x in range(w)
+    (~32 bits apart). ``palette=True`` derives all three channels
+    from one ``% 255`` byte so the grid has ≤ 255 distinct colors
+    plus the whitening white — GIF-encodable (256-entry table)."""
+    if palette:
+        rows = [
+            [
+                (
+                    v := (x * 17 + y * 23 + g * 41) % 255,
+                    (v * 3) % 256,
+                    (v * 7) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
         ]
-        for y in range(h)
-    ]
+    else:
+        rows = [
+            [
+                (
+                    (x * 17 + y * 23 + g * 41) % 256,
+                    (x * 29 + y * 13 + g * 57) % 256,
+                    (x * 11 + y * 31 + g * 73) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
     gw, gh = DHASH_GRID + 1, DHASH_GRID
 
     def whiten(ty: int, tx: int) -> None:
@@ -751,29 +959,34 @@ def _dup_group_pixels(
 def synthetic_near_dup_image_table(spark, groups: int = 16) -> DataFrame:
     """Deterministic perceptual near-dup fixture in MEDIA_SCHEMA shape:
     ``groups`` triples (base, 1-box variant, 2-box variant) of REAL
-    raster images — BMP for ``g % 3 == 0``, P6 PPM for ``g % 3 == 1``,
-    and (r10, VERDICT r09 item 1) deflate-compressed truecolor PNG for
-    ``g % 3 == 2`` (RGBA with non-constant alpha when additionally
-    ``g % 6 == 2``, RGB otherwise; scanline filters cycle 0..4) — with
-    per-group dimensions ≥ the 9×8 dHash grid. media_id = g·3 +
+    raster images, format cycling by ``g % 4`` — BMP, P6 PPM, (r10,
+    VERDICT r09 item 1) deflate-compressed truecolor PNG (RGBA with
+    non-constant alpha when additionally ``g % 8 == 2``, RGB
+    otherwise; scanline filters cycle 0..4), and (r10) palette GIF
+    with real LZW (interlaced when additionally ``g % 8 == 3``; the
+    palette-bounded pattern variant keeps the color table ≤ 256) —
+    with per-group dimensions ≥ the 9×8 dHash grid. media_id = g·3 +
     variant + 1. The oracle generator (tools/gen_expected.py)
     recomputes every hash from the same pattern arithmetic WITHOUT the
     encode/decode round-trip, so equality proves encoder, pixel
-    decoder (incl. the five PNG filters + alpha drop), and hash are
-    mutually consistent. Bounded driver-side generation — a fixture,
-    not a data path."""
+    decoder (incl. the five PNG filters, alpha drop, LZW + interlace
+    de-weave), and hash are mutually consistent. Bounded driver-side
+    generation — a fixture, not a data path."""
     rows = []
     for g in range(groups):
         w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
         for v in range(3):
-            px = _dup_group_pixels(g, w, h, v)
-            if g % 3 == 0:
+            px = _dup_group_pixels(g, w, h, v, palette=(g % 4 == 3))
+            if g % 4 == 0:
                 payload, mt = encode_bmp_pixels(px), "image/bmp"
-            elif g % 3 == 1:
+            elif g % 4 == 1:
                 payload, mt = encode_ppm_pixels(px), "image/ppm"
-            else:
-                payload = encode_png_pixels(px, alpha=(g % 6 == 2))
+            elif g % 4 == 2:
+                payload = encode_png_pixels(px, alpha=(g % 8 == 2))
                 mt = "image/png"
+            else:
+                payload = encode_gif_pixels(px, interlace=(g % 8 == 3))
+                mt = "image/gif"
             rows.append((g * 3 + v + 1, mt, payload, "fixture"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

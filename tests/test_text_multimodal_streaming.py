@@ -860,6 +860,36 @@ def test_png_pixel_codec_roundtrip():
     ] * 2
 
 
+def test_gif_pixel_codec_roundtrip():
+    """encode_gif_pixels/_gif_pixels are exact inverses — plain and
+    interlaced, across grids large enough to force multiple LZW CLEAR
+    cycles and >255-byte sub-blocks — and a GIF payload hashes
+    bit-identically to a BMP of the same palette grid."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    for w, h in [(1, 1), (5, 4), (18, 16), (64, 48)]:
+        rows = mm._dup_group_pixels(3, w, h, 1, palette=True)
+        for inter in (False, True):
+            payload = mm.encode_gif_pixels(rows, interlace=inter)
+            assert mm._gif_pixels(payload) == rows, (w, h, inter)
+    grid = mm._dup_group_pixels(7, 30, 24, 2, palette=True)
+    assert mm.image_dhash(mm.encode_gif_pixels(grid)) == mm.image_dhash(
+        mm.encode_bmp_pixels(grid)
+    )
+    # >256 distinct colors is a fixture error, not silent quantization
+    import pytest as _pytest
+
+    truecolor = mm._dup_group_pixels(2, 30, 24, 0)
+    with _pytest.raises(ValueError):
+        mm.encode_gif_pixels(truecolor)
+    # the 14-byte structural GIF fixture has no raster: still the
+    # documented skip path
+    with _pytest.raises(NotImplementedError):
+        mm._gif_pixels(mm.encode_gif(8, 8))
+
+
 def test_dhash_table_skips_undecodable(spark):
     """A format-mixed media table (structural GIF/JPEG fixtures have
     no raster) must yield hashes for decodable payloads and silently

@@ -1239,24 +1239,36 @@ def gen_item_hits(sf_dir: str, iters: int = 8) -> pd.DataFrame:
     )
 
 
-def _dhash_replica(g: int, w: int, h: int, variant: int) -> int:
+def _dhash_replica(
+    g: int, w: int, h: int, variant: int, palette: bool = False
+) -> int:
     """From-scratch dHash of near-dup fixture group (g, variant),
     computed STRAIGHT from the pattern arithmetic — no byte encoding,
     no package import — so a match proves the committed encoders, the
     pixel decoders, and the hash are mutually consistent inverses
     (functions/multimodal.py:synthetic_near_dup_image_table shares
-    only the pattern formulas)."""
-    px = [
-        [
-            (
-                (x * 17 + y * 23 + g * 41) % 256,
-                (x * 29 + y * 13 + g * 57) % 256,
-                (x * 11 + y * 31 + g * 73) % 256,
-            )
-            for x in range(w)
+    only the pattern formulas). ``palette`` selects the ≤256-color
+    variant the GIF groups use (r10)."""
+    if palette:
+        px = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                v = (x * 17 + y * 23 + g * 41) % 255
+                row.append((v, (v * 3) % 256, (v * 7) % 256))
+            px.append(row)
+    else:
+        px = [
+            [
+                (
+                    (x * 17 + y * 23 + g * 41) % 256,
+                    (x * 29 + y * 13 + g * 57) % 256,
+                    (x * 11 + y * 31 + g * 73) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
         ]
-        for y in range(h)
-    ]
 
     def box_bounds(t: int, size: int, n: int) -> tuple[int, int]:
         lo = t * size // n
@@ -1298,7 +1310,12 @@ def gen_image_dhash(groups: int = 16) -> pd.DataFrame:
     for g in range(groups):
         w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
         for v in range(3):
-            rows.append((g * 3 + v + 1, _dhash_replica(g, w, h, v)))
+            rows.append(
+                (
+                    g * 3 + v + 1,
+                    _dhash_replica(g, w, h, v, palette=(g % 4 == 3)),
+                )
+            )
     return pd.DataFrame(rows, columns=["media_id", "dhash"])
 
 
