@@ -2983,100 +2983,86 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Rotation of the driver's 50-entry CORRECTNESS window: the driver
-# grades the FIRST 50 names of queries(). From round 9 the "every op
-# whose implementation changed since its last driver grade leads the
-# window" rule is enforced MECHANICALLY (VERDICT r08 item 1):
-# tools/fanout_map.py traces every registered query's plan build and
-# records the package functions it executes (FANOUT_MAP.json);
-# `--changed-since <rev>` maps git-diff hunks to function spans and
-# prints the affected queries. The r9 window = the tool's output for
-# the round-9 diff (21 queries — including two a hand-tracked list
-# missed: simhash_near_dups via the hamming_near_dups refactor and
-# streaming_user_sessions via the stream-reader change), plus the 7
-# hand-attributed oracle-SQL edits (below the tool's granularity,
-# flagged by its oracle_sql warning), plus the r08-verdict mandate
-# (exact_dup_groups), plus the tool's r8-range under-graded set (11
-# queries the r8 window missed), plus 11 rotated one-per-family
-# canaries. Every query not in the window stays verified by
-# tools/check_oracles.py on a vanilla session.
-_R9_FRONT_50 = [
-    # --- round-9 implementation changes (tools/fanout_map.py
-    # --changed-since 8a3b9b0) ------------------------------------
-    "simhash_near_dups",
-    "ngram_jaccard_dups",
-    "dedup_near_docs",
-    "fuzzy_part_name_matches",
-    "doc_winnow_fingerprints",
-    "dup_span_hotspots",
-    "embedding_topk_lsh",
-    "media_image_dhash",
-    "image_dhash_dups",
-    "streaming_minhash_dedup",
-    "streaming_doc_quality_gate",
-    "streaming_event_counts",
-    "streaming_dedup_events",
-    "streaming_enriched_brand_counts",
-    "streaming_sliding_counts",
-    "streaming_hll_users",
-    "streaming_cms_user_counts",
-    "streaming_view_purchase_attribution",
-    "streaming_hll_versioned",
-    "streaming_user_sessions",
-    "doc_importance_resample",
-    # --- late round-9 additions (rule b: new names enter the window
-    # the round they land; three canaries below stood down — their
-    # families stay covered by in-window siblings (storage-layout by
-    # null_safe_bucket_join): sampling by
-    # doc_importance_resample/doc_split_leakage_safe, sketches by
-    # hll_user_overlap_by_type, sessions by streaming_user_sessions)
-    "image_dedup_survivors",
-    "image_dhash_incremental",
-    "doc_split_leakage_safe",
-    "doc_unicode_normalize",
-    "doc_script_mix",
-    # --- round-9 oracle-SQL edits (hand-attributed: the VARCHAR
-    # round-trip for decimal-sum casts, ADVICE r08) ----------------
-    "doc_unigram_surprisal",
+# grades the FIRST 50 names of queries(). Both halves are now
+# MECHANICAL: tools/fanout_map.py --changed-since <round-start-rev>
+# prints every query the round's diff transitively touches (the r10
+# diff vs e2b8fa5 -> 28 queries, including the six new round-10
+# queries and the text-op family reached through the
+# _spread_if_narrow streaming/auto-conf guard); the remaining 22
+# slots are the STALEST query per dominant implementation module
+# picked by tools/grade_ledger.py --canaries (VERDICT r09 item 6) --
+# no hand-tracked rotation left. The tool's oracle_sql warning was
+# checked: the only oracle-SQL edits this round are the six NEW
+# queries' blocks, all already in the affected set. Every query not
+# in the window stays verified by tools/check_oracles.py on a
+# vanilla session.
+_R10_FRONT_50 = [
+    # --- round-10 implementation changes (tools/fanout_map.py
+    # --changed-since e2b8fa5) -------------------------------------
+    "audio_dedup_survivors",
+    "audio_fingerprint_dups",
+    "audio_fingerprint_incremental",
     "doc_bigram_surprisal",
-    "doc_nb_quality_score",
+    "doc_bm25_topk",
+    "doc_bm25_topk_inverted",
+    "doc_compression_ratio",
     "doc_curation_funnel",
+    "doc_hashed_features",
+    "doc_nb_quality_score",
+    "doc_script_mix",
+    "doc_unicode_normalize",
+    "doc_unigram_surprisal",
+    "doc_winnow_fingerprints",
+    "embedding_topk_ivf_pq",
+    "embedding_topk_ivf_pq_indexed",
+    "embedding_topk_lsh",
+    "image_dedup_survivors",
+    "image_dhash_dups",
+    "image_dhash_incremental",
+    "media_audio_fingerprint",
+    "media_image_dhash",
+    "rare_token_ratio",
+    "repetition_profile",
     "source_unigram_divergence",
-    "event_type_drift_daily",
-    # --- r08 verdict mandate ---------------------------------------
-    "exact_dup_groups",
-    # --- r8-range fan-out the r8 window under-counted (tool output
-    # for b55c139..8a3b9b0 minus the r8-graded 50) ------------------
-    "doc_quality_percentile",
-    "doc_sentences_udtf",
-    "embedding_topk_pq",
-    "hll_user_overlap_by_type",
-    "join_key_skew_profile",
-    "lineitem_corr_matrix",
-    "minhash_incremental_docs",
-    "null_safe_bucket_join",
-    "order_quality_checks",
-    "part_attrs_unpivot",
-    "versioned_change_feed",
-    # --- 11 canaries, one per otherwise-uncovered family, rotated
-    # away from the r8 canary set ----------------------------------
-    "dim_user",
-    "kpi_item_view_rank_by_period",
-    "merge_update_orders",
-    "csv_ingest_rollup",
-    "pricing_summary",
-    "item_pagerank",
+    "streaming_crawl_triage",
+    "text_profile",
+    "tfidf_top_terms",
+    # --- 22 mechanical canaries (tools/grade_ledger.py --canaries:
+    # stalest per dominant module, staleness-ordered) ---------------
+    "customers_without_orders",
+    "doc_sample_10pct",
+    "chunk_documents",
+    "decontaminate_eval_docs",
+    "doc_pack_sequences",
+    "kpi_top_items_view_share",
+    "purchases_in_browse_sessions",
+    "cms_user_counts",
+    "dim_item",
+    "dim_parameter",
+    "versioned_delete_compact",
+    "zorder_clustered_scan",
+    "ab_test_lift",
+    "doc_cdc_chunks",
+    "heavy_hitter_lines",
+    "item_hits_scores",
+    "scd2_point_in_time",
+    "segment_price_ks",
+    "purchase_last_view_asof",
+    "salted_event_counts",
+    "bloom_semi_revenue",
+    "doc_bpe_token_stream",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2 + the
     training-data extensions), reordered so the driver's 50-entry
-    CORRECTNESS window (_R9_FRONT_50) re-grades every op whose
+    CORRECTNESS window (_R10_FRONT_50) re-grades every op whose
     implementation OR oracle changed this round — derived
-    mechanically by tools/fanout_map.py, not hand-tracked (VERDICT
-    r08 item 1) — plus the r8-range fan-out the r8 window
-    under-counted, the three round-9 additions, and 11 rotated
-    canaries. The O(N^2)
+    mechanically by tools/fanout_map.py (VERDICT r08 item 1) — plus
+    22 canaries picked mechanically by tools/grade_ledger.py
+    --canaries, the stalest query per dominant implementation module
+    (VERDICT r09 item 6). The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
     test_dedup_similarity.py); every registered similarity query is
@@ -3384,7 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_crawl_triage": q_streaming_crawl_triage,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
-    ordered = {name: all_q[name] for name in _R9_FRONT_50}
+    ordered = {name: all_q[name] for name in _R10_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
     assert len(ordered) == len(all_q)
     return ordered
