@@ -2875,6 +2875,41 @@ def q_embedding_topk_ivf_pq_indexed(
     )
 
 
+def q_embedding_topk_ivf_pq_codes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-CODES ANN lifecycle (operators/similarity.py:
+    build_ivf_pq_codes / append_ivf_pq_codes / ivf_pq_topk_from_codes)
+    — the full FAISS on-disk posture as versioned parquet: the index
+    is trained ONCE on the initial load (even vec_id), the initial
+    load's codes committed (replace), the later crawl batch (odd
+    vec_id) encoded and APPENDED without retraining or re-encoding
+    history (manifest extension — nothing rewritten), and the query
+    answered from index + codes alone; original vectors are touched
+    only by the exact re-rank shortlist join. At 100 TB this is the
+    difference between rescanning vectors per query and scanning a
+    32×-smaller persisted code table. Oracle: independent replica
+    (tools/gen_expected.py:gen_ivf_pq_topk_codes) training on the
+    even half and encoding the union."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    path = _scratch_path("ann_ivfpq_codes", sf_dir)
+    cent, books = similarity.train_ivf_pq_index(even, train_iters=2)
+    similarity.save_ivf_pq_index(spark, cent, books, path)
+    similarity.build_ivf_pq_codes(spark, even, path)
+    similarity.append_ivf_pq_codes(spark, odd, path)
+    return similarity.ivf_pq_topk_from_codes(
+        spark,
+        emb.filter(F.col("vec_id") < 10),
+        path,
+        k=5,
+        n_probe=8,
+        refine_corpus=emb,
+        refine_factor=16,
+    ).orderBy("query_id", "rank")
+
+
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketches.py:hll_pairwise_overlap):
     audience overlap between every event-type pair — union by register
@@ -3027,6 +3062,11 @@ _R10_FRONT_50 = [
     "streaming_crawl_triage",
     "text_profile",
     "tfidf_top_terms",
+    # late round-10 addition (rule b: new names enter the window the
+    # round they land) — displaces the least-stale canary
+    # (doc_bpe_token_stream, last graded r8; its module stays covered
+    # by the round-9-graded doc_bpe_tokens sibling)
+    "embedding_topk_ivf_pq_codes",
     # --- 22 mechanical canaries (tools/grade_ledger.py --canaries:
     # stalest per dominant module, staleness-ordered) ---------------
     "customers_without_orders",
@@ -3050,7 +3090,6 @@ _R10_FRONT_50 = [
     "purchase_last_view_asof",
     "salted_event_counts",
     "bloom_semi_revenue",
-    "doc_bpe_token_stream",
 ]
 
 
@@ -3231,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_pq": q_embedding_topk_pq,
         "embedding_topk_ivf_pq": q_embedding_topk_ivf_pq,
         "embedding_topk_ivf_pq_indexed": q_embedding_topk_ivf_pq_indexed,
+        "embedding_topk_ivf_pq_codes": q_embedding_topk_ivf_pq_codes,
         "user_order_cogroup_profile": q_user_order_cogroup,
         "doc_hashed_features": q_doc_hashed_features,
         # round 5: CCNet-family perplexity-proxy scoring + additive
@@ -5867,6 +5907,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT batch_id, query_id, neighbor_id, cosine_sim, rank
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_ivf_pq_indexed.parquet')
             ORDER BY batch_id, query_id, rank
+        """,
+        # round 10: persisted-codes lifecycle — index trained on the
+        # initial (even) load, codes committed then APPENDED for the
+        # odd batch, query answered from index + codes alone
+        "embedding_topk_ivf_pq_codes": """
+            SELECT query_id, neighbor_id, cosine_sim, rank
+            FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_ivf_pq_codes.parquet')
+            ORDER BY query_id, rank
         """,
         "hll_user_overlap_by_type": """
             SELECT group_a, group_b, est_a, est_b, est_union,

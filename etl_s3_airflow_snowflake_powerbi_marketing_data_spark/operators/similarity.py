@@ -1372,6 +1372,135 @@ def ivf_pq_topk_indexed(
     )
 
 
+def ivf_pq_codes_table(
+    corpus: DataFrame,
+    cent,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, cell, codes) for every corpus vector — the
+    ENCODE stage of IVF-PQ as a standalone frame, so the codes can be
+    committed to the versioned layer and never recomputed: at 100 TB
+    the corpus is encoded ONCE at load time and every later query
+    ADC-scans the 32×-smaller persisted codes, not the vectors
+    (:func:`build_ivf_pq_codes` / :func:`ivf_pq_topk_from_codes`).
+    Map-only (literal-centroid cell assignment + Arrow numpy argmin
+    per subspace), zero shuffles; deterministic — identical index +
+    vectors → bit-identical codes."""
+    import numpy as np  # noqa: PLC0415
+
+    m, dsub = books.shape[0], books.shape[2]
+    centroid_lit = _centroid_literal(cent)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def encode_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
+            out = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["__id"],
+                    "cell": pdf["cell"],
+                    "codes": list(out),
+                }
+            )
+
+    corpus_u = with_unit_vector(corpus, vec_col, "__u")
+    return corpus_u.select(
+        F.col(id_col).alias("__id"),
+        "__u",
+        _nearest_cells(F.col(vec_col), centroid_lit, 1)[0].alias("cell"),
+    ).mapInPandas(
+        encode_batches,
+        f"neighbor_id {id_type}, cell int, codes array<int>",
+    )
+
+
+def build_ivf_pq_codes(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Encode ``corpus`` with the persisted index and COMMIT the codes
+    as ``{index_path}/codes`` (versioned, replace) — the initial-load
+    half of the persisted-codes lifecycle."""
+    from ..sources import versioned  # noqa: PLC0415
+
+    cent, books = load_ivf_pq_index(spark, index_path)
+    codes = ivf_pq_codes_table(corpus, cent, books, id_col, vec_col)
+    return versioned.write_version(codes, f"{index_path}/codes")
+
+
+def append_ivf_pq_codes(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Encode an INCREMENTAL batch with the persisted index and append
+    its codes to ``{index_path}/codes`` — no retraining, no re-encode
+    of history: the append commit writes only the new batch's prefix
+    (manifest extension, nothing rewritten). The crawl-load posture:
+    each load encodes its own rows once; queries scan the union."""
+    from ..sources import versioned  # noqa: PLC0415
+
+    cent, books = load_ivf_pq_index(spark, index_path)
+    codes = ivf_pq_codes_table(batch, cent, books, id_col, vec_col)
+    return versioned.write_version(
+        codes, f"{index_path}/codes", mode="append"
+    )
+
+
+def ivf_pq_topk_from_codes(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    refine_corpus: DataFrame | None = None,
+    refine_factor: int = 0,
+    version: int | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k where the ONLY corpus-scaled input is the
+    PERSISTED codes snapshot — vectors are never rescanned (except
+    the candidate shortlist when ``refine_factor > 0``, which joins
+    ``refine_corpus`` by id for the exact re-rank). Completes the
+    persist-once lifecycle (VERDICT r09 item 3): train once
+    (:func:`train_ivf_pq_index` → :func:`save_ivf_pq_index`), encode
+    each load once (:func:`build_ivf_pq_codes` /
+    :func:`append_ivf_pq_codes`), and answer every query from index +
+    codes alone — the FAISS on-disk posture expressed as versioned
+    parquet tables."""
+    from ..sources import versioned  # noqa: PLC0415
+
+    cent, books = load_ivf_pq_index(spark, index_path, version)
+    codes = versioned.read_version(spark, f"{index_path}/codes", version)
+    return _ivf_pq_scan(
+        refine_corpus,
+        queries,
+        cent,
+        books,
+        k,
+        id_col,
+        vec_col,
+        n_probe,
+        refine_factor,
+        codes=codes,
+    )
+
+
 def _ivf_pq_scan(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1382,16 +1511,23 @@ def _ivf_pq_scan(
     vec_col: str = "embedding",
     n_probe: int = 4,
     refine_factor: int = 0,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The scan half of IVF-PQ (see :func:`ivf_pq_topk` for the full
     cost-shape story): literal-centroid cell assignment, Arrow numpy
     encoding, per-query LUTs, cell-keyed ADC join, per-query top-k,
-    optional exact re-rank."""
+    optional exact re-rank. A precomputed ``codes`` frame (the
+    persisted-codes path) skips the encode stage entirely; ``corpus``
+    is then only consulted for the exact re-rank shortlist."""
     import numpy as np  # noqa: PLC0415
 
     m, dsub = books.shape[0], books.shape[2]
     centroid_lit = _centroid_literal(cent)
-    id_type = corpus.schema[id_col].dataType.simpleString()
+    id_type = (
+        codes.schema["neighbor_id"].dataType.simpleString()
+        if codes is not None
+        else corpus.schema[id_col].dataType.simpleString()
+    )
 
     def encode_batches(it):
         for pdf in it:
@@ -1439,15 +1575,20 @@ def _ivf_pq_scan(
                 {"query_id": qid, "cell": cells, "lut": luts}
             )
 
-    corpus_u = with_unit_vector(corpus, vec_col, "__u")
-    codes = corpus_u.select(
-        F.col(id_col).alias("__id"),
-        "__u",
-        _nearest_cells(F.col(vec_col), centroid_lit, 1)[0].alias("cell"),
-    ).mapInPandas(
-        encode_batches,
-        f"neighbor_id {id_type}, cell int, codes array<int>",
-    )
+    if codes is None:
+        corpus_u = with_unit_vector(corpus, vec_col, "__u")
+        codes = corpus_u.select(
+            F.col(id_col).alias("__id"),
+            "__u",
+            _nearest_cells(F.col(vec_col), centroid_lit, 1)[0].alias("cell"),
+        ).mapInPandas(
+            encode_batches,
+            f"neighbor_id {id_type}, cell int, codes array<int>",
+        )
+    if refine_factor > 0 and corpus is None:
+        raise ValueError(
+            "refine_factor > 0 needs refine_corpus (original vectors)"
+        )
     q_u = with_unit_vector(queries, vec_col, "__u")
     probe = q_u.select(
         F.col(id_col).alias("__id"),

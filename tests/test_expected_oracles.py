@@ -279,6 +279,48 @@ def test_indexed_ivf_pq_generator_matches_spark_on_alternate_sf(
     assert _canon(got) == _canon(gen_expected.gen_ivf_pq_topk_indexed(vecs))
 
 
+def test_codes_ivf_pq_generator_matches_spark_on_alternate_sf(
+    spark, sf_dir, tmp_path
+):
+    """The persisted-codes replica must agree with the real path
+    (train on evens → commit index → build codes → APPEND odd batch →
+    scan from the codes snapshot) at sf0.001 — and the codes snapshot
+    after build+append must equal a fresh full-corpus encode
+    (append-encode-once ≡ encode-all, bit-for-bit)."""
+    vecs = gen_expected.load_embeddings(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    cent, books = similarity.train_ivf_pq_index(even, train_iters=2)
+    similarity.save_ivf_pq_index(spark, cent, books, path)
+    similarity.build_ivf_pq_codes(spark, even, path)
+    similarity.append_ivf_pq_codes(spark, odd, path)
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned,
+    )
+
+    snapshot = versioned.read_version(spark, f"{path}/codes").toPandas()
+    fresh = similarity.ivf_pq_codes_table(emb, cent, books).toPandas()
+    snap = {r.neighbor_id: (r.cell, list(r.codes))
+            for r in snapshot.itertuples()}
+    full = {r.neighbor_id: (r.cell, list(r.codes))
+            for r in fresh.itertuples()}
+    assert snap == full
+
+    got = similarity.ivf_pq_topk_from_codes(
+        spark,
+        emb.filter(F.col("vec_id") < 10),
+        path,
+        k=5,
+        n_probe=8,
+        refine_corpus=emb,
+        refine_factor=16,
+    ).toPandas()
+    assert _canon(got) == _canon(gen_expected.gen_ivf_pq_topk_codes(vecs))
+
+
 def test_audio_fingerprint_generator_matches_spark_on_alternate_group_count(
     spark,
 ):

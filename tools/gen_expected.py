@@ -1464,6 +1464,128 @@ def gen_ivf_pq_topk_indexed(
     )
 
 
+def gen_ivf_pq_topk_codes(
+    vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    train_sample: int = 512,
+    iters: int = 3,
+    train_iters: int = 2,
+    refine_factor: int = 16,
+) -> pd.DataFrame:
+    """Independent mirror of the persisted-codes lifecycle
+    (similarity.ivf_pq_topk_from_codes): index trained on the EVEN-id
+    initial load only; every vector (initial + appended odd batch)
+    encoded with that one index; queries answered from index + codes
+    over the union — exactly what the versioned codes snapshot holds
+    after build (even, replace) + append (odd)."""
+    dsub = dim // m
+
+    def unit(v):
+        n = seq_norm(v)
+        return [float(x) / n for x in v]
+
+    by_id = dict(vecs)
+    train_vecs = [(i, v) for i, v in vecs if i % 2 == 0]
+    hashed = sorted((xxhash64(i), i) for i, _ in train_vecs)
+    if train_iters > 0:
+        centroids = sorted(
+            _lloyd_centroids(train_vecs, n_cells, train_iters).items()
+        )
+    else:
+        centroids = [
+            (cell + 1, by_id[i])
+            for cell, (_, i) in enumerate(hashed[:n_cells])
+        ]
+
+    def probe(vec, probes):
+        sims = sorted(
+            ((cell, seq_cosine(vec, cv)) for cell, cv in centroids),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return [cell for cell, _ in sims[:probes]]
+
+    sample = np.array(
+        [unit(by_id[sid]) for _, sid in hashed[:train_sample]],
+        dtype=np.float64,
+    )
+    n_seed = min(ksub, len(sample))
+    books = np.empty((m, n_seed, dsub), dtype=np.float64)
+    for s in range(m):
+        xs = sample[:, s * dsub : (s + 1) * dsub]
+        cs = xs[:n_seed].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(n_seed):
+                mask = a == c
+                if mask.any():
+                    cs[c] = xs[mask].mean(axis=0)
+        books[s] = cs
+
+    x = np.vstack([np.array(unit(v), dtype=np.float64) for _, v in vecs])
+    enc = np.empty((len(vecs), m), dtype=np.int64)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        enc[:, s] = d.argmin(axis=1)
+    row_of = {i: row for row, (i, _) in enumerate(vecs)}
+    cell_members: dict[int, list[int]] = {}
+    for i, v in vecs:
+        cell_members.setdefault(probe(v, 1)[0], []).append(i)
+
+    score_col = "cosine_sim" if refine_factor > 0 else "pq_dist"
+    out = {"query_id": [], "neighbor_id": [], score_col: [], "rank": []}
+    for qid, qv in vecs:
+        if qid >= 10:
+            continue
+        qrow = row_of[qid]
+        lut = [
+            ((x[qrow, s * dsub : (s + 1) * dsub][None, :] - books[s]) ** 2)
+            .sum(axis=1)
+            .tolist()
+            for s in range(m)
+        ]
+        cand: set[int] = set()
+        for cell in probe(qv, n_probe):
+            cand.update(cell_members.get(cell, []))
+        cand.discard(qid)
+        scored = []
+        for nid in cand:
+            acc = 0.0
+            for s in range(m):
+                acc += lut[s][enc[row_of[nid], s]]
+            scored.append((math.floor(acc * 1e6) / 1e6, nid))
+        scored.sort()
+        if refine_factor > 0:
+            ranked = sorted(
+                (
+                    (trunc6(seq_cosine(qv, by_id[nid])), nid)
+                    for _, nid in scored[: refine_factor * k]
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        else:
+            ranked = scored[:k]
+        for rank, (d, nid) in enumerate(ranked, start=1):
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(nid)
+            out[score_col].append(d)
+            out["rank"].append(rank)
+    return pd.DataFrame(out).astype(
+        {
+            "query_id": "int64",
+            "neighbor_id": "int64",
+            score_col: "float64",
+            "rank": "int64",
+        }
+    )
+
+
 def _afp_replica(g: int, variant: int) -> int:
     """From-scratch audio fingerprint of near-dup fixture (g, variant)
     computed from the CLOSED-FORM segment energies — count · amp² per
@@ -1800,6 +1922,7 @@ def main() -> None:
         ("audio_dedup_survivors", gen_audio_dedup_survivors()),
         ("audio_fingerprint_incremental", gen_audio_fp_incremental()),
         ("embedding_topk_ivf_pq_indexed", gen_ivf_pq_topk_indexed(vecs)),
+        ("embedding_topk_ivf_pq_codes", gen_ivf_pq_topk_codes(vecs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
