@@ -2102,6 +2102,82 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual image dedup gate (streaming/pipeline.py:
+    run_streaming_image_dedup): two ordered micro-batches of REAL
+    raster images (the g%4 BMP/PPM/PNG/GIF fixture) are dHash'd live
+    and checked against a persisted 8-byte hash store seeded with the
+    even-group bases; decisions and survivor hashes commit
+    effectively-once through the versioned layer. Batch 1 = even-group
+    v1 variants (store-hit path) + odd-group bases (keep path, hashes
+    appended); batch 2 = even-group v2 + odd-group v1/v2 — the
+    odd-group variants MUST hit the store entries batch 1 appended
+    (the cross-batch path a single-batch smoke can't exercise).
+    Exact pigeonhole banding: unlike the probabilistic MinHash gate,
+    nothing within the radius is missed. Oracle: independent
+    sequential two-batch replica over independently recomputed hashes
+    (tools/gen_expected.py:gen_streaming_image_dedup)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    base = _scratch_path("stream_imgdedup", sf_dir)
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    decisions = os.path.join(base, "decisions")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (src_dir, store, decisions, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    rows = multimodal.synthetic_near_dup_image_rows(16)
+    tbl = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    # Stage each batch as ONE parquet file, written driver-side with
+    # pyarrow straight from the fixture rows (the frames are
+    # driver-generated anyway; coalesce(1) over the parallelized
+    # local relation would pull every partition through one
+    # sequential Python task — measured 12 s per batch write), with
+    # ascending mtimes so the two-trigger sequence is deterministic.
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    now = _time.time()
+    batches = [
+        [r for r in rows if r[0] % 6 in (2, 4)],
+        [r for r in rows if r[0] % 6 in (3, 5, 0)],
+    ]
+    for i, batch_rows in enumerate(batches):
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array(
+                        [r[0] for r in batch_rows], pa.int64()
+                    ),
+                    "media_type": pa.array([r[1] for r in batch_rows]),
+                    "payload": pa.array(
+                        [r[2] for r in batch_rows], pa.binary()
+                    ),
+                    "meta_source": pa.array([r[3] for r in batch_rows]),
+                }
+            ),
+            dst,
+        )
+        os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (  # noqa: PLC0415
+        versioned as vt,
+    )
+
+    vt.write_version(
+        multimodal.dhash_table(tbl.filter(F.col("media_id") % 6 == 1)),
+        store,
+    )
+    return streaming_pipeline.run_streaming_image_dedup(
+        spark, src_dir, store, decisions, checkpoint_dir=ckpt
+    ).orderBy("media_id")
+
+
 def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: two-phase salted agg over events keyed by
     event_type — 5 distinct keys over the whole table is exactly the
@@ -3065,8 +3141,11 @@ _R10_FRONT_50 = [
     # late round-10 addition (rule b: new names enter the window the
     # round they land) — displaces the least-stale canary
     # (doc_bpe_token_stream, last graded r8; its module stays covered
-    # by the round-9-graded doc_bpe_tokens sibling)
+    # by the round-9-graded doc_bpe_tokens sibling) — and
+    # streaming_image_dedup displaces bloom_semi_revenue (r8-graded;
+    # the bloom runtime filter stays covered by the r10 vanilla gate)
     "embedding_topk_ivf_pq_codes",
+    "streaming_image_dedup",
     # --- 22 mechanical canaries (tools/grade_ledger.py --canaries:
     # stalest per dominant module, staleness-ordered) ---------------
     "customers_without_orders",
@@ -3089,7 +3168,6 @@ _R10_FRONT_50 = [
     "segment_price_ks",
     "purchase_last_view_asof",
     "salted_event_counts",
-    "bloom_semi_revenue",
 ]
 
 
@@ -3408,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8: streaming crawl-ingest quality gate
         "streaming_doc_quality_gate": q_streaming_doc_quality,
         "streaming_crawl_triage": q_streaming_crawl_triage,
+        "streaming_image_dedup": q_streaming_image_dedup,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
     ordered = {name: all_q[name] for name in _R10_FRONT_50}
@@ -4481,6 +4560,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_incremental": """
             SELECT media_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/audio_fingerprint_incremental.parquet')
+            ORDER BY media_id
+        """,
+        # round 10: streaming image dedup gate — independent
+        # sequential two-micro-batch replica over independently
+        # recomputed dHashes (store seeding, survivor append,
+        # cross-batch hits)
+        "streaming_image_dedup": """
+            SELECT media_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/streaming_image_dedup.parquet')
             ORDER BY media_id
         """,
         # round 9: dedup-aware split — bucket keys on the normalized

@@ -972,6 +972,20 @@ def synthetic_near_dup_image_table(spark, groups: int = 16) -> DataFrame:
     decoder (incl. the five PNG filters, alpha drop, LZW + interlace
     de-weave), and hash are mutually consistent. Bounded driver-side
     generation — a fixture, not a data path."""
+    return spark.createDataFrame(
+        synthetic_near_dup_image_rows(groups), MEDIA_SCHEMA
+    )
+
+
+def synthetic_near_dup_image_rows(
+    groups: int = 16,
+) -> list[tuple[int, str, bytes, str]]:
+    """Raw driver-side rows of :func:`synthetic_near_dup_image_table`
+    — for fixtures that stage micro-batch FILES directly (the
+    streaming gate writes each batch as one parquet file via pyarrow:
+    a ``coalesce(1)`` over the local-relation frame would pull every
+    parallelized partition through a single sequential Python task,
+    measured 12 s for 16 images)."""
     rows = []
     for g in range(groups):
         w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
@@ -988,7 +1002,7 @@ def synthetic_near_dup_image_table(spark, groups: int = 16) -> DataFrame:
                 payload = encode_gif_pixels(px, interlace=(g % 8 == 3))
                 mt = "image/gif"
             rows.append((g * 3 + v + 1, mt, payload, "fixture"))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
 
 
 FRAME_SCHEMA = T.StructType(

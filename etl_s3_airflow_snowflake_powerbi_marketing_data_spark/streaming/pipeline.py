@@ -736,6 +736,110 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_media_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a media parquet prefix (MEDIA_SCHEMA —
+    binary payloads ride the columnar path unchanged). Schema probed
+    from a driver-side batch metadata read; directory-shaped targets
+    stream the directory itself, same contract as
+    :func:`read_document_stream`."""
+    base_dir, file_name = _stream_source_parts(path)
+    schema = (
+        spark.read.option("pathGlobFilter", file_name or "*")
+        .parquet(base_dir)
+        .schema
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", file_name or "*")
+        .parquet(base_dir)
+    )
+
+
+def run_streaming_image_dedup(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    decisions_path: str,
+    max_hamming: int = 3,
+    state_partitions: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming PERCEPTUAL image dedup gate — the image leg of
+    :func:`run_streaming_minhash_dedup`, completing the multimodal
+    ingest story: each arriving micro-batch of images is dHash'd
+    (map-only Arrow; undecodable payloads skipped, never fatal) and
+    checked against the persisted 8-byte-per-image hash store via the
+    EXACT pigeonhole banding (operators/dedup.py:hamming_incremental
+    runs unchanged — unlike the probabilistic MinHash gate, nothing
+    within the Hamming radius is ever missed). Decisions commit
+    effectively-once through insert-if-absent versioned merges;
+    SURVIVORS' hashes (never pixels) append to the store so the next
+    batch dedups against everything kept so far — recrawled or
+    lightly-edited images arriving later hit the store entries
+    earlier batches appended.
+
+    State: the hash store is the only cross-batch state and lives in
+    the versioned table layer — Spark-side streaming state is zero
+    rows. Output: the final decisions snapshot — (media_id,
+    matched_store_id, matched_batch_id, keep), -1 sentinels."""
+    import tempfile  # noqa: PLC0415
+
+    from ..functions.multimodal import dhash_table  # noqa: PLC0415
+    from ..operators import dedup as dedup_ops  # noqa: PLC0415
+    from ..operators.merge import versioned_merge  # noqa: PLC0415
+    from ..sources import versioned as vt  # noqa: PLC0415
+
+    stream = read_media_stream(spark, source_path)
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="stream_imgdedup_ckpt_")
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # hash the batch ONCE (eager — the dedup check and the
+        # survivor append both read it)
+        hashed = dhash_table(batch).localCheckpoint(eager=True)
+        if vt.table_versions(store_path):
+            store = vt.read_version(sess, store_path).select(
+                F.col("media_id").alias("id"), F.col("dhash").alias("sh")
+            )
+        else:
+            store = sess.createDataFrame([], "id long, sh long")
+        decisions = dedup_ops.hamming_incremental(
+            store,
+            hashed.select(
+                F.col("media_id").alias("id"), F.col("dhash").alias("sh")
+            ),
+            max_hamming=max_hamming,
+        ).localCheckpoint(eager=True)
+        if vt.table_versions(decisions_path):
+            versioned_merge(
+                sess, decisions_path, decisions, ["media_id"], update=False
+            )
+        else:
+            vt.write_version(decisions, decisions_path)
+        survivors = hashed.join(
+            decisions.filter(F.col("keep")).select("media_id"), "media_id"
+        ).select("media_id", "dhash")
+        if vt.table_versions(store_path):
+            versioned_merge(
+                sess, store_path, survivors, ["media_id"], update=False
+            )
+        else:
+            vt.write_version(survivors, store_path)
+
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return vt.read_version(spark, decisions_path)
+
+
 def streaming_doc_quality_counts(
     docs: DataFrame,
     min_words: int = 20,

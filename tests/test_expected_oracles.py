@@ -279,6 +279,25 @@ def test_indexed_ivf_pq_generator_matches_spark_on_alternate_sf(
     assert _canon(got) == _canon(gen_expected.gen_ivf_pq_topk_indexed(vecs))
 
 
+def test_streaming_image_dedup_fixture_exercises_cross_batch_path():
+    """The batch split (%6 ∈ {2,4} then {3,5,0}) must actually drive
+    batch-2 rows into STORE entries batch 1 appended (odd-group bases,
+    %6 == 4) — the cross-batch path the streaming gate exists to pin —
+    and the store-seed path (matches to %6 == 1 bases) and keep path
+    must all occur."""
+    df = gen_expected.gen_streaming_image_dedup(16)
+    store_match_mods = {
+        int(m) % 6 for m in df["matched_store_id"] if m != -1
+    }
+    assert 4 in store_match_mods  # cross-batch: batch-1-appended base
+    assert 1 in store_match_mods  # seeded store hit
+    assert bool(df["keep"].any()) and bool((~df["keep"]).any())
+    # batch-2 rows (%6 in {3,5,0}) include at least one hit on a
+    # batch-1-appended odd base
+    b2 = df[df["media_id"].mod(6).isin([3, 5, 0])]
+    assert (b2["matched_store_id"].mod(6) == 4).any()
+
+
 def test_codes_ivf_pq_generator_matches_spark_on_alternate_sf(
     spark, sf_dir, tmp_path
 ):

@@ -1815,6 +1815,58 @@ def gen_image_dhash_incremental(
     )
 
 
+def gen_streaming_image_dedup(
+    groups: int = 16, max_hamming: int = 3
+) -> pd.DataFrame:
+    """Sequential two-micro-batch replica of the streaming image
+    dedup gate (streaming/pipeline.py:run_streaming_image_dedup):
+    store seeded with even-group BASE hashes (media_id%6==1);
+    batch 1 = even-group v1 + odd-group bases (%6 in {2,4});
+    batch 2 = even-group v2 + odd-group v1/v2 (%6 in {3,5,0}).
+    After each batch the SURVIVORS' hashes join the store — so
+    batch 2's odd-group variants must hit the odd-group bases
+    batch 1 appended, the cross-batch path the oracle exists to
+    pin. Same min-id semantics as hamming_incremental."""
+    hashes = gen_image_dhash(groups)
+    hs = dict(zip(hashes["media_id"], hashes["dhash"]))
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & M64).count("1")
+
+    store = sorted(i for i in hs if i % 6 == 1)
+    batches = [
+        sorted(i for i in hs if i % 6 in (2, 4)),
+        sorted(i for i in hs if i % 6 in (3, 5, 0)),
+    ]
+    out = {"media_id": [], "matched_store_id": [],
+           "matched_batch_id": [], "keep": []}
+    for batch in batches:
+        kept = []
+        for d in batch:
+            ms = min(
+                (c for c in store if ham(hs[d], hs[c]) <= max_hamming),
+                default=-1,
+            )
+            mb = min(
+                (c for c in batch
+                 if c < d and ham(hs[d], hs[c]) <= max_hamming),
+                default=-1,
+            )
+            keep = ms == -1 and mb == -1
+            if keep:
+                kept.append(d)
+            out["media_id"].append(d)
+            out["matched_store_id"].append(ms)
+            out["matched_batch_id"].append(mb)
+            out["keep"].append(keep)
+        store = sorted(store + kept)
+    df = pd.DataFrame(out).astype(
+        {"media_id": "int64", "matched_store_id": "int64",
+         "matched_batch_id": "int64", "keep": "bool"}
+    )
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
 def gen_audio_dedup_survivors(
     groups: int = 16, max_hamming: int = 3
 ) -> pd.DataFrame:
@@ -1923,6 +1975,7 @@ def main() -> None:
         ("audio_fingerprint_incremental", gen_audio_fp_incremental()),
         ("embedding_topk_ivf_pq_indexed", gen_ivf_pq_topk_indexed(vecs)),
         ("embedding_topk_ivf_pq_codes", gen_ivf_pq_topk_codes(vecs)),
+        ("streaming_image_dedup", gen_streaming_image_dedup()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
