@@ -723,6 +723,24 @@ def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id_a", "media_id_b")
 
 
+def q_media_jpeg_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG pixel decode feeding the perceptual hash
+    (functions/multimodal.py:_jpeg_pixels — pure-Python Huffman +
+    differential-DC entropy decode, dequant, literal-cosine-table
+    IDCT, YCbCr->RGB; the last codec seam closed): dHashes over a
+    fixture of REAL baseline JFIF payloads at qualities 70/80/90/100,
+    color and grayscale. The oracle replays the full codec MATH
+    (color transform, padded fDCT, quantize/dequantize, IDCT) from
+    the pattern arithmetic without the byte layer (tools/
+    gen_expected.py:gen_jpeg_dhash), so equality pins the Huffman/
+    marker/bit-stuffing round trip as lossless and the DCT pipeline
+    as bit-reproducible (no libm — hard-coded cosine literals, one
+    documented rounding rule, fixed accumulation order)."""
+    return multimodal.dhash_table(
+        multimodal.synthetic_jpeg_image_table(spark, 10)
+    )
+
+
 def q_audio_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end audio dedup (operators/dedup.py:
     audio_dedup_survivors): connected components over the fingerprint
@@ -3146,6 +3164,9 @@ _R10_FRONT_50 = [
     # the bloom runtime filter stays covered by the r10 vanilla gate)
     "embedding_topk_ivf_pq_codes",
     "streaming_image_dedup",
+    # media_jpeg_dhash displaces salted_event_counts (r7-graded; the
+    # skew module stays covered by r9-graded join_key_skew_profile)
+    "media_jpeg_dhash",
     # --- 22 mechanical canaries (tools/grade_ledger.py --canaries:
     # stalest per dominant module, staleness-ordered) ---------------
     "customers_without_orders",
@@ -3167,7 +3188,6 @@ _R10_FRONT_50 = [
     "scd2_point_in_time",
     "segment_price_ks",
     "purchase_last_view_asof",
-    "salted_event_counts",
 ]
 
 
@@ -3289,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dups": q_image_dhash_dups,
         "image_dedup_survivors": q_image_dedup_survivors,
         "image_dhash_incremental": q_image_dhash_incremental,
+        "media_jpeg_dhash": q_media_jpeg_dhash,
         "media_audio_fingerprint": q_media_audio_fingerprint,
         "audio_fingerprint_dups": q_audio_fingerprint_dups,
         "audio_dedup_survivors": q_audio_dedup_survivors,
@@ -4540,6 +4561,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/image_dhash_incremental.parquet')
             ORDER BY media_id
+        """,
+        # round 10: baseline JPEG decode — codec-math replica, no bytes
+        "media_jpeg_dhash": """
+            SELECT media_id, dhash
+            FROM read_parquet('/root/repo/expected/sf0.01/media_jpeg_dhash.parquet')
         """,
         # round 10: audio content near-dup — independent closed-form
         # segment-energy replica (no WAV bytes), brute-force all-pairs

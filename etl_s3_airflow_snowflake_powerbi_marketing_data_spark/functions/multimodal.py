@@ -808,6 +808,562 @@ def encode_gif_pixels(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / JFIF), pure Python — the last codec seam
+# (VERDICT r09 "what's missing" item 3 / r10 stretch). Everything is
+# specified to be bit-reproducible WITHOUT libm: the only irrational
+# constants are cos(k·π/16), hard-coded below as IEEE-754 literals, and
+# every floating sum follows a DOCUMENTED accumulation order (v outer,
+# u inner for the IDCT; y outer, x inner for the forward DCT), so an
+# independent replica replays the identical IEEE sequence.
+
+# cos(k·π/16), k = 0..8 — shortest round-trip decimal literals.
+_COS16 = [
+    1.0,
+    0.9807852804032304,
+    0.9238795325112867,
+    0.8314696123025452,
+    0.7071067811865476,
+    0.5555702330196023,
+    0.38268343236508984,
+    0.19509032201612833,
+    6.123233995736766e-17,
+]
+# COS32[a] = cos(a·π/16) for a in 0..31, from the 9 literals by
+# symmetry: cos((32−a)π/16) = cos(aπ/16); cos((16−k)π/16) = −cos(kπ/16).
+_COS32 = [
+    (_COS16[a] if a <= 8 else -_COS16[16 - a])
+    if a <= 16
+    else (_COS16[32 - a] if 32 - a <= 8 else -_COS16[16 - (32 - a)])
+    for a in range(32)
+]
+# _DCT_COS[x][u] = cos((2x+1)·u·π/16)
+_DCT_COS = [[_COS32[((2 * x + 1) * u) % 32] for u in range(8)]
+            for x in range(8)]
+_INV_SQRT2 = 0.7071067811865476
+
+# Annex K quantization tables (luminance, chrominance), natural order.
+_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+# zigzag order: _ZIGZAG[i] = natural index of the i-th zigzag coeff.
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K typical Huffman tables: (bits[1..16], huffval) per class.
+_HT_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _round_half_up(x: float) -> int:
+    """floor(x + 0.5) — the single rounding rule used everywhere in
+    the JPEG pipeline (spec leaves rounding open; pinning ONE rule is
+    what makes replicas bit-identical)."""
+    import math  # noqa: PLC0415
+
+    return math.floor(x + 0.5)
+
+
+def _quality_scaled(table: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: 1..100 → per-entry scale, clamped 1..255."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (t * scale + 50) // 100)) for t in table]
+
+
+def _fdct8x8(block: list[list[float]]) -> list[list[float]]:
+    """Forward 8×8 DCT-II, the T.81 Annex A formula evaluated with the
+    literal cosine table; accumulation order y outer, x inner."""
+    out = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for u in range(8):
+            acc = 0.0
+            for y in range(8):
+                for x in range(8):
+                    acc += (
+                        block[y][x] * _DCT_COS[x][u] * _DCT_COS[y][v]
+                    )
+            cu = _INV_SQRT2 if u == 0 else 1.0
+            cv = _INV_SQRT2 if v == 0 else 1.0
+            out[v][u] = 0.25 * cu * cv * acc
+    return out
+
+
+def _idct8x8(coef: list[list[float]]) -> list[list[float]]:
+    """Inverse 8×8 DCT-III; accumulation order v outer, u inner."""
+    out = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = _INV_SQRT2 if u == 0 else 1.0
+                    cv = _INV_SQRT2 if v == 0 else 1.0
+                    acc += (
+                        cu * cv * coef[v][u]
+                        * _DCT_COS[x][u] * _DCT_COS[y][v]
+                    )
+            out[y][x] = 0.25 * acc
+    return out
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = _round_half_up(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = _round_half_up(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+    cr = _round_half_up(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+    return _clamp8(y), _clamp8(cb), _clamp8(cr)
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = _round_half_up(y + 1.402 * (cr - 128))
+    g = _round_half_up(
+        y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    )
+    b = _round_half_up(y + 1.772 * (cb - 128))
+    return _clamp8(r), _clamp8(g), _clamp8(b)
+
+
+class _BitWriter:
+    """MSB-first bit stream with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _huff_codes(bits: list[int], huffval: list[int]) -> dict:
+    """symbol → (code, length) by the canonical T.81 Annex C
+    assignment (codes of ascending length, ascending value)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, offset bits) for a DC diff / AC value — negative
+    values encode as the one's-complement offset (T.81 F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+
+def encode_jpeg_pixels(
+    rows: list[list[tuple[int, int, int]]],
+    quality: int = 90,
+    grayscale: bool = False,
+) -> bytes:
+    """Real baseline JFIF JPEG from an explicit pixel grid: RGB →
+    YCbCr (or BT.601 luma only when ``grayscale``), 8×8 forward DCT
+    with the literal-cosine table, Annex-K quantization scaled by the
+    IJG ``quality`` rule, zigzag + differential-DC Huffman coding with
+    the Annex-K typical tables, 4:4:4 (no subsampling). Edge blocks
+    replicate the last row/column. Deterministic bit-for-bit: no libm,
+    one documented rounding rule, fixed accumulation order —
+    :func:`_jpeg_pixels` and the oracle replica invert/replay it
+    exactly."""
+    import struct  # noqa: PLC0415
+
+    h, w = len(rows), len(rows[0])
+    qt_l = _quality_scaled(_QT_LUM, quality)
+    qt_c = _quality_scaled(_QT_CHROM, quality)
+    n_comp = 1 if grayscale else 3
+
+    # plane extraction with edge replication to 8-multiples
+    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
+    planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
+    for y in range(bh):
+        sy = min(y, h - 1)
+        for x in range(bw):
+            sx = min(x, w - 1)
+            ycc = _rgb_to_ycbcr(*rows[sy][sx])
+            for c in range(n_comp):
+                planes[c][y][x] = ycc[c]
+
+    dc_l = _huff_codes(*_HT_DC_LUM)
+    ac_l = _huff_codes(*_HT_AC_LUM)
+    dc_c = _huff_codes(*_HT_DC_CHROM)
+    ac_c = _huff_codes(*_HT_AC_CHROM)
+    writer = _BitWriter()
+    prev_dc = [0] * n_comp
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for c in range(n_comp):
+                qt = qt_l if c == 0 else qt_c
+                dc_t = dc_l if c == 0 else dc_c
+                ac_t = ac_l if c == 0 else ac_c
+                block = [
+                    [float(planes[c][by + y][bx + x] - 128)
+                     for x in range(8)]
+                    for y in range(8)
+                ]
+                coef = _fdct8x8(block)
+                q = [
+                    _round_half_up(coef[i // 8][i % 8] / qt[i])
+                    for i in range(64)
+                ]
+                zz = [q[_ZIGZAG[i]] for i in range(64)]
+                diff = zz[0] - prev_dc[c]
+                prev_dc[c] = zz[0]
+                cat, off = _magnitude(diff)
+                code, length = dc_t[cat]
+                writer.write(code, length)
+                if cat:
+                    writer.write(off, cat)
+                run = 0
+                for i in range(1, 64):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zrl = ac_t[0xF0]
+                        writer.write(zrl[0], zrl[1])
+                        run -= 16
+                    cat, off = _magnitude(zz[i])
+                    sym = (run << 4) | cat
+                    code, length = ac_t[sym]
+                    writer.write(code, length)
+                    writer.write(off, cat)
+                    run = 0
+                if run:
+                    eob = ac_t[0x00]
+                    writer.write(eob[0], eob[1])
+    scan = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(body)) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l[_ZIGZAG[i]] for i in range(64)))
+    if n_comp == 3:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(qt_c[_ZIGZAG[i]] for i in range(64))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for c in range(n_comp):
+        sof += bytes((c + 1, 0x11, 0 if c == 0 else 1))
+    out += seg(0xFFC0, sof)
+    tables = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_LUM)]
+    if n_comp == 3:
+        tables += [(0x01, _HT_DC_CHROM), (0x11, _HT_AC_CHROM)]
+    for tc_th, (bits, vals) in tables:
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([n_comp])
+    for c in range(n_comp):
+        sos += bytes((c + 1, 0x00 if c == 0 else 0x11))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    un-stuffing; any other 0xFF-marker inside the scan raises (restart
+    intervals are the documented seam)."""
+
+    def __init__(self, data: bytes, start: int) -> None:
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("JPEG scan truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise NotImplementedError(
+                        "marker inside scan (restart intervals unsupported)"
+                    )
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], huffval: list[int]) -> dict:
+    """(length, code) → symbol map for canonical T.81 codes."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_huff_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 EXTEND: offset bits → signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
+    """Full pure-Python pixel decode of a BASELINE JFIF JPEG (SOF0,
+    8-bit, 4:4:4 or grayscale, single interleaved scan, no restart
+    intervals): marker walk → DQT/DHT/SOF0/SOS parse → Huffman +
+    differential-DC entropy decode → dequant → unzigzag → 8×8 IDCT
+    over the literal cosine table → level shift → YCbCr→RGB — closing
+    the last codec seam with the no-libm determinism contract of
+    :func:`encode_jpeg_pixels` (same rounding rule, same accumulation
+    order, so replicas replay the identical IEEE sequence). Progressive
+    (SOF2), subsampled, 12-bit, arithmetic-coded, and
+    restart-interval streams raise — the remaining documented seams."""
+    import struct  # noqa: PLC0415
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = 0
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_id, ac_id)
+    i = 2
+    scan_start = -1
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise NotImplementedError("desynced JPEG stream")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", b, i + 2)
+        body = b[i + 4 : i + 2 + length]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = list(body[j + 1 : j + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = zz[k]
+                qt[tq] = nat
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG")
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG frame")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tdta = body[2 + 2 * c]
+                scan_comps.append((cid, tdta >> 4, tdta & 0x0F))
+            scan_start = i + 2 + length
+            break
+        i += 2 + length
+    if scan_start < 0 or not comps or w <= 0:
+        raise NotImplementedError("JPEG without a baseline scan")
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError("non-interleaved JPEG scan")
+
+    reader = _BitReader(b, scan_start)
+    n_comp = len(comps)
+    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
+    planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
+    prev_dc = [0] * n_comp
+    comp_qt = {cid: qt_id for cid, _s, qt_id in comps}
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for c, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                q = qt[comp_qt[cid]]
+                zz = [0] * 64
+                cat = _read_huff_symbol(reader, huff[(0, dc_id)])
+                diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                prev_dc[c] += diff
+                zz[0] = prev_dc[c]
+                k = 1
+                while k < 64:
+                    sym = _read_huff_symbol(reader, huff[(1, ac_id)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise NotImplementedError("AC run past block end")
+                    zz[k] = _extend(reader.read_bits(cat), cat)
+                    k += 1
+                coef = [[0.0] * 8 for _ in range(8)]
+                for k in range(64):
+                    nat = _ZIGZAG[k]
+                    coef[nat // 8][nat % 8] = float(zz[k] * q[nat])
+                spatial = _idct8x8(coef)
+                plane = planes[c]
+                for y in range(8):
+                    row = plane[by + y]
+                    srow = spatial[y]
+                    for x in range(8):
+                        row[bx + x] = _clamp8(
+                            _round_half_up(srow[x]) + 128
+                        )
+    rows_out: list[list[tuple[int, int, int]]] = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            if n_comp == 1:
+                g = planes[0][y][x]
+                row.append((g, g, g))
+            else:
+                row.append(
+                    _ycbcr_to_rgb(
+                        planes[0][y][x], planes[1][y][x], planes[2][y][x]
+                    )
+                )
+        rows_out.append(row)
+    return rows_out
+
+
 def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
     """Pixel grid for the codec-free raster formats — 24-bit BMP, P6
     PPM, and (r10) 8-bit truecolor PNG (stdlib-zlib inflate + the
@@ -825,6 +1381,8 @@ def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
         return _png_pixels(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_pixels(b)
+    if b[:2] == b"\xff\xd8":
+        return _jpeg_pixels(b)
     raise NotImplementedError("pixel decode requires an image codec")
 
 
@@ -1003,6 +1561,31 @@ def synthetic_near_dup_image_rows(
                 mt = "image/gif"
             rows.append((g * 3 + v + 1, mt, payload, "fixture"))
     return rows
+
+
+def synthetic_jpeg_image_table(spark, groups: int = 10) -> DataFrame:
+    """Deterministic JPEG fixture in MEDIA_SCHEMA shape: ``groups``
+    triples of the near-dup pattern grids, baseline-JPEG encoded with
+    quality cycling 70/80/90/100 by ``g % 4`` (pinning all four
+    quality-scaling paths incl. the q=100 near-lossless clamp) and
+    grayscale for ``g % 5 == 4``. media_id = g·3 + variant + 1. The
+    oracle generator (tools/gen_expected.py:gen_jpeg_dhash) replays
+    the full codec math — color transform, padded fDCT, quantize,
+    dequantize, IDCT — straight from the pattern arithmetic without
+    the byte layer, so equality additionally pins the Huffman /
+    marker / bit-stuffing round trip as lossless. Bounded driver-side
+    generation — a fixture, not a data path."""
+    rows = []
+    for g in range(groups):
+        w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
+        quality = (70, 80, 90, 100)[g % 4]
+        for v in range(3):
+            px = _dup_group_pixels(g, w, h, v)
+            payload = encode_jpeg_pixels(
+                px, quality=quality, grayscale=(g % 5 == 4)
+            )
+            rows.append((g * 3 + v + 1, "image/jpeg", payload, "fixture"))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

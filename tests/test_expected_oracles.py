@@ -279,6 +279,19 @@ def test_indexed_ivf_pq_generator_matches_spark_on_alternate_sf(
     assert _canon(got) == _canon(gen_expected.gen_ivf_pq_topk_indexed(vecs))
 
 
+def test_jpeg_dhash_generator_matches_spark_on_alternate_group_count(spark):
+    """The codec-math replica must agree with the full Spark path
+    (JPEG encode → entropy decode → IDCT → hash) on a DIFFERENT
+    fixture size (14 groups) than the committed expected files (10)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    tbl = mm.synthetic_jpeg_image_table(spark, 14)
+    got = _canon(mm.dhash_table(tbl).toPandas())
+    assert got == _canon(gen_expected.gen_jpeg_dhash(14))
+
+
 def test_streaming_image_dedup_fixture_exercises_cross_batch_path():
     """The batch split (%6 ∈ {2,4} then {3,5,0}) must actually drive
     batch-2 rows into STORE entries batch 1 appended (odd-group bases,

@@ -890,6 +890,55 @@ def test_gif_pixel_codec_roundtrip():
         mm._gif_pixels(mm.encode_gif(8, 8))
 
 
+def test_jpeg_codec_roundtrip_matches_replica():
+    """decode(encode(grid)) must equal the closed-form codec math
+    (tools/gen_expected.py:_jpeg_decoded_replica) BIT-FOR-BIT across
+    qualities, color/grayscale, and non-multiple-of-8 dims — pinning
+    the Huffman/marker/bit-stuffing byte layer as lossless — and the
+    lossy error must stay bounded (a sane codec, not just a
+    deterministic one)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools import gen_expected as ge
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    for g, w, h, q, gray in [
+        (0, 24, 16, 100, False),
+        (1, 21, 13, 90, False),
+        (2, 18, 20, 70, False),
+        (3, 8, 8, 80, True),
+        (4, 33, 9, 95, False),
+    ]:
+        grid = mm._dup_group_pixels(g, w, h, g % 3)
+        payload = mm.encode_jpeg_pixels(grid, quality=q, grayscale=gray)
+        dec = mm._jpeg_pixels(payload)
+        rep = ge._jpeg_decoded_replica(grid, q, grayscale=gray)
+        assert dec == rep, (g, w, h, q, gray)
+        assert len(dec) == h and len(dec[0]) == w
+        if not gray:
+            errs = [
+                abs(a - b)
+                for ro, rd in zip(grid, dec)
+                for po, pd_ in zip(ro, rd)
+                for a, b in zip(po, pd_)
+            ]
+            assert sum(errs) / len(errs) < 20
+        assert mm.decode_image(payload) == (w, h)
+    # determinism: byte-identical re-encode
+    grid = mm._dup_group_pixels(5, 24, 16, 0)
+    assert mm.encode_jpeg_pixels(grid) == mm.encode_jpeg_pixels(grid)
+    # the 23-byte structural fixture (no scan) still raises → the
+    # dhash_table skip path
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm._jpeg_pixels(mm.encode_jpeg(8, 8))
+
+
 def test_dhash_table_skips_undecodable(spark):
     """A format-mixed media table (structural GIF/JPEG fixtures have
     no raster) must yield hashes for decodable payloads and silently

@@ -1249,6 +1249,15 @@ def _dhash_replica(
     (functions/multimodal.py:synthetic_near_dup_image_table shares
     only the pattern formulas). ``palette`` selects the ≤256-color
     variant the GIF groups use (r10)."""
+    return _dhash_from_px(_pattern_px(g, w, h, variant, palette))
+
+
+def _pattern_px(
+    g: int, w: int, h: int, variant: int, palette: bool = False
+) -> list[list[tuple[int, int, int]]]:
+    """The near-dup fixture pattern grid (base + corner-whitening
+    variants) — the pattern-arithmetic half of the replica, shared by
+    the lossless-format dHash replica and the JPEG replica."""
     if palette:
         px = []
         for y in range(h):
@@ -1286,6 +1295,18 @@ def _dhash_replica(
         for y in range(y0, y1):
             for x in range(x0, x1):
                 px[y][x] = (255, 255, 255)
+
+    return px
+
+
+def _dhash_from_px(px: list[list[tuple[int, int, int]]]) -> int:
+    """The dHash arithmetic from an explicit pixel grid — shared by
+    the pattern-grid replica above and the JPEG replica below."""
+    h, w = len(px), len(px[0])
+
+    def box_bounds(t: int, size: int, n: int) -> tuple[int, int]:
+        lo = t * size // n
+        return lo, min(max((t + 1) * size // n, lo + 1), size)
 
     gray = [[(299 * r + 587 * gg + 114 * b) // 1000 for (r, gg, b) in row]
             for row in px]
@@ -1333,6 +1354,165 @@ def gen_image_dhash_dups(groups: int = 16, max_hamming: int = 3) -> pd.DataFrame
             if d <= max_hamming:
                 rows.append((ids[i], ids[j], d))
     return pd.DataFrame(rows, columns=["media_id_a", "media_id_b", "hamming"])
+
+
+# --- JPEG replica: the codec math replayed without the byte layer ---
+# (tools-side reimplementation of the documented contract in
+# functions/multimodal.py: literal cos(k·π/16) table, floor(x+0.5)
+# rounding everywhere, fDCT accumulation y-outer/x-inner, IDCT
+# v-outer/u-inner — so a match proves the committed encoder's
+# Huffman/marker/bit-stuffing byte layer is lossless.)
+_J_COS16 = [
+    1.0, 0.9807852804032304, 0.9238795325112867, 0.8314696123025452,
+    0.7071067811865476, 0.5555702330196023, 0.38268343236508984,
+    0.19509032201612833, 6.123233995736766e-17,
+]
+_J_COS32 = [
+    (_J_COS16[a] if a <= 8 else -_J_COS16[16 - a])
+    if a <= 16
+    else (_J_COS16[32 - a] if 32 - a <= 8 else -_J_COS16[16 - (32 - a)])
+    for a in range(32)
+]
+_J_COS = [[_J_COS32[((2 * x + 1) * u) % 32] for u in range(8)]
+          for x in range(8)]
+_J_ISQRT2 = 0.7071067811865476
+_J_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_J_QT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _j_round(x: float) -> int:
+    return math.floor(x + 0.5)
+
+
+def _j_clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _j_quality(table: list[int], quality: int) -> list[int]:
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (t * scale + 50) // 100)) for t in table]
+
+
+def _jpeg_decoded_replica(
+    px: list[list[tuple[int, int, int]]],
+    quality: int,
+    grayscale: bool = False,
+) -> list[list[tuple[int, int, int]]]:
+    """Decoded pixel grid after one baseline-JPEG round trip —
+    closed-form codec math (color transform → edge-replicated pad →
+    per-block fDCT → quantize → dequantize → IDCT → clamp →
+    inverse color), no bytes."""
+    h, w = len(px), len(px[0])
+    n_comp = 1 if grayscale else 3
+    qts = [_j_quality(_J_QT_LUM, quality)] + (
+        [_j_quality(_J_QT_CHROM, quality)] * 2 if n_comp == 3 else []
+    )
+    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
+    planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
+    for y in range(bh):
+        sy = min(y, h - 1)
+        for x in range(bw):
+            sx = min(x, w - 1)
+            r, g, b = px[sy][sx]
+            ycc = (
+                _j_clamp(_j_round(0.299 * r + 0.587 * g + 0.114 * b)),
+                _j_clamp(_j_round(
+                    -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+                )),
+                _j_clamp(_j_round(
+                    0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+                )),
+            )
+            for c in range(n_comp):
+                planes[c][y][x] = ycc[c]
+    out_planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):
+            for c in range(n_comp):
+                qt = qts[c]
+                # forward DCT, y outer x inner
+                coef = [[0.0] * 8 for _ in range(8)]
+                for v in range(8):
+                    for u in range(8):
+                        acc = 0.0
+                        for y in range(8):
+                            for x in range(8):
+                                acc += (
+                                    float(planes[c][by + y][bx + x] - 128)
+                                    * _J_COS[x][u] * _J_COS[y][v]
+                                )
+                        cu = _J_ISQRT2 if u == 0 else 1.0
+                        cv = _J_ISQRT2 if v == 0 else 1.0
+                        coef[v][u] = 0.25 * cu * cv * acc
+                # quantize then dequantize
+                deq = [[0.0] * 8 for _ in range(8)]
+                for i in range(64):
+                    q = _j_round(coef[i // 8][i % 8] / qt[i])
+                    deq[i // 8][i % 8] = float(q * qt[i])
+                # inverse DCT, v outer u inner
+                for y in range(8):
+                    for x in range(8):
+                        acc = 0.0
+                        for v in range(8):
+                            for u in range(8):
+                                cu = _J_ISQRT2 if u == 0 else 1.0
+                                cv = _J_ISQRT2 if v == 0 else 1.0
+                                acc += (
+                                    cu * cv * deq[v][u]
+                                    * _J_COS[x][u] * _J_COS[y][v]
+                                )
+                        out_planes[c][by + y][bx + x] = _j_clamp(
+                            _j_round(0.25 * acc) + 128
+                        )
+    rows_out = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            if n_comp == 1:
+                gval = out_planes[0][y][x]
+                row.append((gval, gval, gval))
+            else:
+                yv = out_planes[0][y][x]
+                cb = out_planes[1][y][x]
+                cr = out_planes[2][y][x]
+                row.append(
+                    (
+                        _j_clamp(_j_round(yv + 1.402 * (cr - 128))),
+                        _j_clamp(_j_round(
+                            yv - 0.344136 * (cb - 128)
+                            - 0.714136 * (cr - 128)
+                        )),
+                        _j_clamp(_j_round(yv + 1.772 * (cb - 128))),
+                    )
+                )
+        rows_out.append(row)
+    return rows_out
+
+
+def gen_jpeg_dhash(groups: int = 10) -> pd.DataFrame:
+    """(media_id, dhash) for the baseline-JPEG fixture
+    (functions/multimodal.py:synthetic_jpeg_image_table): pattern
+    grid → closed-form codec round-trip math → dHash, no bytes."""
+    rows = []
+    for g in range(groups):
+        w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
+        quality = (70, 80, 90, 100)[g % 4]
+        for v in range(3):
+            px = _pattern_px(g, w, h, v)
+            dec = _jpeg_decoded_replica(px, quality, grayscale=(g % 5 == 4))
+            rows.append((g * 3 + v + 1, _dhash_from_px(dec)))
+    return pd.DataFrame(rows, columns=["media_id", "dhash"])
 
 
 def gen_ivf_pq_topk_indexed(
@@ -1976,6 +2156,7 @@ def main() -> None:
         ("embedding_topk_ivf_pq_indexed", gen_ivf_pq_topk_indexed(vecs)),
         ("embedding_topk_ivf_pq_codes", gen_ivf_pq_topk_codes(vecs)),
         ("streaming_image_dedup", gen_streaming_image_dedup()),
+        ("media_jpeg_dhash", gen_jpeg_dhash()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
