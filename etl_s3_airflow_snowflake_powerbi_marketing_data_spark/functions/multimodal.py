@@ -1047,33 +1047,63 @@ def encode_jpeg_pixels(
     rows: list[list[tuple[int, int, int]]],
     quality: int = 90,
     grayscale: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
     """Real baseline JFIF JPEG from an explicit pixel grid: RGB →
     YCbCr (or BT.601 luma only when ``grayscale``), 8×8 forward DCT
     with the literal-cosine table, Annex-K quantization scaled by the
     IJG ``quality`` rule, zigzag + differential-DC Huffman coding with
-    the Annex-K typical tables, 4:4:4 (no subsampling). Edge blocks
-    replicate the last row/column. Deterministic bit-for-bit: no libm,
-    one documented rounding rule, fixed accumulation order —
-    :func:`_jpeg_pixels` and the oracle replica invert/replay it
-    exactly."""
+    the Annex-K typical tables. ``subsampling``: "444" (one block per
+    component per MCU) or "420" (what real crawl JPEGs overwhelmingly
+    use — 16×16 MCUs of 4 Y blocks + one Cb + one Cr, chroma
+    downsampled by exact 2×2 mean). Edge blocks replicate the last
+    row/column. Deterministic bit-for-bit: no libm, one documented
+    rounding rule, fixed accumulation order — :func:`_jpeg_pixels`
+    and the oracle replica invert/replay it exactly."""
     import struct  # noqa: PLC0415
 
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     h, w = len(rows), len(rows[0])
     qt_l = _quality_scaled(_QT_LUM, quality)
     qt_c = _quality_scaled(_QT_CHROM, quality)
     n_comp = 1 if grayscale else 3
+    sub = subsampling == "420" and n_comp == 3
+    hmax = 2 if sub else 1
+    mcu = 8 * hmax
+    bw, bh = (w + mcu - 1) // mcu * mcu, (h + mcu - 1) // mcu * mcu
 
-    # plane extraction with edge replication to 8-multiples
-    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
-    planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
+    # full-res planes with edge replication to MCU multiples
+    full = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
     for y in range(bh):
         sy = min(y, h - 1)
         for x in range(bw):
             sx = min(x, w - 1)
             ycc = _rgb_to_ycbcr(*rows[sy][sx])
             for c in range(n_comp):
-                planes[c][y][x] = ycc[c]
+                full[c][y][x] = ycc[c]
+    planes = [full[0]]
+    if n_comp == 3:
+        if sub:
+            for c in (1, 2):
+                half = [
+                    [
+                        _round_half_up(
+                            (
+                                full[c][2 * y][2 * x]
+                                + full[c][2 * y][2 * x + 1]
+                                + full[c][2 * y + 1][2 * x]
+                                + full[c][2 * y + 1][2 * x + 1]
+                            )
+                            / 4.0
+                        )
+                        for x in range(bw // 2)
+                    ]
+                    for y in range(bh // 2)
+                ]
+                planes.append(half)
+        else:
+            planes += [full[1], full[2]]
 
     dc_l = _huff_codes(*_HT_DC_LUM)
     ac_l = _huff_codes(*_HT_AC_LUM)
@@ -1081,48 +1111,60 @@ def encode_jpeg_pixels(
     ac_c = _huff_codes(*_HT_AC_CHROM)
     writer = _BitWriter()
     prev_dc = [0] * n_comp
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
+    comp_blocks = [(2, 2) if sub and c == 0 else (1, 1)
+                   for c in range(n_comp)]
+
+    def encode_block(c: int, oy: int, ox: int) -> None:
+        qt = qt_l if c == 0 else qt_c
+        dc_t = dc_l if c == 0 else dc_c
+        ac_t = ac_l if c == 0 else ac_c
+        plane = planes[c]
+        block = [
+            [float(plane[oy + y][ox + x] - 128) for x in range(8)]
+            for y in range(8)
+        ]
+        coef = _fdct8x8(block)
+        q = [
+            _round_half_up(coef[i // 8][i % 8] / qt[i]) for i in range(64)
+        ]
+        zz = [q[_ZIGZAG[i]] for i in range(64)]
+        diff = zz[0] - prev_dc[c]
+        prev_dc[c] = zz[0]
+        cat, off = _magnitude(diff)
+        code, length = dc_t[cat]
+        writer.write(code, length)
+        if cat:
+            writer.write(off, cat)
+        run = 0
+        for i in range(1, 64):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                zrl = ac_t[0xF0]
+                writer.write(zrl[0], zrl[1])
+                run -= 16
+            cat, off = _magnitude(zz[i])
+            sym = (run << 4) | cat
+            code, length = ac_t[sym]
+            writer.write(code, length)
+            writer.write(off, cat)
+            run = 0
+        if run:
+            eob = ac_t[0x00]
+            writer.write(eob[0], eob[1])
+
+    for mcu_y in range(bh // mcu):
+        for mcu_x in range(bw // mcu):
             for c in range(n_comp):
-                qt = qt_l if c == 0 else qt_c
-                dc_t = dc_l if c == 0 else dc_c
-                ac_t = ac_l if c == 0 else ac_c
-                block = [
-                    [float(planes[c][by + y][bx + x] - 128)
-                     for x in range(8)]
-                    for y in range(8)
-                ]
-                coef = _fdct8x8(block)
-                q = [
-                    _round_half_up(coef[i // 8][i % 8] / qt[i])
-                    for i in range(64)
-                ]
-                zz = [q[_ZIGZAG[i]] for i in range(64)]
-                diff = zz[0] - prev_dc[c]
-                prev_dc[c] = zz[0]
-                cat, off = _magnitude(diff)
-                code, length = dc_t[cat]
-                writer.write(code, length)
-                if cat:
-                    writer.write(off, cat)
-                run = 0
-                for i in range(1, 64):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zrl = ac_t[0xF0]
-                        writer.write(zrl[0], zrl[1])
-                        run -= 16
-                    cat, off = _magnitude(zz[i])
-                    sym = (run << 4) | cat
-                    code, length = ac_t[sym]
-                    writer.write(code, length)
-                    writer.write(off, cat)
-                    run = 0
-                if run:
-                    eob = ac_t[0x00]
-                    writer.write(eob[0], eob[1])
+                hi, vi = comp_blocks[c]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        encode_block(
+                            c,
+                            mcu_y * 8 * vi + byi * 8,
+                            mcu_x * 8 * hi + bxi * 8,
+                        )
     scan = writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1139,7 +1181,8 @@ def encode_jpeg_pixels(
         )
     sof = struct.pack(">BHHB", 8, h, w, n_comp)
     for c in range(n_comp):
-        sof += bytes((c + 1, 0x11, 0 if c == 0 else 1))
+        hi, vi = comp_blocks[c]
+        sof += bytes((c + 1, (hi << 4) | vi, 0 if c == 0 else 1))
     out += seg(0xFFC0, sof)
     tables = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_LUM)]
     if n_comp == 3:
@@ -1281,8 +1324,11 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
                 raise NotImplementedError("12-bit JPEG")
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG")
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "only 1x1/2x2 sampling factors supported"
+                    )
                 comps.append((cid, samp, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1307,59 +1353,83 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
 
     reader = _BitReader(b, scan_start)
     n_comp = len(comps)
-    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
-    planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
-    prev_dc = [0] * n_comp
+    samp_of = {cid: (s >> 4, s & 0x0F) for cid, s, _q in comps}
+    hmax = max(hi for hi, _ in samp_of.values())
+    vmax = max(vi for _, vi in samp_of.values())
+    n_mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    n_mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     comp_qt = {cid: qt_id for cid, _s, qt_id in comps}
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
+    # per-component plane at ITS sampling resolution; upsampling to
+    # full res happens at readout by index scaling (pixel replication)
+    planes = []
+    for cid, _dc, _ac in scan_comps:
+        hi, vi = samp_of[cid]
+        planes.append(
+            [[0] * (n_mcux * 8 * hi) for _ in range(n_mcuy * 8 * vi)]
+        )
+    prev_dc = [0] * n_comp
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
             for c, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                hi, vi = samp_of[cid]
                 q = qt[comp_qt[cid]]
-                zz = [0] * 64
-                cat = _read_huff_symbol(reader, huff[(0, dc_id)])
-                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                prev_dc[c] += diff
-                zz[0] = prev_dc[c]
-                k = 1
-                while k < 64:
-                    sym = _read_huff_symbol(reader, huff[(1, ac_id)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, cat = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise NotImplementedError("AC run past block end")
-                    zz[k] = _extend(reader.read_bits(cat), cat)
-                    k += 1
-                coef = [[0.0] * 8 for _ in range(8)]
-                for k in range(64):
-                    nat = _ZIGZAG[k]
-                    coef[nat // 8][nat % 8] = float(zz[k] * q[nat])
-                spatial = _idct8x8(coef)
-                plane = planes[c]
-                for y in range(8):
-                    row = plane[by + y]
-                    srow = spatial[y]
-                    for x in range(8):
-                        row[bx + x] = _clamp8(
-                            _round_half_up(srow[x]) + 128
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        zz = [0] * 64
+                        cat = _read_huff_symbol(reader, huff[(0, dc_id)])
+                        diff = (
+                            _extend(reader.read_bits(cat), cat)
+                            if cat
+                            else 0
                         )
+                        prev_dc[c] += diff
+                        zz[0] = prev_dc[c]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff_symbol(
+                                reader, huff[(1, ac_id)]
+                            )
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, cat = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "AC run past block end"
+                                )
+                            zz[k] = _extend(reader.read_bits(cat), cat)
+                            k += 1
+                        coef = [[0.0] * 8 for _ in range(8)]
+                        for k in range(64):
+                            nat = _ZIGZAG[k]
+                            coef[nat // 8][nat % 8] = float(zz[k] * q[nat])
+                        spatial = _idct8x8(coef)
+                        plane = planes[c]
+                        oy = my * 8 * vi + byi * 8
+                        ox = mx * 8 * hi + bxi * 8
+                        for y in range(8):
+                            row = plane[oy + y]
+                            srow = spatial[y]
+                            for x in range(8):
+                                row[ox + x] = _clamp8(
+                                    _round_half_up(srow[x]) + 128
+                                )
+    samps = [samp_of[cid] for cid, _dc, _ac in scan_comps]
     rows_out: list[list[tuple[int, int, int]]] = []
     for y in range(h):
         row = []
         for x in range(w):
+            vals = [
+                planes[c][y * samps[c][1] // vmax][x * samps[c][0] // hmax]
+                for c in range(n_comp)
+            ]
             if n_comp == 1:
-                g = planes[0][y][x]
-                row.append((g, g, g))
+                row.append((vals[0], vals[0], vals[0]))
             else:
-                row.append(
-                    _ycbcr_to_rgb(
-                        planes[0][y][x], planes[1][y][x], planes[2][y][x]
-                    )
-                )
+                row.append(_ycbcr_to_rgb(vals[0], vals[1], vals[2]))
         rows_out.append(row)
     return rows_out
 
@@ -1567,8 +1637,10 @@ def synthetic_jpeg_image_table(spark, groups: int = 10) -> DataFrame:
     """Deterministic JPEG fixture in MEDIA_SCHEMA shape: ``groups``
     triples of the near-dup pattern grids, baseline-JPEG encoded with
     quality cycling 70/80/90/100 by ``g % 4`` (pinning all four
-    quality-scaling paths incl. the q=100 near-lossless clamp) and
-    grayscale for ``g % 5 == 4``. media_id = g·3 + variant + 1. The
+    quality-scaling paths incl. the q=100 near-lossless clamp),
+    grayscale for ``g % 5 == 4``, and 4:2:0 chroma subsampling for
+    odd ``g`` (the dominant real-crawl layout — 16×16 MCUs, 2×2-mean
+    chroma). media_id = g·3 + variant + 1. The
     oracle generator (tools/gen_expected.py:gen_jpeg_dhash) replays
     the full codec math — color transform, padded fDCT, quantize,
     dequantize, IDCT — straight from the pattern arithmetic without
@@ -1582,7 +1654,10 @@ def synthetic_jpeg_image_table(spark, groups: int = 10) -> DataFrame:
         for v in range(3):
             px = _dup_group_pixels(g, w, h, v)
             payload = encode_jpeg_pixels(
-                px, quality=quality, grayscale=(g % 5 == 4)
+                px,
+                quality=quality,
+                grayscale=(g % 5 == 4),
+                subsampling="420" if g % 2 else "444",
             )
             rows.append((g * 3 + v + 1, "image/jpeg", payload, "fixture"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -906,18 +906,23 @@ def test_jpeg_codec_roundtrip_matches_replica():
         multimodal as mm,
     )
 
-    for g, w, h, q, gray in [
-        (0, 24, 16, 100, False),
-        (1, 21, 13, 90, False),
-        (2, 18, 20, 70, False),
-        (3, 8, 8, 80, True),
-        (4, 33, 9, 95, False),
+    for g, w, h, q, gray, sub in [
+        (0, 24, 16, 100, False, "444"),
+        (1, 21, 13, 90, False, "444"),
+        (2, 18, 20, 70, False, "420"),
+        (3, 8, 8, 80, True, "444"),
+        (4, 33, 9, 95, False, "420"),
+        (5, 32, 16, 90, False, "420"),
     ]:
         grid = mm._dup_group_pixels(g, w, h, g % 3)
-        payload = mm.encode_jpeg_pixels(grid, quality=q, grayscale=gray)
+        payload = mm.encode_jpeg_pixels(
+            grid, quality=q, grayscale=gray, subsampling=sub
+        )
         dec = mm._jpeg_pixels(payload)
-        rep = ge._jpeg_decoded_replica(grid, q, grayscale=gray)
-        assert dec == rep, (g, w, h, q, gray)
+        rep = ge._jpeg_decoded_replica(
+            grid, q, grayscale=gray, subsampling=sub
+        )
+        assert dec == rep, (g, w, h, q, gray, sub)
         assert len(dec) == h and len(dec[0]) == w
         if not gray:
             errs = [
@@ -926,7 +931,9 @@ def test_jpeg_codec_roundtrip_matches_replica():
                 for po, pd_ in zip(ro, rd)
                 for a, b in zip(po, pd_)
             ]
-            assert sum(errs) / len(errs) < 20
+            # chroma averaging on a per-pixel NOISE pattern is the
+            # worst case for 4:2:0 — real images have coherent chroma
+            assert sum(errs) / len(errs) < (40 if sub == "420" else 20)
         assert mm.decode_image(payload) == (w, h)
     # determinism: byte-identical re-encode
     grid = mm._dup_group_pixels(5, 24, 16, 0)

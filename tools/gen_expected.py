@@ -1408,18 +1408,22 @@ def _jpeg_decoded_replica(
     px: list[list[tuple[int, int, int]]],
     quality: int,
     grayscale: bool = False,
+    subsampling: str = "444",
 ) -> list[list[tuple[int, int, int]]]:
     """Decoded pixel grid after one baseline-JPEG round trip —
     closed-form codec math (color transform → edge-replicated pad →
-    per-block fDCT → quantize → dequantize → IDCT → clamp →
+    optional 2×2-mean chroma subsample → per-block fDCT → quantize →
+    dequantize → IDCT → clamp → replication upsample →
     inverse color), no bytes."""
     h, w = len(px), len(px[0])
     n_comp = 1 if grayscale else 3
+    sub = subsampling == "420" and n_comp == 3
+    mcu = 16 if sub else 8
     qts = [_j_quality(_J_QT_LUM, quality)] + (
         [_j_quality(_J_QT_CHROM, quality)] * 2 if n_comp == 3 else []
     )
-    bw, bh = (w + 7) // 8 * 8, (h + 7) // 8 * 8
-    planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
+    bw, bh = (w + mcu - 1) // mcu * mcu, (h + mcu - 1) // mcu * mcu
+    full = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
     for y in range(bh):
         sy = min(y, h - 1)
         for x in range(bw):
@@ -1435,12 +1439,41 @@ def _jpeg_decoded_replica(
                 )),
             )
             for c in range(n_comp):
-                planes[c][y][x] = ycc[c]
-    out_planes = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
-            for c in range(n_comp):
-                qt = qts[c]
+                full[c][y][x] = ycc[c]
+    planes = [full[0]]
+    scale = [1]
+    if n_comp == 3:
+        if sub:
+            for c in (1, 2):
+                planes.append(
+                    [
+                        [
+                            _j_round(
+                                (
+                                    full[c][2 * y][2 * x]
+                                    + full[c][2 * y][2 * x + 1]
+                                    + full[c][2 * y + 1][2 * x]
+                                    + full[c][2 * y + 1][2 * x + 1]
+                                )
+                                / 4.0
+                            )
+                            for x in range(bw // 2)
+                        ]
+                        for y in range(bh // 2)
+                    ]
+                )
+            scale = [1, 2, 2]
+        else:
+            planes += [full[1], full[2]]
+            scale = [1, 1, 1]
+    out_planes = []
+    for c in range(n_comp):
+        plane = planes[c]
+        qt = qts[c]
+        ph, pw = len(plane), len(plane[0])
+        decoded = [[0] * pw for _ in range(ph)]
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
                 # forward DCT, y outer x inner
                 coef = [[0.0] * 8 for _ in range(8)]
                 for v in range(8):
@@ -1472,9 +1505,10 @@ def _jpeg_decoded_replica(
                                     cu * cv * deq[v][u]
                                     * _J_COS[x][u] * _J_COS[y][v]
                                 )
-                        out_planes[c][by + y][bx + x] = _j_clamp(
+                        decoded[by + y][bx + x] = _j_clamp(
                             _j_round(0.25 * acc) + 128
                         )
+        out_planes.append(decoded)
     rows_out = []
     for y in range(h):
         row = []
@@ -1484,8 +1518,8 @@ def _jpeg_decoded_replica(
                 row.append((gval, gval, gval))
             else:
                 yv = out_planes[0][y][x]
-                cb = out_planes[1][y][x]
-                cr = out_planes[2][y][x]
+                cb = out_planes[1][y // scale[1]][x // scale[1]]
+                cr = out_planes[2][y // scale[2]][x // scale[2]]
                 row.append(
                     (
                         _j_clamp(_j_round(yv + 1.402 * (cr - 128))),
@@ -1510,7 +1544,12 @@ def gen_jpeg_dhash(groups: int = 10) -> pd.DataFrame:
         quality = (70, 80, 90, 100)[g % 4]
         for v in range(3):
             px = _pattern_px(g, w, h, v)
-            dec = _jpeg_decoded_replica(px, quality, grayscale=(g % 5 == 4))
+            dec = _jpeg_decoded_replica(
+                px,
+                quality,
+                grayscale=(g % 5 == 4),
+                subsampling="420" if g % 2 else "444",
+            )
             rows.append((g * 3 + v + 1, _dhash_from_px(dec)))
     return pd.DataFrame(rows, columns=["media_id", "dhash"])
 
