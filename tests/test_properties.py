@@ -1140,3 +1140,115 @@ def test_excise_covered_matches_position_model(spark, docs, pick):
         kept = [w for p, w in enumerate(ws) if p not in covered]
         expect[i] = (len(ws), len(covered), " ".join(kept))
     assert got == expect
+
+
+# --- round 10: codec round-trip properties (pure Python, no Spark) ---
+# The committed encoders/decoders are the trust anchors for every
+# image/audio dedup oracle, so they get property coverage beyond the
+# fixture shapes: arbitrary grids, filters, palettes, waveforms.
+
+_px = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+def _grid(w_max=10, h_max=8, colors=None):
+    cell = st.sampled_from(colors) if colors else _px
+    return st.integers(1, w_max).flatmap(
+        lambda w: st.lists(
+            st.lists(cell, min_size=w, max_size=w),
+            min_size=1,
+            max_size=h_max,
+        )
+    )
+
+
+@given(
+    rows=_grid(),
+    flt=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    alpha=st.booleans(),
+)
+@SETTINGS
+def test_png_roundtrip_property(rows, flt, alpha):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    payload = mm.encode_png_pixels(rows, filters=flt, alpha=alpha)
+    assert mm._png_pixels(payload) == rows
+    assert mm.decode_image(payload) == (len(rows[0]), len(rows))
+
+
+@given(
+    rows=_grid(colors=[(0, 0, 0), (255, 255, 255), (17, 51, 119),
+                       (250, 2, 4), (9, 200, 90)]),
+    interlace=st.booleans(),
+)
+@SETTINGS
+def test_gif_roundtrip_property(rows, interlace):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    payload = mm.encode_gif_pixels(rows, interlace=interlace)
+    assert mm._gif_pixels(payload) == rows
+    assert mm.decode_image(payload) == (len(rows[0]), len(rows))
+
+
+@given(
+    samples=st.lists(
+        st.integers(-32768, 32767), min_size=1, max_size=400
+    ),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+@SETTINGS
+def test_wav_samples_roundtrip_and_fingerprint_property(samples, sr):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    payload = mm.encode_wav_samples(samples, sr)
+    assert mm._wav_samples(payload) == samples
+    # independent fingerprint re-derivation (same documented spec,
+    # re-implemented here from scratch)
+    n = len(samples)
+    energies = []
+    for i in range(65):
+        lo = i * n // 65
+        hi = min(max((i + 1) * n // 65, lo + 1), n)
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    bits = 0
+    for i in range(64):
+        if energies[i + 1] > energies[i]:
+            bits |= 1 << i
+    expect = bits - (1 << 64) if bits >= (1 << 63) else bits
+    assert mm.audio_fingerprint(payload) == expect
+
+
+@given(
+    rows=_grid(w_max=12, h_max=10),
+    quality=st.sampled_from([60, 80, 90, 100]),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "420"]),
+)
+@SETTINGS
+def test_jpeg_roundtrip_matches_codec_math_property(
+    rows, quality, gray, sub
+):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools import gen_expected as ge
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    payload = mm.encode_jpeg_pixels(
+        rows, quality=quality, grayscale=gray, subsampling=sub
+    )
+    dec = mm._jpeg_pixels(payload)
+    assert dec == ge._jpeg_decoded_replica(
+        rows, quality, grayscale=gray, subsampling=sub
+    )
+    assert mm.decode_image(payload) == (len(rows[0]), len(rows))
