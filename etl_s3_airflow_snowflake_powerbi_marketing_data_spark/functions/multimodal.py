@@ -1442,17 +1442,32 @@ def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
     a real codec and raises — the remaining documented seam, same as
     :func:`decode_image_stub`; :func:`dhash_table` skips such
     payloads rather than failing the job."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
     b = bytes(payload)
-    if b[:2] == b"BM":
-        return _bmp_pixels(b)
-    if b[:2] == b"P6":
-        return _ppm_pixels(b)
-    if b[:8] == _PNG_SIG:
-        return _png_pixels(b)
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        return _gif_pixels(b)
-    if b[:2] == b"\xff\xd8":
-        return _jpeg_pixels(b)
+    # Normalize every low-level parse failure (truncated chunk walks →
+    # IndexError/struct.error, corrupt deflate → zlib.error, bad LZW →
+    # ValueError) to the ONE exception the skip paths catch: a crawl's
+    # corrupt blob must be skipped like an unknown format, never kill
+    # the executor (the ADVICE r09 posture extended to malformed
+    # payloads of KNOWN formats).
+    try:
+        if b[:2] == b"BM":
+            return _bmp_pixels(b)
+        if b[:2] == b"P6":
+            return _ppm_pixels(b)
+        if b[:8] == _PNG_SIG:
+            return _png_pixels(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_pixels(b)
+        if b[:2] == b"\xff\xd8":
+            return _jpeg_pixels(b)
+    except NotImplementedError:
+        raise
+    except (IndexError, ValueError, KeyError, struct.error,
+            zlib.error) as exc:
+        raise NotImplementedError(f"corrupt image payload: {exc}") from exc
     raise NotImplementedError("pixel decode requires an image codec")
 
 
@@ -2112,12 +2127,17 @@ def audio_fingerprint_table(df: DataFrame) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
+
         for pdf in it:
             ids, fps = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     fp = audio_fingerprint(bytes(p))
-                except NotImplementedError:
+                except (NotImplementedError, struct.error, ValueError,
+                        IndexError):
+                    # corrupt blobs skip like unknown formats — a
+                    # crawl's bad payload must never kill the job
                     continue
                 ids.append(mid)
                 fps.append(fp)

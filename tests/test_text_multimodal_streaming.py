@@ -946,6 +946,56 @@ def test_jpeg_codec_roundtrip_matches_replica():
         mm._jpeg_pixels(mm.encode_jpeg(8, 8))
 
 
+def test_corrupt_payloads_raise_not_implemented_only():
+    """Truncating or corrupting a VALID payload of any supported
+    format must surface as NotImplementedError — the one exception
+    the Arrow skip paths catch — never a raw IndexError/struct.error/
+    zlib.error that would kill the executor on a crawl's bad blob."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    grid = mm._dup_group_pixels(1, 18, 16, 0)
+    pal = mm._dup_group_pixels(1, 18, 16, 0, palette=True)
+    payloads = [
+        mm.encode_bmp_pixels(grid),
+        mm.encode_ppm_pixels(grid),
+        mm.encode_png_pixels(grid),
+        mm.encode_gif_pixels(pal),
+        mm.encode_jpeg_pixels(grid),
+    ]
+    for payload in payloads:
+        # sanity: the intact payload decodes
+        assert len(mm.decode_image_pixels(payload)) == 16
+        for cut in (8, len(payload) // 3, len(payload) - 3):
+            trunc = payload[:cut]
+            try:
+                mm.decode_image_pixels(trunc)
+            except NotImplementedError:
+                pass  # the contract
+            # any OTHER exception type fails the test loudly
+        # flip bytes mid-payload (corrupt tables / entropy stream)
+        for pos in (len(payload) // 2, 2 * len(payload) // 3):
+            corrupt = bytearray(payload)
+            corrupt[pos] ^= 0xA5
+            try:
+                mm.decode_image_pixels(bytes(corrupt))
+            except NotImplementedError:
+                pass
+    # audio: truncated WAVs raise only the types the table-level skip
+    # catches (NotImplementedError / struct.error / ValueError /
+    # IndexError — the audio_fingerprint_table except clause)
+    import struct
+
+    wav = mm.encode_wav_samples(mm._near_dup_audio_samples(2, 0), 8000)
+    for cut in (5, 10, 30, len(wav) // 2, len(wav) - 1):
+        try:
+            mm.audio_fingerprint(wav[:cut])
+        except (NotImplementedError, struct.error, ValueError,
+                IndexError):
+            pass
+
+
 def test_dhash_table_skips_undecodable(spark):
     """A format-mixed media table (structural GIF/JPEG fixtures have
     no raster) must yield hashes for decodable payloads and silently
