@@ -3004,6 +3004,52 @@ def q_embedding_topk_ivf_pq_codes(
     ).orderBy("query_id", "rank")
 
 
+def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding incremental near-dup gate over the persisted IVF-PQ
+    codes store (operators/similarity.py:semantic_dedup_incremental —
+    VERDICT r10 item 1): the crawl-load posture for the FOURTH
+    modality. Text (minhash_incremental), image (dhash) and audio
+    (energy-delta) batches already gate against persisted stores;
+    this closes the embedding gap. Index trained ONCE on the initial
+    load (even vec_id), its codes committed; batch 1 (vec_id%4==1) is
+    gated — probed-cell ADC range check against the 32×-compressed
+    codes snapshot, exact-cosine re-rank of the bounded shortlist by
+    id-join — and its KEEPERS' codes appended (no retrain, no
+    re-encode of history); batch 2 (vec_id%4==3) then gates against
+    even ∪ batch-1 keepers, exercising cross-load store growth.
+    Oracle: independent replica (tools/gen_expected.py:
+    gen_semantic_incremental). All-integer + boolean output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_path("ann_semantic_incr", sf_dir)
+    initial = emb.filter(F.col("vec_id") % 2 == 0)
+    cent, books = similarity.train_ivf_pq_index(initial, train_iters=2)
+    similarity.save_ivf_pq_index(spark, cent, books, path)
+    similarity.build_ivf_pq_codes(spark, initial, path)
+    parts = []
+    for batch_no, parity in ((1, 1), (2, 3)):
+        batch = emb.filter(F.col("vec_id") % 4 == parity)
+        decisions = similarity.semantic_dedup_incremental(
+            spark, batch, path, corpus=emb, threshold=0.4, n_probe=8
+        ).localCheckpoint(eager=True)  # consumed twice: output + keepers
+        keepers = batch.join(
+            decisions.filter(F.col("keep")).select("vec_id"), "vec_id"
+        )
+        similarity.append_ivf_pq_codes(spark, keepers, path)
+        parts.append(
+            decisions.withColumn(
+                "batch_id", F.lit(batch_no).cast("long")
+            )
+        )
+    return (
+        parts[0].unionByName(parts[1])
+        .select(
+            "batch_id", "vec_id", "matched_store_id",
+            "matched_batch_id", "keep",
+        )
+        .orderBy("batch_id", "vec_id")
+    )
+
+
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketches.py:hll_pairwise_overlap):
     audience overlap between every event-type pair — union by register
@@ -3370,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_pq": q_embedding_topk_ivf_pq,
         "embedding_topk_ivf_pq_indexed": q_embedding_topk_ivf_pq_indexed,
         "embedding_topk_ivf_pq_codes": q_embedding_topk_ivf_pq_codes,
+        "semantic_incremental_embeddings": q_semantic_incremental,
         "user_order_cogroup_profile": q_user_order_cogroup,
         "doc_hashed_features": q_doc_hashed_features,
         # round 5: CCNet-family perplexity-proxy scoring + additive
@@ -6029,6 +6076,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cosine_sim, rank
             FROM read_parquet('/root/repo/expected/sf0.01/embedding_topk_ivf_pq_codes.parquet')
             ORDER BY query_id, rank
+        """,
+        "semantic_incremental_embeddings": """
+            SELECT batch_id, vec_id, matched_store_id, matched_batch_id,
+                   keep
+            FROM read_parquet('/root/repo/expected/sf0.01/semantic_incremental_embeddings.parquet')
+            ORDER BY batch_id, vec_id
         """,
         "hll_user_overlap_by_type": """
             SELECT group_a, group_b, est_a, est_b, est_union,

@@ -1501,6 +1501,81 @@ def ivf_pq_topk_from_codes(
     )
 
 
+def _probe_table(
+    queries: DataFrame,
+    cent,
+    books,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cell, lut) — one row per (query, probed cell), the
+    PROBE half of every ADC scan, shared by :func:`_ivf_pq_scan` and
+    :func:`semantic_dedup_incremental` so both paths carry bit-
+    identical LUT math. One Arrow pass builds BOTH probe halves: the
+    LUT (numpy, per query) and the probed-cell fan-out (explode of
+    the SQL-side ``cells`` array — assignment stays the deterministic
+    literal cosine, only the row replication happens here). An
+    earlier form ran q_cells and luts as two DataFrames joined on
+    query_id: correct, but two extra tiny jobs plus a shuffle join
+    inside the broadcast build (~0.5 s of the r05
+    embedding_topk_ivf_pq regression — VERDICT r05 item 3)."""
+    import numpy as np  # noqa: PLC0415
+
+    m, dsub = books.shape[0], books.shape[2]
+    centroid_lit = _centroid_literal(cent)
+    id_type = queries.schema[id_col].dataType.simpleString()
+
+    def probe_batches(it):
+        for pdf in it:
+            if not len(pdf):  # empty Arrow batch: vstack would raise
+                continue
+            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
+            qid, cells, luts = [], [], []
+            for i in range(len(x)):
+                lut_i = [
+                    (
+                        (x[i, s * dsub : (s + 1) * dsub][None, :] - books[s])
+                        ** 2
+                    ).sum(axis=1).tolist()
+                    for s in range(m)
+                ]
+                for c in pdf["cells"].iloc[i]:
+                    qid.append(pdf["__id"].iloc[i])
+                    cells.append(int(c))
+                    luts.append(lut_i)
+            yield pd.DataFrame(
+                {"query_id": qid, "cell": cells, "lut": luts}
+            )
+
+    q_u = with_unit_vector(queries, vec_col, "__u")
+    return q_u.select(
+        F.col(id_col).alias("__id"),
+        "__u",
+        _nearest_cells(F.col(vec_col), centroid_lit, n_probe).alias(
+            "cells"
+        ),
+    ).mapInPandas(
+        probe_batches,
+        f"query_id {id_type}, cell int, lut array<array<double>>",
+    )
+
+
+def _adc_dist():
+    """ADC distance of one (codes, lut) row pair — sequential fold so
+    the sum order matches the replica's ``acc += lut[s][code]`` loop
+    bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda code, lut_s: F.element_at(lut_s, code + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _ivf_pq_scan(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1545,36 +1620,6 @@ def _ivf_pq_scan(
                 }
             )
 
-    def probe_batches(it):
-        # One Arrow pass builds BOTH probe halves: the LUT (numpy, per
-        # query) and the probed-cell fan-out (explode of the SQL-side
-        # `cells` array — assignment stays the deterministic literal
-        # cosine, only the row replication happens here). An earlier
-        # form ran q_cells and luts as two DataFrames joined on
-        # query_id: correct, but two extra tiny jobs plus a shuffle
-        # join inside the broadcast build (~0.5 s of the r05
-        # embedding_topk_ivf_pq regression — VERDICT r05 item 3).
-        for pdf in it:
-            if not len(pdf):  # empty Arrow batch: vstack would raise
-                continue
-            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
-            qid, cells, luts = [], [], []
-            for i in range(len(x)):
-                lut_i = [
-                    (
-                        (x[i, s * dsub : (s + 1) * dsub][None, :] - books[s])
-                        ** 2
-                    ).sum(axis=1).tolist()
-                    for s in range(m)
-                ]
-                for c in pdf["cells"].iloc[i]:
-                    qid.append(pdf["__id"].iloc[i])
-                    cells.append(int(c))
-                    luts.append(lut_i)
-            yield pd.DataFrame(
-                {"query_id": qid, "cell": cells, "lut": luts}
-            )
-
     if codes is None:
         corpus_u = with_unit_vector(corpus, vec_col, "__u")
         codes = corpus_u.select(
@@ -1589,30 +1634,13 @@ def _ivf_pq_scan(
         raise ValueError(
             "refine_factor > 0 needs refine_corpus (original vectors)"
         )
-    q_u = with_unit_vector(queries, vec_col, "__u")
-    probe = q_u.select(
-        F.col(id_col).alias("__id"),
-        "__u",
-        _nearest_cells(F.col(vec_col), centroid_lit, n_probe).alias(
-            "cells"
-        ),
-    ).mapInPandas(
-        probe_batches,
-        f"query_id {id_type}, cell int, lut array<array<double>>",
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("lut"),
-            lambda code, lut_s: F.element_at(lut_s, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    probe = _probe_table(queries, cent, books, n_probe, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(probe), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", trunc6(dist).alias("pq_dist"))
+        .select(
+            "query_id", "neighbor_id", trunc6(_adc_dist()).alias("pq_dist")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id")
@@ -1628,6 +1656,149 @@ def _ivf_pq_scan(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def semantic_dedup_incremental(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_probe: int = 8,
+    adc_margin: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Incremental SEMANTIC near-dup gate over the persisted IVF-PQ
+    codes store — the embedding leg of the crawl-load posture
+    (operators/dedup.py: ``minhash_incremental`` for text,
+    ``hamming_incremental`` for image dHash / audio fingerprints):
+    each incoming batch of embeddings is checked against the
+    already-ingested corpus AND against its own batch without ever
+    rescanning the corpus vectors.
+
+    The store is the versioned CODES table (``{index_path}/codes``,
+    written by :func:`build_ivf_pq_codes` / :func:`append_ivf_pq_codes`
+    — ~m bytes per vector, 32× smaller than the raw embeddings) plus
+    the kilobyte-sized index itself. The gate:
+
+    1. loads the persisted index (no training job — the index is
+       state, batches are data);
+    2. probes each batch vector's ``n_probe`` nearest coarse cells and
+       builds its ADC LUT in one Arrow pass (:func:`_probe_table`,
+       bit-identical to the top-k scan path);
+    3. ADC-RANGE-CHECKS the store codes in the probed cells: for unit
+       vectors ``‖a−b‖² = 2−2·cos(a,b)``, so candidates are code rows
+       with quantized distance ≤ ``(2−2·threshold)·adc_margin`` — the
+       margin absorbs PQ quantization error; the shuffle carries only
+       probed-cell pairs, never all-pairs against the corpus;
+    4. EXACTLY verifies the bounded shortlist by id-joining the
+       original vectors (batch side + ``corpus`` side) and keeping
+       pairs with exact cosine ≥ ``threshold`` — precision is exact,
+       recall is bounded by probing (misses outside the probed cells
+       or the ADC radius, like the probabilistic MinHash store; unlike
+       the pigeonhole Hamming stores, which are exact within radius);
+    5. elects greedy first-occurrence survivors: min store id, else
+       min smaller batch id — the shared incremental-dedup contract.
+
+    ``corpus`` is the raw vectors table consulted ONLY for the exact
+    re-rank shortlist join (candidate-bounded) — at 100 TB the gate
+    scans the codes snapshot, not the vectors. Callers append the
+    keepers' codes via :func:`append_ivf_pq_codes` so the next batch
+    dedups against everything kept so far.
+
+    Output: one row per batch vector — (id_col, matched_store_id,
+    matched_batch_id, keep), -1 sentinels for no-match.
+    """
+    from ..sources import versioned  # noqa: PLC0415
+
+    cent, books = load_ivf_pq_index(spark, index_path, version)
+    store_codes = versioned.read_version(
+        spark, f"{index_path}/codes", version
+    )
+    # batch feeds three consumers (probe, encode, verify vector join);
+    # pin it once so AQE can't plan three scan chains.
+    batch = batch.localCheckpoint(eager=True)
+    probe = _probe_table(
+        batch, cent, books, n_probe, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    adc_radius = (2.0 - 2.0 * threshold) * adc_margin
+
+    def shortlist(codes_df: DataFrame) -> DataFrame:
+        return (
+            codes_df.join(F.broadcast(probe), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                trunc6(_adc_dist()).alias("pq_dist"),
+            )
+            .filter(F.col("pq_dist") <= F.lit(adc_radius))
+        )
+
+    batch_vecs = batch.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+
+    def verified(cands: DataFrame, right: DataFrame, out: str) -> DataFrame:
+        right_vecs = right.select(
+            F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv")
+        )
+        # exact cosine recomputed dot/(norm·norm) — the oracle formula
+        # (cosine_dup_pairs discipline), not the pre-normalized dot.
+        return (
+            cands.join(F.broadcast(batch_vecs),
+                       F.col("query_id") == F.col("__qid"))
+            .join(right_vecs, F.col("neighbor_id") == F.col("__nid"))
+            .withColumn(
+                "cosine_sim",
+                trunc6(cosine(F.col("__qv"), F.col("__nv"))),
+            )
+            .filter(F.col("cosine_sim") >= F.lit(threshold))
+            .groupBy("query_id")
+            .agg(F.min("neighbor_id").alias(out))
+        )
+
+    store_hits = verified(shortlist(store_codes), corpus, "matched_store_id")
+    batch_codes = ivf_pq_codes_table(batch, cent, books, id_col, vec_col)
+    batch_hits = verified(
+        shortlist(batch_codes).filter(
+            F.col("neighbor_id") < F.col("query_id")
+        ),
+        batch,
+        "matched_batch_id",
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(
+            store_hits.select(
+                F.col("query_id").alias(id_col), "matched_store_id"
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            batch_hits.select(
+                F.col("query_id").alias(id_col), "matched_batch_id"
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("matched_store_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_store_id"),
+            F.coalesce("matched_batch_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_batch_id"),
+            (
+                F.col("matched_store_id").isNull()
+                & F.col("matched_batch_id").isNull()
+            ).alias("keep"),
+        )
     )
 
 

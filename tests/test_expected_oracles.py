@@ -353,6 +353,41 @@ def test_codes_ivf_pq_generator_matches_spark_on_alternate_sf(
     assert _canon(got) == _canon(gen_expected.gen_ivf_pq_topk_codes(vecs))
 
 
+def test_semantic_incremental_matches_replica_on_alternate_sf(
+    spark, sf_dir, tmp_path
+):
+    """The embedding incremental-gate replica must agree with the real
+    lifecycle (train on evens → commit index + even codes → gate batch
+    1 → append keepers → gate batch 2) at sf0.001 — a different
+    dataset than the committed sf0.01 expected file, so the generator
+    can't be fitted to one corpus's quirks."""
+    vecs = gen_expected.load_embeddings(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    initial = emb.filter(F.col("vec_id") % 2 == 0)
+    cent, books = similarity.train_ivf_pq_index(initial, train_iters=2)
+    similarity.save_ivf_pq_index(spark, cent, books, path)
+    similarity.build_ivf_pq_codes(spark, initial, path)
+    got = []
+    for batch_no, parity in ((1, 1), (2, 3)):
+        batch = emb.filter(F.col("vec_id") % 4 == parity)
+        dec = similarity.semantic_dedup_incremental(
+            spark, batch, path, corpus=emb, threshold=0.4, n_probe=8
+        ).localCheckpoint(eager=True)
+        keepers = batch.join(
+            dec.filter(F.col("keep")).select("vec_id"), "vec_id"
+        )
+        similarity.append_ivf_pq_codes(spark, keepers, path)
+        got.append(dec.toPandas().assign(batch_id=batch_no))
+    got_df = pd.concat(got, ignore_index=True)
+    want = gen_expected.gen_semantic_incremental(vecs)
+    assert _canon(got_df) == _canon(want)
+    # the gate must exercise all three decision paths at this SF too
+    assert (want["matched_store_id"] >= 0).any()
+    assert (want["matched_batch_id"] >= 0).any()
+    assert want["keep"].any()
+
+
 def test_audio_fingerprint_generator_matches_spark_on_alternate_group_count(
     spark,
 ):

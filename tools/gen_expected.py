@@ -1683,25 +1683,25 @@ def gen_ivf_pq_topk_indexed(
     )
 
 
-def gen_ivf_pq_topk_codes(
+def _ivf_pq_index_replica(
     vecs: list[tuple[int, list[float]]],
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 8,
     m: int = 16,
     ksub: int = 64,
     dim: int = 64,
     train_sample: int = 512,
     iters: int = 3,
     train_iters: int = 2,
-    refine_factor: int = 16,
-) -> pd.DataFrame:
-    """Independent mirror of the persisted-codes lifecycle
-    (similarity.ivf_pq_topk_from_codes): index trained on the EVEN-id
-    initial load only; every vector (initial + appended odd batch)
-    encoded with that one index; queries answered from index + codes
-    over the union — exactly what the versioned codes snapshot holds
-    after build (even, replace) + append (odd)."""
+):
+    """From-scratch replica of the PERSISTED IVF-PQ index lifecycle
+    (similarity.train_ivf_pq_index on the EVEN-id initial load +
+    ivf_pq_codes_table over every vector): returns
+    ``(probe, x, enc, row_of, by_id)`` — the probed-cell function,
+    the unit-normalized vector matrix, the code matrix for ALL
+    vectors encoded with the one even-trained index, and the id→row /
+    id→vector maps. Shared by :func:`gen_ivf_pq_topk_codes` and
+    :func:`gen_semantic_incremental` so both mirror the identical
+    index artifact."""
     dsub = dim // m
 
     def unit(v):
@@ -1753,6 +1753,32 @@ def gen_ivf_pq_topk_codes(
         d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
         enc[:, s] = d.argmin(axis=1)
     row_of = {i: row for row, (i, _) in enumerate(vecs)}
+    return probe, books, x, enc, row_of, by_id
+
+
+def gen_ivf_pq_topk_codes(
+    vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    train_sample: int = 512,
+    iters: int = 3,
+    train_iters: int = 2,
+    refine_factor: int = 16,
+) -> pd.DataFrame:
+    """Independent mirror of the persisted-codes lifecycle
+    (similarity.ivf_pq_topk_from_codes): index trained on the EVEN-id
+    initial load only; every vector (initial + appended odd batch)
+    encoded with that one index; queries answered from index + codes
+    over the union — exactly what the versioned codes snapshot holds
+    after build (even, replace) + append (odd)."""
+    dsub = dim // m
+    probe, books, x, enc, row_of, by_id = _ivf_pq_index_replica(
+        vecs, n_cells, m, ksub, dim, train_sample, iters, train_iters
+    )
     cell_members: dict[int, list[int]] = {}
     for i, v in vecs:
         cell_members.setdefault(probe(v, 1)[0], []).append(i)
@@ -1801,6 +1827,98 @@ def gen_ivf_pq_topk_codes(
             "neighbor_id": "int64",
             score_col: "float64",
             "rank": "int64",
+        }
+    )
+
+
+def gen_semantic_incremental(
+    vecs: list[tuple[int, list[float]]],
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    adc_margin: float = 1.5,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    train_sample: int = 512,
+    iters: int = 3,
+    train_iters: int = 2,
+) -> pd.DataFrame:
+    """Independent mirror of the embedding incremental near-dup gate
+    (similarity.semantic_dedup_incremental over the persisted codes
+    store): index trained once on the EVEN-id initial load, whose
+    codes seed the store; two crawl batches (vec_id % 4 == 1, then
+    % 4 == 3) are gated in order — candidates are store/batch vectors
+    whose assigned cell is among the query's n_probe probed cells AND
+    whose trunc6 ADC distance ≤ (2−2·threshold)·adc_margin; the
+    shortlist is verified with exact trunc6 sequential cosine ≥
+    threshold; min store id / min smaller batch id win; each batch's
+    KEEPERS append their codes to the store before the next batch."""
+    dsub = dim // m
+    probe, books, x, enc, row_of, by_id = _ivf_pq_index_replica(
+        vecs, n_cells, m, ksub, dim, train_sample, iters, train_iters
+    )
+    radius = (2.0 - 2.0 * threshold) * adc_margin
+    cell_of = {i: probe(v, 1)[0] for i, v in vecs}
+
+    def adc(lut, nid: int) -> float:
+        acc = 0.0
+        for s in range(m):
+            acc += lut[s][enc[row_of[nid], s]]
+        return trunc6(acc)
+
+    store_ids: list[int] = [i for i, _ in vecs if i % 2 == 0]
+    rows = {
+        "batch_id": [], "vec_id": [], "matched_store_id": [],
+        "matched_batch_id": [], "keep": [],
+    }
+    for batch_no, parity in ((1, 1), (2, 3)):
+        batch = [(i, v) for i, v in vecs if i % 4 == parity]
+        keepers: list[int] = []
+        for qid, qv in batch:
+            qrow = row_of[qid]
+            lut = [
+                (
+                    (x[qrow, s * dsub : (s + 1) * dsub][None, :] - books[s])
+                    ** 2
+                )
+                .sum(axis=1)
+                .tolist()
+                for s in range(m)
+            ]
+            probed = set(probe(qv, n_probe))
+            best_store = -1
+            for nid in store_ids:
+                if nid == qid or cell_of[nid] not in probed:
+                    continue
+                if adc(lut, nid) > radius:
+                    continue
+                if trunc6(seq_cosine(qv, by_id[nid])) >= threshold:
+                    best_store = nid if best_store < 0 else min(best_store, nid)
+            best_batch = -1
+            for nid, nv in batch:
+                if nid >= qid or cell_of[nid] not in probed:
+                    continue
+                if adc(lut, nid) > radius:
+                    continue
+                if trunc6(seq_cosine(qv, nv)) >= threshold:
+                    best_batch = nid if best_batch < 0 else min(best_batch, nid)
+            keep = best_store < 0 and best_batch < 0
+            if keep:
+                keepers.append(qid)
+            rows["batch_id"].append(batch_no)
+            rows["vec_id"].append(qid)
+            rows["matched_store_id"].append(best_store)
+            rows["matched_batch_id"].append(best_batch)
+            rows["keep"].append(keep)
+        store_ids.extend(keepers)
+    return pd.DataFrame(rows).astype(
+        {
+            "batch_id": "int64",
+            "vec_id": "int64",
+            "matched_store_id": "int64",
+            "matched_batch_id": "int64",
+            "keep": "bool",
         }
     )
 
