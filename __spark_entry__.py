@@ -2196,6 +2196,66 @@ def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic (embedding) dedup gate (streaming/pipeline.py:
+    run_streaming_semantic_dedup): two ordered micro-batches of
+    embeddings (vec_id%4==1, then %4==3) are gated live against the
+    persisted IVF-PQ codes store seeded from the even-id initial load
+    — probed-cell ADC range check + exact-cosine shortlist re-rank —
+    with decisions committing effectively-once and keepers appending
+    codes + vectors between triggers, so batch 2 must hit batch-1
+    keepers (the cross-batch path). The index is trained once before
+    the stream starts; no trigger ever trains, re-encodes history, or
+    rescans corpus vectors. Oracle: the same independent replica as
+    the batch gate (tools/gen_expected.py:gen_semantic_incremental —
+    identical decisions, snapshot keyed by vec_id)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    import pyarrow.parquet as pa_pq  # noqa: PLC0415
+
+    base = _scratch_path("stream_semdedup", sf_dir)
+    src_dir = os.path.join(base, "src")
+    index = os.path.join(base, "index")
+    decisions = os.path.join(base, "decisions")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (src_dir, index, decisions, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    # Stage each micro-batch as ONE parquet file written driver-side
+    # with pyarrow (the q_streaming_image_dedup staging discipline:
+    # coalesce(1) over a parallelized local relation pulls every
+    # partition through one sequential Python task), ascending mtimes
+    # so the two-trigger sequence is deterministic.
+    tbl = pa_pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    import pyarrow.compute as pa_c  # noqa: PLC0415
+
+    now = _time.time()
+    mod4 = pa_c.bit_wise_and(tbl["vec_id"], 3)
+    for i, parity in enumerate((1, 3)):
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        pa_pq.write_table(tbl.filter(pa_c.equal(mod4, parity)), dst)
+        os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (  # noqa: PLC0415
+        versioned as vt,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 2 == 0)
+    cent, books = similarity.train_ivf_pq_index(initial, train_iters=2)
+    similarity.save_ivf_pq_index(spark, cent, books, index)
+    similarity.build_ivf_pq_codes(spark, initial, index)
+    vt.write_version(initial, f"{index}/vectors")
+
+    return streaming_pipeline.run_streaming_semantic_dedup(
+        spark, src_dir, index, decisions, threshold=0.4, n_probe=8,
+        checkpoint_dir=ckpt,
+    ).orderBy("vec_id")
+
+
 def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: two-phase salted agg over events keyed by
     event_type — 5 distinct keys over the whole table is exactly the
@@ -3417,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_pq_indexed": q_embedding_topk_ivf_pq_indexed,
         "embedding_topk_ivf_pq_codes": q_embedding_topk_ivf_pq_codes,
         "semantic_incremental_embeddings": q_semantic_incremental,
+        "streaming_semantic_dedup": q_streaming_semantic_dedup,
         "user_order_cogroup_profile": q_user_order_cogroup,
         "doc_hashed_features": q_doc_hashed_features,
         # round 5: CCNet-family perplexity-proxy scoring + additive
@@ -6082,6 +6143,11 @@ def oracle_sql() -> dict[str, str]:
                    keep
             FROM read_parquet('/root/repo/expected/sf0.01/semantic_incremental_embeddings.parquet')
             ORDER BY batch_id, vec_id
+        """,
+        "streaming_semantic_dedup": """
+            SELECT vec_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/streaming_semantic_dedup.parquet')
+            ORDER BY vec_id
         """,
         "hll_user_overlap_by_type": """
             SELECT group_a, group_b, est_a, est_b, est_union,

@@ -715,13 +715,12 @@ def run_streaming_versioned_merge(
     return vt.read_version(spark, table_path)
 
 
-def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over a documents parquet prefix (one file per
+def _parquet_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a parquet prefix (one file per
     micro-batch locally; at crawl scale, an object-store prefix each
     fetch wave appends to). Schema probed from a driver-side batch
-    metadata read — the document schema is stable (no nanos-timestamp
-    variance), so no column normalization is needed. Directory-shaped
-    targets stream the directory itself (``_stream_source_parts``)."""
+    metadata read; directory-shaped targets stream the directory
+    itself (``_stream_source_parts``)."""
     base_dir, file_name = _stream_source_parts(path)
     schema = (
         spark.read.option("pathGlobFilter", file_name or "*")
@@ -734,26 +733,26 @@ def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
         .option("pathGlobFilter", file_name or "*")
         .parquet(base_dir)
     )
+
+
+def read_document_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Document stream (:func:`_parquet_file_stream`) — the document
+    schema is stable (no nanos-timestamp variance), so no column
+    normalization is needed."""
+    return _parquet_file_stream(spark, path)
 
 
 def read_media_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over a media parquet prefix (MEDIA_SCHEMA —
-    binary payloads ride the columnar path unchanged). Schema probed
-    from a driver-side batch metadata read; directory-shaped targets
-    stream the directory itself, same contract as
-    :func:`read_document_stream`."""
-    base_dir, file_name = _stream_source_parts(path)
-    schema = (
-        spark.read.option("pathGlobFilter", file_name or "*")
-        .parquet(base_dir)
-        .schema
-    )
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", file_name or "*")
-        .parquet(base_dir)
-    )
+    """Media stream (:func:`_parquet_file_stream`, MEDIA_SCHEMA —
+    binary payloads ride the columnar path unchanged)."""
+    return _parquet_file_stream(spark, path)
+
+
+def read_embedding_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Embedding stream (:func:`_parquet_file_stream` over
+    (vec_id, embedding array<float>, …) rows — the shape each crawl
+    wave's encoder emits)."""
+    return _parquet_file_stream(spark, path)
 
 
 def run_streaming_image_dedup(
@@ -826,6 +825,87 @@ def run_streaming_image_dedup(
             )
         else:
             vt.write_version(survivors, store_path)
+
+    with bounded_state_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return vt.read_version(spark, decisions_path)
+
+
+def run_streaming_semantic_dedup(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    decisions_path: str,
+    threshold: float = 0.4,
+    n_probe: int = 8,
+    state_partitions: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming SEMANTIC (embedding) dedup gate — the fourth-modality
+    leg of :func:`run_streaming_minhash_dedup` /
+    :func:`run_streaming_image_dedup`: each arriving micro-batch of
+    embeddings is checked against the persisted IVF-PQ codes store
+    (operators/similarity.py:semantic_dedup_incremental — probed-cell
+    ADC range check over the 32×-compressed codes, exact-cosine
+    re-rank of the bounded shortlist) and against itself. Decisions
+    commit effectively-once through insert-if-absent versioned merges;
+    KEEPERS append both their codes (the gate's candidate store) and
+    their raw vectors (``{index_path}/vectors`` — consulted only by
+    the bounded exact re-rank id-join) so the next batch dedups
+    against everything kept so far. The index itself is trained ONCE
+    before the stream starts and never inside a trigger — at 100 TB
+    the stream never trains, never re-encodes history, and never
+    rescans corpus vectors.
+
+    State: index + codes + vectors live in the versioned table layer —
+    Spark-side streaming state is zero rows. Output: the final
+    decisions snapshot — (vec_id, matched_store_id, matched_batch_id,
+    keep), -1 sentinels."""
+    import tempfile  # noqa: PLC0415
+
+    from ..operators import similarity  # noqa: PLC0415
+    from ..operators.merge import versioned_merge  # noqa: PLC0415
+    from ..sources import versioned as vt  # noqa: PLC0415
+
+    stream = read_embedding_stream(spark, source_path)
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="stream_semdedup_ckpt_")
+
+    def commit_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        corpus = vt.read_version(sess, f"{index_path}/vectors")
+        decisions = similarity.semantic_dedup_incremental(
+            sess, batch, index_path, corpus,
+            threshold=threshold, n_probe=n_probe,
+        ).localCheckpoint(eager=True)
+        if vt.table_versions(decisions_path):
+            versioned_merge(
+                sess, decisions_path, decisions, ["vec_id"], update=False
+            )
+        else:
+            vt.write_version(decisions, decisions_path)
+        keepers = batch.join(
+            decisions.filter(F.col("keep")).select("vec_id"), "vec_id"
+        ).localCheckpoint(eager=True)  # feeds codes encode + vector append
+        cent, books = similarity.load_ivf_pq_index(sess, index_path)
+        versioned_merge(
+            sess,
+            f"{index_path}/codes",
+            similarity.ivf_pq_codes_table(keepers, cent, books),
+            ["neighbor_id"],
+            update=False,
+        )
+        versioned_merge(
+            sess, f"{index_path}/vectors", keepers, ["vec_id"],
+            update=False,
+        )
 
     with bounded_state_partitions(spark, state_partitions):
         q = (

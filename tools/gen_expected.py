@@ -1923,6 +1923,22 @@ def gen_semantic_incremental(
     )
 
 
+def gen_streaming_semantic(
+    vecs: list[tuple[int, list[float]]],
+) -> pd.DataFrame:
+    """Expected decisions snapshot for the STREAMING semantic gate —
+    identical decisions to the batch lifecycle
+    (:func:`gen_semantic_incremental`; the stream replays the same two
+    batches through the same gate), keyed by vec_id alone (the
+    insert-if-absent decisions merge holds one row per vector)."""
+    return (
+        gen_semantic_incremental(vecs)
+        .drop(columns=["batch_id"])
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def _afp_replica(g: int, variant: int) -> int:
     """From-scratch audio fingerprint of near-dup fixture (g, variant)
     computed from the CLOSED-FORM segment energies — count · amp² per
@@ -2314,6 +2330,8 @@ def main() -> None:
         ("embedding_topk_ivf_pq_codes", gen_ivf_pq_topk_codes(vecs)),
         ("streaming_image_dedup", gen_streaming_image_dedup()),
         ("media_jpeg_dhash", gen_jpeg_dhash()),
+        ("semantic_incremental_embeddings", gen_semantic_incremental(vecs)),
+        ("streaming_semantic_dedup", gen_streaming_semantic(vecs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
