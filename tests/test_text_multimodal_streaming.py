@@ -1180,3 +1180,87 @@ def test_script_mix_dominant_precedence_and_none(spark):
     assert out[3]["latin_ratio"] == 0.0
     assert out[4]["dominant_script"] == "greek"
     assert out[2]["n_cyrillic"] == 6 and out[2]["n_latin"] == 2
+
+
+def test_video_marker_walk_not_fooled_by_ffd9_in_segment():
+    """The MJPEG frame splitter must walk marker structure, not scan
+    for FFD9 bytes: a COM segment whose payload CONTAINS the bytes
+    FF D9 must not terminate the frame early, and the frames of a
+    two-frame stream must decode to the same pixels as standalone
+    encodes."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    j1 = mm.encode_jpeg_pixels(mm._dup_group_pixels(3, 18, 16, 0))
+    j2 = mm.encode_jpeg_pixels(mm._dup_group_pixels(4, 18, 16, 0))
+    # splice a COM segment carrying literal FF D9 bytes after SOI
+    com = b"\xff\xfe" + (6).to_bytes(2, "big") + b"\xff\xd9\x00\x00"
+    trap = j1[:2] + com + j1[2:]
+    frames = mm.jpeg_stream_frames(trap + j2)
+    assert len(frames) == 2
+    assert mm.decode_image_pixels(frames[0]) == mm.decode_image_pixels(j1)
+    assert frames[1] == j2
+    # naive FFD9 scan would have cut frame 0 inside the COM payload
+    assert frames[0].index(b"\xff\xd9") < len(frames[0]) - 2
+
+
+def test_video_fingerprint_sampling_and_frame_counts():
+    """n_frames reports the TRUE frame count; streams past
+    VFP_MAX_FRAMES sample evenly (pinned by the >8-frame fixture
+    groups agreeing with the replica, which samples by the same
+    i·n//8 rule)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    rows = mm.synthetic_near_dup_video_rows(12)
+    by_id = {r[0]: r[2] for r in rows}
+    # g=5 group has 4 + 5%3 + 6 = 12 frames (> VFP_MAX_FRAMES)
+    n, fp = mm.video_fingerprint(by_id[5 * 3 + 1])
+    assert n == 12
+    assert len(mm.jpeg_stream_frames(by_id[5 * 3 + 1])) == 12
+    # sampling uses 8 of 12 frames: recompute the fold directly
+    frames = mm.jpeg_stream_frames(by_id[5 * 3 + 1])
+    idx = [i * 12 // 8 for i in range(8)]
+    hashes = [mm.image_dhash(frames[i]) & ((1 << 64) - 1) for i in idx]
+    bits = 0
+    for j in range(64):
+        if 2 * sum((hh >> j) & 1 for hh in hashes) > len(hashes):
+            bits |= 1 << j
+    want = bits - (1 << 64) if bits >= (1 << 63) else bits
+    assert fp == want
+
+
+def test_video_corrupt_payloads_skip_contract(spark):
+    """Truncations/byte-flips of an MJPEG stream must surface as
+    NotImplementedError only (the Arrow skip contract), and
+    video_fingerprint_table must hash decodable rows while silently
+    dropping garbage."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    rows = mm.synthetic_near_dup_video_rows(3)
+    payload = rows[0][2]
+    for cut in (1, 9, len(payload) // 3, len(payload) - 3):
+        try:
+            mm.video_fingerprint(payload[:cut])
+        except NotImplementedError:
+            pass  # the contract; other exception types fail loudly
+    for pos in (len(payload) // 2, 2 * len(payload) // 3):
+        corrupt = bytearray(payload)
+        corrupt[pos] ^= 0xA5
+        try:
+            mm.video_fingerprint(bytes(corrupt))
+        except NotImplementedError:
+            pass
+    tbl_rows = [
+        rows[0],
+        (99, "video/mjpeg", b"not a video at all", "fixture"),
+        (100, "video/mjpeg", payload[: len(payload) // 4], "fixture"),
+    ]
+    got = mm.video_fingerprint_table(
+        spark.createDataFrame(tbl_rows, mm.MEDIA_SCHEMA)
+    ).collect()
+    assert {r["media_id"] for r in got} == {rows[0][0]}

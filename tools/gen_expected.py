@@ -2283,6 +2283,131 @@ def gen_audio_fp_incremental(
     )
 
 
+def _vfp_replica(g: int, variant: int) -> tuple[int, int]:
+    """From-scratch temporal video fingerprint of near-dup fixture
+    (g, variant): per-frame pattern grid → closed-form JPEG codec
+    round-trip math (:func:`_jpeg_decoded_replica`, no bytes) →
+    per-frame dHash → even sampling of at most 8 frames → strict
+    per-bit majority fold — mirroring functions/multimodal.py:
+    video_fingerprint without touching the MJPEG byte layer, so a
+    match additionally pins the marker-walk frame splitter as
+    lossless. Returns (n_frames, vfp)."""
+    w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
+    quality = (70, 80, 90, 100)[g % 4]
+    nf = 4 + g % 3 + (6 if g % 6 == 5 else 0)
+    idx = list(range(nf)) if nf <= 8 else [i * nf // 8 for i in range(8)]
+    hashes = []
+    for f in idx:
+        px = _pattern_px(g * 17 + f, w, h, variant)
+        dec = _jpeg_decoded_replica(
+            px,
+            quality,
+            grayscale=(g % 5 == 4),
+            subsampling="420" if g % 2 else "444",
+        )
+        hashes.append(_dhash_from_px(dec) & M64)
+    k = len(hashes)
+    bits = 0
+    for j in range(64):
+        if 2 * sum((hh >> j) & 1 for hh in hashes) > k:
+            bits |= 1 << j
+    return nf, to_signed(bits)
+
+
+def gen_video_fingerprint(groups: int = 12) -> pd.DataFrame:
+    """(media_id, n_frames, vfp) for the video near-dup fixture."""
+    rows = [
+        (g * 3 + v + 1, *_vfp_replica(g, v))
+        for g in range(groups)
+        for v in range(3)
+    ]
+    return pd.DataFrame(
+        rows, columns=["media_id", "n_frames", "vfp"]
+    ).astype({"media_id": "int64", "n_frames": "int32", "vfp": "int64"})
+
+
+def gen_video_fingerprint_dups(
+    groups: int = 12, max_hamming: int = 4
+) -> pd.DataFrame:
+    """Brute-force all-pairs Hamming ≤ radius over the fixture video
+    fingerprints — the exact answer the banded join must reproduce."""
+    fps = gen_video_fingerprint(groups)
+    ids = fps["media_id"].tolist()
+    hs = fps["vfp"].tolist()
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin((hs[i] ^ hs[j]) & M64).count("1")
+            if d <= max_hamming:
+                rows.append((ids[i], ids[j], d))
+    return pd.DataFrame(
+        rows, columns=["media_id_a", "media_id_b", "hamming"]
+    )
+
+
+def gen_video_dedup_survivors(
+    groups: int = 12, max_hamming: int = 4
+) -> pd.DataFrame:
+    """Union-find over the brute-force video fingerprint pair set —
+    the independent replica of operators/dedup.py:
+    video_dedup_survivors (same union-find as the image/audio twins)."""
+    pairs = gen_video_fingerprint_dups(groups, max_hamming)
+    ids = list(range(1, groups * 3 + 1))
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["media_id_a"], pairs["media_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    members: dict[int, int] = {}
+    for i in ids:
+        members[find(i)] = members.get(find(i), 0) + 1
+    rows = sorted((root, n) for root, n in members.items())
+    return pd.DataFrame(
+        rows, columns=["media_id", "n_merged"]
+    ).astype({"media_id": "int64", "n_merged": "int64"})
+
+
+def gen_video_fp_incremental(
+    groups: int = 12, max_hamming: int = 4
+) -> pd.DataFrame:
+    """Brute-force replica of operators/dedup.py:
+    video_fingerprint_incremental over the registered split — same
+    store/batch partition rule as the image/audio twins (even-group
+    bases = store, media_id%6==1)."""
+    fps = gen_video_fingerprint(groups)
+    hs = dict(zip(fps["media_id"], fps["vfp"]))
+    store = sorted(i for i in hs if i % 6 == 1)
+    batch = sorted(i for i in hs if i % 6 != 1)
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & M64).count("1")
+
+    out = {"media_id": [], "matched_store_id": [],
+           "matched_batch_id": [], "keep": []}
+    for d in batch:
+        ms = min((c for c in store if ham(hs[d], hs[c]) <= max_hamming),
+                 default=-1)
+        mb = min((c for c in batch
+                  if c < d and ham(hs[d], hs[c]) <= max_hamming),
+                 default=-1)
+        out["media_id"].append(d)
+        out["matched_store_id"].append(ms)
+        out["matched_batch_id"].append(mb)
+        out["keep"].append(ms == -1 and mb == -1)
+    return pd.DataFrame(out).astype(
+        {"media_id": "int64", "matched_store_id": "int64",
+         "matched_batch_id": "int64", "keep": "bool"}
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -2332,6 +2457,10 @@ def main() -> None:
         ("media_jpeg_dhash", gen_jpeg_dhash()),
         ("semantic_incremental_embeddings", gen_semantic_incremental(vecs)),
         ("streaming_semantic_dedup", gen_streaming_semantic(vecs)),
+        ("media_video_fingerprint", gen_video_fingerprint()),
+        ("video_fingerprint_dups", gen_video_fingerprint_dups()),
+        ("video_dedup_survivors", gen_video_dedup_survivors()),
+        ("video_fingerprint_incremental", gen_video_fp_incremental()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
