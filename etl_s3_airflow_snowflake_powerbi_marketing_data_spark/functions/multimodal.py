@@ -1043,11 +1043,38 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, (v if v >= 0 else v + (1 << cat) - 1)
 
 
+def _prog_ac_table() -> tuple[list[int], list[int]]:
+    """Huffman table for progressive AC scans: every symbol a
+    progressive AC encoder can emit — EOBn (``r<<4``, r = 0..14, the
+    end-of-band RUN lengths baseline tables don't know), ZRL (0xF0),
+    and ``(run<<4)|size`` for size 1..10 — all at code length 8. A
+    single-length canonical code over ≤ 256 symbols is a valid
+    (incomplete) T.81 table; the few hundred bytes it costs a fixture
+    over a frequency-optimized table buy an encoder with no
+    per-image optimization pass."""
+    syms = sorted(
+        {r << 4 for r in range(15)}
+        | {0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+    bits = [0] * 16
+    bits[7] = len(syms)
+    return bits, syms
+
+
+_HT_AC_PROG = _prog_ac_table()
+
+# EOBn's r field is 4 bits with r=15 reserved for ZRL → run ≤ 2^14 +
+# (2^14 - 1) = 32767 blocks per emitted EOBn
+_EOBRUN_CAP = 32767
+
+
 def encode_jpeg_pixels(
     rows: list[list[tuple[int, int, int]]],
     quality: int = 90,
     grayscale: bool = False,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Real baseline JFIF JPEG from an explicit pixel grid: RGB →
     YCbCr (or BT.601 luma only when ``grayscale``), 8×8 forward DCT
@@ -1059,7 +1086,14 @@ def encode_jpeg_pixels(
     downsampled by exact 2×2 mean). Edge blocks replicate the last
     row/column. Deterministic bit-for-bit: no libm, one documented
     rounding rule, fixed accumulation order — :func:`_jpeg_pixels`
-    and the oracle replica invert/replay it exactly."""
+    and the oracle replica invert/replay it exactly.
+
+    ``progressive=True`` transmits the SAME quantized coefficients as
+    a PROGRESSIVE (SOF2) stream — spectral selection (DC and
+    per-component full-band AC scans) plus successive approximation
+    (Al=1 first scans, Ah=1→Al=0 refinements) — so decoded pixels are
+    bit-identical to the baseline encode at the same quality; only
+    the byte layer differs (:func:`_encode_jpeg_progressive`)."""
     import struct  # noqa: PLC0415
 
     if subsampling not in ("444", "420"):
@@ -1105,14 +1139,18 @@ def encode_jpeg_pixels(
         else:
             planes += [full[1], full[2]]
 
+    comp_blocks = [(2, 2) if sub and c == 0 else (1, 1)
+                   for c in range(n_comp)]
+    if progressive:
+        return _encode_jpeg_progressive(
+            planes, comp_blocks, n_comp, w, h, qt_l, qt_c
+        )
     dc_l = _huff_codes(*_HT_DC_LUM)
     ac_l = _huff_codes(*_HT_AC_LUM)
     dc_c = _huff_codes(*_HT_DC_CHROM)
     ac_c = _huff_codes(*_HT_AC_CHROM)
     writer = _BitWriter()
     prev_dc = [0] * n_comp
-    comp_blocks = [(2, 2) if sub and c == 0 else (1, 1)
-                   for c in range(n_comp)]
 
     def encode_block(c: int, oy: int, ox: int) -> None:
         qt = qt_l if c == 0 else qt_c
@@ -1199,6 +1237,266 @@ def encode_jpeg_pixels(
     return bytes(out)
 
 
+def _encode_jpeg_progressive(
+    planes, comp_blocks, n_comp: int, w: int, h: int, qt_l, qt_c
+) -> bytes:
+    """Progressive (SOF2) JFIF assembly from MCU-padded sample planes
+    — the byte-layer half of ``encode_jpeg_pixels(progressive=True)``.
+
+    Scan script (spectral selection + successive approximation, the
+    combination real encoders emit):
+
+    1. DC first, all components interleaved, Ah=0 Al=1 (point
+       transform = arithmetic shift, T.81 G.1.2.1);
+    2. per-component AC first scans, Ss=1..63, Ah=0 Al=1 (EOB-run
+       coding across blocks; point transform truncates magnitude
+       toward zero, G.1.2.2);
+    3. DC refinement, interleaved, Ah=1 Al=0 (one raw bit per block);
+    4. per-component AC refinement scans, Ah=1 Al=0 (newly-nonzero
+       symbols + buffered correction bits, the G.1.2.3 algorithm).
+
+    Per T.81 scan geometry: interleaved scans walk the padded MCU
+    grid; single-component scans walk ceil-of-FRAME-dims block grids
+    — for 4:2:0 luma those can be narrower than the padded grid, so
+    pure-padding block columns carry DC only (invisible by
+    construction). Coefficients reconstruct EXACTLY (both point
+    transforms are losslessly undone by the refinement scans), so
+    decode(progressive) == decode(baseline) pixel-for-pixel — pinned
+    by the unchanged media_jpeg_dhash expected file and pytest."""
+    import struct  # noqa: PLC0415
+
+    hmax, vmax = comp_blocks[0]
+    mcux = len(planes[0][0]) // (8 * hmax)
+    mcuy = len(planes[0]) // (8 * vmax)
+
+    # quantized coefficient grids (zigzag order) over the padded
+    # block grid — the same per-block math as the baseline path
+    zz_grids = []
+    for c in range(n_comp):
+        plane = planes[c]
+        qt = qt_l if c == 0 else qt_c
+        bh_c, bw_c = len(plane) // 8, len(plane[0]) // 8
+        grid = []
+        for by in range(bh_c):
+            grow = []
+            for bx in range(bw_c):
+                block = [
+                    [
+                        float(plane[by * 8 + y][bx * 8 + x] - 128)
+                        for x in range(8)
+                    ]
+                    for y in range(8)
+                ]
+                coef = _fdct8x8(block)
+                q = [
+                    _round_half_up(coef[i // 8][i % 8] / qt[i])
+                    for i in range(64)
+                ]
+                grow.append([q[_ZIGZAG[i]] for i in range(64)])
+            grid.append(grow)
+        zz_grids.append(grid)
+
+    def scan_grid(c: int) -> tuple[int, int]:
+        """Single-component scan block dims: ceil of the FRAME-derived
+        component sample dims (T.81 A.1.1), not the padded grid."""
+        hi, vi = comp_blocks[c]
+        xs = (w * hi + hmax - 1) // hmax
+        ys = (h * vi + vmax - 1) // vmax
+        return (ys + 7) // 8, (xs + 7) // 8
+
+    def interleaved_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in range(n_comp):
+                    hi, vi = comp_blocks[c]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            yield c, zz_grids[c][my * vi + byi][mx * hi + bxi]
+
+    dc_tabs = [
+        _huff_codes(*(_HT_DC_LUM if c == 0 else _HT_DC_CHROM))
+        for c in range(n_comp)
+    ]
+    ac_prog = _huff_codes(*_HT_AC_PROG)
+
+    def dc_first_scan() -> bytes:
+        wr = _BitWriter()
+        prev = [0] * n_comp
+        for c, zz in interleaved_blocks():
+            t = zz[0] >> 1  # Al=1, arithmetic shift per G.1.2.1
+            diff = t - prev[c]
+            prev[c] = t
+            cat, off = _magnitude(diff)
+            code, ln = dc_tabs[c][cat]
+            wr.write(code, ln)
+            if cat:
+                wr.write(off, cat)
+        return wr.flush()
+
+    def dc_refine_scan() -> bytes:
+        wr = _BitWriter()
+        for _c, zz in interleaved_blocks():
+            wr.write(zz[0] & 1, 1)  # the Al bit, raw
+        return wr.flush()
+
+    def ac_first_scan(c: int) -> bytes:
+        wr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_prog[r << 4]
+                wr.write(code, ln)
+                if r:
+                    wr.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        sh, sw = scan_grid(c)
+        for by in range(sh):
+            for bx in range(sw):
+                zz = zz_grids[c][by][bx]
+                # Al=1 point transform: magnitude shift, sign kept
+                vals = [
+                    (abs(zz[k]) >> 1) * (1 if zz[k] >= 0 else -1)
+                    for k in range(64)
+                ]
+                last = max(
+                    (k for k in range(1, 64) if vals[k]), default=0
+                )
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == _EOBRUN_CAP:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last + 1):
+                    if vals[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_prog[0xF0]
+                        wr.write(code, ln)
+                        run -= 16
+                    cat, off = _magnitude(vals[k])
+                    code, ln = ac_prog[(run << 4) | cat]
+                    wr.write(code, ln)
+                    wr.write(off, cat)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+                    if eobrun == _EOBRUN_CAP:
+                        flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    def ac_refine_scan(c: int) -> bytes:
+        # the G.1.2.3 / libjpeg encode_mcu_AC_refine algorithm:
+        # correction bits for already-nonzero coefficients buffer
+        # until the next emitted symbol (or the EOBn that closes the
+        # end-of-band run they fell into)
+        wr = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pending
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_prog[r << 4]
+                wr.write(code, ln)
+                if r:
+                    wr.write(eobrun - (1 << r), r)
+                eobrun = 0
+            for bit in pending:
+                wr.write(bit, 1)
+            pending = []
+
+        sh, sw = scan_grid(c)
+        for by in range(sh):
+            for bx in range(sw):
+                zz = zz_grids[c][by][bx]
+                absv = [abs(zz[k]) for k in range(64)]  # Al=0
+                eob = max(
+                    (k for k in range(1, 64) if absv[k] == 1), default=0
+                )
+                run = 0
+                br: list[int] = []
+                for k in range(1, 64):
+                    if absv[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        flush_eob()
+                        code, ln = ac_prog[0xF0]
+                        wr.write(code, ln)
+                        run -= 16
+                        for bit in br:
+                            wr.write(bit, 1)
+                        br = []
+                    if absv[k] > 1:
+                        br.append(absv[k] & 1)
+                        continue
+                    flush_eob()
+                    code, ln = ac_prog[(run << 4) | 1]
+                    wr.write(code, ln)
+                    wr.write(1 if zz[k] >= 0 else 0, 1)
+                    for bit in br:
+                        wr.write(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pending.extend(br)
+                    if eobrun == _EOBRUN_CAP:
+                        flush_eob()
+        flush_eob()
+        return wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(body)) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int,
+            entropy: bytes) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            # DC table id per component; AC table 0 (the flat
+            # progressive table) for every AC scan
+            body += bytes((cid, (0x00 if cid == 1 else 0x11)
+                           if ss == 0 else 0x00))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xFFDA, body) + entropy
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qt_l[_ZIGZAG[i]] for i in range(64)))
+    if n_comp == 3:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(qt_c[_ZIGZAG[i]] for i in range(64))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for c in range(n_comp):
+        hi, vi = comp_blocks[c]
+        sof += bytes((c + 1, (hi << 4) | vi, 0 if c == 0 else 1))
+    out += seg(0xFFC2, sof)
+    tables = [(0x00, _HT_DC_LUM), (0x10, _HT_AC_PROG)]
+    if n_comp == 3:
+        tables.append((0x01, _HT_DC_CHROM))
+    for tc_th, (bits, vals) in tables:
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    all_ids = [c + 1 for c in range(n_comp)]
+    out += sos(all_ids, 0, 0, 0, 1, dc_first_scan())
+    for c in range(n_comp):
+        out += sos([c + 1], 1, 63, 0, 1, ac_first_scan(c))
+    out += sos(all_ids, 0, 0, 1, 0, dc_refine_scan())
+    for c in range(n_comp):
+        out += sos([c + 1], 1, 63, 1, 0, ac_refine_scan(c))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """MSB-first bit reader over an entropy-coded segment with 0xFF00
     un-stuffing; any other 0xFF-marker inside the scan raises (restart
@@ -1275,9 +1573,11 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
     over the literal cosine table → level shift → YCbCr→RGB — closing
     the last codec seam with the no-libm determinism contract of
     :func:`encode_jpeg_pixels` (same rounding rule, same accumulation
-    order, so replicas replay the identical IEEE sequence). Progressive
-    (SOF2), subsampled, 12-bit, arithmetic-coded, and
-    restart-interval streams raise — the remaining documented seams."""
+    order, so replicas replay the identical IEEE sequence). 4:2:0/
+    4:2:2-style subsampling decodes (1x1/2x2 factors); progressive
+    (SOF2) streams dispatch to :func:`_jpeg_pixels_progressive` (r11).
+    12-bit, arithmetic-coded, nonzero-restart-interval, and
+    hierarchical streams raise — the remaining documented seams."""
     import struct  # noqa: PLC0415
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -1330,7 +1630,9 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
                         "only 1x1/2x2 sampling factors supported"
                     )
                 comps.append((cid, samp, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            return _jpeg_pixels_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG frame")
         elif marker == 0xDD:
@@ -1434,13 +1736,309 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
     return rows_out
 
 
+def _jpeg_pixels_progressive(b: bytes) -> list[list[tuple[int, int, int]]]:
+    """Pixel decode of a PROGRESSIVE (SOF2) JFIF JPEG — the biggest
+    real-crawl format seam left after r10's baseline decoder (VERDICT
+    r10 item 3). Segments process in stream order (DHT/DQT may be
+    redefined between scans); every SOS updates per-component
+    COEFFICIENT grids according to its spectral band (Ss..Se) and
+    successive-approximation state (Ah, Al):
+
+    - DC first (Ah=0): differential Huffman decode, value << Al;
+    - DC refinement: one raw bit per block, OR'd at bit Al (exact in
+      two's complement — Python ints are);
+    - AC first: T.81 G.1.2.2 — runs, magnitudes << Al, and EOBn
+      end-of-band runs spanning blocks;
+    - AC refinement: G.1.2.3 — newly-nonzero ±(1<<Al) insertions plus
+      one correction bit per already-nonzero coefficient crossed.
+
+    Interleaved scans (DC) walk the padded MCU grid; single-component
+    scans walk ceil-of-frame-dims block grids (A.1.1). After EOI the
+    full coefficient grids dequantize + IDCT with the exact math and
+    per-block order of the baseline path, so a progressive encode of
+    the same quantized coefficients decodes pixel-identically —
+    12-bit, arithmetic coding, nonzero restart intervals, and
+    hierarchical (SOF3+) streams still raise."""
+    import struct  # noqa: PLC0415
+
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = 0
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
+    coef: dict[int, list[list[list[int]]]] = {}  # cid → [by][bx][64] zigzag
+    samp_of: dict[int, tuple[int, int]] = {}
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    pos = 2
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+
+    def scan_grid(cid: int) -> tuple[int, int]:
+        hi, vi = samp_of[cid]
+        xs = (w * hi + hmax - 1) // hmax
+        ys = (h * vi + vmax - 1) // vmax
+        return (ys + 7) // 8, (xs + 7) // 8
+
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise NotImplementedError("desynced JPEG stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack_from(">H", b, pos + 2)
+        body = b[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zzq = list(body[j + 1 : j + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = zzq[k]
+                qt[tq] = nat
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                j += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG")
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        "only 1x1/2x2 sampling factors supported"
+                    )
+                comps.append((cid, samp, tq))
+                samp_of[cid] = (hi, vi)
+            hmax = max(hi for hi, _ in samp_of.values())
+            vmax = max(vi for _, vi in samp_of.values())
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, (hi, vi) in samp_of.items():
+                coef[cid] = [
+                    [[0] * 64 for _ in range(mcux * hi)]
+                    for _ in range(mcuy * vi)
+                ]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("mixed-frame JPEG")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            if not comps:
+                raise NotImplementedError("scan before SOF2 frame")
+            ns = body[0]
+            scomps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tdta = body[2 + 2 * c]
+                scomps.append((cid, tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            reader = _BitReader(b, pos + 2 + length)
+            _decode_progressive_scan(
+                reader, huff, coef, samp_of, scomps,
+                ss, se, ah, al, mcux, mcuy, scan_grid,
+            )
+            # resync: remaining pad bits live inside consumed bytes;
+            # the next unread byte starts the next marker
+            pos = reader.pos
+            while pos + 1 < len(b) and not (
+                b[pos] == 0xFF and b[pos + 1] not in (0x00,)
+            ):
+                pos += 1
+            continue
+        pos += 2 + length
+    if not comps or w <= 0:
+        raise NotImplementedError("JPEG without a progressive frame")
+
+    # reconstruction: dequant + IDCT over the full padded grids —
+    # identical per-block math and rounding as the baseline path
+    comp_qt = {cid: tq for cid, _s, tq in comps}
+    planes = []
+    for cid, _s, _q in comps:
+        hi, vi = samp_of[cid]
+        q = qt[comp_qt[cid]]
+        plane = [[0] * (mcux * 8 * hi) for _ in range(mcuy * 8 * vi)]
+        grid = coef[cid]
+        for by in range(mcuy * vi):
+            for bx in range(mcux * hi):
+                zz = grid[by][bx]
+                cm = [[0.0] * 8 for _ in range(8)]
+                for k in range(64):
+                    nat = _ZIGZAG[k]
+                    cm[nat // 8][nat % 8] = float(zz[k] * q[nat])
+                spatial = _idct8x8(cm)
+                for y in range(8):
+                    row = plane[by * 8 + y]
+                    srow = spatial[y]
+                    for x in range(8):
+                        row[bx * 8 + x] = _clamp8(
+                            _round_half_up(srow[x]) + 128
+                        )
+        planes.append(plane)
+    n_comp = len(comps)
+    samps = [samp_of[cid] for cid, _s, _q in comps]
+    rows_out: list[list[tuple[int, int, int]]] = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            vals = [
+                planes[c][y * samps[c][1] // vmax][x * samps[c][0] // hmax]
+                for c in range(n_comp)
+            ]
+            if n_comp == 1:
+                row.append((vals[0], vals[0], vals[0]))
+            else:
+                row.append(_ycbcr_to_rgb(vals[0], vals[1], vals[2]))
+        rows_out.append(row)
+    return rows_out
+
+
+def _decode_progressive_scan(
+    reader: _BitReader,
+    huff: dict,
+    coef: dict,
+    samp_of: dict,
+    scomps: list[tuple[int, int, int]],
+    ss: int, se: int, ah: int, al: int,
+    mcux: int, mcuy: int,
+    scan_grid,
+) -> None:
+    """Entropy-decode ONE progressive scan into the coefficient grids
+    (see :func:`_jpeg_pixels_progressive` for the per-scan-kind
+    rules). ``eobrun`` state spans blocks within the scan."""
+    state_eobrun = 0
+    if ss == 0 and len(scomps) > 1:
+        # interleaved DC scan over the padded MCU grid
+        prev = {cid: 0 for cid, _d, _a in scomps}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, dc_id, _ac in scomps:
+                    hi, vi = samp_of[cid]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            zz = coef[cid][my * vi + byi][mx * hi + bxi]
+                            if ah == 0:
+                                cat = _read_huff_symbol(
+                                    reader, huff[(0, dc_id)]
+                                )
+                                diff = (
+                                    _extend(reader.read_bits(cat), cat)
+                                    if cat else 0
+                                )
+                                prev[cid] += diff
+                                zz[0] = prev[cid] << al
+                            elif reader.read_bit():
+                                zz[0] |= 1 << al
+        return
+    # single-component scan (DC or AC) over the component's grid
+    cid, dc_id, ac_id = scomps[0]
+    sh, sw = scan_grid(cid)
+    prev_dc = 0
+    for by in range(sh):
+        for bx in range(sw):
+            zz = coef[cid][by][bx]
+            if ss == 0:
+                if ah == 0:
+                    cat = _read_huff_symbol(reader, huff[(0, dc_id)])
+                    diff = (
+                        _extend(reader.read_bits(cat), cat) if cat else 0
+                    )
+                    prev_dc += diff
+                    zz[0] = prev_dc << al
+                elif reader.read_bit():
+                    zz[0] |= 1 << al
+                continue
+            if ah == 0:
+                # AC first scan (G.1.2.2)
+                if state_eobrun > 0:
+                    state_eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_huff_symbol(reader, huff[(1, ac_id)])
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        state_eobrun = (1 << r) - 1 + (
+                            reader.read_bits(r) if r else 0
+                        )
+                        break
+                    k += r
+                    if k > se:
+                        raise NotImplementedError("AC run past band end")
+                    zz[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+            else:
+                # AC refinement scan (G.1.2.3)
+                p1 = 1 << al
+                k = ss
+                if state_eobrun == 0:
+                    while k <= se:
+                        sym = _read_huff_symbol(reader, huff[(1, ac_id)])
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                state_eobrun = (1 << r) + (
+                                    reader.read_bits(r) if r else 0
+                                )
+                                break
+                            newval = 0  # ZRL: 16 zero-history skips
+                        elif s == 1:
+                            newval = p1 if reader.read_bit() else -p1
+                        else:
+                            raise NotImplementedError(
+                                "bad AC refinement symbol"
+                            )
+                        while k <= se:
+                            if zz[k] != 0:
+                                if reader.read_bit() and (
+                                    abs(zz[k]) & p1
+                                ) == 0:
+                                    zz[k] += p1 if zz[k] > 0 else -p1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if state_eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0 and reader.read_bit() and (
+                            abs(zz[k]) & p1
+                        ) == 0:
+                            zz[k] += p1 if zz[k] > 0 else -p1
+                        k += 1
+                    state_eobrun -= 1
+
+
 def decode_image_pixels(payload: bytes) -> list[list[tuple[int, int, int]]]:
-    """Pixel grid for the codec-free raster formats — 24-bit BMP, P6
-    PPM, and (r10) 8-bit truecolor PNG (stdlib-zlib inflate + the
-    five scanline filters, :func:`_png_pixels`) and palette GIF
-    (pure-Python LZW, :func:`_gif_pixels`). JPEG entropy coding needs
-    a real codec and raises — the remaining documented seam, same as
-    :func:`decode_image_stub`; :func:`dhash_table` skips such
+    """Pixel grid for the supported raster formats — 24-bit BMP, P6
+    PPM, (r10) 8-bit truecolor PNG (stdlib-zlib inflate + the five
+    scanline filters, :func:`_png_pixels`), palette GIF (pure-Python
+    LZW, :func:`_gif_pixels`), (r10) baseline JPEG
+    (:func:`_jpeg_pixels`), and (r11) progressive JPEG
+    (:func:`_jpeg_pixels_progressive`). Still-unsupported variants
+    (12-bit, arithmetic-coded, restart-interval JPEG; exotic BMP/PNG
+    depths) raise NotImplementedError; :func:`dhash_table` skips such
     payloads rather than failing the job."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
@@ -1673,6 +2271,11 @@ def synthetic_jpeg_image_table(spark, groups: int = 10) -> DataFrame:
                 quality=quality,
                 grayscale=(g % 5 == 4),
                 subsampling="420" if g % 2 else "444",
+                # r11: progressive (SOF2) groups — same quantized
+                # coefficients, different byte layer, so the COMMITTED
+                # expected hashes must not move: the oracle now pins
+                # the progressive entropy round-trip as lossless too
+                progressive=(g % 3 == 2 or g % 5 == 4),
             )
             rows.append((g * 3 + v + 1, "image/jpeg", payload, "fixture"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -2068,6 +2671,10 @@ def synthetic_near_dup_video_rows(
                     quality=quality,
                     grayscale=(g % 5 == 4),
                     subsampling="420" if g % 2 else "444",
+                    # r11: progressive frame groups exercise the
+                    # multi-SOS marker walk on real streams; decoded
+                    # pixels (hence fingerprints) are unchanged
+                    progressive=(g % 4 == 2),
                 )
                 for f in range(nf)
             ]

@@ -1252,3 +1252,39 @@ def test_jpeg_roundtrip_matches_codec_math_property(
         rows, quality, grayscale=gray, subsampling=sub
     )
     assert mm.decode_image(payload) == (len(rows[0]), len(rows))
+
+
+@given(
+    rows=_grid(w_max=12, h_max=10),
+    quality=st.sampled_from([60, 80, 90, 100]),
+    gray=st.booleans(),
+    sub=st.sampled_from(["444", "420"]),
+)
+@SETTINGS
+def test_progressive_jpeg_matches_codec_math_property(
+    rows, quality, gray, sub
+):
+    """Progressive (SOF2) encode transmits the SAME quantized
+    coefficients as baseline, so its decode must equal the
+    closed-form codec-math replica bit-for-bit on arbitrary grids —
+    pinning the spectral-selection + successive-approximation entropy
+    round trip (EOB runs, refinement correction bits) as lossless."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools import gen_expected as ge
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    payload = mm.encode_jpeg_pixels(
+        rows, quality=quality, grayscale=gray, subsampling=sub,
+        progressive=True,
+    )
+    # SOF2 in the header region (after APP0 + DQT), never SOF0
+    assert b"\xff\xc2" in payload[:220] and b"\xff\xc0" not in payload[:220]
+    dec = mm.decode_image_pixels(payload)
+    assert dec == ge._jpeg_decoded_replica(
+        rows, quality, grayscale=gray, subsampling=sub
+    )

@@ -963,6 +963,8 @@ def test_corrupt_payloads_raise_not_implemented_only():
         mm.encode_png_pixels(grid),
         mm.encode_gif_pixels(pal),
         mm.encode_jpeg_pixels(grid),
+        mm.encode_jpeg_pixels(grid, progressive=True),
+        mm.encode_jpeg_pixels(grid, subsampling="420", progressive=True),
     ]
     for payload in payloads:
         # sanity: the intact payload decodes
