@@ -831,6 +831,58 @@ def q_video_fp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_curation_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The multimodal curation CAPSTONE (plans/curation.py:
+    multimodal_curation_funnel — VERDICT r10 item 7): one snapshot
+    report composing the engine's own operators end-to-end — text
+    triage (Gopher) → exact dedup → 5-gram decontamination → TTR
+    token-budget mixing → 512-token sequence packing, plus the three
+    media modalities' decode-gate → near-dup-survivor funnels (dHash /
+    energy-delta / temporal fingerprint over the shared banded-Hamming
+    machinery), with two garbage payloads injected per modality to
+    prove the skip contract IS the decode gate. Text stages oracle in
+    pure DuckDB SQL (gopher rules, keep-first dedup, string-shingle
+    decontam, windowed budget cumsum, closed-form pack count that
+    cross-checks pack_sequences' offset algebra); media stages come
+    from the independent union-find replica
+    (tools/gen_expected.py:gen_multimodal_funnel_media)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.plans import (
+        curation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def with_garbage(tbl: DataFrame, garbage: list[bytes]) -> DataFrame:
+        rows = [
+            (9001 + i, "application/octet-stream", g, "garbage")
+            for i, g in enumerate(garbage)
+        ]
+        return tbl.unionByName(
+            spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        )
+
+    image = with_garbage(
+        multimodal.synthetic_near_dup_image_table(spark, 16),
+        [b"not an image", multimodal.encode_png_pixels(
+            multimodal._dup_group_pixels(1, 18, 16, 0)
+        )[:20]],
+    )
+    audio = with_garbage(
+        multimodal.synthetic_near_dup_audio_table(spark, 16),
+        [b"not audio", multimodal.encode_wav(100, 8000)[:16]],
+    )
+    video_rows = multimodal.synthetic_near_dup_video_rows(12)
+    video = with_garbage(
+        spark.createDataFrame(video_rows, multimodal.MEDIA_SCHEMA),
+        [b"not a video", video_rows[0][2][: len(video_rows[0][2]) // 5]],
+    )
+    return curation.multimodal_curation_funnel(
+        spark, docs, image, audio, video
+    )
+
+
 def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split (operators/sampling.py:
     split_assign_leakage_safe): buckets key on the normalized-content
@@ -3480,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_dups": q_audio_fingerprint_dups,
         "audio_dedup_survivors": q_audio_dedup_survivors,
         "audio_fingerprint_incremental": q_audio_fp_incremental,
+        "multimodal_curation_funnel": q_multimodal_curation_funnel,
         "media_video_fingerprint": q_media_video_fingerprint,
         "video_fingerprint_dups": q_video_fingerprint_dups,
         "video_dedup_survivors": q_video_dedup_survivors,
@@ -4759,6 +4812,138 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/audio_fingerprint_incremental.parquet')
             ORDER BY media_id
+        """,
+        # round 11: the multimodal curation capstone. Text stages are
+        # a PURE DuckDB oracle (gopher rules, md5 keep-first dedup,
+        # raw-string 5-gram decontam vs the engine's xxhash64 store —
+        # identical flags short of a 64-bit collision, windowed budget
+        # cumsum, closed-form ceil pack count cross-checking
+        # pack_sequences' offset algebra); media stages read the
+        # union-find replica's expected rows.
+        "multimodal_curation_funnel": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END) AS BIGINT) AS n_words,
+                     CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\\s+')) END) = 0
+                          THEN 0.0
+                          ELSE floor(CAST(length(regexp_replace(trim(text),
+                                 '\\s+', '', 'g')) AS DOUBLE)
+                               / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                  ELSE len(string_split_regex(trim(text),
+                                                              '\\s+')) END)
+                               * 1000000.0) / 1000000.0 END AS mean_word_len,
+                     floor((CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE len(regexp_extract_all(text,
+                                   '[!-/:-@\\[-`{-~]')) * 1.0 / length(text)
+                            END) * 1000000.0) / 1000000.0 AS punct_ratio,
+                     floor((CASE WHEN (CASE WHEN length(trim(text)) = 0
+                                       THEN 0
+                                       ELSE len(string_split_regex(
+                                              trim(text), '\\s+')) END) = 0
+                            THEN 0.0
+                            ELSE len(regexp_extract_all(lower(text),
+                                   '\\b(the|and|of|to|a|in|is|it|that|for)\\b'))
+                                 * 1.0
+                                 / (CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text),
+                                                                '\\s+')) END)
+                            END) * 1000000.0) / 1000000.0 AS stopword_ratio
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_words,
+                     ((n_words >= 20 AND n_words <= 100000)
+                      AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                      AND (punct_ratio <= 0.20)
+                      AND (stopword_ratio >= 0.05)) AS gk
+              FROM m
+            ), toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS tk
+              FROM documents
+            ), ntok AS (
+              SELECT doc_id, COUNT(*) AS nt, COUNT(DISTINCT term) AS nd
+              FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+              WHERE length(term) > 0 GROUP BY doc_id
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(
+                         range(0, greatest(len(tk) - 4, 1)),
+                         i -> array_to_string(
+                                list_slice(tk, i + 1, i + 5), ' ')
+                       )
+                     ) AS shingles
+              FROM toks
+            ), ev AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh
+              WHERE doc_id % 50 = 0
+            ), bad AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) t
+              JOIN ev USING (s)
+            ), keepers AS (
+              SELECT md5(d.text) AS fp, MIN(d.doc_id) AS kid
+              FROM documents d JOIN g USING (doc_id)
+              WHERE g.gk GROUP BY 1
+            ), flags AS (
+              SELECT d.doc_id,
+                     COALESCE(n.nt, 0) AS nt,
+                     COALESCE(n.nd, 0) AS nd,
+                     g.gk,
+                     g.gk AND d.doc_id = k.kid AS dk,
+                     g.gk AND d.doc_id = k.kid
+                       AND d.doc_id NOT IN (SELECT doc_id FROM bad) AS ck
+              FROM documents d
+              JOIN g USING (doc_id)
+              LEFT JOIN ntok n USING (doc_id)
+              LEFT JOIN keepers k ON md5(d.text) = k.fp
+            ), sel AS (
+              SELECT doc_id, nt,
+                     floor(CAST(nd AS DOUBLE) / nt * 1e6) / 1e6 AS ttr
+              FROM flags WHERE ck
+            ), cums AS (
+              SELECT doc_id, nt,
+                     SUM(nt) OVER (ORDER BY ttr DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM sel
+            ), mixed AS (
+              SELECT * FROM cums
+              WHERE cum <= floor(
+                      (SELECT CAST(SUM(nt) AS DOUBLE) FROM sel) * 0.6)
+            ), report_text AS (
+              SELECT '0_total' AS stage, COUNT(*) AS n_items,
+                     COALESCE(SUM(nt), 0) AS n_tokens FROM flags
+              UNION ALL
+              SELECT '1_triage', COUNT(*), COALESCE(SUM(nt), 0)
+              FROM flags WHERE gk
+              UNION ALL
+              SELECT '2_dedup', COUNT(*), COALESCE(SUM(nt), 0)
+              FROM flags WHERE dk
+              UNION ALL
+              SELECT '3_decontam', COUNT(*), COALESCE(SUM(nt), 0)
+              FROM flags WHERE ck
+              UNION ALL
+              SELECT '4_mix', COUNT(*), COALESCE(SUM(nt), 0) FROM mixed
+              UNION ALL
+              SELECT '5_pack', (COALESCE(SUM(nt), 0) + 511) // 512,
+                     COALESCE(SUM(nt), 0) FROM mixed
+            )
+            SELECT modality, stage,
+                   CAST(n_items AS BIGINT) AS n_items,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM (
+              SELECT 'text' AS modality, stage, n_items, n_tokens
+              FROM report_text
+              UNION ALL
+              SELECT modality, stage, n_items, n_tokens
+              FROM read_parquet('/root/repo/expected/sf0.01/multimodal_funnel_media.parquet')
+            )
+            ORDER BY modality, stage
         """,
         # round 11: video temporal fingerprint leg — per-frame codec
         # math replayed closed-form (no bytes), brute-force pair /

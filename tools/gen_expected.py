@@ -2408,6 +2408,31 @@ def gen_video_fp_incremental(
     )
 
 
+def gen_multimodal_funnel_media() -> pd.DataFrame:
+    """Expected MEDIA rows of the multimodal curation funnel
+    (plans/curation.py:multimodal_curation_funnel): per modality,
+    total = fixture rows + 2 injected garbage payloads, decodable =
+    fixture rows (garbage falls out at the Arrow skip gate), dedup =
+    union-find survivor count over the independently recomputed
+    brute-force pair sets (radius 3 for image/audio, 4 for video —
+    the operators' defaults). The TEXT rows of the report are a pure
+    DuckDB oracle; only these media stages need the replica."""
+    rows = []
+    for kind, total_items, survivors in (
+        ("image", 16 * 3, len(gen_image_dedup_survivors(16, 3))),
+        ("audio", 16 * 3, len(gen_audio_dedup_survivors(16, 3))),
+        ("video", 12 * 3, len(gen_video_dedup_survivors(12, 4))),
+    ):
+        rows += [
+            (kind, "0_total", total_items + 2, 0),
+            (kind, "1_decodable", total_items, 0),
+            (kind, "2_dedup", survivors, 0),
+        ]
+    return pd.DataFrame(
+        rows, columns=["modality", "stage", "n_items", "n_tokens"]
+    ).astype({"n_items": "int64", "n_tokens": "int64"})
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (
@@ -2461,6 +2486,7 @@ def main() -> None:
         ("video_fingerprint_dups", gen_video_fingerprint_dups()),
         ("video_dedup_survivors", gen_video_dedup_survivors()),
         ("video_fingerprint_incremental", gen_video_fp_incremental()),
+        ("multimodal_funnel_media", gen_multimodal_funnel_media()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)

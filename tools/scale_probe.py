@@ -744,6 +744,108 @@ def main() -> None:
         fuzzy_uncapped["1x"],
         fuzzy_uncapped[f"{replicas}x"],
     )
+    # --- r11 (VERDICT r10 item 4): the media legs, probed like
+    # everything else instead of assumed from plan shape. Fixture
+    # GROUPS scale 1x → Nx (more groups = more images/clips/videos AND
+    # linearly more true near-dup pairs; inter-group 64-bit signatures
+    # are effectively random, so band collisions track real duplicate
+    # density, not N²). Reported per op: wall growth, decode/hash
+    # seconds-per-item for the Arrow decode tables (the pure-Python
+    # codec cost VERDICT r10 flagged as the dominant term), and
+    # pair-normalized growth for the banded joins. Fixtures stage to
+    # parquet first so generation cost stays out of the timed window.
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (  # noqa: PLC0415
+        multimodal as mm,
+    )
+
+    media_dir = os.path.join(tempfile.gettempdir(), f"media{replicas}x")
+    os.makedirs(media_dir, exist_ok=True)
+    base_groups = {"image": 16, "audio": 16, "video": 12}
+    table_fns = {
+        "image": mm.synthetic_near_dup_image_table,
+        "audio": mm.synthetic_near_dup_audio_table,
+        "video": mm.synthetic_near_dup_video_table,
+    }
+    big_tag = f"{replicas}x"
+    fixtures = {}
+    for tag, mult in (("1x", 1), (big_tag, replicas)):
+        for kind in base_groups:
+            path = os.path.join(media_dir, f"{kind}_{tag}.parquet")
+            table_fns[kind](spark, base_groups[kind] * mult).write.mode(
+                "overwrite"
+            ).parquet(path)
+            fixtures[(kind, tag)] = spark.read.parquet(path)
+
+    hash_tables = {
+        "image": mm.dhash_table,
+        "audio": mm.audio_fingerprint_table,
+        "video": mm.video_fingerprint_table,
+    }
+    near_dups = {
+        "image": dedup.image_dhash_near_dups,
+        "audio": dedup.audio_fingerprint_near_dups,
+        "video": dedup.video_fingerprint_near_dups,
+    }
+    survivors = {
+        "image": dedup.image_dedup_survivors,
+        "audio": dedup.audio_dedup_survivors,
+        "video": dedup.video_dedup_survivors,
+    }
+    incrementals = {
+        "image": dedup.image_dhash_incremental,
+        "audio": dedup.audio_fingerprint_incremental,
+        "video": dedup.video_fingerprint_incremental,
+    }
+    media_results: dict[str, dict] = {}
+    media_pairs: dict[str, dict] = {}
+    for kind in base_groups:
+        d_s, d_b = fixtures[(kind, "1x")], fixtures[(kind, big_tag)]
+        n_s, n_b = d_s.count(), d_b.count()
+        ops_m = {
+            f"media_{kind}_hash_table": hash_tables[kind],
+            f"media_{kind}_near_dups": near_dups[kind],
+            f"media_{kind}_survivors": survivors[kind],
+            f"media_{kind}_incremental": lambda d, k=kind: incrementals[k](
+                d.filter(F.col("media_id") % 6 == 1),
+                d.filter(F.col("media_id") % 6 != 1),
+            ),
+        }
+        for name, fn in ops_m.items():
+            s_t, b_t = timed_ab(
+                lambda: fn(d_s).write.format("noop").mode("overwrite").save(),
+                lambda: fn(d_b).write.format("noop").mode("overwrite").save(),
+            )
+            entry = {
+                "1x": s_t,
+                big_tag: b_t,
+                "growth": round(b_t / max(s_t, 0.01), 1),
+            }
+            if name.endswith("hash_table"):
+                # decode+hash cost per item — the honest number for
+                # the pure-Python codec kernels behind mapInPandas
+                entry["items_1x"] = n_s
+                entry[f"items_{replicas}x"] = n_b
+                entry["sec_per_item_1x"] = round(s_t / max(n_s, 1), 4)
+                entry[f"sec_per_item_{replicas}x"] = round(
+                    b_t / max(n_b, 1), 4
+                )
+            media_results[name] = entry
+        p_s = near_dups[kind](d_s).count()
+        p_b = near_dups[kind](d_b).count()
+        r = media_results[f"media_{kind}_near_dups"]
+        media_pairs[f"media_{kind}_near_dups"] = {
+            "pairs_1x": p_s,
+            f"pairs_{replicas}x": p_b,
+            "sec_per_kpair_1x": round(r["1x"] / max(p_s, 1) * 1000, 4),
+            f"sec_per_kpair_{replicas}x": round(
+                r[big_tag] / max(p_b, 1) * 1000, 4
+            ),
+            "per_pair_growth": round(
+                (r[big_tag] / max(p_b, 1)) / max(r["1x"] / max(p_s, 1), 1e-9),
+                2,
+            ),
+        }
+
     print(
         json.dumps(
             {
@@ -751,6 +853,8 @@ def main() -> None:
                 "seconds": results,
                 "fuzzy_match_pairs": fuzzy_rows,
                 "pair_normalized": pair_normalized,
+                "media": media_results,
+                "media_pair_normalized": media_pairs,
             }
         )
     )
