@@ -2368,6 +2368,74 @@ def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming video content dedup gate (streaming/pipeline.py:
+    run_streaming_video_dedup — the image gate's shared machinery at
+    the video grain): two ordered micro-batches of REAL MJPEG-class
+    streams are temporally fingerprinted live and checked against a
+    persisted 8-byte store seeded with the even-group bases; decisions
+    and survivor fingerprints commit effectively-once; batch 2's
+    odd-group variants must hit the store entries batch 1 appended
+    (the cross-batch path). Oracle: independent sequential two-batch
+    replica over closed-form codec-math fingerprints
+    (tools/gen_expected.py:gen_streaming_video_dedup)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pa_pq  # noqa: PLC0415
+
+    base = _scratch_path("stream_viddedup", sf_dir)
+    src_dir = os.path.join(base, "src")
+    store = os.path.join(base, "store")
+    decisions = os.path.join(base, "decisions")
+    ckpt = os.path.join(base, "ckpt")
+    for d in (src_dir, store, decisions, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    rows = multimodal.synthetic_near_dup_video_rows(12)
+    now = _time.time()
+    batches = [
+        [r for r in rows if r[0] % 6 in (2, 4)],
+        [r for r in rows if r[0] % 6 in (3, 5, 0)],
+    ]
+    for i, batch_rows in enumerate(batches):
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        pa_pq.write_table(
+            pa.table(
+                {
+                    "media_id": pa.array(
+                        [r[0] for r in batch_rows], pa.int64()
+                    ),
+                    "media_type": pa.array([r[1] for r in batch_rows]),
+                    "payload": pa.array(
+                        [r[2] for r in batch_rows], pa.binary()
+                    ),
+                    "meta_source": pa.array([r[3] for r in batch_rows]),
+                }
+            ),
+            dst,
+        )
+        os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (  # noqa: PLC0415
+        versioned as vt,
+    )
+
+    tbl = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    vt.write_version(
+        multimodal.video_fingerprint_table(
+            tbl.filter(F.col("media_id") % 6 == 1)
+        ).select("media_id", "vfp"),
+        store,
+    )
+    return streaming_pipeline.run_streaming_video_dedup(
+        spark, src_dir, store, decisions, checkpoint_dir=ckpt
+    ).orderBy("media_id")
+
+
 def q_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: two-phase salted agg over events keyed by
     event_type — 5 distinct keys over the whole table is exactly the
@@ -3595,6 +3663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_pq_codes": q_embedding_topk_ivf_pq_codes,
         "semantic_incremental_embeddings": q_semantic_incremental,
         "streaming_semantic_dedup": q_streaming_semantic_dedup,
+        "streaming_video_dedup": q_streaming_video_dedup,
         "user_order_cogroup_profile": q_user_order_cogroup,
         "doc_hashed_features": q_doc_hashed_features,
         # round 5: CCNet-family perplexity-proxy scoring + additive
@@ -6418,6 +6487,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, matched_store_id, matched_batch_id, keep
             FROM read_parquet('/root/repo/expected/sf0.01/streaming_semantic_dedup.parquet')
             ORDER BY vec_id
+        """,
+        "streaming_video_dedup": """
+            SELECT media_id, matched_store_id, matched_batch_id, keep
+            FROM read_parquet('/root/repo/expected/sf0.01/streaming_video_dedup.parquet')
+            ORDER BY media_id
         """,
         "hll_user_overlap_by_type": """
             SELECT group_a, group_b, est_a, est_b, est_union,

@@ -782,31 +782,87 @@ def run_streaming_image_dedup(
     the versioned table layer — Spark-side streaming state is zero
     rows. Output: the final decisions snapshot — (media_id,
     matched_store_id, matched_batch_id, keep), -1 sentinels."""
+    from ..functions.multimodal import dhash_table  # noqa: PLC0415
+
+    return _run_streaming_hash_dedup(
+        spark, source_path, store_path, decisions_path,
+        dhash_table, "dhash", max_hamming, state_partitions,
+        checkpoint_dir,
+    )
+
+
+def run_streaming_video_dedup(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    decisions_path: str,
+    max_hamming: int = 4,
+    state_partitions: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming VIDEO content dedup gate — the fourth-modality
+    streaming leg, sharing :func:`_run_streaming_hash_dedup` with the
+    image gate: each arriving micro-batch of MJPEG-class streams is
+    temporally fingerprinted (functions/multimodal.py:
+    video_fingerprint_table — marker-walk frame split, per-frame
+    dHash, majority fold; undecodable payloads skip) and checked
+    against the persisted 8-byte-per-video fingerprint store. Radius
+    4, the video operators' default (JPEG quantization spread).
+    Decisions and survivor fingerprints commit effectively-once
+    through the versioned layer; Spark-side streaming state is zero
+    rows."""
+    from ..functions.multimodal import video_fingerprint_table  # noqa: PLC0415
+
+    def fp_table(df: DataFrame) -> DataFrame:
+        return video_fingerprint_table(df).select("media_id", "vfp")
+
+    return _run_streaming_hash_dedup(
+        spark, source_path, store_path, decisions_path,
+        fp_table, "vfp", max_hamming, state_partitions, checkpoint_dir,
+    )
+
+
+def _run_streaming_hash_dedup(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    decisions_path: str,
+    hash_table_fn,
+    hash_col: str,
+    max_hamming: int,
+    state_partitions: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """Shared body of the streaming signature-dedup gates (image
+    dHash / video temporal fingerprint): hash each micro-batch ONCE,
+    gate it against the persisted signature store via
+    operators/dedup.py:hamming_incremental, commit decisions and
+    survivor signatures effectively-once (insert-if-absent versioned
+    merges)."""
     import tempfile  # noqa: PLC0415
 
-    from ..functions.multimodal import dhash_table  # noqa: PLC0415
     from ..operators import dedup as dedup_ops  # noqa: PLC0415
     from ..operators.merge import versioned_merge  # noqa: PLC0415
     from ..sources import versioned as vt  # noqa: PLC0415
 
     stream = read_media_stream(spark, source_path)
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="stream_imgdedup_ckpt_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="stream_hashdedup_ckpt_")
 
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         # hash the batch ONCE (eager — the dedup check and the
         # survivor append both read it)
-        hashed = dhash_table(batch).localCheckpoint(eager=True)
+        hashed = hash_table_fn(batch).localCheckpoint(eager=True)
         if vt.table_versions(store_path):
             store = vt.read_version(sess, store_path).select(
-                F.col("media_id").alias("id"), F.col("dhash").alias("sh")
+                F.col("media_id").alias("id"), F.col(hash_col).alias("sh")
             )
         else:
             store = sess.createDataFrame([], "id long, sh long")
         decisions = dedup_ops.hamming_incremental(
             store,
             hashed.select(
-                F.col("media_id").alias("id"), F.col("dhash").alias("sh")
+                F.col("media_id").alias("id"), F.col(hash_col).alias("sh")
             ),
             max_hamming=max_hamming,
         ).localCheckpoint(eager=True)
@@ -818,7 +874,7 @@ def run_streaming_image_dedup(
             vt.write_version(decisions, decisions_path)
         survivors = hashed.join(
             decisions.filter(F.col("keep")).select("media_id"), "media_id"
-        ).select("media_id", "dhash")
+        ).select("media_id", hash_col)
         if vt.table_versions(store_path):
             versioned_merge(
                 sess, store_path, survivors, ["media_id"], update=False

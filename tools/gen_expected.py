@@ -2181,7 +2181,31 @@ def gen_streaming_image_dedup(
     batch 1 appended, the cross-batch path the oracle exists to
     pin. Same min-id semantics as hamming_incremental."""
     hashes = gen_image_dhash(groups)
-    hs = dict(zip(hashes["media_id"], hashes["dhash"]))
+    return _streaming_hash_replica(
+        dict(zip(hashes["media_id"], hashes["dhash"])), max_hamming
+    )
+
+
+def gen_streaming_video_dedup(
+    groups: int = 12, max_hamming: int = 4
+) -> pd.DataFrame:
+    """Sequential two-micro-batch replica of the streaming VIDEO
+    dedup gate (streaming/pipeline.py:run_streaming_video_dedup) —
+    the image gate's split and min-id semantics over independently
+    recomputed temporal fingerprints (:func:`_vfp_replica`)."""
+    fps = gen_video_fingerprint(groups)
+    return _streaming_hash_replica(
+        dict(zip(fps["media_id"], fps["vfp"])), max_hamming
+    )
+
+
+def _streaming_hash_replica(
+    hs: dict[int, int], max_hamming: int
+) -> pd.DataFrame:
+    """Shared two-batch store/decision walk of the streaming
+    signature-dedup replicas: store = even-group bases (%6==1),
+    batch 1 = %6 in {2,4}, batch 2 = %6 in {3,5,0}; survivors'
+    signatures join the store between batches."""
 
     def ham(a: int, b: int) -> int:
         return bin((a ^ b) & M64).count("1")
@@ -2487,6 +2511,7 @@ def main() -> None:
         ("video_dedup_survivors", gen_video_dedup_survivors()),
         ("video_fingerprint_incremental", gen_video_fp_incremental()),
         ("multimodal_funnel_media", gen_multimodal_funnel_media()),
+        ("streaming_video_dedup", gen_streaming_video_dedup()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)

@@ -134,6 +134,11 @@ BOUNDED_BNLJ_OK = {
     ),
     # corpus shuffle reuses ordered_surrogate_key (same 1-row bounds)
     "corpus_shuffle_order": "1-row min/max bounds for surrogate-key buckets",
+    # r11 capstone: embeds pack_sequences (1-row min/max bounds for
+    # its bucket math — the doc_pack_sequences justification)
+    "multimodal_curation_funnel": (
+        "1-row min/max bounds for pack_sequences bucket math"
+    ),
 }
 
 
