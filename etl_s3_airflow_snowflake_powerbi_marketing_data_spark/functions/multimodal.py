@@ -1017,6 +1017,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-padding routed through write(), so a padded
+        0xFF still gets its stuffing 0x00) and emit RSTm RAW — restart
+        markers are the one 0xFF sequence that must NOT be stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (m & 7)))
+
 
 def _huff_codes(bits: list[int], huffval: list[int]) -> dict:
     """symbol → (code, length) by the canonical T.81 Annex C
@@ -1075,6 +1084,7 @@ def encode_jpeg_pixels(
     grayscale: bool = False,
     subsampling: str = "444",
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Real baseline JFIF JPEG from an explicit pixel grid: RGB →
     YCbCr (or BT.601 luma only when ``grayscale``), 8×8 forward DCT
@@ -1093,7 +1103,12 @@ def encode_jpeg_pixels(
     per-component full-band AC scans) plus successive approximation
     (Al=1 first scans, Ah=1→Al=0 refinements) — so decoded pixels are
     bit-identical to the baseline encode at the same quality; only
-    the byte layer differs (:func:`_encode_jpeg_progressive`)."""
+    the byte layer differs (:func:`_encode_jpeg_progressive`).
+
+    ``restart_interval=n`` (baseline only) emits a DRI segment and an
+    RSTm marker every n MCUs with the differential-DC predictor reset
+    — the error-resilience layout many real encoders default to;
+    again coefficient-identical, byte-layer-only."""
     import struct  # noqa: PLC0415
 
     if subsampling not in ("444", "420"):
@@ -1142,6 +1157,10 @@ def encode_jpeg_pixels(
     comp_blocks = [(2, 2) if sub and c == 0 else (1, 1)
                    for c in range(n_comp)]
     if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval is a baseline-scan feature here"
+            )
         return _encode_jpeg_progressive(
             planes, comp_blocks, n_comp, w, h, qt_l, qt_c
         )
@@ -1192,8 +1211,15 @@ def encode_jpeg_pixels(
             eob = ac_t[0x00]
             writer.write(eob[0], eob[1])
 
+    mcu_idx = 0
     for mcu_y in range(bh // mcu):
         for mcu_x in range(bw // mcu):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                writer.restart_marker(mcu_idx // restart_interval - 1)
+                prev_dc = [0] * n_comp  # predictor resets at RSTm
+            mcu_idx += 1
             for c in range(n_comp):
                 hi, vi = comp_blocks[c]
                 for byi in range(vi):
@@ -1227,6 +1253,8 @@ def encode_jpeg_pixels(
         tables += [(0x01, _HT_DC_CHROM), (0x11, _HT_AC_CHROM)]
     for tc_th, (bits, vals) in tables:
         out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([n_comp])
     for c in range(n_comp):
         sos += bytes((c + 1, 0x00 if c == 0 else 0x11))
@@ -1499,8 +1527,9 @@ def _encode_jpeg_progressive(
 
 class _BitReader:
     """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    un-stuffing; any other 0xFF-marker inside the scan raises (restart
-    intervals are the documented seam)."""
+    un-stuffing; an unexpected 0xFF-marker inside the scan raises —
+    RSTm markers are consumed only at declared restart boundaries via
+    :meth:`sync_restart`."""
 
     def __init__(self, data: bytes, start: int) -> None:
         self.data = data
@@ -1532,6 +1561,20 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTm marker at an MCU-row restart boundary:
+        discard the partial padding bits of the current byte, then
+        expect FF D0-D7 at the read position."""
+        self.nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or not (0xD0 <= d[self.pos + 1] <= 0xD7)
+        ):
+            raise NotImplementedError("expected JPEG restart marker")
+        self.pos += 2
 
 
 def _huff_decoder(bits: list[int], huffval: list[int]) -> dict:
@@ -1575,9 +1618,10 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
     :func:`encode_jpeg_pixels` (same rounding rule, same accumulation
     order, so replicas replay the identical IEEE sequence). 4:2:0/
     4:2:2-style subsampling decodes (1x1/2x2 factors); progressive
-    (SOF2) streams dispatch to :func:`_jpeg_pixels_progressive` (r11).
-    12-bit, arithmetic-coded, nonzero-restart-interval, and
-    hierarchical streams raise — the remaining documented seams."""
+    (SOF2) streams dispatch to :func:`_jpeg_pixels_progressive` (r11);
+    restart intervals decode in baseline scans (RSTm sync + predictor
+    reset, r11). 12-bit, arithmetic-coded, progressive-with-restart,
+    and hierarchical streams raise — the remaining documented seams."""
     import struct  # noqa: PLC0415
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":
@@ -1585,6 +1629,7 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     w = h = 0
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_id, ac_id)
     i = 2
@@ -1637,8 +1682,7 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
             raise NotImplementedError("non-baseline JPEG frame")
         elif marker == 0xDD:
             (ri,) = struct.unpack_from(">H", body, 0)
-            if ri != 0:
-                raise NotImplementedError("restart intervals")
+            restart_interval = ri
         elif marker == 0xDA:
             ns = body[0]
             for c in range(ns):
@@ -1670,8 +1714,15 @@ def _jpeg_pixels(b: bytes) -> list[list[tuple[int, int, int]]]:
             [[0] * (n_mcux * 8 * hi) for _ in range(n_mcuy * 8 * vi)]
         )
     prev_dc = [0] * n_comp
+    mcu_idx = 0
     for my in range(n_mcuy):
         for mx in range(n_mcux):
+            if restart_interval and mcu_idx and (
+                mcu_idx % restart_interval == 0
+            ):
+                reader.sync_restart()
+                prev_dc = [0] * n_comp
+            mcu_idx += 1
             for c, (cid, dc_id, ac_id) in enumerate(scan_comps):
                 hi, vi = samp_of[cid]
                 q = qt[comp_qt[cid]]
@@ -2276,6 +2327,12 @@ def synthetic_jpeg_image_table(spark, groups: int = 10) -> DataFrame:
                 # expected hashes must not move: the oracle now pins
                 # the progressive entropy round-trip as lossless too
                 progressive=(g % 3 == 2 or g % 5 == 4),
+                # r11: restart-interval groups (disjoint from the
+                # progressive set) pin the RSTm sync + predictor-reset
+                # path the same coefficient-identical way
+                restart_interval=(
+                    2 if g % 3 == 0 and g % 5 != 4 else 0
+                ),
             )
             rows.append((g * 3 + v + 1, "image/jpeg", payload, "fixture"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

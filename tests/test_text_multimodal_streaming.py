@@ -965,6 +965,8 @@ def test_corrupt_payloads_raise_not_implemented_only():
         mm.encode_jpeg_pixels(grid),
         mm.encode_jpeg_pixels(grid, progressive=True),
         mm.encode_jpeg_pixels(grid, subsampling="420", progressive=True),
+        mm.encode_jpeg_pixels(grid, restart_interval=2),
+        mm.encode_jpeg_pixels(grid, subsampling="420", restart_interval=1),
     ]
     for payload in payloads:
         # sanity: the intact payload decodes
@@ -1266,3 +1268,32 @@ def test_video_corrupt_payloads_skip_contract(spark):
         spark.createDataFrame(tbl_rows, mm.MEDIA_SCHEMA)
     ).collect()
     assert {r["media_id"] for r in got} == {rows[0][0]}
+
+
+def test_restart_interval_jpeg_decodes_identically():
+    """DRI/RSTm streams carry the same quantized coefficients as the
+    plain baseline encode — decode must be pixel-identical across
+    qualities, subsampling, grayscale, and interval lengths that
+    exercise predictor resets mid-image."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    for g, ri in ((0, 1), (1, 2), (4, 3), (5, 2)):
+        w, h = 18 + (g % 5) * 3, 16 + (g % 3) * 4
+        q = (70, 80, 90, 100)[g % 4]
+        kw = dict(
+            quality=q,
+            grayscale=(g % 5 == 4),
+            subsampling="420" if g % 2 else "444",
+        )
+        px = mm._dup_group_pixels(g, w, h, 0)
+        base = mm.decode_image_pixels(mm.encode_jpeg_pixels(px, **kw))
+        rst_payload = mm.encode_jpeg_pixels(px, restart_interval=ri, **kw)
+        # DRI present (FFDD can't occur in entropy data — FF is
+        # stuffed there — so a whole-payload scan is unambiguous)
+        assert b"\xff\xdd" in rst_payload
+        assert mm.decode_image_pixels(rst_payload) == base
+    # frame splitter walks RSTm inside entropy data
+    frames = mm.jpeg_stream_frames(rst_payload + rst_payload)
+    assert len(frames) == 2 and frames[0] == rst_payload
