@@ -3411,76 +3411,76 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries' blocks, all already in the affected set. Every query not
 # in the window stays verified by tools/check_oracles.py on a
 # vanilla session.
-_R10_FRONT_50 = [
-    # --- round-10 implementation changes (tools/fanout_map.py
-    # --changed-since e2b8fa5) -------------------------------------
-    "audio_dedup_survivors",
-    "audio_fingerprint_dups",
-    "audio_fingerprint_incremental",
-    "doc_bigram_surprisal",
-    "doc_bm25_topk",
-    "doc_bm25_topk_inverted",
-    "doc_compression_ratio",
-    "doc_curation_funnel",
-    "doc_hashed_features",
-    "doc_nb_quality_score",
-    "doc_script_mix",
-    "doc_unicode_normalize",
-    "doc_unigram_surprisal",
-    "doc_winnow_fingerprints",
+_R11_FRONT_50 = [
+    # --- round-11 implementation changes (tools/fanout_map.py
+    # --changed-since 70c5d0e): the 8 new queries plus everything the
+    # IVF-PQ probe refactor, the JPEG codec extensions, and the
+    # _parquet_file_stream refactor touch --------------------------
     "embedding_topk_ivf_pq",
+    "embedding_topk_ivf_pq_codes",
     "embedding_topk_ivf_pq_indexed",
-    "embedding_topk_lsh",
-    "image_dedup_survivors",
+    "media_jpeg_dhash",
+    "media_video_fingerprint",
+    "multimodal_curation_funnel",
+    "semantic_incremental_embeddings",
+    "streaming_crawl_triage",
+    "streaming_doc_quality_gate",
+    "streaming_image_dedup",
+    "streaming_minhash_dedup",
+    "streaming_semantic_dedup",
+    "streaming_video_dedup",
+    "video_dedup_survivors",
+    "video_fingerprint_dups",
+    "video_fingerprint_incremental",
+    # --- hand-attributed below the tool's granularity: the
+    # decode_image_pixels dispatch + skip-seam docstrings changed
+    # (progressive/restart now decode), so the whole image leg
+    # re-grades; the audio leg rides along as its hamming twin (its
+    # shared _run_streaming_hash_dedup/hamming machinery was
+    # refactored this round) --------------------------------------
+    "media_image_dhash",
     "image_dhash_dups",
+    "image_dedup_survivors",
     "image_dhash_incremental",
     "media_audio_fingerprint",
-    "media_image_dhash",
-    "rare_token_ratio",
-    "repetition_profile",
-    "source_unigram_divergence",
-    "streaming_crawl_triage",
-    "text_profile",
-    "tfidf_top_terms",
-    # late round-10 addition (rule b: new names enter the window the
-    # round they land) — displaces the least-stale canary
-    # (doc_bpe_token_stream, last graded r8; its module stays covered
-    # by the round-9-graded doc_bpe_tokens sibling) — and
-    # streaming_image_dedup displaces bloom_semi_revenue (r8-graded;
-    # the bloom runtime filter stays covered by the r10 vanilla gate)
-    "embedding_topk_ivf_pq_codes",
-    "streaming_image_dedup",
-    # media_jpeg_dhash displaces salted_event_counts (r7-graded; the
-    # skew module stays covered by r9-graded join_key_skew_profile)
-    "media_jpeg_dhash",
-    # --- 22 mechanical canaries (tools/grade_ledger.py --canaries:
+    "audio_fingerprint_dups",
+    "audio_dedup_survivors",
+    "audio_fingerprint_incremental",
+    # --- 26 mechanical canaries (tools/grade_ledger.py --canaries:
     # stalest per dominant module, staleness-ordered) ---------------
-    "customers_without_orders",
-    "doc_sample_10pct",
-    "chunk_documents",
-    "decontaminate_eval_docs",
+    "high_value_order_customers",
+    "curate_top_docs_per_source",
+    "kpi_view_trend_by_period",
+    "redact_pii_docs",
+    "dedup_incremental_docs",
+    "doc_split_assign",
+    "customer_purchase_gaps",
+    "quantile_sketch_merge_rollup",
+    "revenue_gini",
+    "versioned_purge_history",
+    "merge_scd2_orders",
+    "salted_event_counts",
+    "bloom_semi_revenue",
+    "doc_bpe_token_stream",
+    "event_variant_extract",
+    "events_last_order",
+    "line_dedup_docs",
+    "doc_sentences_udtf",
+    "lineitem_corr_matrix",
+    "streaming_cms_user_counts",
     "doc_pack_sequences",
-    "kpi_top_items_view_share",
-    "purchases_in_browse_sessions",
-    "cms_user_counts",
-    "dim_item",
-    "dim_parameter",
-    "versioned_delete_compact",
-    "zorder_clustered_scan",
-    "ab_test_lift",
-    "doc_cdc_chunks",
     "heavy_hitter_lines",
     "item_hits_scores",
-    "scd2_point_in_time",
+    "purchases_in_browse_sessions",
     "segment_price_ks",
-    "purchase_last_view_asof",
+    "zorder_clustered_scan",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2 + the
     training-data extensions), reordered so the driver's 50-entry
-    CORRECTNESS window (_R10_FRONT_50) re-grades every op whose
+    CORRECTNESS window (_R11_FRONT_50) re-grades every op whose
     implementation OR oracle changed this round — derived
     mechanically by tools/fanout_map.py (VERDICT r08 item 1) — plus
     22 canaries picked mechanically by tools/grade_ledger.py
@@ -3804,7 +3804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_image_dedup": q_streaming_image_dedup,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
-    ordered = {name: all_q[name] for name in _R10_FRONT_50}
+    ordered = {name: all_q[name] for name in _R11_FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
     assert len(ordered) == len(all_q)
     return ordered
