@@ -788,6 +788,30 @@ def q_media_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_avi_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real AVI/RIFF container metadata (functions/multimodal.py:
+    avi_meta via video_meta): duration = dwTotalFrames ·
+    dwMicroSecPerFrame // 1000 straight from the avih header — the
+    container's own integer definition — with the fps in the
+    timescale column; header-walk only, map-only Arrow (the
+    media_mp4_duration posture for the MJPEG container the video
+    near-dup leg reads). Fixture = the AVI-wrapped groups of the
+    video near-dup fixture. Oracle: closed-form frame counts × the
+    fixed 10 fps (tools/gen_expected.py:gen_avi_duration)."""
+    tbl = multimodal.synthetic_near_dup_video_table(spark, 12)
+    return (
+        multimodal.video_meta(
+            tbl.filter(F.col("media_type") == "video/avi")
+        )
+        .select(
+            "media_id",
+            "duration_ms",
+            F.col("timescale").cast("int").alias("fps"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def q_video_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs (operators/dedup.py:
     video_fingerprint_near_dups): temporal fingerprint + the exact
@@ -3446,6 +3470,11 @@ _R11_FRONT_50 = [
     "audio_fingerprint_dups",
     "audio_dedup_survivors",
     "audio_fingerprint_incremental",
+    # late round-11 addition (rule b: new names enter the window the
+    # round they land) — media_avi_duration displaces the least-stale
+    # canary (zorder_clustered_scan, r10-graded; the writers module
+    # stays covered by ddl_table_roundtrip in the vanilla gate)
+    "media_avi_duration",
     # --- 26 mechanical canaries (tools/grade_ledger.py --canaries:
     # stalest per dominant module, staleness-ordered) ---------------
     "high_value_order_customers",
@@ -3473,7 +3502,6 @@ _R11_FRONT_50 = [
     "item_hits_scores",
     "purchases_in_browse_sessions",
     "segment_price_ks",
-    "zorder_clustered_scan",
 ]
 
 
@@ -3602,6 +3630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_incremental": q_audio_fp_incremental,
         "multimodal_curation_funnel": q_multimodal_curation_funnel,
         "media_video_fingerprint": q_media_video_fingerprint,
+        "media_avi_duration": q_media_avi_duration,
         "video_fingerprint_dups": q_video_fingerprint_dups,
         "video_dedup_survivors": q_video_dedup_survivors,
         "video_fingerprint_incremental": q_video_fp_incremental,
@@ -5020,6 +5049,11 @@ def oracle_sql() -> dict[str, str]:
         "media_video_fingerprint": """
             SELECT media_id, n_frames, vfp
             FROM read_parquet('/root/repo/expected/sf0.01/media_video_fingerprint.parquet')
+        """,
+        "media_avi_duration": """
+            SELECT media_id, duration_ms, fps
+            FROM read_parquet('/root/repo/expected/sf0.01/media_avi_duration.parquet')
+            ORDER BY media_id
         """,
         "video_fingerprint_dups": """
             SELECT media_id_a, media_id_b, hamming

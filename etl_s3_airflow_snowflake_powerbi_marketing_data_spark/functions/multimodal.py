@@ -2526,14 +2526,18 @@ VIDEO_META_SCHEMA = T.StructType(
 
 def video_meta(df: DataFrame) -> DataFrame:
     """Video metadata extraction: real MP4 mvhd duration/timescale for
-    ISO-BMFF payloads, the deterministic fake duration (timescale
-    NULL) for unknown containers. Shuffle-free Arrow-batched scan —
-    the same plan shape as every media op here."""
+    ISO-BMFF payloads, real AVI avih duration (timescale column
+    carries the fps) for RIFF MJPEG containers (r11), the
+    deterministic fake duration (timescale NULL) for unknown
+    containers. Shuffle-free Arrow-batched scan — the same plan shape
+    as every media op here."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             blobs = [bytes(p) for p in pdf["payload"]]
-            metas = [mp4_duration_meta(b) for b in blobs]
+            metas = [
+                mp4_duration_meta(b) or avi_meta(b) for b in blobs
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -2617,6 +2621,134 @@ def jpeg_stream_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def encode_avi_mjpeg(frames: list[bytes], fps: int = 10) -> bytes:
+    """Minimal REAL AVI/RIFF MJPEG container around JPEG frames — the
+    wrapper actual crawl MJPEG files arrive in: RIFF('AVI ') →
+    LIST(hdrl){avih + LIST(strl){strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER}} → LIST(movi){00dc frame chunks, word-aligned}.
+    Frame dims for the headers probe from the first frame's SOF.
+    Deterministic byte-for-byte; :func:`_avi_mjpeg_frames` is its
+    verified inverse."""
+    import struct  # noqa: PLC0415
+
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    dims = _jpeg_dims(frames[0]) or (0, 0)
+    w, h = dims
+    usec = 1_000_000 // fps
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", usec, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_mjpeg_frames(b: bytes) -> list[bytes]:
+    """JPEG frame payloads of an AVI/RIFF MJPEG container: walk the
+    top-level chunk list to LIST(movi), collect ``##dc``/``##db``
+    video chunks (recursing through ``rec `` groups), word-aligned.
+    Corrupt containers normalize to the skip contract."""
+    import struct  # noqa: PLC0415
+
+    frames: list[bytes] = []
+
+    def walk_movi(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            cid = b[i : i + 4]
+            size = struct.unpack_from("<I", b, i + 4)[0]
+            body_end = min(i + 8 + size, end)
+            if cid == b"LIST" and b[i + 8 : i + 12] == b"rec ":
+                walk_movi(i + 12, body_end)
+            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                payload = b[i + 8 : body_end]
+                if payload[:2] == b"\xff\xd8":
+                    frames.append(payload)
+            i += 8 + size + (size & 1)
+
+    try:
+        i, n = 12, len(b)
+        while i + 12 <= n:
+            cid = b[i : i + 4]
+            size = struct.unpack_from("<I", b, i + 4)[0]
+            if cid == b"LIST" and b[i + 8 : i + 12] == b"movi":
+                walk_movi(i + 12, min(i + 8 + size, n))
+            i += 8 + size + (size & 1)
+    except (IndexError, ValueError, struct.error) as exc:
+        raise NotImplementedError(f"corrupt AVI container: {exc}") from exc
+    if not frames:
+        raise NotImplementedError("no MJPEG frames in AVI movi list")
+    return frames
+
+
+def avi_meta(payload: bytes) -> tuple[int, int] | None:
+    """(duration_ms, fps) from an AVI avih header — duration =
+    dwTotalFrames · dwMicroSecPerFrame // 1000, the container's own
+    definition (integer-exact, oracle-reproducible). None for
+    non-AVI / malformed payloads (the :func:`riff_wav_meta`
+    contract)."""
+    import struct  # noqa: PLC0415
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    try:
+        i, n = 12, len(b)
+        while i + 8 <= n:
+            cid = b[i : i + 4]
+            size = struct.unpack_from("<I", b, i + 4)[0]
+            if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+                j, end = i + 12, min(i + 8 + size, n)
+                while j + 8 <= end:
+                    sub = b[j : j + 4]
+                    ssize = struct.unpack_from("<I", b, j + 4)[0]
+                    if sub == b"avih" and ssize >= 20:
+                        usec, _mb, _pg, _fl, total = struct.unpack_from(
+                            "<5I", b, j + 8
+                        )
+                        if usec <= 0:
+                            return None
+                        return total * usec // 1000, 1_000_000 // usec
+                    j += 8 + ssize + (ssize & 1)
+            i += 8 + size + (size & 1)
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
+def video_frames(payload: bytes) -> list[bytes]:
+    """JPEG frame payloads of an MJPEG-class video in either shipped
+    shape: an AVI/RIFF container (:func:`_avi_mjpeg_frames`) or a raw
+    concatenated-JFIF stream (:func:`jpeg_stream_frames`)."""
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and len(b) >= 12 and b[8:12] == b"AVI ":
+        return _avi_mjpeg_frames(b)
+    return jpeg_stream_frames(b)
+
+
 VFP_MAX_FRAMES = 8
 
 
@@ -2634,8 +2766,11 @@ def video_fingerprint(
     together. All-integer; signed 64-bit like every signature here,
     so the banded Hamming join applies unchanged. Frames the decoder
     can't handle are skipped within the video (crawl posture); a
-    video with NO decodable sampled frame skips entirely."""
-    frames = jpeg_stream_frames(payload)
+    video with NO decodable sampled frame skips entirely. Container-
+    agnostic: AVI/RIFF MJPEG and raw concatenated-JFIF streams carry
+    the same frames, so the same video fingerprints identically in
+    either wrapper (:func:`video_frames`)."""
+    frames = video_frames(payload)
     n = len(frames)
     if n <= max_frames:
         idx = range(n)
@@ -2735,9 +2870,17 @@ def synthetic_near_dup_video_rows(
                 )
                 for f in range(nf)
             ]
-            rows.append(
-                (g * 3 + v + 1, "video/mjpeg", b"".join(frames), "fixture")
-            )
+            if g % 3 == 1:
+                # r11: AVI/RIFF-wrapped groups — identical frames,
+                # identical fingerprints, so the COMMITTED expected
+                # files pin the container walk as lossless (the
+                # progressive-fixture discipline at the container
+                # layer; g=10 additionally nests progressive frames
+                # inside AVI)
+                payload, mt = encode_avi_mjpeg(frames), "video/avi"
+            else:
+                payload, mt = b"".join(frames), "video/mjpeg"
+            rows.append((g * 3 + v + 1, mt, payload, "fixture"))
     return rows
 
 

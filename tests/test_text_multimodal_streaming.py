@@ -1297,3 +1297,37 @@ def test_restart_interval_jpeg_decodes_identically():
     # frame splitter walks RSTm inside entropy data
     frames = mm.jpeg_stream_frames(rst_payload + rst_payload)
     assert len(frames) == 2 and frames[0] == rst_payload
+
+
+def test_avi_mjpeg_container_roundtrip_and_skip_contract():
+    """The AVI/RIFF MJPEG walk must return exactly the wrapped frames
+    (container lossless — same fingerprint either wrapper), avi_meta
+    must report the avih's own integer duration, and corrupt
+    containers must follow the skip contract."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    frames = [
+        mm.encode_jpeg_pixels(mm._dup_group_pixels(7 + f, 20, 18, 0))
+        for f in range(5)
+    ]
+    avi = mm.encode_avi_mjpeg(frames, fps=10)
+    assert mm.video_frames(avi) == frames
+    assert mm.video_fingerprint(avi) == mm.video_fingerprint(
+        b"".join(frames)
+    )
+    assert mm.avi_meta(avi) == (5 * 100_000 // 1000, 10)
+    assert mm.avi_meta(b"".join(frames)) is None
+    for cut in (10, 40, len(avi) // 2, len(avi) - 3):
+        try:
+            mm.video_fingerprint(avi[:cut])
+        except NotImplementedError:
+            pass  # contract — any other exception fails loudly
+    for pos in (30, len(avi) // 2):
+        corrupt = bytearray(avi)
+        corrupt[pos] ^= 0xA5
+        try:
+            mm.video_fingerprint(bytes(corrupt))
+        except NotImplementedError:
+            pass

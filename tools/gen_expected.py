@@ -2432,6 +2432,24 @@ def gen_video_fp_incremental(
     )
 
 
+def gen_avi_duration(groups: int = 12, fps: int = 10) -> pd.DataFrame:
+    """(media_id, duration_ms, fps) for the AVI-wrapped video fixture
+    groups (g % 3 == 1) — closed form: the encoder writes
+    dwMicroSecPerFrame = 1e6/fps and dwTotalFrames = the fixture frame
+    count, and the avih definition is total · usec // 1000."""
+    usec = 1_000_000 // fps
+    rows = []
+    for g in range(groups):
+        if g % 3 != 1:
+            continue
+        nf = 4 + g % 3 + (6 if g % 6 == 5 else 0)
+        for v in range(3):
+            rows.append((g * 3 + v + 1, nf * usec // 1000, fps))
+    return pd.DataFrame(
+        rows, columns=["media_id", "duration_ms", "fps"]
+    ).astype({"media_id": "int64", "duration_ms": "int64", "fps": "int32"})
+
+
 def gen_multimodal_funnel_media() -> pd.DataFrame:
     """Expected MEDIA rows of the multimodal curation funnel
     (plans/curation.py:multimodal_curation_funnel): per modality,
@@ -2512,6 +2530,7 @@ def main() -> None:
         ("video_fingerprint_incremental", gen_video_fp_incremental()),
         ("multimodal_funnel_media", gen_multimodal_funnel_media()),
         ("streaming_video_dedup", gen_streaming_video_dedup()),
+        ("media_avi_duration", gen_avi_duration()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
