@@ -1091,9 +1091,11 @@ def encode_jpeg_pixels(
     with the literal-cosine table, Annex-K quantization scaled by the
     IJG ``quality`` rule, zigzag + differential-DC Huffman coding with
     the Annex-K typical tables. ``subsampling``: "444" (one block per
-    component per MCU) or "420" (what real crawl JPEGs overwhelmingly
+    component per MCU), "420" (what real crawl JPEGs overwhelmingly
     use — 16×16 MCUs of 4 Y blocks + one Cb + one Cr, chroma
-    downsampled by exact 2×2 mean). Edge blocks replicate the last
+    downsampled by exact 2×2 mean), or "422" (r11 — the broadcast/
+    camera layout: 16×8 MCUs of 2 Y blocks + one Cb + one Cr, chroma
+    halved horizontally by exact 2×1 mean). Edge blocks replicate the last
     row/column. Deterministic bit-for-bit: no libm, one documented
     rounding rule, fixed accumulation order — :func:`_jpeg_pixels`
     and the oracle replica invert/replay it exactly.
@@ -1111,16 +1113,21 @@ def encode_jpeg_pixels(
     again coefficient-identical, byte-layer-only."""
     import struct  # noqa: PLC0415
 
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '422', or '420'")
     h, w = len(rows), len(rows[0])
     qt_l = _quality_scaled(_QT_LUM, quality)
     qt_c = _quality_scaled(_QT_CHROM, quality)
     n_comp = 1 if grayscale else 3
-    sub = subsampling == "420" and n_comp == 3
-    hmax = 2 if sub else 1
-    mcu = 8 * hmax
-    bw, bh = (w + mcu - 1) // mcu * mcu, (h + mcu - 1) // mcu * mcu
+    # chroma decimation factors: 420 halves both axes (16×16 MCU),
+    # 422 halves horizontally only (16×8 MCU — the broadcast/camera
+    # layout), 444 keeps full resolution
+    hmax = 2 if subsampling in ("420", "422") and n_comp == 3 else 1
+    vmax = 2 if subsampling == "420" and n_comp == 3 else 1
+    sub = hmax > 1 or vmax > 1
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    bw = (w + mcu_w - 1) // mcu_w * mcu_w
+    bh = (h + mcu_h - 1) // mcu_h * mcu_h
 
     # full-res planes with edge replication to MCU multiples
     full = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
@@ -1138,23 +1145,22 @@ def encode_jpeg_pixels(
                 half = [
                     [
                         _round_half_up(
-                            (
-                                full[c][2 * y][2 * x]
-                                + full[c][2 * y][2 * x + 1]
-                                + full[c][2 * y + 1][2 * x]
-                                + full[c][2 * y + 1][2 * x + 1]
+                            sum(
+                                full[c][vmax * y + dy][hmax * x + dx]
+                                for dy in range(vmax)
+                                for dx in range(hmax)
                             )
-                            / 4.0
+                            / float(hmax * vmax)
                         )
-                        for x in range(bw // 2)
+                        for x in range(bw // hmax)
                     ]
-                    for y in range(bh // 2)
+                    for y in range(bh // vmax)
                 ]
                 planes.append(half)
         else:
             planes += [full[1], full[2]]
 
-    comp_blocks = [(2, 2) if sub and c == 0 else (1, 1)
+    comp_blocks = [(hmax, vmax) if c == 0 else (1, 1)
                    for c in range(n_comp)]
     if progressive:
         if restart_interval:
@@ -1212,8 +1218,8 @@ def encode_jpeg_pixels(
             writer.write(eob[0], eob[1])
 
     mcu_idx = 0
-    for mcu_y in range(bh // mcu):
-        for mcu_x in range(bw // mcu):
+    for mcu_y in range(bh // mcu_h):
+        for mcu_x in range(bw // mcu_w):
             if restart_interval and mcu_idx and (
                 mcu_idx % restart_interval == 0
             ):

@@ -1229,7 +1229,7 @@ def test_wav_samples_roundtrip_and_fingerprint_property(samples, sr):
     rows=_grid(w_max=12, h_max=10),
     quality=st.sampled_from([60, 80, 90, 100]),
     gray=st.booleans(),
-    sub=st.sampled_from(["444", "420"]),
+    sub=st.sampled_from(["444", "420", "422"]),
 )
 @SETTINGS
 def test_jpeg_roundtrip_matches_codec_math_property(
@@ -1258,7 +1258,7 @@ def test_jpeg_roundtrip_matches_codec_math_property(
     rows=_grid(w_max=12, h_max=10),
     quality=st.sampled_from([60, 80, 90, 100]),
     gray=st.booleans(),
-    sub=st.sampled_from(["444", "420"]),
+    sub=st.sampled_from(["444", "420", "422"]),
 )
 @SETTINGS
 def test_progressive_jpeg_matches_codec_math_property(

@@ -967,6 +967,8 @@ def test_corrupt_payloads_raise_not_implemented_only():
         mm.encode_jpeg_pixels(grid, subsampling="420", progressive=True),
         mm.encode_jpeg_pixels(grid, restart_interval=2),
         mm.encode_jpeg_pixels(grid, subsampling="420", restart_interval=1),
+        mm.encode_jpeg_pixels(grid, subsampling="422"),
+        mm.encode_jpeg_pixels(grid, subsampling="422", progressive=True),
     ]
     for payload in payloads:
         # sanity: the intact payload decodes
@@ -1331,3 +1333,63 @@ def test_avi_mjpeg_container_roundtrip_and_skip_contract():
             mm.video_fingerprint(bytes(corrupt))
         except NotImplementedError:
             pass
+
+
+def test_streaming_video_gate_replay_is_effectively_once(spark, tmp_path):
+    """Replaying the SAME source through a fresh checkpoint (the
+    failure-recovery shape foreachBatch must survive) must leave the
+    decisions snapshot and the signature store bit-identical — the
+    insert-if-absent versioned merges ARE the effectively-once
+    guarantee, not the checkpoint."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pa_pq
+
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    rows = multimodal.synthetic_near_dup_video_rows(4)
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i, batch_rows in enumerate(
+        [[r for r in rows if r[0] % 6 in (2, 4)],
+         [r for r in rows if r[0] % 6 in (3, 5, 0)]]
+    ):
+        pa_pq.write_table(
+            pa.table({
+                "media_id": pa.array([r[0] for r in batch_rows], pa.int64()),
+                "media_type": pa.array([r[1] for r in batch_rows]),
+                "payload": pa.array([r[2] for r in batch_rows], pa.binary()),
+                "meta_source": pa.array([r[3] for r in batch_rows]),
+            }),
+            str(src / f"b{i}.parquet"),
+        )
+    store, dec = str(tmp_path / "store"), str(tmp_path / "dec")
+    tbl = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    vt.write_version(
+        multimodal.video_fingerprint_table(
+            tbl.filter(F.col("media_id") % 6 == 1)
+        ).select("media_id", "vfp"),
+        store,
+    )
+    first = pipeline.run_streaming_video_dedup(
+        spark, str(src), store, dec, checkpoint_dir=str(tmp_path / "c1")
+    ).orderBy("media_id").collect()
+    store_v1 = sorted(
+        (r["media_id"], r["vfp"])
+        for r in vt.read_version(spark, store).collect()
+    )
+    # replay everything with a FRESH checkpoint
+    second = pipeline.run_streaming_video_dedup(
+        spark, str(src), store, dec, checkpoint_dir=str(tmp_path / "c2")
+    ).orderBy("media_id").collect()
+    store_v2 = sorted(
+        (r["media_id"], r["vfp"])
+        for r in vt.read_version(spark, store).collect()
+    )
+    assert first == second
+    assert store_v1 == store_v2
+    assert any(r["keep"] for r in first)
+    assert any(not r["keep"] for r in first)

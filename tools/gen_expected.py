@@ -1417,12 +1417,17 @@ def _jpeg_decoded_replica(
     inverse color), no bytes."""
     h, w = len(px), len(px[0])
     n_comp = 1 if grayscale else 3
-    sub = subsampling == "420" and n_comp == 3
-    mcu = 16 if sub else 8
+    # chroma decimation factors mirror the encoder: 420 halves both
+    # axes, 422 horizontally only, 444 neither
+    fx = 2 if subsampling in ("420", "422") and n_comp == 3 else 1
+    fy = 2 if subsampling == "420" and n_comp == 3 else 1
+    sub = fx > 1 or fy > 1
+    mcu_w, mcu_h = 8 * fx, 8 * fy
     qts = [_j_quality(_J_QT_LUM, quality)] + (
         [_j_quality(_J_QT_CHROM, quality)] * 2 if n_comp == 3 else []
     )
-    bw, bh = (w + mcu - 1) // mcu * mcu, (h + mcu - 1) // mcu * mcu
+    bw = (w + mcu_w - 1) // mcu_w * mcu_w
+    bh = (h + mcu_h - 1) // mcu_h * mcu_h
     full = [[[0] * bw for _ in range(bh)] for _ in range(n_comp)]
     for y in range(bh):
         sy = min(y, h - 1)
@@ -1441,7 +1446,7 @@ def _jpeg_decoded_replica(
             for c in range(n_comp):
                 full[c][y][x] = ycc[c]
     planes = [full[0]]
-    scale = [1]
+    scale = [(1, 1)]
     if n_comp == 3:
         if sub:
             for c in (1, 2):
@@ -1449,23 +1454,22 @@ def _jpeg_decoded_replica(
                     [
                         [
                             _j_round(
-                                (
-                                    full[c][2 * y][2 * x]
-                                    + full[c][2 * y][2 * x + 1]
-                                    + full[c][2 * y + 1][2 * x]
-                                    + full[c][2 * y + 1][2 * x + 1]
+                                sum(
+                                    full[c][fy * y + dy][fx * x + dx]
+                                    for dy in range(fy)
+                                    for dx in range(fx)
                                 )
-                                / 4.0
+                                / float(fx * fy)
                             )
-                            for x in range(bw // 2)
+                            for x in range(bw // fx)
                         ]
-                        for y in range(bh // 2)
+                        for y in range(bh // fy)
                     ]
                 )
-            scale = [1, 2, 2]
+            scale = [(1, 1), (fx, fy), (fx, fy)]
         else:
             planes += [full[1], full[2]]
-            scale = [1, 1, 1]
+            scale = [(1, 1), (1, 1), (1, 1)]
     out_planes = []
     for c in range(n_comp):
         plane = planes[c]
@@ -1518,8 +1522,8 @@ def _jpeg_decoded_replica(
                 row.append((gval, gval, gval))
             else:
                 yv = out_planes[0][y][x]
-                cb = out_planes[1][y // scale[1]][x // scale[1]]
-                cr = out_planes[2][y // scale[2]][x // scale[2]]
+                cb = out_planes[1][y // scale[1][1]][x // scale[1][0]]
+                cr = out_planes[2][y // scale[2][1]][x // scale[2][0]]
                 row.append(
                     (
                         _j_clamp(_j_round(yv + 1.402 * (cr - 128))),
