@@ -3288,17 +3288,25 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial = emb.filter(F.col("vec_id") % 2 == 0)
     cent, books = similarity.train_ivf_pq_index(initial, train_iters=2)
     similarity.save_ivf_pq_index(spark, cent, books, path)
-    similarity.build_ivf_pq_codes(spark, initial, path)
+    # the freshly trained artifacts ARE the committed index (parquet
+    # round-trips doubles exactly) — pass them through so the gate and
+    # the appends skip per-call load collects
+    similarity.build_ivf_pq_codes(
+        spark, initial, path, index=(cent, books)
+    )
     parts = []
     for batch_no, parity in ((1, 1), (2, 3)):
         batch = emb.filter(F.col("vec_id") % 4 == parity)
         decisions = similarity.semantic_dedup_incremental(
-            spark, batch, path, corpus=emb, threshold=0.4, n_probe=8
+            spark, batch, path, corpus=emb, threshold=0.4, n_probe=8,
+            index=(cent, books),
         ).localCheckpoint(eager=True)  # consumed twice: output + keepers
         keepers = batch.join(
             decisions.filter(F.col("keep")).select("vec_id"), "vec_id"
         )
-        similarity.append_ivf_pq_codes(spark, keepers, path)
+        similarity.append_ivf_pq_codes(
+            spark, keepers, path, index=(cent, books)
+        )
         parts.append(
             decisions.withColumn(
                 "batch_id", F.lit(batch_no).cast("long")

@@ -1429,13 +1429,17 @@ def build_ivf_pq_codes(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> int:
     """Encode ``corpus`` with the persisted index and COMMIT the codes
     as ``{index_path}/codes`` (versioned, replace) — the initial-load
-    half of the persisted-codes lifecycle."""
+    half of the persisted-codes lifecycle. Callers already holding
+    the index artifacts pass ``index=(cent, books)`` to skip the
+    bounded load collect (parquet round-trips IEEE doubles exactly,
+    so both paths are bit-identical — pinned by pytest)."""
     from ..sources import versioned  # noqa: PLC0415
 
-    cent, books = load_ivf_pq_index(spark, index_path)
+    cent, books = index or load_ivf_pq_index(spark, index_path)
     codes = ivf_pq_codes_table(corpus, cent, books, id_col, vec_col)
     return versioned.write_version(codes, f"{index_path}/codes")
 
@@ -1446,15 +1450,18 @@ def append_ivf_pq_codes(
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> int:
     """Encode an INCREMENTAL batch with the persisted index and append
     its codes to ``{index_path}/codes`` — no retraining, no re-encode
     of history: the append commit writes only the new batch's prefix
     (manifest extension, nothing rewritten). The crawl-load posture:
-    each load encodes its own rows once; queries scan the union."""
+    each load encodes its own rows once; queries scan the union.
+    ``index=(cent, books)`` skips the per-call load collect (see
+    :func:`build_ivf_pq_codes`)."""
     from ..sources import versioned  # noqa: PLC0415
 
-    cent, books = load_ivf_pq_index(spark, index_path)
+    cent, books = index or load_ivf_pq_index(spark, index_path)
     codes = ivf_pq_codes_table(batch, cent, books, id_col, vec_col)
     return versioned.write_version(
         codes, f"{index_path}/codes", mode="append"
@@ -1670,6 +1677,7 @@ def semantic_dedup_incremental(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     version: int | None = None,
+    index=None,
 ) -> DataFrame:
     """Incremental SEMANTIC near-dup gate over the persisted IVF-PQ
     codes store — the embedding leg of the crawl-load posture
@@ -1714,7 +1722,10 @@ def semantic_dedup_incremental(
     """
     from ..sources import versioned  # noqa: PLC0415
 
-    cent, books = load_ivf_pq_index(spark, index_path, version)
+    # callers holding the artifacts (one load per micro-batch, shared
+    # with the keeper append) pass index=(cent, books); both paths are
+    # bit-identical since parquet round-trips doubles exactly
+    cent, books = index or load_ivf_pq_index(spark, index_path, version)
     store_codes = versioned.read_version(
         spark, f"{index_path}/codes", version
     )

@@ -937,9 +937,12 @@ def run_streaming_semantic_dedup(
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         corpus = vt.read_version(sess, f"{index_path}/vectors")
+        # ONE bounded index load per micro-batch, shared between the
+        # gate and the keeper-code encode
+        cent, books = similarity.load_ivf_pq_index(sess, index_path)
         decisions = similarity.semantic_dedup_incremental(
             sess, batch, index_path, corpus,
-            threshold=threshold, n_probe=n_probe,
+            threshold=threshold, n_probe=n_probe, index=(cent, books),
         ).localCheckpoint(eager=True)
         if vt.table_versions(decisions_path):
             versioned_merge(
@@ -950,7 +953,6 @@ def run_streaming_semantic_dedup(
         keepers = batch.join(
             decisions.filter(F.col("keep")).select("vec_id"), "vec_id"
         ).localCheckpoint(eager=True)  # feeds codes encode + vector append
-        cent, books = similarity.load_ivf_pq_index(sess, index_path)
         versioned_merge(
             sess,
             f"{index_path}/codes",
