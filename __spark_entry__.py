@@ -3322,6 +3322,142 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten reaching the DEDUP STORE (VERDICT r11
+    item 1 — operators/dedup.py:forget_documents / remove_from_store
+    + sources/versioned.py:remove_ids): even doc_ids build a
+    versioned MinHash signature store AND a versioned docs table;
+    ids %10==0 are then forgotten in ONE wired call — history-
+    rewriting purge_where on the docs table, anti-join store rewrite
+    committed as a NEW VERSION on the signature store. The recrawl
+    batch (forgotten docs' text + %10==4 retained controls, fresh
+    ids) is gated against BOTH store snapshots: pre_forget (time
+    travel — the ghost signature still suppresses its own recrawl)
+    and post_forget (the recrawl is KEPT as new content; controls
+    stay flagged). Oracle: independent replica
+    (tools/gen_expected.py:gen_dedup_store_forget)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    import shutil  # noqa: PLC0415
+
+    base = _scratch_path("dedup_forget", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)  # fresh tables per run
+    docs_path, store_path = f"{base}/docs", f"{base}/sigs"
+    even = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    vt.write_version(even.select("doc_id", "text"), docs_path)
+    vt.write_version(
+        dedup.minhash_signatures(even).withColumnRenamed("id", "doc_id"),
+        store_path,
+    )
+    # erasure-request collect: RTBF id lists are request-sized
+    # (human-initiated), never data-sized — bounded control plane
+    forget_ids = [
+        r[0]
+        for r in even.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    dedup.forget_documents(
+        spark,
+        forget_ids,
+        table_path=docs_path,
+        table_key="doc_id",
+        stores=((store_path, "doc_id"),),
+    )
+    recrawl = even.filter((F.col("doc_id") % 10).isin(0, 4)).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    # sign the recrawl batch ONCE and share the materialized
+    # signatures between the two snapshot gates (the streaming-gate
+    # incoming_sigs discipline — each gate otherwise pays its own
+    # 64-aggregate signing pass over the batch text)
+    recrawl_sigs = dedup.minhash_signatures(recrawl).localCheckpoint(
+        eager=True
+    )
+    parts = []
+    for label, ver in (("pre_forget", 1), ("post_forget", 2)):
+        parts.append(
+            dedup.minhash_incremental(
+                vt.read_version(spark, store_path, ver),
+                recrawl,
+                incoming_sigs=recrawl_sigs,
+            ).withColumn("snapshot", F.lit(label))
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .select(
+            "snapshot", "doc_id", "matched_store_id",
+            "matched_batch_id", "keep",
+        )
+        .orderBy("snapshot", "doc_id")
+    )
+
+
+def q_ann_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten reaching the ANN STORE (VERDICT r11
+    item 1 — operators/similarity.py:remove_from_ann_store): the
+    persisted-codes lifecycle (even-trained index, even build + odd
+    append, vectors table committed), then vec_id %7==0 forgotten —
+    codes removed FIRST, vectors second (the reverse-append crash
+    ordering that preserves codes ⊆ vectors). Top-k answered against
+    BOTH codes snapshots via independent codes_version time travel:
+    pre_forget still serves the deleted vectors, post_forget shows
+    them gone from every result list — while the once-trained index
+    keeps serving unchanged. Oracle: independent replica
+    (tools/gen_expected.py:gen_ann_store_forget)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    import shutil  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_path("ann_forget", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)  # fresh store per run
+    cent, books = similarity.train_ivf_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), train_iters=2
+    )
+    similarity.save_ivf_pq_index(spark, cent, books, path)
+    similarity.build_ivf_pq_codes(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        index=(cent, books),
+    )
+    similarity.append_ivf_pq_codes(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), path,
+        index=(cent, books),
+    )
+    vt.write_version(emb, f"{path}/vectors")
+    # erasure-request collect — request-sized, bounded control plane
+    forget_ids = [
+        r[0]
+        for r in emb.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    similarity.remove_from_ann_store(spark, path, forget_ids)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    parts = []
+    for label, ver in (("pre_forget", 2), ("post_forget", 3)):
+        parts.append(
+            similarity.ivf_pq_topk_from_codes(
+                spark, queries_df, path, k=5, n_probe=8,
+                refine_corpus=emb, refine_factor=16, codes_version=ver,
+                index=(cent, books),
+            ).withColumn("snapshot", F.lit(label))
+        )
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .select("snapshot", "query_id", "neighbor_id", "cosine_sim", "rank")
+        .orderBy("snapshot", "query_id", "rank")
+    )
+
+
 def q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra (operators/sketches.py:hll_pairwise_overlap):
     audience overlap between every event-type pair — union by register
@@ -3483,7 +3619,7 @@ _R11_FRONT_50 = [
     # canary (zorder_clustered_scan, r10-graded; the writers module
     # stays covered by ddl_table_roundtrip in the vanilla gate)
     "media_avi_duration",
-    # --- 26 mechanical canaries (tools/grade_ledger.py --canaries:
+    # --- 25 mechanical canaries (tools/grade_ledger.py --canaries:
     # stalest per dominant module, staleness-ordered) ---------------
     "high_value_order_customers",
     "curate_top_docs_per_source",
@@ -3519,7 +3655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS window (_R11_FRONT_50) re-grades every op whose
     implementation OR oracle changed this round — derived
     mechanically by tools/fanout_map.py (VERDICT r08 item 1) — plus
-    22 canaries picked mechanically by tools/grade_ledger.py
+    25 canaries picked mechanically by tools/grade_ledger.py
     --canaries, the stalest query per dominant implementation module
     (VERDICT r09 item 6). The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
@@ -3699,6 +3835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf_pq_indexed": q_embedding_topk_ivf_pq_indexed,
         "embedding_topk_ivf_pq_codes": q_embedding_topk_ivf_pq_codes,
         "semantic_incremental_embeddings": q_semantic_incremental,
+        "dedup_store_forget": q_dedup_store_forget,
+        "ann_store_forget": q_ann_store_forget,
         "streaming_semantic_dedup": q_streaming_semantic_dedup,
         "streaming_video_dedup": q_streaming_video_dedup,
         "user_order_cogroup_profile": q_user_order_cogroup,
@@ -6524,6 +6662,17 @@ def oracle_sql() -> dict[str, str]:
                    keep
             FROM read_parquet('/root/repo/expected/sf0.01/semantic_incremental_embeddings.parquet')
             ORDER BY batch_id, vec_id
+        """,
+        "dedup_store_forget": """
+            SELECT snapshot, doc_id, matched_store_id, matched_batch_id,
+                   keep
+            FROM read_parquet('/root/repo/expected/sf0.01/dedup_store_forget.parquet')
+            ORDER BY snapshot, doc_id
+        """,
+        "ann_store_forget": """
+            SELECT snapshot, query_id, neighbor_id, cosine_sim, rank
+            FROM read_parquet('/root/repo/expected/sf0.01/ann_store_forget.parquet')
+            ORDER BY snapshot, query_id, rank
         """,
         "streaming_semantic_dedup": """
             SELECT vec_id, matched_store_id, matched_batch_id, keep

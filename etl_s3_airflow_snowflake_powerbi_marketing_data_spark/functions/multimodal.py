@@ -2074,7 +2074,17 @@ def _decode_progressive_scan(
                                     break
                                 r -= 1
                             k += 1
-                        if s and k <= se:
+                        if s:
+                            if k > se:
+                                # Mirror the AC-first branch: a newly-
+                                # nonzero coefficient whose zero-run
+                                # lands past the band end is a corrupt
+                                # stream — raise so the skip contract
+                                # fires instead of silently decoding
+                                # wrong pixels (ADVICE r11).
+                                raise NotImplementedError(
+                                    "AC refinement run past band end"
+                                )
                             zz[k] = newval
                         k += 1
                 if state_eobrun > 0:

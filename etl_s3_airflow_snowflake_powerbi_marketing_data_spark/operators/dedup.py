@@ -1737,3 +1737,84 @@ def hamming_incremental(
             ).alias("keep"),
         )
     )
+
+
+def remove_from_store(
+    spark,
+    store_path: str,
+    ids,
+    key_col: str = "doc_id",
+) -> tuple[int, int]:
+    """Forget ids from a persisted incremental-dedup store — the
+    MinHash signature store (``key_col="doc_id"``) or any of the
+    image/audio/video fingerprint stores (``key_col="media_id"``)
+    written by the streaming gates (VERDICT r11 item 1). Without
+    this, a purged document's signature keeps suppressing its
+    recrawl as a "duplicate of" content that no longer exists.
+
+    The removal is an anti-join rewrite COMMITTED AS A VERSION
+    (sources/versioned.py:remove_ids — prefix-granular copy-on-write):
+    the store stays auditable, time travel still shows pre-forget
+    states, and rollback undoes an over-eager forget. Returns
+    (new_version, n_prefixes_rewritten)."""
+    from ..sources import versioned  # noqa: PLC0415
+
+    return versioned.remove_ids(spark, store_path, ids, key_col)
+
+
+def _sql_id_literal(v) -> str:
+    """SQL literal for an id value in a purge predicate — ints pass
+    through, strings are single-quoted with '' escaping. Anything
+    else is rejected loudly (forget requests carry key values, not
+    arbitrary expressions)."""
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise TypeError(f"unsupported forget-id type: {type(v).__name__}")
+    if isinstance(v, int):
+        return str(v)
+    return "'" + v.replace("'", "''") + "'"
+
+
+def forget_documents(
+    spark,
+    doc_ids,
+    *,
+    table_path: str | None = None,
+    table_key: str = "doc_id",
+    stores: tuple = (),
+) -> dict:
+    """The wired right-to-be-forgotten path (VERDICT r11 item 1):
+    ONE call that (a) PURGES the doomed rows from the primary
+    versioned table — history rewritten via
+    sources/versioned.py:purge_where, the GDPR-class erasure — and
+    (b) FORGETS their derived rows from every incremental store via
+    :func:`remove_from_store` (anti-join rewrite committed as a new
+    store version, history kept: stores hold fingerprints/codes, not
+    the erased content). After this, the document's recrawl passes
+    the dedup gate as NEW content instead of being suppressed by a
+    ghost signature.
+
+    ``stores`` is a tuple of (store_path, key_col) pairs — e.g. the
+    MinHash signature store keyed by doc_id, a dHash store keyed by
+    media_id. The ANN store pair (codes + vectors) has its own
+    crash-ordering contract; wire it with
+    operators/similarity.py:remove_from_ann_store. Order: stores are
+    forgotten FIRST, the primary purge runs last — a crash mid-way
+    leaves the recrawl gate already open (over-forgetting a store is
+    recall-safe and replayable) rather than purged content still
+    pinned in a store. Returns a per-target summary dict."""
+    from ..sources import versioned  # noqa: PLC0415
+
+    if isinstance(doc_ids, DataFrame):
+        doc_ids = [r[0] for r in doc_ids.distinct().collect()]
+    doc_ids = sorted(set(doc_ids))
+    out: dict = {"stores": {}}
+    for store_path, key_col in stores:
+        out["stores"][store_path] = remove_from_store(
+            spark, store_path, doc_ids, key_col
+        )
+    if table_path is not None:
+        in_list = ", ".join(_sql_id_literal(v) for v in doc_ids)
+        out["purged"] = versioned.purge_where(
+            spark, table_path, f"{table_key} IN ({in_list})"
+        )
+    return out

@@ -1479,6 +1479,8 @@ def ivf_pq_topk_from_codes(
     refine_corpus: DataFrame | None = None,
     refine_factor: int = 0,
     version: int | None = None,
+    codes_version: int | None = None,
+    index=None,
 ) -> DataFrame:
     """IVF-PQ top-k where the ONLY corpus-scaled input is the
     PERSISTED codes snapshot — vectors are never rescanned (except
@@ -1489,11 +1491,21 @@ def ivf_pq_topk_from_codes(
     each load once (:func:`build_ivf_pq_codes` /
     :func:`append_ivf_pq_codes`), and answer every query from index +
     codes alone — the FAISS on-disk posture expressed as versioned
-    parquet tables."""
+    parquet tables. ``codes_version`` time-travels the CODES snapshot
+    independently of the index generation (the codes table commits on
+    every append/forget while the index is trained once — the
+    :func:`remove_from_ann_store` pre/post comparison needs exactly
+    this split). Callers already holding the index artifacts pass
+    ``index=(cent, books)`` to skip the bounded load collect (both
+    paths bit-identical — parquet round-trips doubles exactly)."""
     from ..sources import versioned  # noqa: PLC0415
 
-    cent, books = load_ivf_pq_index(spark, index_path, version)
-    codes = versioned.read_version(spark, f"{index_path}/codes", version)
+    cent, books = index or load_ivf_pq_index(spark, index_path, version)
+    codes = versioned.read_version(
+        spark,
+        f"{index_path}/codes",
+        version if codes_version is None else codes_version,
+    )
     return _ivf_pq_scan(
         refine_corpus,
         queries,
@@ -1516,16 +1528,20 @@ def _probe_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, cell, lut) — one row per (query, probed cell), the
-    PROBE half of every ADC scan, shared by :func:`_ivf_pq_scan` and
+    """(query_id, cells, lut) — ONE row per query, the PROBE half of
+    every ADC scan, shared by :func:`_ivf_pq_scan` and
     :func:`semantic_dedup_incremental` so both paths carry bit-
     identical LUT math. One Arrow pass builds BOTH probe halves: the
-    LUT (numpy, per query) and the probed-cell fan-out (explode of
-    the SQL-side ``cells`` array — assignment stays the deterministic
-    literal cosine, only the row replication happens here). An
-    earlier form ran q_cells and luts as two DataFrames joined on
-    query_id: correct, but two extra tiny jobs plus a shuffle join
-    inside the broadcast build (~0.5 s of the r05
+    LUT (numpy, per query) and the probed-cell list (assignment stays
+    the deterministic literal cosine). The LUT is carried ONCE per
+    query — :func:`_adc_scores` explodes the cells into the tiny
+    (query_id, cell) broadcast and re-attaches the LUT by a second
+    query_id broadcast join, so broadcast bytes are flat in
+    ``n_probe`` (VERDICT r11 item 4: the earlier per-(query, cell)
+    row shape replicated each ~16 KB LUT ``n_probe``×, growing the
+    broadcast as batch × n_probe × LUT). An even earlier form ran
+    q_cells and luts as two shuffle-joined DataFrames: correct, but
+    two extra tiny jobs inside the broadcast build (~0.5 s of the r05
     embedding_topk_ivf_pq regression — VERDICT r05 item 3)."""
     import numpy as np  # noqa: PLC0415
 
@@ -1547,12 +1563,11 @@ def _probe_table(
                     ).sum(axis=1).tolist()
                     for s in range(m)
                 ]
-                for c in pdf["cells"].iloc[i]:
-                    qid.append(pdf["__id"].iloc[i])
-                    cells.append(int(c))
-                    luts.append(lut_i)
+                qid.append(pdf["__id"].iloc[i])
+                cells.append([int(c) for c in pdf["cells"].iloc[i]])
+                luts.append(lut_i)
             yield pd.DataFrame(
-                {"query_id": qid, "cell": cells, "lut": luts}
+                {"query_id": qid, "cells": cells, "lut": luts}
             )
 
     q_u = with_unit_vector(queries, vec_col, "__u")
@@ -1564,7 +1579,28 @@ def _probe_table(
         ),
     ).mapInPandas(
         probe_batches,
-        f"query_id {id_type}, cell int, lut array<array<double>>",
+        f"query_id {id_type}, cells array<int>, lut array<array<double>>",
+    )
+
+
+def _adc_scores(codes_df: DataFrame, probe: DataFrame) -> DataFrame:
+    """Cell-keyed ADC join against a de-replicated probe: the probed-
+    cell fan-out broadcasts only (query_id, cell) pairs — bytes flat
+    in ``n_probe`` — and each query's LUT is attached ONCE by a
+    second query_id-keyed broadcast join after the cell match
+    (VERDICT r11 item 4). Row multiset per (query, cell, neighbor)
+    and the sequential :func:`_adc_dist` fold are unchanged, so
+    results stay bit-identical to the replicated-LUT shape (expected
+    oracles unchanged). Returns (query_id, neighbor_id, pq_dist)."""
+    cells = probe.select("query_id", F.explode("cells").alias("cell"))
+    luts = probe.select("query_id", "lut")
+    return (
+        codes_df.join(F.broadcast(cells), "cell")
+        .join(F.broadcast(luts), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", trunc6(_adc_dist()).alias("pq_dist")
+        )
     )
 
 
@@ -1641,14 +1677,13 @@ def _ivf_pq_scan(
         raise ValueError(
             "refine_factor > 0 needs refine_corpus (original vectors)"
         )
-    probe = _probe_table(queries, cent, books, n_probe, id_col, vec_col)
-    scored = (
-        codes.join(F.broadcast(probe), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id", trunc6(_adc_dist()).alias("pq_dist")
-        )
-    )
+    # probe feeds two projections inside _adc_scores (cells + luts);
+    # pin it once so the tiny Arrow probe pass runs once, not twice
+    # (the [[aqe-exchange-reuse]] discipline).
+    probe = _probe_table(
+        queries, cent, books, n_probe, id_col, vec_col
+    ).localCheckpoint(eager=False)
+    scored = _adc_scores(codes, probe)
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id")
     )
@@ -1717,6 +1752,14 @@ def semantic_dedup_incremental(
     keepers' codes via :func:`append_ivf_pq_codes` so the next batch
     dedups against everything kept so far.
 
+    INVARIANT (ADVICE r11): every id in the codes store must appear in
+    ``corpus`` — a code row whose vector is absent survives the ADC
+    range check but is silently dropped by the re-rank id-join,
+    quietly reducing recall instead of erroring. Writers must commit
+    vectors BEFORE codes (``run_streaming_semantic_dedup`` does) so a
+    mid-commit crash leaves an orphan vector (harmless — never probed
+    without its code), never an unverifiable code.
+
     Output: one row per batch vector — (id_col, matched_store_id,
     matched_batch_id, keep), -1 sentinels for no-match.
     """
@@ -1738,15 +1781,8 @@ def semantic_dedup_incremental(
     adc_radius = (2.0 - 2.0 * threshold) * adc_margin
 
     def shortlist(codes_df: DataFrame) -> DataFrame:
-        return (
-            codes_df.join(F.broadcast(probe), "cell")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                trunc6(_adc_dist()).alias("pq_dist"),
-            )
-            .filter(F.col("pq_dist") <= F.lit(adc_radius))
+        return _adc_scores(codes_df, probe).filter(
+            F.col("pq_dist") <= F.lit(adc_radius)
         )
 
     batch_vecs = batch.select(
@@ -2077,3 +2113,35 @@ def pca_project(
         project_batches,
         f"{id_col} {id_type}, component long, value double",
     )
+
+
+def remove_from_ann_store(spark, index_path: str, ids) -> dict:
+    """Forget vectors from the persisted IVF-PQ store (VERDICT r11
+    item 1): remove their rows from ``{index_path}/codes``
+    (neighbor_id) and, when the gate's vectors table exists, from
+    ``{index_path}/vectors`` (vec_id). Each removal is an anti-join
+    rewrite committed as a NEW VERSION
+    (sources/versioned.py:remove_ids) — a deleted vector disappears
+    from :func:`ivf_pq_topk_from_codes` and from the
+    :func:`semantic_dedup_incremental` gate immediately, while time
+    travel still answers pre-forget states.
+
+    Crash ordering — the REVERSE of the append order: codes are
+    removed FIRST, vectors second, so a crash between the two commits
+    leaves an orphan vector (harmless: never probed without its code)
+    and never an unverifiable code — the codes ⊆ vectors invariant
+    the exact re-rank id-join depends on (ADVICE r11). The index
+    itself (centroids/codebooks) is statistics, not content — it
+    keeps serving and needs no retrain."""
+    from ..sources import versioned  # noqa: PLC0415
+
+    out = {
+        "codes": versioned.remove_ids(
+            spark, f"{index_path}/codes", ids, "neighbor_id"
+        )
+    }
+    if versioned.table_versions(f"{index_path}/vectors"):
+        out["vectors"] = versioned.remove_ids(
+            spark, f"{index_path}/vectors", ids, "vec_id"
+        )
+    return out

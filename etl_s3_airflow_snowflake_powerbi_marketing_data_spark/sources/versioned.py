@@ -220,13 +220,67 @@ def delete_where(
     A delete touching 1% of prefixes rewrites 1% of the table; history
     (old manifests) still sees every original prefix untouched.
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415
+    doomed = F.coalesce(F.expr(predicate), F.lit(False))
+    return _delete_matching(
+        spark, path, doomed, {"mode": "delete", "predicate": predicate}
+    )
 
+
+def remove_ids(
+    spark: SparkSession,
+    path: str,
+    ids,
+    key_col: str,
+) -> tuple[int, int]:
+    """Id-set DELETE committed as a NEW VERSION — the store-hygiene
+    half of right-to-be-forgotten (VERDICT r11 item 1): when
+    :func:`purge_where` erases documents from a primary table, their
+    derived rows in the incremental dedup / ANN stores (MinHash
+    signatures, image/audio/video fingerprints, IVF-PQ codes +
+    vectors) must also go, or a purged document's signature keeps
+    suppressing its recrawl as a "duplicate of" content that no
+    longer exists and a deleted vector keeps answering ANN queries.
+
+    Unlike :func:`purge_where` this deliberately does NOT rewrite
+    history: stores hold derived fingerprints/codes (not the erased
+    content), and a versioned commit keeps the store auditable — time
+    travel still shows pre-forget states, and rollback undoes an
+    over-eager forget. Same prefix-granular copy-on-write shape as
+    :func:`delete_where`: only prefixes actually holding a doomed id
+    are rewritten (``isin`` pushes to the parquet scan, so footer
+    stats short-circuit untouched prefixes).
+
+    ``ids`` is a Python sequence or a 1-column DataFrame; forget
+    requests are request-sized (human-initiated erasure lists), never
+    data-sized, so materializing them into an IN-list literal is the
+    bounded control-plane collect — NOT a data-plane collect. Returns
+    (new_version, n_prefixes_rewritten); a no-match forget still
+    commits (idempotent replay-safe no-op version).
+    """
+    if isinstance(ids, DataFrame):
+        ids = [r[0] for r in ids.select(key_col).distinct().collect()]
+    ids = sorted(set(ids))
+    doomed = F.col(key_col).isin(ids) if ids else F.lit(False)
+    return _delete_matching(
+        spark,
+        path,
+        doomed,
+        {"mode": "forget", "key": key_col, "n_ids": len(ids)},
+    )
+
+
+def _delete_matching(
+    spark: SparkSession, path: str, doomed, manifest_meta: dict
+) -> tuple[int, int]:
+    """Shared prefix-granular copy-on-write row removal behind
+    :func:`delete_where` (SQL predicate) and :func:`remove_ids`
+    (id-set forget): probe each snapshot prefix for matches, rewrite
+    only the affected ones, publish a manifest that carries untouched
+    prefixes by reference."""
     versions = table_versions(path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
     latest = versions[-1]
-    doomed = F.coalesce(F.expr(predicate), F.lit(False))
     nonce = uuid.uuid4().hex[:12]
     kept_prefixes: list[str] = []
     fresh_prefixes: list[str] = []
@@ -245,6 +299,7 @@ def delete_where(
             kept_prefixes.append(new_p)
             fresh_prefixes.append(new_p)
         rewritten += 1
+
     def build(current_latest: int) -> dict:
         # read-modify-write conflict detection: the survivor set was
         # computed against ``latest`` — if anyone committed since,
@@ -256,11 +311,7 @@ def delete_where(
                 f"delete based on v{latest} but v{current_latest} is now "
                 "committed — rerun against the current snapshot"
             )
-        return {
-            "prefixes": kept_prefixes,
-            "mode": "delete",
-            "predicate": predicate,
-        }
+        return {"prefixes": kept_prefixes, **manifest_meta}
 
     try:
         return _publish(path, build), rewritten

@@ -953,15 +953,23 @@ def run_streaming_semantic_dedup(
         keepers = batch.join(
             decisions.filter(F.col("keep")).select("vec_id"), "vec_id"
         ).localCheckpoint(eager=True)  # feeds codes encode + vector append
+        # Vectors merge BEFORE codes (ADVICE r11): the gate's exact
+        # re-rank id-joins shortlist candidates to the vectors table,
+        # so a code row whose vector is missing would be silently
+        # dropped from verification. Appending vectors first keeps the
+        # codes ⊆ vectors invariant through a mid-commit crash — a
+        # crash between the two merges leaves an orphan vector (harm-
+        # less: never probed without its code) instead of an
+        # unverifiable code.
+        versioned_merge(
+            sess, f"{index_path}/vectors", keepers, ["vec_id"],
+            update=False,
+        )
         versioned_merge(
             sess,
             f"{index_path}/codes",
             similarity.ivf_pq_codes_table(keepers, cent, books),
             ["neighbor_id"],
-            update=False,
-        )
-        versioned_merge(
-            sess, f"{index_path}/vectors", keepers, ["vec_id"],
             update=False,
         )
 

@@ -122,15 +122,38 @@ def gen_minhash_incremental(
     registered even/odd doc_id split: even ids are the signature
     store, odd ids the incoming batch; verification is the
     signature-component match fraction (pure integer equality)."""
-    rpb = num_hashes // bands
+    sigs = _minhash_sigs(docs, num_hashes)
+    store = {d: s for d, s in sigs.items() if d % 2 == 0}
+    batch = {d: s for d, s in sigs.items() if d % 2 == 1}
+    return _minhash_decisions(store, batch, threshold, num_hashes, bands)
+
+
+def _minhash_sigs(
+    docs: pd.DataFrame, num_hashes: int = 64
+) -> dict[int, list[int]]:
     sets = shingle_hash_sets(docs, 3)
-    sigs = {
+    return {
         d: [
             min(xxhash64(("int", i), h) for h in hs)
             for i in range(num_hashes)
         ]
         for d, hs in sets.items()
     }
+
+
+def _minhash_decisions(
+    store: dict[int, list[int]],
+    batch: dict[int, list[int]],
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> pd.DataFrame:
+    """Shared store-vs-batch decision replica (the
+    minhash_incremental contract) over prebuilt signature maps —
+    factored out of :func:`gen_minhash_incremental` so
+    :func:`gen_dedup_store_forget` mirrors the identical banding and
+    verification math against two store snapshots."""
+    rpb = num_hashes // bands
 
     def band_keys(sig: list[int]) -> list[tuple[int, int]]:
         return [
@@ -143,8 +166,6 @@ def gen_minhash_incremental(
             for b in range(bands)
         ]
 
-    store = {d: s for d, s in sigs.items() if d % 2 == 0}
-    batch = {d: s for d, s in sigs.items() if d % 2 == 1}
     store_buckets: dict[tuple[int, int], list[int]] = {}
     for d, s in store.items():
         for key in band_keys(s):
@@ -193,6 +214,34 @@ def gen_minhash_incremental(
             "keep": "bool",
         }
     )
+
+
+def gen_dedup_store_forget(docs: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the dedup_store_forget query (VERDICT r11 item 1):
+    even doc_ids build the signature store; ids %10==0 are then
+    FORGOTTEN (remove_from_store); the recrawl batch re-submits the
+    forgotten docs' text plus %10==4 retained controls under new ids
+    (+1_000_000). Decisions are computed against BOTH store snapshots
+    — pre_forget (time travel: the ghost signature still flags its
+    own recrawl) and post_forget (the recrawl is KEPT; controls stay
+    flagged)."""
+    sigs = _minhash_sigs(docs)
+    store_pre = {d: s for d, s in sigs.items() if d % 2 == 0}
+    store_post = {d: s for d, s in store_pre.items() if d % 10 != 0}
+    batch = {
+        d + 1_000_000: s
+        for d, s in store_pre.items()
+        if d % 10 in (0, 4)
+    }
+    frames = []
+    for label, store in (
+        ("pre_forget", store_pre),
+        ("post_forget", store_post),
+    ):
+        f = _minhash_decisions(store, batch)
+        f.insert(0, "snapshot", label)
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
 
 
 # --- simhash_near_dups -------------------------------------------------
@@ -1772,19 +1821,25 @@ def gen_ivf_pq_topk_codes(
     iters: int = 3,
     train_iters: int = 2,
     refine_factor: int = 16,
+    store_ids: set | None = None,
 ) -> pd.DataFrame:
     """Independent mirror of the persisted-codes lifecycle
     (similarity.ivf_pq_topk_from_codes): index trained on the EVEN-id
     initial load only; every vector (initial + appended odd batch)
     encoded with that one index; queries answered from index + codes
     over the union — exactly what the versioned codes snapshot holds
-    after build (even, replace) + append (odd)."""
+    after build (even, replace) + append (odd). ``store_ids``
+    restricts the candidate side to a forgotten-store snapshot
+    (remove_ids — :func:`gen_ann_store_forget`); None means every
+    vector's code is in the store."""
     dsub = dim // m
     probe, books, x, enc, row_of, by_id = _ivf_pq_index_replica(
         vecs, n_cells, m, ksub, dim, train_sample, iters, train_iters
     )
     cell_members: dict[int, list[int]] = {}
     for i, v in vecs:
+        if store_ids is not None and i not in store_ids:
+            continue
         cell_members.setdefault(probe(v, 1)[0], []).append(i)
 
     score_col = "cosine_sim" if refine_factor > 0 else "pq_dist"
@@ -1833,6 +1888,25 @@ def gen_ivf_pq_topk_codes(
             "rank": "int64",
         }
     )
+
+
+def gen_ann_store_forget(
+    vecs: list[tuple[int, list[float]]],
+) -> pd.DataFrame:
+    """Mirror of the ann_store_forget query (VERDICT r11 item 1):
+    the persisted-codes lifecycle (even-trained index, even build +
+    odd append), then vec_id %7==0 rows FORGOTTEN from the codes
+    store (remove_from_ann_store). Top-k answered against BOTH
+    snapshots — pre_forget (time travel still serves the deleted
+    vectors) and post_forget (they have disappeared from every
+    result list)."""
+    kept = {i for i, _ in vecs if i % 7 != 0}
+    frames = []
+    for label, store in (("pre_forget", None), ("post_forget", kept)):
+        f = gen_ivf_pq_topk_codes(vecs, store_ids=store)
+        f.insert(0, "snapshot", label)
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
 
 
 def gen_semantic_incremental(
@@ -2535,6 +2609,8 @@ def main() -> None:
         ("multimodal_funnel_media", gen_multimodal_funnel_media()),
         ("streaming_video_dedup", gen_streaming_video_dedup()),
         ("media_avi_duration", gen_avi_duration()),
+        ("dedup_store_forget", gen_dedup_store_forget(docs)),
+        ("ann_store_forget", gen_ann_store_forget(vecs)),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
