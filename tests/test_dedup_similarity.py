@@ -582,3 +582,80 @@ def test_hotspots_gram_cap_observable(spark):
     assert all(r["n_docs_truncated"] == 3 for r in capped)
     grams = {r["gram"] for r in capped}
     assert grams == {"a b c", "b c d"}
+
+
+def test_forget_documents_wires_purge_and_store(spark, tmp_path):
+    """forget_documents (VERDICT r11 item 1): one call purges the
+    primary versioned table (history rewritten) AND forgets the
+    derived store rows (new store version, history kept) — stores
+    first, so a mid-crash leaves the recrawl gate already open."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    store_path = str(tmp_path / "sigs")
+    frame = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    vt.write_version(frame, docs_path)
+    vt.write_version(
+        frame.select("doc_id", F.xxhash64("text").alias("fingerprint")),
+        store_path,
+    )
+    out = dedup.forget_documents(
+        spark,
+        [1, 4],
+        table_path=docs_path,
+        table_key="doc_id",
+        stores=((store_path, "doc_id"),),
+    )
+    assert out["stores"][store_path][0] == 2  # store committed v2
+    # primary table: purged from EVERY version (history rewritten)
+    assert sorted(
+        r.doc_id for r in vt.read_version(spark, docs_path, 1).collect()
+    ) == [0, 2, 3, 5]
+    # store: current snapshot forgot the ids, history still has them
+    assert sorted(
+        r.doc_id for r in vt.read_version(spark, store_path).collect()
+    ) == [0, 2, 3, 5]
+    assert vt.read_version(spark, store_path, 1).count() == 6
+
+
+def test_remove_from_ann_store_codes_first(spark, tmp_path):
+    """remove_from_ann_store: forgets codes AND vectors (reverse of
+    the append order), and tolerates a codes-only store (no vectors
+    table)."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.operators import (
+        similarity,
+    )
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (
+        versioned as vt,
+    )
+
+    path = str(tmp_path / "idx")
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.25]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cent, books = similarity.train_ivf_pq_index(
+        emb, n_cells=2, m=2, ksub=4, dim=4, train_iters=1
+    )
+    similarity.save_ivf_pq_index(spark, cent, books, path)
+    similarity.build_ivf_pq_codes(spark, emb, path, index=(cent, books))
+    out = similarity.remove_from_ann_store(spark, path, [2, 5])
+    assert "vectors" not in out  # codes-only store tolerated
+    kept = sorted(
+        r.neighbor_id
+        for r in vt.read_version(spark, f"{path}/codes").collect()
+    )
+    assert kept == [0, 1, 3, 4, 6, 7, 8, 9, 10, 11]
+    vt.write_version(emb, f"{path}/vectors")
+    out2 = similarity.remove_from_ann_store(spark, path, [7])
+    assert out2["vectors"][0] == 2
+    assert sorted(
+        r.vec_id
+        for r in vt.read_version(spark, f"{path}/vectors").collect()
+    ) == [0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11]
+    # pre-forget codes snapshot still time-travels
+    assert vt.read_version(spark, f"{path}/codes", 1).count() == 12

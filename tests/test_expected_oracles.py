@@ -469,3 +469,44 @@ def test_image_incremental_generator_matches_spark_on_alternate_group_count(
     )
     exp = _canon(gen_expected.gen_image_dhash_incremental(24))
     assert got == exp
+
+
+def _canon_mixed(df: pd.DataFrame) -> list[tuple]:
+    """_canon with string-column tolerance (snapshot labels)."""
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(round(v, 6))
+            elif isinstance(v, str):
+                vals.append(v)
+            else:
+                vals.append(int(v))
+        rows.append(tuple(vals))
+    return sorted(rows)
+
+
+def test_store_forget_generators_match_spark_on_alternate_sf(
+    spark, sf_dir
+):
+    """The two RTBF store-forget replicas (VERDICT r11 item 1) must
+    agree with the full engine lifecycle — build store → forget →
+    gate/scan both snapshots — at sf0.001, a different corpus than
+    the committed sf0.01 expected files."""
+    import pyarrow.parquet as apq
+
+    import __spark_entry__ as entrymod
+
+    docs = apq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    vecs = gen_expected.load_embeddings(sf_dir)
+    qmap = entrymod.queries()
+    got_dedup = qmap["dedup_store_forget"](spark, sf_dir).toPandas()
+    assert _canon_mixed(got_dedup) == _canon_mixed(
+        gen_expected.gen_dedup_store_forget(docs)
+    )
+    got_ann = qmap["ann_store_forget"](spark, sf_dir).toPandas()
+    assert _canon_mixed(got_ann) == _canon_mixed(
+        gen_expected.gen_ann_store_forget(vecs)
+    )
