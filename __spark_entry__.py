@@ -3579,7 +3579,8 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries' blocks, all already in the affected set. Every query not
 # in the window stays verified by tools/check_oracles.py on a
 # vanilla session.
-_R11_FRONT_50 = [
+# --- BEGIN GENERATED WINDOW (tools/gen_window.py — do not hand-edit) ---
+_FRONT_50 = [
     # --- round-11 implementation changes (tools/fanout_map.py
     # --changed-since 70c5d0e): the 8 new queries plus everything the
     # IVF-PQ probe refactor, the JPEG codec extensions, and the
@@ -3647,12 +3648,13 @@ _R11_FRONT_50 = [
     "purchases_in_browse_sessions",
     "segment_price_ks",
 ]
+# --- END GENERATED WINDOW ---
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2 + the
     training-data extensions), reordered so the driver's 50-entry
-    CORRECTNESS window (_R11_FRONT_50) re-grades every op whose
+    CORRECTNESS window (_FRONT_50) re-grades every op whose
     implementation OR oracle changed this round — derived
     mechanically by tools/fanout_map.py (VERDICT r08 item 1) — plus
     25 canaries picked mechanically by tools/grade_ledger.py
@@ -3979,7 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_image_dedup": q_streaming_image_dedup,
         "streaming_minhash_dedup": q_streaming_minhash_dedup,
     }
-    ordered = {name: all_q[name] for name in _R11_FRONT_50}
+    ordered = {name: all_q[name] for name in _FRONT_50}
     ordered.update({n: fn for n, fn in all_q.items() if n not in ordered})
     assert len(ordered) == len(all_q)
     return ordered

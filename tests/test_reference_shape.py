@@ -178,3 +178,43 @@ def test_most_used_platform_per_year(star):
         .collect()
     }
     assert winners == {2017: "web", 2018: "web"}
+
+
+def test_grading_window_is_tool_generated_and_covers_diff():
+    """VERDICT r11 item 2 (the media_mp4_duration slip): the committed
+    _FRONT_50 must equal the tool-generated WINDOW_r{N}.json, and the
+    affected set RE-DERIVED from the live git diff must be a subset of
+    it — a hand-transcription slip now fails the suite instead of
+    surfacing in a verdict."""
+    import glob
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "WINDOW_r*.json")))
+    if not artifacts:
+        pytest.skip("no tool-generated window yet (pre-round-12 tree)")
+    with open(artifacts[-1]) as fh:
+        win = json.load(fh)
+    sys.path.insert(0, repo)
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import fanout_map  # noqa: PLC0415
+
+    import __spark_entry__ as entrymod  # noqa: PLC0415
+
+    registered = list(entrymod.queries())
+    window = win["window"]
+    assert window == entrymod._FRONT_50  # entry block is the artifact
+    assert len(window) == min(50, len(registered))
+    assert len(set(window)) == len(window)
+    assert set(window) <= set(registered)
+    # re-derive the affected set from the live diff against the
+    # recorded base rev — the mechanical half of the window rule
+    with open(fanout_map.MAP_PATH) as fh:
+        fan = json.load(fh)
+    funcs = fanout_map.changed_functions(win["rev"])
+    affected = {
+        q for q, used in fan.items() if any(f in funcs for f in used)
+    } | {q for q in registered if q not in fan}
+    assert affected <= set(window), sorted(affected - set(window))

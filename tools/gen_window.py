@@ -1,0 +1,188 @@
+"""Mechanical grading-window generation (VERDICT r11 item 2).
+
+Round 11 broke the window rule by HAND: ``fanout_map.py
+--changed-since`` computed 18 diff-affected queries but the
+hand-transcribed ``_FRONT_50`` carried only 17 of them
+(``media_mp4_duration`` slipped). This tool removes the transcription
+step: the committed window is GENERATED from the fanout tool's output
+and the canary picker, and a pytest (tests/test_reference_shape.py)
+re-derives the affected set at test time and asserts affected ⊆
+window — so a slip fails the suite instead of surfacing in a verdict.
+
+    python tools/gen_window.py --changed-since <round-start-rev> \
+        [--round N] [--extra q1,q2] [--write]
+
+Window assembly, in order:
+
+1. AFFECTED — every query whose traced function set (FANOUT_MAP.json)
+   intersects the diff's changed functions, PLUS every registered
+   query missing from FANOUT_MAP entirely (new this round; the map
+   predates it). This is the half the r11 slip lost.
+2. EXTRA — hand-ATTRIBUTED (not hand-assembled) query keys for edits
+   below the tool's granularity: oracle-SQL string bodies inside
+   ``oracle_sql()``. The tool still warns when that function changed.
+3. CANARIES — fill to 50 with ``grade_ledger.stalest_canaries`` (the
+   stalest query per dominant implementation module), then — if the
+   module list runs short — the stalest remaining ledger entries.
+
+``--write`` rewrites the ``_FRONT_50`` block of ``__spark_entry__.py``
+between the BEGIN/END GENERATED WINDOW markers and writes
+``WINDOW_r{N}.json`` (the audit artifact the pytest checks against).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import fanout_map  # noqa: E402
+import grade_ledger  # noqa: E402
+
+ENTRY = os.path.join(REPO, "__spark_entry__.py")
+BEGIN = "# --- BEGIN GENERATED WINDOW"
+END = "# --- END GENERATED WINDOW"
+WINDOW_SIZE = 50
+
+
+def infer_round() -> int:
+    rounds = [
+        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def registered_queries() -> list[str]:
+    import __spark_entry__ as entrymod  # noqa: PLC0415
+
+    return list(entrymod.queries())
+
+
+def compute_window(
+    rev: str, extra: list[str]
+) -> dict:
+    with open(fanout_map.MAP_PATH) as fh:
+        fan = json.load(fh)
+    funcs = fanout_map.changed_functions(rev)
+    registered = registered_queries()
+    affected = sorted(
+        {
+            q
+            for q, used in fan.items()
+            if any(f in funcs for f in used)
+        }
+        | {q for q in registered if q not in fan}  # new since map build
+    )
+    oracle_sql_changed = any(f.endswith(":oracle_sql") for f in funcs)
+    unknown = [q for q in extra if q not in registered]
+    if unknown:
+        raise SystemExit(f"--extra names not registered: {unknown}")
+    core = affected + [q for q in extra if q not in affected]
+    if len(core) > WINDOW_SIZE:
+        raise SystemExit(
+            f"affected+extra = {len(core)} > {WINDOW_SIZE}: the window "
+            "cannot carry the whole diff — split the round or grade "
+            "the overflow via check_oracles and document it"
+        )
+    ledger = grade_ledger.build_ledger()
+    canaries = []
+    for name, _mod, _last in grade_ledger.stalest_canaries(
+        ledger, len(ledger)
+    ):
+        if len(core) + len(canaries) >= WINDOW_SIZE:
+            break
+        if name not in core:
+            canaries.append(name)
+    if len(core) + len(canaries) < WINDOW_SIZE:
+        # fewer modules than open slots: fall back to stalest overall
+        stalest = sorted(
+            (
+                (-1 if e["last_graded_round"] is None
+                 else e["last_graded_round"], n)
+                for n, e in ledger.items()
+                if not e.get("unregistered")
+            )
+        )
+        for _s, name in stalest:
+            if len(core) + len(canaries) >= WINDOW_SIZE:
+                break
+            if name not in core and name not in canaries:
+                canaries.append(name)
+    window = core + canaries
+    assert len(window) == min(WINDOW_SIZE, len(registered))
+    return {
+        "rev": rev,
+        "affected": affected,
+        "extra": extra,
+        "canaries": canaries,
+        "oracle_sql_changed": oracle_sql_changed,
+        "window": window,
+    }
+
+
+def write_entry_block(window: dict, rnd: int) -> None:
+    with open(ENTRY) as fh:
+        src = fh.read()
+    b = src.index(BEGIN)
+    e = src.index(END)
+    e = src.index("\n", e) + 1
+    names = "".join(f'    "{q}",\n' for q in window["window"])
+    block = (
+        f"{BEGIN} (tools/gen_window.py — do not hand-edit) ---\n"
+        f"# round {rnd}, diff base {window['rev']}: "
+        f"{len(window['affected'])} diff-affected "
+        f"(fanout_map --changed-since, plus registry entries newer\n"
+        f"# than FANOUT_MAP), {len(window['extra'])} hand-attributed "
+        f"oracle-SQL edits, {len(window['canaries'])} mechanical\n"
+        f"# canaries (grade_ledger — stalest per dominant module). "
+        f"Audit artifact: WINDOW_r{rnd:02d}.json;\n"
+        f"# tests/test_reference_shape.py re-derives affected ⊆ window "
+        f"from the live git diff.\n"
+        f"_FRONT_50 = [\n{names}]\n"
+        f"{END} ---\n"
+    )
+    with open(ENTRY, "w") as fh:
+        fh.write(src[:b] + block + src[e:])
+
+
+def main() -> None:
+    if "--changed-since" not in sys.argv:
+        raise SystemExit(__doc__)
+    rev = sys.argv[sys.argv.index("--changed-since") + 1]
+    rnd = (
+        int(sys.argv[sys.argv.index("--round") + 1])
+        if "--round" in sys.argv
+        else infer_round()
+    )
+    extra = (
+        sys.argv[sys.argv.index("--extra") + 1].split(",")
+        if "--extra" in sys.argv
+        else []
+    )
+    window = compute_window(rev, [e for e in extra if e])
+    window["round"] = rnd
+    if window["oracle_sql_changed"] and not window["extra"]:
+        print(
+            "WARNING: oracle_sql() changed but no --extra given — "
+            "hand-ATTRIBUTE any edited SQL blocks whose queries are "
+            "not already in the affected set.",
+            file=sys.stderr,
+        )
+    print(json.dumps(window, indent=1))
+    if "--write" in sys.argv:
+        out = os.path.join(REPO, f"WINDOW_r{rnd:02d}.json")
+        with open(out, "w") as fh:
+            json.dump(window, fh, indent=1)
+        write_entry_block(window, rnd)
+        print(f"wrote {out} and rewrote the _FRONT_50 block", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
