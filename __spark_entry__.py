@@ -2026,6 +2026,62 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Mixed-script fixture literals (VERDICT r11 item 3) — shared verbatim
+# by the Spark builder and the DuckDB oracle SQL. Each pure-CJK
+# passage exceeds the min_words=20 gate ONLY under script-aware
+# tokenization (whitespace splitting sees ONE giant word and kills
+# it); the mixed passage interleaves English words with Han and
+# Hangul runs. No apostrophes (SQL literal safety), no ASCII
+# punctuation (keeps the punct rule orthogonal).
+_CJK_FIXTURE = {
+    1: "机器学习模型需要大量高质量训练数据才能在不同任务上取得良好效果",
+    2: "これはテストの文書でありデータの品質を確認するためのものです",
+    3: "이것은 데이터 품질 게이트를 검증하기 위한 한국어 테스트 문서입니다",
+    4: (
+        "the quality gate must keep mixed script documents like "
+        "機械学習 and 한글 so that a multilingual crawl is not discarded"
+    ),
+}
+
+
+def q_doc_cjk_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-aware CJK tokenization through the Gopher gate
+    (functions/text.py:tokens_expr/cjk_spaced — VERDICT r11 item 3):
+    every Han/Kana/Hangul codepoint counts as its own token (the
+    mBERT/XLM convention), so a Chinese/Japanese/Korean document
+    clears the min_words rule on its real length instead of being
+    ONE giant whitespace "word" silently discarded at the triage
+    gate. The fixture swaps in pure-zh/ja/ko passages and a mixed
+    passage by doc_id%5; ``n_words_ws`` carries the OLD whitespace
+    count for contrast (1 for the pure-CJK docs, vs 29-31 script-
+    aware). min_mean_word_len drops to 1.0 (per-codepoint words) and
+    the stopword floor to 0 (the marker list is English) — the
+    documented pairing for multilingual gating. Oracle: the same
+    explicit codepoint-class regex in DuckDB RE2."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mod = F.col("doc_id") % 5
+    fixture = docs.select(
+        "doc_id",
+        F.when(mod == 1, F.lit(_CJK_FIXTURE[1]))
+        .when(mod == 2, F.lit(_CJK_FIXTURE[2]))
+        .when(mod == 3, F.lit(_CJK_FIXTURE[3]))
+        .when(mod == 4, F.lit(_CJK_FIXTURE[4]))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).withColumn("n_words_ws", text_fn.token_count(F.col("text")))
+    return text_fn.gopher_quality_flags(
+        fixture,
+        min_words=20,
+        max_words=100_000,
+        min_mean_word_len=1.0,
+        max_mean_word_len=12.0,
+        max_punct_ratio=0.20,
+        min_stopword_ratio=0.0,
+        extra_cols=("n_words_ws",),
+        script_aware=True,
+    ).orderBy("doc_id")
+
+
 def q_user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-typed aggregation surface: per user a map<event_type,count>
     built with map_from_entries over a SORTED entry array (map
@@ -3804,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_type_map": q_user_event_type_map,
         "dedup_incremental_docs": q_dedup_incremental,
         "gopher_quality_flags": q_gopher_quality_flags,
+        "doc_cjk_quality_gate": q_doc_cjk_quality_gate,
         "versioned_orders_time_travel": q_versioned_time_travel,
         # round 6: rollback = new version with an old snapshot's content
         "versioned_rollback_restore": q_versioned_rollback_restore,
@@ -4070,6 +4127,19 @@ def oracle_sql() -> dict[str, str]:
     stop_ratio = (
         f"CASE WHEN ({tokcount}) = 0 THEN 0.0 "
         f"ELSE {stop_hits} * 1.0 / ({tokcount}) END"
+    )
+    # script-aware CJK tokenization (VERDICT r11 item 3): the SAME
+    # explicit codepoint-class regex as functions/text.py:
+    # CJK_CHAR_CLASS — the \x{...} range subset where Java and RE2
+    # agree exactly; DuckDB replacement backrefs are \1 (Java: $1)
+    cjk_cls = "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7A3}]"
+    cjk_fixture = (
+        "CASE CAST(doc_id % 5 AS INTEGER)"
+        f" WHEN 1 THEN '{_CJK_FIXTURE[1]}'"
+        f" WHEN 2 THEN '{_CJK_FIXTURE[2]}'"
+        f" WHEN 3 THEN '{_CJK_FIXTURE[3]}'"
+        f" WHEN 4 THEN '{_CJK_FIXTURE[4]}'"
+        " ELSE text END"
     )
     quality = (
         f"floor((least(length(text) * 1.0 / 500.0, 1.0) * 0.4 "
@@ -6280,6 +6350,57 @@ def oracle_sql() -> dict[str, str]:
                     AND (punct_ratio <= 0.20)
                     AND (stopword_ratio >= 0.05)) AS keep
             FROM m ORDER BY doc_id
+        """,
+        "doc_cjk_quality_gate": f"""
+            WITH f AS (
+              SELECT doc_id, {cjk_fixture} AS text FROM documents
+            ),
+            sp AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(trim(text),
+                          '({cjk_cls})', ' \\1 ', 'g')) AS sptext
+              FROM f
+            ),
+            m AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_words_ws,
+                     CAST(CASE WHEN length(sptext) = 0 THEN 0
+                          ELSE len(string_split_regex(sptext, '\\s+'))
+                          END AS BIGINT) AS n_words,
+                     length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                       AS chars,
+                     floor(({punct_ratio}) * 1000000.0) / 1000000.0
+                       AS punct_ratio,
+                     {stop_hits} AS stop_hits
+              FROM sp
+            ),
+            g AS (
+              SELECT doc_id, n_words_ws, n_words,
+                     CASE WHEN n_words = 0 THEN 0.0
+                          ELSE floor(CAST(chars AS DOUBLE) / n_words
+                               * 1000000.0) / 1000000.0 END
+                       AS mean_word_len,
+                     punct_ratio,
+                     CASE WHEN n_words = 0 THEN 0.0
+                          ELSE floor(stop_hits * 1.0 / n_words
+                               * 1000000.0) / 1000000.0 END
+                       AS stopword_ratio
+              FROM m
+            )
+            SELECT doc_id, n_words_ws, n_words, mean_word_len,
+                   punct_ratio, stopword_ratio,
+                   (n_words >= 20 AND n_words <= 100000) AS ok_word_count,
+                   (mean_word_len >= 1.0 AND mean_word_len <= 12.0)
+                     AS ok_word_len,
+                   (punct_ratio <= 0.20) AS ok_punct,
+                   (stopword_ratio >= 0.0) AS ok_stopwords,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (mean_word_len >= 1.0 AND mean_word_len <= 12.0)
+                    AND (punct_ratio <= 0.20)
+                    AND (stopword_ratio >= 0.0)) AS keep
+            FROM g ORDER BY doc_id
         """,
         "user_event_type_map": """
             WITH c AS (

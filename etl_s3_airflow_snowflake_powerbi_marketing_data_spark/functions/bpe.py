@@ -41,11 +41,26 @@ END = "</w>"
 # non-ASCII-whitespace corpora (ADVICE r07).
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
+# Python mirror of functions/text.py:CJK_CHAR_CLASS (same three BMP
+# ranges, where Python re / Java / RE2 agree exactly) — the
+# script-aware word splitter for the Arrow-side tokenize/apply passes
+# (VERDICT r11 item 3).
+_CJK_RE = re.compile(
+    "([\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7A3])"
+)
 
-def _java_ws_words(t: str | None) -> list[str]:
+
+def _java_ws_words(
+    t: str | None, script_aware: bool = False
+) -> list[str]:
     """Tokenize exactly like Spark's ``split(lower(x), '\\\\s+')`` +
-    empty filter: lowercase, split on ASCII whitespace only."""
-    return [w for w in _JAVA_WS.split((t or "").lower()) if w]
+    empty filter: lowercase, split on ASCII whitespace only. With
+    ``script_aware``, every Han/Kana/Hangul codepoint first becomes
+    its own word (mirrors functions/text.py:cjk_spaced)."""
+    s = (t or "").lower()
+    if script_aware:
+        s = _CJK_RE.sub(r" \1 ", s)
+    return [w for w in _JAVA_WS.split(s) if w]
 
 
 def _word_freqs(texts: list[str]) -> dict[tuple[str, ...], int]:
@@ -178,19 +193,23 @@ def _merge_pair_expr(col: str, a: str, b: str):
 
 
 def word_freq_table(
-    df: DataFrame, text_col: str = "text", max_words: int | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int | None = None,
+    script_aware: bool = False,
 ) -> DataFrame:
     """ONE corpus-wide pass over raw text: whitespace-split, lowercase,
     groupBy word — the only stage whose input scales with the corpus;
     its output is vocabulary-bounded. Optional ``max_words`` keeps the
     table top-K by ``(freq DESC, word ASC)`` for open-vocabulary
     corpora (the standard trainer cap), bounding every later stage."""
+    base = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    if script_aware:
+        from .text import cjk_spaced  # noqa: PLC0415
+
+        base = cjk_spaced(base)
     words = (
-        df.select(
-            F.explode(
-                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-            ).alias("w")
-        )
+        df.select(F.explode(F.split(base, r"\s+")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
@@ -207,6 +226,7 @@ def train_bpe_merges_spark(
     n_merges: int = 50,
     max_words: int | None = None,
     driver_vocab_limit: int = 200_000,
+    script_aware: bool = False,
 ) -> list[tuple[str, str]]:
     """Whole-corpus BPE training with NO corpus-sized collect at any
     corpus size. Word counting is always ONE distributed aggregation
@@ -233,7 +253,7 @@ def train_bpe_merges_spark(
     pair; stop when the best pair occurs < 2 times) match
     `train_merges_on_texts` on both paths."""
     del id_col  # kept for signature parity with train_bpe_merges
-    words = word_freq_table(df, text_col, max_words)
+    words = word_freq_table(df, text_col, max_words, script_aware)
     # ONE probe job decides the path: a (limit+1)-bounded collect —
     # never more than driver_vocab_limit+1 rows reach the driver, and
     # the common small-vocab case skips a separate count() pass.
@@ -315,6 +335,7 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Corpus-wide tokenization under a trained merge list: per
     document, the whitespace word count and the BPE token count.
@@ -334,7 +355,7 @@ def bpe_token_counts(
         for pdf in it:
             ids, nw, nt = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                words = _java_ws_words(t)
+                words = _java_ws_words(t, script_aware)
                 total = 0
                 for w in words:
                     c = cache.get(w)
@@ -359,6 +380,7 @@ def bpe_tokenize(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    script_aware: bool = False,
 ) -> DataFrame:
     """The actual tokenizer output a pretraining pipeline writes: one
     row per BPE token — (id, token_pos, token) with token_pos the
@@ -392,7 +414,7 @@ def bpe_tokenize(
             ids, pos, toks = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 p = 0
-                for w in _java_ws_words(t):
+                for w in _java_ws_words(t, script_aware):
                     syms = cache.get(w)
                     if syms is None:
                         syms = encode_word_symbols(w, ranks)

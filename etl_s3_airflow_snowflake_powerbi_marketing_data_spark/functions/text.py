@@ -48,9 +48,47 @@ def language_id(col: Column, markers: dict[str, list[str]] | None = None) -> Col
     return expr
 
 
-def token_count(col: Column) -> Column:
-    """Whitespace token count (0 for empty/blank text)."""
+# Script-aware tokenization (VERDICT r11 item 3). ASCII-whitespace
+# splitting makes a Chinese/Japanese/Korean document ONE giant "word":
+# the Gopher min_words rule kills it, surprisal/BM25/packing see one
+# token — a multilingual crawl silently discards whole languages at
+# the triage gate. The minimal portable rule (the mBERT/XLM
+# convention): every Han / Kana / Hangul codepoint is its own token.
+# The class uses explicit \x{...} ranges — the regex subset where
+# Java (Spark) and RE2 (DuckDB oracles) agree exactly — covering CJK
+# Unified Ideographs (U+4E00–U+9FFF), Hiragana+Katakana
+# (U+3040–U+30FF), and Hangul syllables (U+AC00–U+D7A3). Extension
+# blocks (Ext-A/B, halfwidth kana, compatibility ideographs) are a
+# DOCUMENTED seam: they fall back to whitespace tokens, never crash.
+CJK_CHAR_CLASS = r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7A3}]"
+
+
+def cjk_spaced(col: Column) -> Column:
+    """Pad every Han/Kana/Hangul codepoint with spaces so the shared
+    whitespace split sees it as its own token. DuckDB mirror:
+    ``regexp_replace(t, '(<class>)', ' \\1 ', 'g')``."""
+    return F.regexp_replace(col, "(" + CJK_CHAR_CLASS + ")", " $1 ")
+
+
+def tokens_expr(col: Column, script_aware: bool = False) -> Column:
+    """THE shared tokenizer expression: lower → trim → optional CJK
+    spacing → split on ``\\s+``. ``script_aware=False`` reproduces the
+    historical expression bit-for-bit (every committed oracle
+    unchanged); ``True`` adds the :func:`cjk_spaced` pass. Adopted by
+    the Gopher gate, surprisal, BM25, chunking, and the BPE word
+    splitter so one flag flips the whole text family."""
+    c = F.lower(F.trim(col))
+    if script_aware:
+        c = F.trim(cjk_spaced(c))
+    return F.split(c, r"\s+")
+
+
+def token_count(col: Column, script_aware: bool = False) -> Column:
+    """Whitespace token count (0 for empty/blank text); CJK codepoints
+    count individually when ``script_aware``."""
     trimmed = F.trim(col)
+    if script_aware:
+        trimmed = F.trim(cjk_spaced(trimmed))
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     ).cast("long")
@@ -68,11 +106,19 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
 
 
-def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
-    """Stopword tokens / total tokens (0 for empty)."""
+def stopword_ratio(
+    col: Column,
+    stopwords: list[str] | None = None,
+    script_aware: bool = False,
+) -> Column:
+    """Stopword tokens / total tokens (0 for empty). ``script_aware``
+    only changes the DENOMINATOR (CJK codepoints count as tokens) —
+    the stopword list itself stays the English markers, so a pure-CJK
+    doc scores 0.0 and callers gating on a stopword floor must pair
+    the flag with ``min_stopword_ratio=0`` or a per-language list."""
     sw = stopwords or STOPWORDS
     hits = marker_hits(col, sw)
-    toks = token_count(col)
+    toks = token_count(col, script_aware)
     return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
 
 
@@ -147,7 +193,7 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     deterministic result.
     """
     words = df.select(
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term")
+        F.explode(tokens_expr(F.col(text_col))).alias("term")
     ).filter(F.length("term") > 0)
     return (
         words.groupBy("term")
@@ -163,6 +209,7 @@ def unigram_surprisal(
     id_col: str = "doc_id",
     head_max: float = 3.401,
     tail_min: float = 3.404,
+    script_aware: bool = False,
 ) -> DataFrame:
     """CCNet-style perplexity-proxy scoring: per document, the mean
     unigram surprisal -ln(tf/N) of its tokens under the corpus's own
@@ -204,7 +251,7 @@ def unigram_surprisal(
     toks = _spread_if_narrow(df).select(
         F.col(id_col),
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            tokens_expr(F.col(text_col), script_aware)
         ).alias("term"),
     ).filter(F.length("term") > 0)
     per_dt = toks.groupBy(id_col, "term").agg(
@@ -252,6 +299,7 @@ def bigram_surprisal(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Contextual LM scoring — the bigram refinement of
     :func:`unigram_surprisal`: per document, the mean conditional
@@ -286,7 +334,7 @@ def bigram_surprisal(
     < 2 tokens report 0 bigrams / 0.0 surprisal.
     """
     tk = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        tokens_expr(F.col(text_col), script_aware),
         lambda x: F.length(x) > 0,
     )
     n1 = F.greatest(F.size(tk) - 1, F.lit(0))
@@ -370,7 +418,7 @@ def source_unigram_divergence(
     one row per unordered pair of sources with ≥ 1 token.
     """
     tk = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        tokens_expr(F.col(text_col)),
         lambda x: F.length(x) > 0,
     )
     tok = _spread_if_narrow(df).select(
@@ -482,7 +530,7 @@ def rare_token_ratio(
     toks = _spread_if_narrow(df).select(
         F.col(id_col),
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            tokens_expr(F.col(text_col))
         ).alias("term"),
     ).filter(F.length("term") > 0)
     per_dt = toks.groupBy(id_col, "term").agg(
@@ -540,7 +588,7 @@ def hashed_features(
     toks = _spread_if_narrow(df).select(
         F.col(id_col),
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            tokens_expr(F.col(text_col))
         ).alias("term"),
     ).filter(F.length("term") > 0)
     h = F.md5(F.col("term"))
@@ -602,7 +650,7 @@ def nb_class_log_odds(
         F.col(id_col),
         label_flag.cast("boolean").alias("__t"),
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            tokens_expr(F.col(text_col))
         ).alias("term"),
     ).filter(F.length("term") > 0)
     per_dt = toks.groupBy(id_col, "__t", "term").agg(
@@ -807,7 +855,7 @@ def repetition_profile(
     on gram equality, so the count aggregation never ships gram text.
     """
     df = _spread_if_narrow(df)  # CPU-bound shingling vs few scan splits
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = tokens_expr(F.col(text_col))
     k = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
@@ -926,6 +974,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_size: int = 64,
     stride: int = 48,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks (the
     embedding/packing prep step of a training pipeline): windows of
@@ -945,7 +994,10 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_size <= 0 or stride > chunk_size:
         raise ValueError("need 0 < stride <= chunk_size")
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = F.lower(F.trim(F.col(text_col)))
+    if script_aware:
+        base = F.trim(cjk_spaced(base))
+    norm = F.regexp_replace(base, r"\s+", " ")
     staged = df.select(F.col(id_col), F.split(norm, " ").alias("__toks"))
     starts = F.sequence(
         F.lit(0),
@@ -999,7 +1051,7 @@ def tfidf_top_terms(
     # however few splits the scan yields (one, for a small file).
     ex = _spread_if_narrow(df).select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+        F.explode(tokens_expr(F.col(text_col))).alias(
             "term"
         ),
     ).filter(F.col("term") != "")
@@ -1039,6 +1091,7 @@ def gopher_quality_flags(
     max_punct_ratio: float = 0.20,
     min_stopword_ratio: float = 0.0,
     extra_cols: tuple[str, ...] = (),
+    script_aware: bool = False,
 ) -> DataFrame:
     """Gopher/MassiveText-family rule filter with NAMED per-rule flags —
     curation pipelines keep the per-rule booleans, not just the verdict,
@@ -1059,14 +1112,22 @@ def gopher_quality_flags(
     last ulp).
     """
     c = F.col(text_col)
-    n_words = token_count(c)
+    # script_aware (VERDICT r11 item 3): CJK codepoints count as
+    # their own tokens, so a Chinese/Japanese/Korean document clears
+    # min_words on its real length instead of being one giant "word".
+    # mean_word_len's char numerator is unchanged (spacing adds no
+    # non-whitespace chars) — with per-codepoint words it converges
+    # to ~1 char/word for CJK text, inside the default [2,12] band
+    # only via the mixed-text average; pure-CJK callers lower
+    # min_mean_word_len to 1.0 (the registered query does).
+    n_words = token_count(c, script_aware)
     # total non-whitespace chars / words — char counting is exact
     chars = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
     mean_wl = trunc6(
         F.when(n_words > 0, chars / n_words).otherwise(F.lit(0.0))
     )
     p_ratio = trunc6(punct_ratio(c))
-    s_ratio = trunc6(stopword_ratio(c))
+    s_ratio = trunc6(stopword_ratio(c, script_aware=script_aware))
     flag_word_count = (n_words >= min_words) & (n_words <= max_words)
     flag_word_len = (mean_wl >= min_mean_word_len) & (
         mean_wl <= max_mean_word_len
@@ -1195,6 +1256,7 @@ def bm25_topk(
     b: float = 0.75,
     top_k: int = 20,
     strategy: str = "auto",
+    script_aware: bool = False,
 ) -> DataFrame:
     """Okapi BM25 retrieval (Robertson & Zaragoza 2009): score every
     document against a fixed bag of query terms and keep the top-k —
@@ -1259,14 +1321,14 @@ def bm25_topk(
         strategy = "inverted"
     if strategy == "inverted":
         return _bm25_topk_inverted(
-            df, terms, text_col, id_col, k1, b, top_k
+            df, terms, text_col, id_col, k1, b, top_k, script_aware
         )
     toks = (
         _spread_if_narrow(df)
         .select(
             F.col(id_col),
             F.explode(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                tokens_expr(F.col(text_col), script_aware)
             ).alias("term"),
         )
         .filter(F.length("term") > 0)
@@ -1386,6 +1448,7 @@ def _bm25_topk_inverted(
     k1: float,
     b: float,
     top_k: int,
+    script_aware: bool = False,
 ) -> DataFrame:
     """Inverted-index BM25 strategy (any |Q| — dispatched from
     :func:`bm25_topk`): explode tokens, broadcast-join the term table
@@ -1411,7 +1474,7 @@ def _bm25_topk_inverted(
     spark = df.sparkSession
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
     tk = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        tokens_expr(F.col(text_col), script_aware),
         lambda x: F.length(x) > 0,
     )
     base = _spread_if_narrow(df).select(

@@ -181,3 +181,134 @@ def test_table_column_profile_mode_tiebreak_and_validation(spark):
     assert (row.top_value, row.top_count) == ("x", 1)
     with pytest.raises(ValueError):
         quality.table_column_profile(df, [])
+
+
+# --- script-aware CJK tokenization (VERDICT r11 item 3) ---------------
+
+
+def _cjk_frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "机器学习模型需要大量高质量训练数据才能取得良好效果"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "データの品質を確認する 한글 mixed words here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_count_script_aware_counts_cjk_codepoints(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    df = _cjk_frame(spark)
+    rows = {
+        r.doc_id: (r.ws, r.sa)
+        for r in df.select(
+            "doc_id",
+            text_fn.token_count(F.col("text")).alias("ws"),
+            text_fn.token_count(F.col("text"), script_aware=True).alias(
+                "sa"
+            ),
+        ).collect()
+    }
+    assert rows[1] == (1, 25)  # one giant "word" vs per-codepoint
+    assert rows[2] == (10, 10)  # pure ASCII: flag is a no-op
+    assert rows[3][0] == 5 and rows[3][1] == 16  # 11 CJK cp + 1 + 4
+
+
+def test_gopher_gate_keeps_cjk_docs_with_flag(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    df = _cjk_frame(spark)
+    kw = dict(
+        min_words=20,
+        max_words=100_000,
+        min_mean_word_len=1.0,
+        max_mean_word_len=12.0,
+        max_punct_ratio=0.20,
+        min_stopword_ratio=0.0,
+    )
+    off = {
+        r.doc_id: r.keep
+        for r in text_fn.gopher_quality_flags(df, **kw).collect()
+    }
+    on = {
+        r.doc_id: r.keep
+        for r in text_fn.gopher_quality_flags(
+            df, script_aware=True, **kw
+        ).collect()
+    }
+    assert off[1] is False and on[1] is True  # the discarded-language fix
+    assert off[2] == on[2]  # ASCII unaffected
+
+
+def test_chunk_documents_script_aware_windows(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    df = _cjk_frame(spark).filter(F.col("doc_id") == 1)
+    off = text_fn.chunk_documents(df, chunk_size=8, stride=8).collect()
+    on = text_fn.chunk_documents(
+        df, chunk_size=8, stride=8, script_aware=True
+    ).collect()
+    assert len(off) == 1 and off[0].n_tokens == 1
+    assert len(on) == 4 and [
+        r.n_tokens for r in sorted(on, key=lambda r: r.chunk_index)
+    ] == [8, 8, 8, 1]
+
+
+def test_bm25_finds_cjk_term_with_flag(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    df = _cjk_frame(spark)
+    for strategy in ("conditional", "inverted"):
+        off = text_fn.bm25_topk(
+            df, ["品"], top_k=3, strategy=strategy
+        ).collect()
+        on = text_fn.bm25_topk(
+            df, ["品"], top_k=3, strategy=strategy, script_aware=True
+        ).collect()
+        assert all(r.score == 0.0 for r in off)
+        hits = {r.doc_id for r in on if r.score > 0.0}
+        assert hits == {3}  # 品 appears in doc 3 (and 质 only in 1)
+
+
+def test_surprisal_script_aware_token_grain(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        text as text_fn,
+    )
+
+    df = _cjk_frame(spark)
+    on = {
+        r.doc_id: r.n_tokens
+        for r in text_fn.unigram_surprisal(
+            df, script_aware=True
+        ).collect()
+    }
+    assert on[1] == 25 and on[3] == 16
+
+
+def test_bpe_script_aware_words(spark):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        bpe,
+    )
+
+    assert bpe._java_ws_words("机器学习 ok", script_aware=True) == [
+        "机", "器", "学", "习", "ok",
+    ]
+    df = _cjk_frame(spark)
+    merges = bpe.train_bpe_merges_spark(df, script_aware=True)
+    counts = {
+        r.doc_id: r.n_words
+        for r in bpe.bpe_token_counts(
+            df, merges, script_aware=True
+        ).collect()
+    }
+    assert counts[1] == 25 and counts[2] == 10 and counts[3] == 16
