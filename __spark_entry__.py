@@ -47,6 +47,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return marketing.view_count_by_period(spark, "/root/testdata/sf0.001")
 
 
+# Phase-split timings for the lifecycle smokes (VERDICT r11 item 5):
+# those queries time index-train + store-commit SETUP together with
+# steady-state per-batch gate work, so the flat bench number can't
+# show what a steady-state micro-batch costs — the number the 100 TB
+# claim rests on. Instrumented query builders reset their slot on
+# entry and record {"setup_sec": ..., "per_batch_sec": [...]}
+# (streaming gates append each foreachBatch commit's wall via the
+# ``batch_secs`` hook); bench.py copies the map into
+# BENCH_DETAIL_r{N}.json as "phases".
+PHASE_TIMINGS: dict[str, dict] = {}
+
+
+def _timed_phase(query: str, phase: str):
+    import contextlib  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    @contextlib.contextmanager
+    def cm():
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            d = PHASE_TIMINGS.setdefault(query, {})
+            d[phase] = round(
+                d.get(phase, 0.0) + (time.time() - t0), 2
+            )
+
+    return cm()
+
+
 _SCRATCH_DIRS: set[str] = set()
 
 
@@ -876,6 +906,9 @@ def q_multimodal_curation_funnel(
         curation,
     )
 
+    import time as _ptime  # noqa: PLC0415
+
+    _setup0 = _ptime.time()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def with_garbage(tbl: DataFrame, garbage: list[bytes]) -> DataFrame:
@@ -902,6 +935,12 @@ def q_multimodal_curation_funnel(
         spark.createDataFrame(video_rows, multimodal.MEDIA_SCHEMA),
         [b"not a video", video_rows[0][2][: len(video_rows[0][2]) // 5]],
     )
+    # setup here = driver-side media fixture synthesis (the codec
+    # encode loops); the funnel aggregate itself executes when the
+    # returned frame is forced — steady-state = total − setup.
+    PHASE_TIMINGS["multimodal_curation_funnel"] = {
+        "setup_sec": round(_ptime.time() - _setup0, 2)
+    }
     return curation.multimodal_curation_funnel(
         spark, docs, image, audio, video
     )
@@ -2241,6 +2280,13 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen_streaming_minhash)."""
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
+    import time as _ptime  # noqa: PLC0415
+
+    _setup0 = _ptime.time()
+    _batch_secs: list = []
+    PHASE_TIMINGS["streaming_minhash_dedup"] = {
+        "per_batch_sec": _batch_secs
+    }
 
     base = _scratch_path("stream_mhdedup", sf_dir)
     src_dir = os.path.join(base, "src")
@@ -2307,8 +2353,12 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_signatures(evens).withColumnRenamed("id", "doc_id"),
         store,
     )
+    PHASE_TIMINGS["streaming_minhash_dedup"]["setup_sec"] = round(
+        _ptime.time() - _setup0, 2
+    )
     return streaming_pipeline.run_streaming_minhash_dedup(
-        spark, src_dir, store, decisions, checkpoint_dir=ckpt
+        spark, src_dir, store, decisions, checkpoint_dir=ckpt,
+        batch_secs=_batch_secs,
     ).orderBy("doc_id")
 
 
@@ -2331,6 +2381,11 @@ def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil  # noqa: PLC0415
     import time as _time  # noqa: PLC0415
 
+    _setup0 = _time.time()
+    _batch_secs: list = []
+    PHASE_TIMINGS["streaming_image_dedup"] = {
+        "per_batch_sec": _batch_secs
+    }
     base = _scratch_path("stream_imgdedup", sf_dir)
     src_dir = os.path.join(base, "src")
     store = os.path.join(base, "store")
@@ -2383,8 +2438,12 @@ def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.dhash_table(tbl.filter(F.col("media_id") % 6 == 1)),
         store,
     )
+    PHASE_TIMINGS["streaming_image_dedup"]["setup_sec"] = round(
+        _time.time() - _setup0, 2
+    )
     return streaming_pipeline.run_streaming_image_dedup(
-        spark, src_dir, store, decisions, checkpoint_dir=ckpt
+        spark, src_dir, store, decisions, checkpoint_dir=ckpt,
+        batch_secs=_batch_secs,
     ).orderBy("media_id")
 
 
@@ -2407,6 +2466,11 @@ def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pa_pq  # noqa: PLC0415
 
+    _setup0 = _time.time()
+    _batch_secs: list = []
+    PHASE_TIMINGS["streaming_semantic_dedup"] = {
+        "per_batch_sec": _batch_secs
+    }
     base = _scratch_path("stream_semdedup", sf_dir)
     src_dir = os.path.join(base, "src")
     index = os.path.join(base, "index")
@@ -2442,9 +2506,12 @@ def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.build_ivf_pq_codes(spark, initial, index)
     vt.write_version(initial, f"{index}/vectors")
 
+    PHASE_TIMINGS["streaming_semantic_dedup"]["setup_sec"] = round(
+        _time.time() - _setup0, 2
+    )
     return streaming_pipeline.run_streaming_semantic_dedup(
         spark, src_dir, index, decisions, threshold=0.4, n_probe=8,
-        checkpoint_dir=ckpt,
+        checkpoint_dir=ckpt, batch_secs=_batch_secs,
     ).orderBy("vec_id")
 
 
@@ -2466,6 +2533,11 @@ def q_streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa  # noqa: PLC0415
     import pyarrow.parquet as pa_pq  # noqa: PLC0415
 
+    _setup0 = _time.time()
+    _batch_secs: list = []
+    PHASE_TIMINGS["streaming_video_dedup"] = {
+        "per_batch_sec": _batch_secs
+    }
     base = _scratch_path("stream_viddedup", sf_dir)
     src_dir = os.path.join(base, "src")
     store = os.path.join(base, "store")
@@ -2511,8 +2583,12 @@ def q_streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("media_id", "vfp"),
         store,
     )
+    PHASE_TIMINGS["streaming_video_dedup"]["setup_sec"] = round(
+        _time.time() - _setup0, 2
+    )
     return streaming_pipeline.run_streaming_video_dedup(
-        spark, src_dir, store, decisions, checkpoint_dir=ckpt
+        spark, src_dir, store, decisions, checkpoint_dir=ckpt,
+        batch_secs=_batch_secs,
     ).orderBy("media_id")
 
 
@@ -3339,6 +3415,13 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     even ∪ batch-1 keepers, exercising cross-load store growth.
     Oracle: independent replica (tools/gen_expected.py:
     gen_semantic_incremental). All-integer + boolean output."""
+    import time as _ptime  # noqa: PLC0415
+
+    _setup0 = _ptime.time()
+    _batch_secs: list = []
+    PHASE_TIMINGS["semantic_incremental_embeddings"] = {
+        "per_batch_sec": _batch_secs
+    }
     emb = load_table(spark, sf_dir, "embeddings")
     path = _scratch_path("ann_semantic_incr", sf_dir)
     initial = emb.filter(F.col("vec_id") % 2 == 0)
@@ -3350,8 +3433,12 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.build_ivf_pq_codes(
         spark, initial, path, index=(cent, books)
     )
+    PHASE_TIMINGS["semantic_incremental_embeddings"]["setup_sec"] = (
+        round(_ptime.time() - _setup0, 2)
+    )
     parts = []
     for batch_no, parity in ((1, 1), (2, 3)):
+        _b0 = _ptime.time()
         batch = emb.filter(F.col("vec_id") % 4 == parity)
         decisions = similarity.semantic_dedup_incremental(
             spark, batch, path, corpus=emb, threshold=0.4, n_probe=8,
@@ -3368,6 +3455,7 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "batch_id", F.lit(batch_no).cast("long")
             )
         )
+        _batch_secs.append(round(_ptime.time() - _b0, 2))
     return (
         parts[0].unionByName(parts[1])
         .select(

@@ -144,6 +144,13 @@ def main() -> None:
         "n_queries": len(timings),
         "total_sec": total,
         "settled": settled,
+        # Phase split for the lifecycle smokes (VERDICT r11 item 5):
+        # setup_sec = index-train / store-seed / fixture staging;
+        # per_batch_sec = each foreachBatch (or gate-loop) commit's
+        # wall — the steady-state micro-batch cost the 100 TB claim
+        # rests on. Populated by the instrumented builders during the
+        # LAST sweep pass (timings above stay min-of-sweeps).
+        "phases": entrymod.PHASE_TIMINGS,
         "queries": dict(sorted(timings.items())),
     }
     with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as fh:

@@ -755,6 +755,26 @@ def read_embedding_stream(spark: SparkSession, path: str) -> DataFrame:
     return _parquet_file_stream(spark, path)
 
 
+def _timed_batches(fn, batch_secs):
+    """Optional per-trigger wall-clock hook for the streaming gates
+    (VERDICT r11 item 5): when the caller passes a ``batch_secs``
+    list, each foreachBatch commit's wall seconds are appended to it —
+    the steady-state per-micro-batch cost, separated from the
+    train/seed/fixture SETUP the lifecycle smokes otherwise fold into
+    one flat bench number. ``None`` (the default everywhere) is
+    zero-overhead passthrough."""
+    if batch_secs is None:
+        return fn
+    import time  # noqa: PLC0415
+
+    def wrapped(batch, batch_id):
+        t0 = time.time()
+        fn(batch, batch_id)
+        batch_secs.append(round(time.time() - t0, 2))
+
+    return wrapped
+
+
 def run_streaming_image_dedup(
     spark: SparkSession,
     source_path: str,
@@ -763,6 +783,7 @@ def run_streaming_image_dedup(
     max_hamming: int = 3,
     state_partitions: int = 4,
     checkpoint_dir: str | None = None,
+    batch_secs: list | None = None,
 ) -> DataFrame:
     """Streaming PERCEPTUAL image dedup gate — the image leg of
     :func:`run_streaming_minhash_dedup`, completing the multimodal
@@ -787,7 +808,7 @@ def run_streaming_image_dedup(
     return _run_streaming_hash_dedup(
         spark, source_path, store_path, decisions_path,
         dhash_table, "dhash", max_hamming, state_partitions,
-        checkpoint_dir,
+        checkpoint_dir, batch_secs,
     )
 
 
@@ -799,6 +820,7 @@ def run_streaming_video_dedup(
     max_hamming: int = 4,
     state_partitions: int = 4,
     checkpoint_dir: str | None = None,
+    batch_secs: list | None = None,
 ) -> DataFrame:
     """Streaming VIDEO content dedup gate — the fourth-modality
     streaming leg, sharing :func:`_run_streaming_hash_dedup` with the
@@ -819,6 +841,7 @@ def run_streaming_video_dedup(
     return _run_streaming_hash_dedup(
         spark, source_path, store_path, decisions_path,
         fp_table, "vfp", max_hamming, state_partitions, checkpoint_dir,
+        batch_secs,
     )
 
 
@@ -832,6 +855,7 @@ def _run_streaming_hash_dedup(
     max_hamming: int,
     state_partitions: int,
     checkpoint_dir: str | None,
+    batch_secs: list | None = None,
 ) -> DataFrame:
     """Shared body of the streaming signature-dedup gates (image
     dHash / video temporal fingerprint): hash each micro-batch ONCE,
@@ -884,7 +908,9 @@ def _run_streaming_hash_dedup(
 
     with bounded_state_partitions(spark, state_partitions):
         q = (
-            stream.writeStream.foreachBatch(commit_batch)
+            stream.writeStream.foreachBatch(
+                _timed_batches(commit_batch, batch_secs)
+            )
             .option("checkpointLocation", ckpt)
             .start()
         )
@@ -904,6 +930,7 @@ def run_streaming_semantic_dedup(
     n_probe: int = 8,
     state_partitions: int = 4,
     checkpoint_dir: str | None = None,
+    batch_secs: list | None = None,
 ) -> DataFrame:
     """Streaming SEMANTIC (embedding) dedup gate — the fourth-modality
     leg of :func:`run_streaming_minhash_dedup` /
@@ -975,7 +1002,9 @@ def run_streaming_semantic_dedup(
 
     with bounded_state_partitions(spark, state_partitions):
         q = (
-            stream.writeStream.foreachBatch(commit_batch)
+            stream.writeStream.foreachBatch(
+                _timed_batches(commit_batch, batch_secs)
+            )
             .option("checkpointLocation", ckpt)
             .start()
         )
@@ -1168,6 +1197,7 @@ def run_streaming_minhash_dedup(
     threshold: float = 0.5,
     state_partitions: int = 4,
     checkpoint_dir: str | None = None,
+    batch_secs: list | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup gate — the crawl-ingest leg VERDICT r08
     item 6 named: exact streaming dedup existed
@@ -1249,7 +1279,9 @@ def run_streaming_minhash_dedup(
 
     with bounded_state_partitions(spark, state_partitions):
         q = (
-            stream.writeStream.foreachBatch(commit_batch)
+            stream.writeStream.foreachBatch(
+                _timed_batches(commit_batch, batch_secs)
+            )
             .option("checkpointLocation", ckpt)
             .start()
         )
