@@ -2447,6 +2447,28 @@ def q_streaming_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 sample-table frame extraction (functions/multimodal.py:
+    encode_mp4_samples / mp4_sample_table / mp4_sample_profile_table —
+    VERDICT r11 item 6): walk stbl (stsd/stts/stsc/stsz/stco) to
+    enumerate every sample payload in mdat. MJPEG-in-MP4 rows flow
+    through the EXISTING pixel fingerprint (vfp equals the committed
+    codec-math replica value for the same frames — the byte layer is
+    pinned lossless, and an AVI→MP4 remux is a dup the radius-4
+    machinery already catches); avc1-class rows get the
+    container-independent payload-hash content fingerprint, so
+    re-muxed/renamed duplicates of codecs this engine cannot
+    pixel-decode are still caught (stated boundary: re-ENCODED H.264
+    dups are not). Each fixture group carries a byte-different remux
+    pair for both codec classes — equal fingerprints prove
+    chunking/timescale/offset independence. Oracle: independent
+    replica (tools/gen_expected.py:gen_mp4_frames)."""
+    tbl = spark.createDataFrame(
+        multimodal.synthetic_mp4_sample_rows(10), multimodal.MEDIA_SCHEMA
+    )
+    return multimodal.mp4_sample_profile_table(tbl).orderBy("media_id")
+
+
 def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming semantic (embedding) dedup gate (streaming/pipeline.py:
     run_streaming_semantic_dedup): two ordered micro-batches of
@@ -3921,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_curation_funnel": q_multimodal_curation_funnel,
         "media_video_fingerprint": q_media_video_fingerprint,
         "media_avi_duration": q_media_avi_duration,
+        "media_mp4_frames": q_media_mp4_frames,
         "video_fingerprint_dups": q_video_fingerprint_dups,
         "video_dedup_survivors": q_video_dedup_survivors,
         "video_fingerprint_incremental": q_video_fp_incremental,
@@ -6873,6 +6896,11 @@ def oracle_sql() -> dict[str, str]:
                    keep
             FROM read_parquet('/root/repo/expected/sf0.01/semantic_incremental_embeddings.parquet')
             ORDER BY batch_id, vec_id
+        """,
+        "media_mp4_frames": """
+            SELECT media_id, codec, n_samples, vfp, content_fp
+            FROM read_parquet('/root/repo/expected/sf0.01/media_mp4_frames.parquet')
+            ORDER BY media_id
         """,
         "dedup_store_forget": """
             SELECT snapshot, doc_id, matched_store_id, matched_batch_id,

@@ -2528,6 +2528,51 @@ def gen_avi_duration(groups: int = 12, fps: int = 10) -> pd.DataFrame:
     ).astype({"media_id": "int64", "duration_ms": "int64", "fps": "int32"})
 
 
+def gen_mp4_frames(groups: int = 10) -> pd.DataFrame:
+    """Mirror of the media_mp4_frames query (VERDICT r11 item 6):
+    per group, two MJPEG-in-MP4 remuxes of the near-dup fixture's
+    base frames (codec math vfp — :func:`_vfp_replica` variant 0,
+    byte layer never touched, so a match pins the stbl sample walk
+    as lossless) and two avc1-class remuxes of closed-form opaque
+    samples (md5-chain content fingerprint recomputed here from the
+    same byte formula)."""
+    import hashlib
+
+    rows = []
+    for g in range(groups):
+        nf, vfp = _vfp_replica(g, 0)
+        n_opaque = 3 + g % 4
+        acc = hashlib.md5()
+        for f in range(n_opaque):
+            sample = bytes(
+                (g * 31 + f * 7 + k * 3) % 256
+                for k in range(40 + (g * 5 + f) % 23)
+            )
+            acc.update(hashlib.md5(sample).digest())
+        cfp = acc.hexdigest()
+        rows.append((g * 4 + 1, "jpeg", nf, vfp, None))
+        rows.append((g * 4 + 2, "jpeg", nf, vfp, None))
+        rows.append((g * 4 + 3, "avc1", n_opaque, -1, cfp))
+        rows.append((g * 4 + 4, "avc1", n_opaque, -1, cfp))
+    # vfp is -1-sentinel int64 (never NULL): a mixed None/int column
+    # would coerce to float64 and shred the low mantissa bits
+    return pd.DataFrame(
+        {
+            "media_id": pd.array(
+                [r[0] for r in rows], dtype="int64"
+            ),
+            "codec": pd.array([r[1] for r in rows], dtype="object"),
+            "n_samples": pd.array(
+                [r[2] for r in rows], dtype="int32"
+            ),
+            "vfp": pd.array([r[3] for r in rows], dtype="int64"),
+            "content_fp": pd.array(
+                [r[4] for r in rows], dtype="object"
+            ),
+        }
+    )
+
+
 def gen_multimodal_funnel_media() -> pd.DataFrame:
     """Expected MEDIA rows of the multimodal curation funnel
     (plans/curation.py:multimodal_curation_funnel): per modality,
@@ -2611,6 +2656,7 @@ def main() -> None:
         ("media_avi_duration", gen_avi_duration()),
         ("dedup_store_forget", gen_dedup_store_forget(docs)),
         ("ann_store_forget", gen_ann_store_forget(vecs)),
+        ("media_mp4_frames", gen_mp4_frames()),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
         df.to_parquet(path, index=False)
