@@ -278,7 +278,13 @@ def lsh_topk(
     40% of the corpus per query for recall@5 0.74 — barely a filter
     (VERDICT r08 item 5). 46 bands × 20 bits with the Hamming≤3 probe
     ball measures recall@5 0.78 at candidate fraction 0.087 — 4.6×
-    fewer exact scores at better recall. Query-DIRECTED probing
+    fewer exact scores at better recall. The full radius curve
+    (RECALL_PROBE.json ``curves.lsh_probe_hamming``, r12): radius
+    0→recall 0.00, 1→0.06@0.002, 2→0.26@0.018, 3→0.78@0.087,
+    4→0.98@0.287 — the default radius 3 sits at the knee (the next
+    step buys +0.20 recall for 3.3× the exact-score cost; callers
+    needing ≥0.95 recall pass ``probe_hamming=4`` and pay it
+    knowingly). Query-DIRECTED probing
     (flipping only the lowest-|margin| bits) was also swept and
     performs far WORSE here (recall 0.06-0.56 at equal probe budget):
     with true neighbors at cosine 0.35-0.45 each signature bit flips
@@ -1225,7 +1231,15 @@ def ivf_pq_topk(
     neighbors; ``refine_factor > 0`` exact-re-ranks the ADC
     top-(refine_factor × k) shortlist per query with true cosine
     (:func:`_refine_topk`, output columns ``cosine_sim``/``rank``) —
-    the two standard FAISS quality knobs, both config-bounded.
+    the two standard FAISS quality knobs, both config-bounded. The
+    measured n_probe curve (RECALL_PROBE.json ``curves.ivf_pq_n_probe``,
+    r12 — 16 cells, refine 16×, this corpus): 1→recall@5 0.24 @ 0.061
+    scanned, 2→0.40@0.127, 4→0.50@0.25, 8→0.82@0.501, 16→0.98@1.0.
+    The registered default n_probe=8 is the knee this NEAR-ORTHOGONAL
+    corpus allows (true neighbors at cosine 0.35–0.45 spread across
+    cells, so recall rises roughly linearly in scanned fraction — on
+    clustered real embeddings the same curve saturates far earlier
+    and a smaller n_probe buys the same recall).
     Residual encoding (quantizing x − centroid, FAISS's third knob)
     was measured and deliberately NOT adopted: on this near-orthogonal
     corpus the coarse centroids explain little variance, and the
