@@ -1222,12 +1222,19 @@ def test_video_fingerprint_sampling_and_frame_counts():
 
     rows = mm.synthetic_near_dup_video_rows(12)
     by_id = {r[0]: r[2] for r in rows}
-    # g=5 group has 4 + 5%3 + 6 = 12 frames (> VFP_MAX_FRAMES)
+    # g=5 group has 4 + 5%3 + 6 = 12 frames (> VFP_MAX_FRAMES). Since
+    # r12 every g%6==5 group ships MP4-wrapped (g≡5 mod 6 ⇒ g≡2 mod 3),
+    # so ALSO build the same 12 frames as a raw concatenated-JFIF
+    # stream: fingerprints are wrapper-independent by design, and the
+    # raw stream exercises jpeg_stream_frames' multi-frame walk.
     n, fp = mm.video_fingerprint(by_id[5 * 3 + 1])
     assert n == 12
-    assert len(mm.jpeg_stream_frames(by_id[5 * 3 + 1])) == 12
+    raw = b"".join(mm._near_dup_video_frames(5, 0))
+    assert len(mm.jpeg_stream_frames(raw)) == 12
+    n_raw, fp_raw = mm.video_fingerprint(raw)
+    assert (n_raw, fp_raw) == (n, fp)  # wrapper-independent
     # sampling uses 8 of 12 frames: recompute the fold directly
-    frames = mm.jpeg_stream_frames(by_id[5 * 3 + 1])
+    frames = mm.jpeg_stream_frames(raw)
     idx = [i * 12 // 8 for i in range(8)]
     hashes = [mm.image_dhash(frames[i]) & ((1 << 64) - 1) for i in idx]
     bits = 0
