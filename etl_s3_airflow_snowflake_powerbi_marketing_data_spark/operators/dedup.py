@@ -776,21 +776,40 @@ def connected_components(
                 F.col("component"), F.coalesce("__nc", "component")
             ).alias("__c"),
         )
-        # path compression: follow the new label's own label once —
-        # label(label(x)) — doubling how far a minimum travels per round
+        # path compression: follow the new label's own label TWICE —
+        # label(label(label(x))) — multiplying how far a minimum
+        # travels per round. Two jumps instead of one (r12): each jump
+        # is one more broadcast-sized join inside the same job, but it
+        # cuts the ROUND count (the sf0.1 semantic graph: 11 rounds →
+        # 7), and at bench scale each round's fixed job cost dominates.
+        # Compression never changes the fixpoint — label(x) ≤ x always,
+        # so extra jumps only accelerate the descent the neighbor step
+        # pins.
         ptr = cand.select(
             F.col("id").alias("__pid"), F.col("__c").alias("__pc")
         )
+        jumped = cand.join(ptr, cand["__c"] == ptr["__pid"], "left").select(
+            "id",
+            "__old",
+            F.least(F.col("__c"), F.coalesce("__pc", "__c")).alias("__c2"),
+        )
+        ptr2 = ptr.select(
+            F.col("__pid").alias("__qid"), F.col("__pc").alias("__qc")
+        )
         proposed = (
-            cand.join(ptr, cand["__c"] == ptr["__pid"], "left")
+            jumped.join(ptr2, jumped["__c2"] == ptr2["__qid"], "left")
             .select(
                 "id",
                 "__old",
                 F.least(
-                    F.col("__c"), F.coalesce("__pc", "__c")
+                    F.col("__c2"), F.coalesce("__qc", "__c2")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence count below materializes
+            # and pins it, so each round is ONE job (the eager-pin +
+            # separate count shape paid two; measured ~2 s of fixed
+            # per-job cost per round at bench scale)
+            .localCheckpoint(eager=False)
         )
         changed = proposed.filter(F.col("component") != F.col("__old")).count()
         labels = proposed.select("id", "component")

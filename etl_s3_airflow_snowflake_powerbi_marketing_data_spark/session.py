@@ -59,6 +59,29 @@ def get_spark(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
 
+    # glibc malloc tuning for the numpy Arrow workers (guide §4.5's
+    # "heavyweight init once per task" applied to MEMORY): by default
+    # glibc serves every allocation above the (dynamic, ≤32 MB) mmap
+    # threshold with a fresh mmap and munmaps it on free, so each
+    # mapInPandas batch re-faults its large numpy temporaries from the
+    # kernel — measured on this host at ~1 ms/page, which turned a
+    # 0.06 s elementwise kernel into 27 s (the r12 pca/ADC regression).
+    # Raising the threshold keeps big buffers on the reusable heap:
+    # pages fault once per long-lived worker, then recycle. Set in
+    # os.environ (inherited by the launched JVM → python daemon →
+    # workers — glibc reads it at process start) AND as executorEnv
+    # for the cluster posture where executors aren't our children.
+    # Parameterized; production sizing note in OPTIMIZATION_r12.md.
+    malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": os.environ.get(
+            "SPARK_GRAFT_MALLOC_MMAP_THRESHOLD", str(256 * 1024 * 1024)
+        ),
+        "MALLOC_TRIM_THRESHOLD_": os.environ.get(
+            "SPARK_GRAFT_MALLOC_TRIM_THRESHOLD", str(256 * 1024 * 1024)
+        ),
+    }
+    os.environ.update(malloc_env)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -85,6 +108,14 @@ def get_spark(
         # tables.load_table (sub-microsecond parts are zero, so lossless).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.warehouse.dir", _process_warehouse_dir())
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            malloc_env["MALLOC_MMAP_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            malloc_env["MALLOC_TRIM_THRESHOLD_"],
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
