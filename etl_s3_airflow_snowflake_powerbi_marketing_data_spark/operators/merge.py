@@ -254,8 +254,27 @@ def versioned_merge(
     from ..sources import versioned as vt  # noqa: PLC0415
 
     target = vt.read_version(spark, table_path)
-    fn = merge_update if update else merge_ignore
-    return vt.write_version(fn(target, source, keys), table_path)
+    if not update:
+        # Insert-if-absent commits as an APPEND of the anti-join DELTA
+        # (r12): the snapshot content is identical to rewriting
+        # target ∪ new — the manifest extends the previous prefixes
+        # with one new-rows prefix — but the commit writes O(batch)
+        # instead of O(store) bytes. At 100 TB a per-micro-batch
+        # store REWRITE is a non-starter; this is the posture every
+        # streaming gate's decisions/store/codes/vectors commit rides.
+        # Replay idempotence is unchanged (a replayed batch's rows all
+        # hit the anti-join). compact()/vacuum() bound the prefix
+        # count when triggers accumulate.
+        src = _dedup_source(source, keys)
+        new_rows = src.alias("s").join(
+            target.select(*keys).alias("t"),
+            on=_key_cond(keys),
+            how="left_anti",
+        )
+        return vt.write_version(
+            new_rows.select(*target.columns), table_path, mode="append"
+        )
+    return vt.write_version(merge_update(target, source, keys), table_path)
 
 
 def scd2_point_in_time(

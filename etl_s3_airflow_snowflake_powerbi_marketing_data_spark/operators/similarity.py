@@ -497,6 +497,55 @@ def _nearest_cells(vec: Column, centroid_lit, probes: int):
     )
 
 
+def _cell_assign_arrays(cent):
+    """Precomputed centroid arrays for :func:`_nearest_cells_np` —
+    (cell_ids int64 (C,), cent_mat float64 (C, dim), cent_norms (C,)).
+    Norms replay the ``_norm`` fold exactly: cumsum along dim is the
+    same sequential ``acc + c_d·c_d`` chain, then one sqrt."""
+    import numpy as np  # noqa: PLC0415
+
+    # ascending cell id: the kernel's stable argsort breaks similarity
+    # ties by ROW POSITION, which must equal the struct order's
+    # cell-ascending tie-break regardless of the caller's list order
+    rows = sorted(cent, key=lambda cv: cv[0])
+    cell_ids = np.array([c for c, _ in rows], dtype=np.int64)
+    cent_mat = np.array([v for _, v in rows], dtype=np.float64)
+    cent_norms = np.sqrt(np.cumsum(cent_mat * cent_mat, axis=1)[:, -1])
+    return cell_ids, cent_mat, cent_norms
+
+
+def _nearest_cells_np(mat, cell_ids, cent_mat, cent_norms, probes):
+    """(nearest cell ids (n, probes), row norms (n,), sorted nsims
+    (n, probes)) for float64 rows
+    ``mat`` — the numpy image of the :func:`_nearest_cells` /
+    :func:`_cell_structs` expression, bit-identical by construction
+    (r12; the expression form is interpreted per row — higher-order
+    transform/aggregate never enter codegen — and measured ~1 ms/row
+    at 16 cells × 64 dims, the dominant cost of every encode, probe
+    and Lloyd assignment pass):
+
+    - dot: dim-ordered ``acc += x_d·c_d`` accumulation — the exact
+      sequential fold of ``_dot`` (no BLAS, no pairwise reassociation);
+    - norms: cumsum fold + sqrt on both sides (``_norm``);
+    - cosine: dot / (norm_v · norm_c), one multiply then one divide —
+      the ``cosine`` op order;
+    - ranking: stable argsort over -sim keeps the (sim DESC, cell ASC)
+      struct total order, ties resolving to the smaller cell because
+      rows arrive in ascending-cell order; NaN sorts last on both
+      engines (Spark structs and numpy argsort).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    n = mat.shape[0]
+    dots = np.zeros((n, len(cell_ids)))
+    for d in range(mat.shape[1]):
+        dots += mat[:, d : d + 1] * cent_mat[:, d][None, :]
+    nv = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    nsim = -(dots / (nv[:, None] * cent_norms[None, :]))
+    order = np.argsort(nsim, axis=1, kind="stable")[:, :probes]
+    return cell_ids[order], nv, np.take_along_axis(nsim, order, axis=1)
+
+
 def _collect_centroids(
     centroids: DataFrame,
 ) -> list[tuple[int, list[float]]]:
@@ -546,34 +595,53 @@ def train_ivf_centroids(
             sampled_centroids(corpus, id_col, vec_col, n_cells)
         )
     )
+    import numpy as np  # noqa: PLC0415
+
     vecs = corpus.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v")
     )
     for _ in range(iters):
-        lit = _centroid_literal(cent)
-        # cache() between assignment and explode is load-bearing:
-        # whole-stage codegen inlines the projection into the Generate
-        # loop, so without the barrier the n_cells-cosine assignment
-        # re-evaluates once per EXPLODED ELEMENT — dim× redundant work
-        # (measured 30× slower at dim=64). The cached frame is one
-        # (cell, vector) row per corpus row, the classic persisted
-        # working set of iterative ML on Spark.
-        assigned_rows = vecs.select(
-            _nearest_cells(F.col("__v"), lit, 1)[0].alias("cell"), "__v"
-        ).cache()
-        assigned = assigned_rows.select(
-            "cell", F.posexplode("__v").alias("dim", "val")
-        )
-        means = assigned.groupBy("cell", "dim").agg(
-            (
-                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-                / F.count("val")
-            ).alias("m")
+        # Assignment + (cell, dim, val) explode in ONE Arrow batch
+        # kernel (r12): the expression form paid a fresh n_cells×dim
+        # literal's analysis+codegen per ITERATION plus the
+        # interpreted per-row cosine scan, and needed a cache()
+        # barrier so codegen wouldn't re-evaluate the assignment per
+        # exploded element. The kernel is :func:`_nearest_cells_np`
+        # (bit-identical math); the explode is a numpy repeat/tile;
+        # the mean still accumulates in DECIMAL(38,12) over the same
+        # value multiset, so trained centroids are unchanged.
+        assign_arrays = _cell_assign_arrays(cent)
+
+        def assign_batches(it, _arrays=assign_arrays):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                mat = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+                cells, _nv, _ns = _nearest_cells_np(mat, *_arrays, 1)
+                n, dim = mat.shape
+                yield pd.DataFrame(
+                    {
+                        "cell": np.repeat(
+                            cells[:, 0].astype(np.int32), dim
+                        ),
+                        "dim": np.tile(np.arange(dim, dtype=np.int32), n),
+                        "val": mat.reshape(-1),
+                    }
+                )
+
+        means = (
+            vecs.mapInPandas(assign_batches, "cell int, dim int, val double")
+            .groupBy("cell", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count("val")
+                ).alias("m")
+            )
         )
         by_cell: dict[int, list[tuple[int, float]]] = {}
         for r in means.collect():
             by_cell.setdefault(r["cell"], []).append((r["dim"], float(r["m"])))
-        assigned_rows.unpersist()
         updated = {
             cell: [m for _, m in sorted(dims)]
             for cell, dims in by_cell.items()
@@ -600,15 +668,43 @@ def kmeans_clusters(
     against the literal centroids. Nothing grows with corpus² and the
     driver holds only O(n_cells × dim) floats.
     """
+    import numpy as np  # noqa: PLC0415
+
     cent = train_ivf_centroids(df, id_col, vec_col, n_cells, iters)
-    lit = _centroid_literal(cent)
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best = F.element_at(_ranked_cells(vec, lit), 1)
-    return df.select(
-        F.col(id_col),
-        best["cell"].cast("long").alias("cell"),
-        trunc6(-best["nsim"]).alias("centroid_sim"),
-    ).orderBy(id_col)
+    assign_arrays = _cell_assign_arrays(cent)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    # Final assignment via the shared numpy kernel (r12; was the
+    # interpreted _ranked_cells expression — see _nearest_cells_np for
+    # the bit-identity argument). trunc6 is replayed as floor(x·1e6)/
+    # 1e6 + 0.0 — floor of an integral-valued double divides to the
+    # same double, and + 0.0 canonicalizes numpy's -0.0 the way SQL
+    # floor-through-LONG never produces one.
+    def assign_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            cells, _nv, nsims = _nearest_cells_np(mat, *assign_arrays, 1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"],
+                    "cell": cells[:, 0],
+                    "centroid_sim": np.floor(-nsims[:, 0] * 1e6) / 1e6
+                    + 0.0,
+                }
+            )
+
+    return (
+        df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        )
+        .mapInPandas(
+            assign_batches,
+            f"{id_col} {id_type}, cell long, centroid_sim double",
+        )
+        .orderBy(id_col)
+    )
 
 
 def ivf_topk(
@@ -650,6 +746,11 @@ def ivf_topk(
         )
     centroid_lit = _centroid_literal(cent)
 
+    # assignment stays the literal-centroid EXPRESSION here (an Arrow
+    # kernel was tried in r12 and measured 1.6× WORSE for this shape:
+    # both join inputs became python stages, so the broadcast build
+    # and the probe side each paid a worker round-trip that the
+    # interpreted per-row scan never cost at these candidate volumes)
     def assign(df: DataFrame, role: str, probes: int) -> DataFrame:
         cells = _nearest_cells(F.col(vec_col), centroid_lit, probes)
         return df.select(
@@ -1350,25 +1451,31 @@ def save_ivf_pq_index(spark, cent, books, path: str) -> dict:
     reproduces the retrain path bit-for-bit."""
     from ..sources import versioned  # noqa: PLC0415
 
-    # coalesce(1): createDataFrame slices these KILOBYTE-sized tables
-    # across defaultParallelism, so each commit used to launch 32
-    # tasks and write 32 tiny files — and every later index load paid
-    # 32 footer reads (guide §6: small files hurt twice). One file is
-    # the right layout for index-sized state at any scale. Measured:
-    # save_index 3.0 s → ~0.4 s, and the bounded load collects shrink
-    # with it.
-    cent_df = spark.createDataFrame(
+    # ONE-slice local relations (r12): plain createDataFrame slices
+    # these KILOBYTE-sized tables across defaultParallelism, so each
+    # commit launched 32 tasks and wrote 32 tiny files — and every
+    # later index load paid 32 footer reads (guide §6: small files
+    # hurt twice). One slice from the start is the right layout for
+    # index-sized state at any scale; measured 2.8–6.7 s → 0.5 s per
+    # write. (NOT coalesce(1): that makes one task deserialize all 32
+    # pickled parent partitions serially — measured 7.2 s.)
+    def one_slice(rows, schema):
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
+
+    cent_df = one_slice(
         [(int(c), [float(x) for x in v]) for c, v in cent],
         "cell int, centroid array<double>",
-    ).coalesce(1)
+    )
     book_rows = [
         (s, c, [float(x) for x in books[s][c]])
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     ]
-    book_df = spark.createDataFrame(
+    book_df = one_slice(
         book_rows, "subspace int, code int, centroid array<double>"
-    ).coalesce(1)
+    )
     return {
         "centroids": versioned.write_version(cent_df, f"{path}/centroids"),
         "codebooks": versioned.write_version(book_df, f"{path}/codebooks"),
@@ -1446,14 +1553,22 @@ def ivf_pq_codes_table(
     import numpy as np  # noqa: PLC0415
 
     m, dsub = books.shape[0], books.shape[2]
-    centroid_lit = _centroid_literal(cent)
+    assign_arrays = _cell_assign_arrays(cent)
     id_type = corpus.schema[id_col].dataType.simpleString()
 
+    # Cell assignment + unit-normalization moved INTO the Arrow batch
+    # (r12, was the interpreted _nearest_cells/with_unit_vector
+    # expression pair feeding the kernel): one pass computes norms,
+    # units and cells via :func:`_nearest_cells_np` — bit-identical
+    # math (see its docstring) — and only (id, vec) crosses the
+    # boundary instead of (id, unit, cell).
     def encode_batches(it):
         for pdf in it:
             if not len(pdf):
                 continue
-            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
+            mat = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            cells, nv, _ns = _nearest_cells_np(mat, *assign_arrays, 1)
+            x = mat / nv[:, None]
             out = np.empty((len(x), m), dtype=np.int32)
             for s in range(m):
                 xs = x[:, s * dsub : (s + 1) * dsub]
@@ -1462,16 +1577,14 @@ def ivf_pq_codes_table(
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["__id"],
-                    "cell": pdf["cell"],
+                    "cell": cells[:, 0].astype(np.int32),
                     "codes": list(out),
                 }
             )
 
-    corpus_u = with_unit_vector(corpus, vec_col, "__u")
-    return corpus_u.select(
+    return corpus.select(
         F.col(id_col).alias("__id"),
-        "__u",
-        _nearest_cells(F.col(vec_col), centroid_lit, 1)[0].alias("cell"),
+        F.col(vec_col).alias("__v"),
     ).mapInPandas(
         encode_batches,
         f"neighbor_id {id_type}, cell int, codes array<int>",
@@ -1601,14 +1714,22 @@ def _probe_table(
     import numpy as np  # noqa: PLC0415
 
     m, dsub = books.shape[0], books.shape[2]
-    centroid_lit = _centroid_literal(cent)
+    assign_arrays = _cell_assign_arrays(cent)
     id_type = queries.schema[id_col].dataType.simpleString()
 
+    # Cell probing + unit-normalization moved INTO the Arrow batch
+    # (r12, same rationale and bit-identity as ivf_pq_codes_table's
+    # encode): one pass per query computes norms, units, the n_probe
+    # nearest cells and the LUT.
     def probe_batches(it):
         for pdf in it:
             if not len(pdf):  # empty Arrow batch: vstack would raise
                 continue
-            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
+            mat = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            probe_cells, nv, _ns = _nearest_cells_np(
+                mat, *assign_arrays, n_probe
+            )
+            x = mat / nv[:, None]
             qid, cells, luts = [], [], []
             for i in range(len(x)):
                 lut_i = [
@@ -1619,19 +1740,15 @@ def _probe_table(
                     for s in range(m)
                 ]
                 qid.append(pdf["__id"].iloc[i])
-                cells.append([int(c) for c in pdf["cells"].iloc[i]])
+                cells.append([int(c) for c in probe_cells[i]])
                 luts.append(lut_i)
             yield pd.DataFrame(
                 {"query_id": qid, "cells": cells, "lut": luts}
             )
 
-    q_u = with_unit_vector(queries, vec_col, "__u")
-    return q_u.select(
+    return queries.select(
         F.col(id_col).alias("__id"),
-        "__u",
-        _nearest_cells(F.col(vec_col), centroid_lit, n_probe).alias(
-            "cells"
-        ),
+        F.col(vec_col).alias("__v"),
     ).mapInPandas(
         probe_batches,
         f"query_id {id_type}, cells array<int>, lut array<array<double>>",
@@ -1692,42 +1809,8 @@ def _ivf_pq_scan(
     optional exact re-rank. A precomputed ``codes`` frame (the
     persisted-codes path) skips the encode stage entirely; ``corpus``
     is then only consulted for the exact re-rank shortlist."""
-    import numpy as np  # noqa: PLC0415
-
-    m, dsub = books.shape[0], books.shape[2]
-    centroid_lit = _centroid_literal(cent)
-    id_type = (
-        codes.schema["neighbor_id"].dataType.simpleString()
-        if codes is not None
-        else corpus.schema[id_col].dataType.simpleString()
-    )
-
-    def encode_batches(it):
-        for pdf in it:
-            x = np.vstack(pdf["__u"].to_numpy()).astype(np.float64)
-            out = np.empty((len(x), m), dtype=np.int32)
-            for s in range(m):
-                xs = x[:, s * dsub : (s + 1) * dsub]
-                d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-                out[:, s] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["__id"],
-                    "cell": pdf["cell"],
-                    "codes": list(out),
-                }
-            )
-
     if codes is None:
-        corpus_u = with_unit_vector(corpus, vec_col, "__u")
-        codes = corpus_u.select(
-            F.col(id_col).alias("__id"),
-            "__u",
-            _nearest_cells(F.col(vec_col), centroid_lit, 1)[0].alias("cell"),
-        ).mapInPandas(
-            encode_batches,
-            f"neighbor_id {id_type}, cell int, codes array<int>",
-        )
+        codes = ivf_pq_codes_table(corpus, cent, books, id_col, vec_col)
     if refine_factor > 0 and corpus is None:
         raise ValueError(
             "refine_factor > 0 needs refine_corpus (original vectors)"
@@ -1753,6 +1836,75 @@ def _ivf_pq_scan(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def _probe_codes_table(
+    batch: DataFrame,
+    cent,
+    books,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec, cells, lut, cell, codes) — the PROBE half
+    (:func:`_probe_table`) and the ENCODE half
+    (:func:`ivf_pq_codes_table`) of the incremental gate computed in
+    ONE Arrow pass over the batch, with the raw vector carried through
+    so the exact-verify joins and the output spine read the pinned
+    frame instead of rescanning the batch. Each half is bit-identical
+    to its standalone kernel: same :func:`_nearest_cells_np`
+    assignment (the n_probe head's first cell IS the encode cell),
+    same LUT math, same per-subspace argmin."""
+    import numpy as np  # noqa: PLC0415
+
+    m, dsub = books.shape[0], books.shape[2]
+    assign_arrays = _cell_assign_arrays(cent)
+    id_type = batch.schema[id_col].dataType.simpleString()
+    vec_type = batch.schema[vec_col].dataType.simpleString()
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            probe_cells, nv, _ns = _nearest_cells_np(
+                mat, *assign_arrays, max(n_probe, 1)
+            )
+            x = mat / nv[:, None]
+            out = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = d.argmin(axis=1)
+            cells, luts = [], []
+            for i in range(len(x)):
+                lut_i = [
+                    (
+                        (x[i, s * dsub : (s + 1) * dsub][None, :] - books[s])
+                        ** 2
+                    ).sum(axis=1).tolist()
+                    for s in range(m)
+                ]
+                cells.append([int(c) for c in probe_cells[i]])
+                luts.append(lut_i)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["__id"],
+                    "vec": pdf["__v"],
+                    "cells": cells,
+                    "lut": luts,
+                    "cell": probe_cells[:, 0].astype(np.int32),
+                    "codes": list(out),
+                }
+            )
+
+    return batch.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(
+        batches,
+        f"query_id {id_type}, vec {vec_type}, cells array<int>,"
+        " lut array<array<double>>, cell int, codes array<int>",
     )
 
 
@@ -1827,12 +1979,21 @@ def semantic_dedup_incremental(
     store_codes = versioned.read_version(
         spark, f"{index_path}/codes", version
     )
-    # batch feeds three consumers (probe, encode, verify vector join);
-    # pin it once so AQE can't plan three scan chains.
-    batch = batch.localCheckpoint(eager=True)
-    probe = _probe_table(
+    # ONE Arrow pass over the batch computes probe cells + LUT + PQ
+    # codes AND carries the raw vector (r12; was: an eager batch pin,
+    # an eager probe pass, and a second encode pass inside the
+    # decisions job — three batch scans and two python stages). The
+    # pinned combined frame feeds every consumer: probe halves, batch
+    # codes, both verify vector joins, and the output spine. Each
+    # half is bit-identical to its former standalone kernel — same
+    # _nearest_cells_np assignment, same LUT math, same codes argmin.
+    combined = _probe_codes_table(
         batch, cent, books, n_probe, id_col, vec_col
     ).localCheckpoint(eager=True)
+    probe = combined.select("query_id", "cells", "lut")
+    batch_codes = combined.select(
+        F.col("query_id").alias("neighbor_id"), "cell", "codes"
+    )
     adc_radius = (2.0 - 2.0 * threshold) * adc_margin
 
     def shortlist(codes_df: DataFrame) -> DataFrame:
@@ -1840,8 +2001,8 @@ def semantic_dedup_incremental(
             F.col("pq_dist") <= F.lit(adc_radius)
         )
 
-    batch_vecs = batch.select(
-        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    batch_vecs = combined.select(
+        F.col("query_id").alias("__qid"), F.col("vec").alias("__qv")
     )
 
     def verified(cands: DataFrame, right: DataFrame, out: str) -> DataFrame:
@@ -1864,16 +2025,17 @@ def semantic_dedup_incremental(
         )
 
     store_hits = verified(shortlist(store_codes), corpus, "matched_store_id")
-    batch_codes = ivf_pq_codes_table(batch, cent, books, id_col, vec_col)
     batch_hits = verified(
         shortlist(batch_codes).filter(
             F.col("neighbor_id") < F.col("query_id")
         ),
-        batch,
+        combined.select(
+            F.col("query_id").alias(id_col), F.col("vec").alias(vec_col)
+        ),
         "matched_batch_id",
     )
     return (
-        batch.select(F.col(id_col))
+        combined.select(F.col("query_id").alias(id_col))
         .join(
             store_hits.select(
                 F.col("query_id").alias(id_col), "matched_store_id"

@@ -961,12 +961,16 @@ def run_streaming_semantic_dedup(
     stream = read_embedding_stream(spark, source_path)
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="stream_semdedup_ckpt_")
 
+    # ONE bounded index load for the WHOLE stream (r12; was per
+    # micro-batch): the index is trained before the stream starts and
+    # no trigger ever retrains, so the artifact is immutable for the
+    # stream's lifetime — the load collects (and their plan builds)
+    # come out of every trigger's steady-state cost.
+    cent, books = similarity.load_ivf_pq_index(spark, index_path)
+
     def commit_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         corpus = vt.read_version(sess, f"{index_path}/vectors")
-        # ONE bounded index load per micro-batch, shared between the
-        # gate and the keeper-code encode
-        cent, books = similarity.load_ivf_pq_index(sess, index_path)
         decisions = similarity.semantic_dedup_incremental(
             sess, batch, index_path, corpus,
             threshold=threshold, n_probe=n_probe, index=(cent, books),

@@ -20,7 +20,9 @@ import sys
 import time
 from contextlib import redirect_stdout
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import __spark_entry__ as entrymod
 from pyspark.sql import functions as F
