@@ -73,7 +73,11 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.agg(F.count("*").cast("long").alias("__n"))
+    # n_nodes is LOOP-INVARIANT: one bounded 1-row collect here, inlined
+    # as an integer literal below (r12; was a 1-row broadcast join
+    # re-materialized inside every iteration's job — same long value,
+    # same integer div, one fewer broadcast stage × iters)
+    n = max(int(nodes.count()), 1)  # max(,1): empty graph → empty frame
 
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     probs = (
@@ -87,11 +91,9 @@ def pagerank(
     )
     has_out = out_w.select(F.col("src").alias("node"))
 
-    ranks = (
-        nodes.join(F.broadcast(n_nodes))
-        .select("node", F.expr(f"{RANK_SCALE} div __n").alias("rank_scaled"))
-        .localCheckpoint(eager=True)
-    )
+    ranks = nodes.select(
+        "node", F.lit(RANK_SCALE // n).cast("long").alias("rank_scaled")
+    ).localCheckpoint(eager=True)
 
     teleport_pct = 100 - damping_pct
     for _ in range(iters):
@@ -113,17 +115,16 @@ def pagerank(
         ranks = (
             ranks.select("node")
             .join(inflow, ranks.node == inflow.dst, "left")
-            .join(F.broadcast(n_nodes))
             .join(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.expr(
-                        f"({RANK_SCALE} * {teleport_pct}) div (100 * __n)"
-                    )
+                    F.lit(
+                        (RANK_SCALE * teleport_pct) // (100 * n)
+                    ).cast("long")
                     + F.expr(
                         f"{damping_pct} * (coalesce(inflow, 0)"
-                        f" + (__dang div __n)) div 100"
+                        f" + (__dang div {n})) div 100"
                     )
                 ).alias("rank_scaled"),
             )
@@ -267,16 +268,14 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.agg(F.count("*").cast("long").alias("__n"))
-    scores = (
-        nodes.join(F.broadcast(n_nodes))
-        .select(
-            "node",
-            F.expr(f"{RANK_SCALE} div __n").alias("hub"),
-            F.expr(f"{RANK_SCALE} div __n").alias("auth"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # loop-invariant node count inlined as a literal (same rationale
+    # and bit-identity as pagerank's r12 change)
+    n = max(int(nodes.count()), 1)
+    scores = nodes.select(
+        "node",
+        F.lit(RANK_SCALE // n).cast("long").alias("hub"),
+        F.lit(RANK_SCALE // n).cast("long").alias("auth"),
+    ).localCheckpoint(eager=True)
 
     def _normalize(df: DataFrame, col: str) -> DataFrame:
         total = df.agg(F.sum(col).alias("__t"))

@@ -240,18 +240,29 @@ def multimodal_curation_funnel(
     """The full four-modality snapshot report — one frame, ordered by
     (modality, stage). Eval slice for decontamination: doc_id % 50 ==
     0 (the eval docs drop themselves, as they must)."""
-    parts = [
-        text_funnel_report(docs, F.col("doc_id") % 50 == 0),
-        media_funnel_report(
+    # The four legs are INDEPENDENT and each runs eager work at build
+    # time (the pinned hash tables and the connected-components driver
+    # loops): build them from a small thread pool (guide §2.6 —
+    # concurrent jobs back-fill the executors a serial build leaves
+    # idle during each leg's straggler tail). Results are unchanged:
+    # legs share nothing but the session, and the final union is
+    # assembled in fixed order below.
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    builders = [
+        lambda: text_funnel_report(docs, F.col("doc_id") % 50 == 0),
+        lambda: media_funnel_report(
             image_df, "image", mm.dhash_table, "dhash", 3
         ),
-        media_funnel_report(
+        lambda: media_funnel_report(
             audio_df, "audio", mm.audio_fingerprint_table, "afp", 3
         ),
-        media_funnel_report(
+        lambda: media_funnel_report(
             video_df, "video", mm.video_fingerprint_table, "vfp", 4
         ),
     ]
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        parts = list(pool.map(lambda b: b(), builders))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
