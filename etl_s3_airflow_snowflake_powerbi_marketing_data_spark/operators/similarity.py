@@ -1296,16 +1296,9 @@ def pq_topk(
         lut_batches, f"query_id {id_type}, lut array<array<double>>"
     )
     # ADC: one pass over codes × (broadcast) query LUTs; codes are
-    # 0-based numpy argmin indexes, element_at is 1-based.
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("lut"),
-            lambda code, lut_s: F.element_at(lut_s, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # 0-based numpy argmin indexes, element_at is 1-based. Unrolled
+    # chain (same add order as the fold) — see :func:`_adc_dist`.
+    dist = _adc_dist(m)
     scored = (
         codes.crossJoin(F.broadcast(luts))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1755,13 +1748,13 @@ def _probe_table(
     )
 
 
-def _adc_scores(codes_df: DataFrame, probe: DataFrame) -> DataFrame:
+def _adc_scores(codes_df: DataFrame, probe: DataFrame, m: int) -> DataFrame:
     """Cell-keyed ADC join against a de-replicated probe: the probed-
     cell fan-out broadcasts only (query_id, cell) pairs — bytes flat
     in ``n_probe`` — and each query's LUT is attached ONCE by a
     second query_id-keyed broadcast join after the cell match
     (VERDICT r11 item 4). Row multiset per (query, cell, neighbor)
-    and the sequential :func:`_adc_dist` fold are unchanged, so
+    and the sequential :func:`_adc_dist` add order are unchanged, so
     results stay bit-identical to the replicated-LUT shape (expected
     oracles unchanged). Returns (query_id, neighbor_id, pq_dist)."""
     cells = probe.select("query_id", F.explode("cells").alias("cell"))
@@ -1771,24 +1764,27 @@ def _adc_scores(codes_df: DataFrame, probe: DataFrame) -> DataFrame:
         .join(F.broadcast(luts), "query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", trunc6(_adc_dist()).alias("pq_dist")
+            "query_id", "neighbor_id", trunc6(_adc_dist(m)).alias("pq_dist")
         )
     )
 
 
-def _adc_dist():
-    """ADC distance of one (codes, lut) row pair — sequential fold so
-    the sum order matches the replica's ``acc += lut[s][code]`` loop
-    bit-for-bit."""
-    return F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("lut"),
-            lambda code, lut_s: F.element_at(lut_s, code + F.lit(1)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _adc_dist(m: int):
+    """ADC distance of one (codes, lut) row pair — a statically
+    UNROLLED chain of m ``element_at`` adds (r12; was a
+    zip_with+aggregate fold, which higher-order-function evaluation
+    interprets per candidate row — measured the hottest expression of
+    the gate's decisions job). The chain adds ``lut[s][code_s]`` in
+    subspace order from a 0.0 seed — the same IEEE sequence as the
+    fold and the replica's ``acc += lut[s][code]`` loop, but as a
+    plain expression tree whole-stage codegen compiles."""
+    acc = F.lit(0.0)
+    for s in range(m):
+        acc = acc + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + F.lit(1),
+        )
+    return acc
 
 
 def _ivf_pq_scan(
@@ -1821,7 +1817,7 @@ def _ivf_pq_scan(
     probe = _probe_table(
         queries, cent, books, n_probe, id_col, vec_col
     ).localCheckpoint(eager=False)
-    scored = _adc_scores(codes, probe)
+    scored = _adc_scores(codes, probe, books.shape[0])
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id")
     )
@@ -1997,7 +1993,7 @@ def semantic_dedup_incremental(
     adc_radius = (2.0 - 2.0 * threshold) * adc_margin
 
     def shortlist(codes_df: DataFrame) -> DataFrame:
-        return _adc_scores(codes_df, probe).filter(
+        return _adc_scores(codes_df, probe, books.shape[0]).filter(
             F.col("pq_dist") <= F.lit(adc_radius)
         )
 
