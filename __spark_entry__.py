@@ -2329,13 +2329,39 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Stage each batch as ONE parquet file with ascending mtimes — the
     # file stream source orders by modification time, which makes the
-    # two-trigger sequence deterministic.
+    # two-trigger sequence deterministic. The two staging writes and
+    # the store seed (signing the even corpus) are independent jobs —
+    # run them from a thread pool (guide §2.6) and do the mtime-
+    # ordered moves AFTER the barrier so the source still sees
+    # batch0 < batch1 deterministically.
     import time as _time  # noqa: PLC0415
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    now = _time.time()
-    for i, frame in enumerate((b1, b2)):
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (  # noqa: PLC0415
+        versioned as vt,
+    )
+
+    def _stage_write(i: int, frame: DataFrame) -> str:
         tmp = os.path.join(base, f"stage{i}")
         frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        return tmp
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_stages = [
+            pool.submit(_stage_write, i, frame)
+            for i, frame in enumerate((b1, b2))
+        ]
+        f_store = pool.submit(
+            vt.write_version,
+            dedup.minhash_signatures(evens).withColumnRenamed(
+                "id", "doc_id"
+            ),
+            store,
+        )
+        tmps = [f.result() for f in f_stages]
+        f_store.result()
+    now = _time.time()
+    for i, tmp in enumerate(tmps):
         part = next(
             f for f in os.listdir(tmp)
             if f.endswith(".parquet") and not f.startswith("_")
@@ -2344,15 +2370,6 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(os.path.join(tmp, part), dst)
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
-
-    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.sources import (  # noqa: PLC0415
-        versioned as vt,
-    )
-
-    vt.write_version(
-        dedup.minhash_signatures(evens).withColumnRenamed("id", "doc_id"),
-        store,
-    )
     PHASE_TIMINGS["streaming_minhash_dedup"]["setup_sec"] = round(
         _ptime.time() - _setup0, 2
     )
@@ -2524,9 +2541,26 @@ def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     initial = emb.filter(F.col("vec_id") % 2 == 0)
     cent, books = similarity.train_ivf_pq_index(initial, train_iters=2)
-    similarity.save_ivf_pq_index(spark, cent, books, index)
-    similarity.build_ivf_pq_codes(spark, initial, index)
-    vt.write_version(initial, f"{index}/vectors")
+    # After training, the three store-seeding legs are independent:
+    # passing index=(cent, books) to the codes build (parquet
+    # round-trips doubles exactly — pytest-pinned bit-identity) cuts
+    # its dependence on the index-table save, so save, codes build and
+    # the vectors commit overlap from a thread pool (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(
+                similarity.save_ivf_pq_index, spark, cent, books, index
+            ),
+            pool.submit(
+                similarity.build_ivf_pq_codes, spark, initial, index,
+                index=(cent, books),
+            ),
+            pool.submit(vt.write_version, initial, f"{index}/vectors"),
+        ]
+        for f in futs:
+            f.result()
 
     PHASE_TIMINGS["streaming_semantic_dedup"]["setup_sec"] = round(
         _time.time() - _setup0, 2
@@ -3448,13 +3482,23 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_path("ann_semantic_incr", sf_dir)
     initial = emb.filter(F.col("vec_id") % 2 == 0)
     cent, books = similarity.train_ivf_pq_index(initial, train_iters=2)
-    similarity.save_ivf_pq_index(spark, cent, books, path)
     # the freshly trained artifacts ARE the committed index (parquet
     # round-trips doubles exactly) — pass them through so the gate and
-    # the appends skip per-call load collects
-    similarity.build_ivf_pq_codes(
-        spark, initial, path, index=(cent, books)
-    )
+    # the appends skip per-call load collects; that also makes the
+    # index-table save and the codes build independent legs, so they
+    # overlap from a thread pool (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_save = pool.submit(
+            similarity.save_ivf_pq_index, spark, cent, books, path
+        )
+        f_build = pool.submit(
+            similarity.build_ivf_pq_codes, spark, initial, path,
+            index=(cent, books),
+        )
+        f_save.result()
+        f_build.result()
     PHASE_TIMINGS["semantic_incremental_embeddings"]["setup_sec"] = (
         round(_ptime.time() - _setup0, 2)
     )
@@ -3508,41 +3552,60 @@ def q_dedup_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil  # noqa: PLC0415
 
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     base = _scratch_path("dedup_forget", sf_dir)
     shutil.rmtree(base, ignore_errors=True)  # fresh tables per run
     docs_path, store_path = f"{base}/docs", f"{base}/sigs"
     even = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 2 == 0
     )
-    vt.write_version(even.select("doc_id", "text"), docs_path)
-    vt.write_version(
-        dedup.minhash_signatures(even).withColumnRenamed("id", "doc_id"),
-        store_path,
+    recrawl = even.filter((F.col("doc_id") % 10).isin(0, 4)).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
     )
-    # erasure-request collect: RTBF id lists are request-sized
-    # (human-initiated), never data-sized — bounded control plane
-    forget_ids = [
-        r[0]
-        for r in even.filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id")
-        .collect()
-    ]
+    # The four setup phases are mutually independent (all derive from
+    # `even`; docs table ≠ sigs store paths, the id collect is
+    # request-sized, and the recrawl batch is signed ONCE and shared
+    # by the two snapshot gates — the streaming-gate incoming_sigs
+    # discipline). Build them from a thread pool so each job's
+    # straggler tail back-fills executors (guide §2.6); the forget
+    # call below is the barrier that needs all four.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_docs = pool.submit(
+            vt.write_version, even.select("doc_id", "text"), docs_path
+        )
+        f_sigs = pool.submit(
+            vt.write_version,
+            dedup.minhash_signatures(even).withColumnRenamed(
+                "id", "doc_id"
+            ),
+            store_path,
+        )
+        # erasure-request collect: RTBF id lists are request-sized
+        # (human-initiated), never data-sized — bounded control plane
+        f_ids = pool.submit(
+            lambda: [
+                r[0]
+                for r in even.filter(F.col("doc_id") % 10 == 0)
+                .select("doc_id")
+                .collect()
+            ]
+        )
+        f_rsigs = pool.submit(
+            lambda: dedup.minhash_signatures(recrawl).localCheckpoint(
+                eager=True
+            )
+        )
+        f_docs.result()
+        f_sigs.result()
+        forget_ids = f_ids.result()
+        recrawl_sigs = f_rsigs.result()
     dedup.forget_documents(
         spark,
         forget_ids,
         table_path=docs_path,
         table_key="doc_id",
         stores=((store_path, "doc_id"),),
-    )
-    recrawl = even.filter((F.col("doc_id") % 10).isin(0, 4)).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
-    )
-    # sign the recrawl batch ONCE and share the materialized
-    # signatures between the two snapshot gates (the streaming-gate
-    # incoming_sigs discipline — each gate otherwise pays its own
-    # 64-aggregate signing pass over the batch text)
-    recrawl_sigs = dedup.minhash_signatures(recrawl).localCheckpoint(
-        eager=True
     )
     parts = []
     for label, ver in (("pre_forget", 1), ("post_forget", 2)):
@@ -3582,29 +3645,53 @@ def q_ann_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil  # noqa: PLC0415
 
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     emb = load_table(spark, sf_dir, "embeddings")
     path = _scratch_path("ann_forget", sf_dir)
     shutil.rmtree(path, ignore_errors=True)  # fresh store per run
     cent, books = similarity.train_ivf_pq_index(
         emb.filter(F.col("vec_id") % 2 == 0), train_iters=2
     )
-    similarity.save_ivf_pq_index(spark, cent, books, path)
-    similarity.build_ivf_pq_codes(
-        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
-        index=(cent, books),
-    )
-    similarity.append_ivf_pq_codes(
-        spark, emb.filter(F.col("vec_id") % 2 == 1), path,
-        index=(cent, books),
-    )
-    vt.write_version(emb, f"{path}/vectors")
-    # erasure-request collect — request-sized, bounded control plane
-    forget_ids = [
-        r[0]
-        for r in emb.filter(F.col("vec_id") % 7 == 0)
-        .select("vec_id")
-        .collect()
-    ]
+
+    def _codes_lifecycle() -> None:
+        # build v1 then append v2 — ordered WITHIN this leg (versions
+        # are pinned by the snapshot gates below), independent of the
+        # other legs: both encode from the in-memory (cent, books).
+        similarity.build_ivf_pq_codes(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+            index=(cent, books),
+        )
+        similarity.append_ivf_pq_codes(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), path,
+            index=(cent, books),
+        )
+
+    # After training, the four store-seeding legs are independent —
+    # index-table save, the codes build+append chain, the vectors
+    # commit, and the request-sized erasure-id collect touch disjoint
+    # table paths (guide §2.6: overlap independent jobs so each leg's
+    # straggler tail back-fills executors). The forget call is the
+    # barrier that needs all four.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_save = pool.submit(
+            similarity.save_ivf_pq_index, spark, cent, books, path
+        )
+        f_codes = pool.submit(_codes_lifecycle)
+        f_vecs = pool.submit(vt.write_version, emb, f"{path}/vectors")
+        # erasure-request collect — request-sized, bounded control plane
+        f_ids = pool.submit(
+            lambda: [
+                r[0]
+                for r in emb.filter(F.col("vec_id") % 7 == 0)
+                .select("vec_id")
+                .collect()
+            ]
+        )
+        f_save.result()
+        f_codes.result()
+        f_vecs.result()
+        forget_ids = f_ids.result()
     similarity.remove_from_ann_store(spark, path, forget_ids)
     queries_df = emb.filter(F.col("vec_id") < 10)
     parts = []

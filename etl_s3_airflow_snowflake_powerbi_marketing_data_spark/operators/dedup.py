@@ -1365,9 +1365,16 @@ def minhash_incremental(
             F.col(key).alias("id"), "signature"
         )
     else:
+        # The store side is consumed TWICE (band keys + the __sig_b
+        # verify join); without a checkpoint the 64-aggregate signing
+        # subtree is planned — and computed — twice per run (r12: the
+        # before-plan showed the store scan duplicated). Materialize
+        # the signatures once; the store is signed text only in the
+        # batch (non-streaming) path, where the store fits the same
+        # ~0.5 KB/doc index posture the persisted stores hold.
         store_sigs = minhash_signatures(
             existing, text_col, id_col, num_hashes, shingle_n
-        )
+        ).localCheckpoint(eager=True)
     if incoming_sigs is not None:
         # Caller-provided (id, signature) frame — the streaming gate
         # signs each micro-batch ONCE and shares the materialized
@@ -1377,6 +1384,10 @@ def minhash_incremental(
         key = id_col if id_col in incoming_sigs.columns else "id"
         inc_sigs = incoming_sigs.select(F.col(key).alias("id"), "signature")
     else:
+        # lazy, NOT eager (r12 negative result): eager measured ~2×
+        # worse same-window — it serializes the signing job ahead of
+        # the main job, while the lazy checkpoint materializes INSIDE
+        # the main job where its stages overlap the store/band work.
         inc_sigs = minhash_signatures(
             incoming, text_col, id_col, num_hashes, shingle_n
         ).localCheckpoint(eager=False)

@@ -890,15 +890,38 @@ def _run_streaming_hash_dedup(
             ),
             max_hamming=max_hamming,
         ).localCheckpoint(eager=True)
-        if vt.table_versions(decisions_path):
-            versioned_merge(
-                sess, decisions_path, decisions, ["media_id"], update=False
+
+        def _commit_decisions() -> None:
+            if vt.table_versions(decisions_path):
+                versioned_merge(
+                    sess, decisions_path, decisions, ["media_id"],
+                    update=False,
+                )
+            else:
+                vt.write_version(decisions, decisions_path)
+
+        # The decisions COMMIT and the survivor-join COMPUTE are
+        # independent (both read only the pinned `decisions` /
+        # `hashed` checkpoints) — overlap them (guide §2.6). The
+        # store COMMIT stays strictly AFTER the decisions commit:
+        # were the store appended first and the trigger crashed, the
+        # replayed batch would match its own store entries and flip
+        # keep decisions — the effectively-once contract rests on
+        # this order.
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dec = pool.submit(_commit_decisions)
+            f_surv = pool.submit(
+                lambda: hashed.join(
+                    decisions.filter(F.col("keep")).select("media_id"),
+                    "media_id",
+                )
+                .select("media_id", hash_col)
+                .localCheckpoint(eager=True)
             )
-        else:
-            vt.write_version(decisions, decisions_path)
-        survivors = hashed.join(
-            decisions.filter(F.col("keep")).select("media_id"), "media_id"
-        ).select("media_id", hash_col)
+            f_dec.result()
+            survivors = f_surv.result()
         if vt.table_versions(store_path):
             versioned_merge(
                 sess, store_path, survivors, ["media_id"], update=False
@@ -975,27 +998,44 @@ def run_streaming_semantic_dedup(
             sess, batch, index_path, corpus,
             threshold=threshold, n_probe=n_probe, index=(cent, books),
         ).localCheckpoint(eager=True)
-        if vt.table_versions(decisions_path):
+
+        def _commit_decisions() -> None:
+            if vt.table_versions(decisions_path):
+                versioned_merge(
+                    sess, decisions_path, decisions, ["vec_id"],
+                    update=False,
+                )
+            else:
+                vt.write_version(decisions, decisions_path)
+
+        def _commit_vectors() -> DataFrame:
+            keep = batch.join(
+                decisions.filter(F.col("keep")).select("vec_id"), "vec_id"
+            ).localCheckpoint(eager=True)  # feeds codes encode + append
             versioned_merge(
-                sess, decisions_path, decisions, ["vec_id"], update=False
+                sess, f"{index_path}/vectors", keep, ["vec_id"],
+                update=False,
             )
-        else:
-            vt.write_version(decisions, decisions_path)
-        keepers = batch.join(
-            decisions.filter(F.col("keep")).select("vec_id"), "vec_id"
-        ).localCheckpoint(eager=True)  # feeds codes encode + vector append
-        # Vectors merge BEFORE codes (ADVICE r11): the gate's exact
-        # re-rank id-joins shortlist candidates to the vectors table,
-        # so a code row whose vector is missing would be silently
-        # dropped from verification. Appending vectors first keeps the
-        # codes ⊆ vectors invariant through a mid-commit crash — a
-        # crash between the two merges leaves an orphan vector (harm-
-        # less: never probed without its code) instead of an
-        # unverifiable code.
-        versioned_merge(
-            sess, f"{index_path}/vectors", keepers, ["vec_id"],
-            update=False,
-        )
+            return keep
+
+        # Decisions and vectors commit CONCURRENTLY (guide §2.6) —
+        # safe under a mid-crash in either order: an orphan vector
+        # (vectors landed, decisions didn't) has no code row, so it
+        # is never a shortlist candidate and the replayed batch's
+        # decisions are unchanged; decisions-without-vectors replays
+        # both merges idempotently. The CODES merge stays strictly
+        # LAST: codes ⊆ vectors through a crash (ADVICE r11 — the
+        # exact re-rank id-joins shortlist candidates to the vectors
+        # table, so an unverifiable code must never exist), and
+        # codes-before-decisions would make a replayed batch match
+        # its own codes and flip keep decisions.
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dec = pool.submit(_commit_decisions)
+            f_vec = pool.submit(_commit_vectors)
+            f_dec.result()
+            keepers = f_vec.result()
         versioned_merge(
             sess,
             f"{index_path}/codes",
@@ -1261,19 +1301,36 @@ def run_streaming_minhash_dedup(
         decisions = dedup_ops.minhash_incremental(
             store, docs, threshold=threshold, incoming_sigs=sigs
         ).localCheckpoint(eager=True)
-        if vt.table_versions(decisions_path):
-            versioned_merge(
-                sess, decisions_path, decisions, ["doc_id"], update=False
+
+        def _commit_decisions() -> None:
+            if vt.table_versions(decisions_path):
+                versioned_merge(
+                    sess, decisions_path, decisions, ["doc_id"],
+                    update=False,
+                )
+            else:
+                vt.write_version(decisions, decisions_path)
+
+        # Overlap the decisions COMMIT with the survivor-join COMPUTE
+        # (guide §2.6 — both read only the pinned `decisions`/`sigs`
+        # checkpoints). The store COMMIT stays strictly AFTER the
+        # decisions commit: store-before-decisions under a mid-crash
+        # would make the replayed batch match its own signatures and
+        # flip keep decisions (the effectively-once contract).
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dec = pool.submit(_commit_decisions)
+            f_surv = pool.submit(
+                lambda: sigs.join(
+                    decisions.filter(F.col("keep")).select("doc_id"),
+                    F.col("id") == F.col("doc_id"),
+                )
+                .select("doc_id", "signature")
+                .localCheckpoint(eager=True)
             )
-        else:
-            vt.write_version(decisions, decisions_path)
-        survivors = (
-            sigs.join(
-                decisions.filter(F.col("keep")).select("doc_id"),
-                F.col("id") == F.col("doc_id"),
-            )
-            .select("doc_id", "signature")
-        )
+            f_dec.result()
+            survivors = f_surv.result()
         if vt.table_versions(store_path):
             versioned_merge(
                 sess, store_path, survivors, ["doc_id"], update=False
