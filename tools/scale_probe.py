@@ -199,6 +199,16 @@ def recall_probe(spark, sf_dir: str) -> dict:
                 cell_sizes.get(cent_ids[j], 0) for j in order
             )
             fracs.append(scanned / len(ids))
+        # Probe-broadcast payload (VERDICT r11 item 4 "done" evidence):
+        # the de-replicated shape broadcasts (query_id, cell) pairs —
+        # 12 B/row, rows = n_queries × n_probe — and the m×256-double
+        # LUT ONCE per query (FLAT in n_probe). Fixed-width arithmetic
+        # over the actual query count, next to the replicated shape
+        # the r11 verdict flagged (LUT carried per (query, cell) row,
+        # linear in n_probe).
+        m_sub = books.shape[0]
+        n_q = len(q_rows)
+        lut_row = 8 + m_sub * 256 * 8
         ivf_pq_curve.append(
             {
                 "n_probe": p,
@@ -209,6 +219,8 @@ def recall_probe(spark, sf_dir: str) -> dict:
                     )
                 ),
                 "scanned_fraction": round(float(np.mean(fracs)), 3),
+                "bcast_bytes_flat": n_q * p * 12 + n_q * lut_row,
+                "bcast_bytes_replicated_shape": n_q * p * (12 + lut_row),
             }
         )
     lsh_curve = [
