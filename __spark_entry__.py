@@ -40,6 +40,9 @@ from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.tables import (
     load_table,
     table_path,
 )
+from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.session import (
+    inheritable,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2348,11 +2351,11 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_stages = [
-            pool.submit(_stage_write, i, frame)
+            pool.submit(inheritable(_stage_write), i, frame)
             for i, frame in enumerate((b1, b2))
         ]
         f_store = pool.submit(
-            vt.write_version,
+            inheritable(vt.write_version),
             dedup.minhash_signatures(evens).withColumnRenamed(
                 "id", "doc_id"
             ),
@@ -2551,13 +2554,16 @@ def q_streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=3) as pool:
         futs = [
             pool.submit(
-                similarity.save_ivf_pq_index, spark, cent, books, index
+                inheritable(similarity.save_ivf_pq_index),
+                spark, cent, books, index,
             ),
             pool.submit(
-                similarity.build_ivf_pq_codes, spark, initial, index,
-                index=(cent, books),
+                inheritable(similarity.build_ivf_pq_codes),
+                spark, initial, index, index=(cent, books),
             ),
-            pool.submit(vt.write_version, initial, f"{index}/vectors"),
+            pool.submit(
+                inheritable(vt.write_version), initial, f"{index}/vectors"
+            ),
         ]
         for f in futs:
             f.result()
@@ -3491,11 +3497,12 @@ def q_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_save = pool.submit(
-            similarity.save_ivf_pq_index, spark, cent, books, path
+            inheritable(similarity.save_ivf_pq_index), spark, cent, books,
+            path,
         )
         f_build = pool.submit(
-            similarity.build_ivf_pq_codes, spark, initial, path,
-            index=(cent, books),
+            inheritable(similarity.build_ivf_pq_codes), spark, initial,
+            path, index=(cent, books),
         )
         f_save.result()
         f_build.result()
@@ -3572,10 +3579,11 @@ def q_dedup_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call below is the barrier that needs all four.
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_docs = pool.submit(
-            vt.write_version, even.select("doc_id", "text"), docs_path
+            inheritable(vt.write_version),
+            even.select("doc_id", "text"), docs_path,
         )
         f_sigs = pool.submit(
-            vt.write_version,
+            inheritable(vt.write_version),
             dedup.minhash_signatures(even).withColumnRenamed(
                 "id", "doc_id"
             ),
@@ -3584,16 +3592,20 @@ def q_dedup_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         # erasure-request collect: RTBF id lists are request-sized
         # (human-initiated), never data-sized — bounded control plane
         f_ids = pool.submit(
-            lambda: [
-                r[0]
-                for r in even.filter(F.col("doc_id") % 10 == 0)
-                .select("doc_id")
-                .collect()
-            ]
+            inheritable(
+                lambda: [
+                    r[0]
+                    for r in even.filter(F.col("doc_id") % 10 == 0)
+                    .select("doc_id")
+                    .collect()
+                ]
+            )
         )
         f_rsigs = pool.submit(
-            lambda: dedup.minhash_signatures(recrawl).localCheckpoint(
-                eager=True
+            inheritable(
+                lambda: dedup.minhash_signatures(recrawl).localCheckpoint(
+                    eager=True
+                )
             )
         )
         f_docs.result()
@@ -3675,18 +3687,23 @@ def q_ann_store_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barrier that needs all four.
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_save = pool.submit(
-            similarity.save_ivf_pq_index, spark, cent, books, path
+            inheritable(similarity.save_ivf_pq_index), spark, cent, books,
+            path,
         )
-        f_codes = pool.submit(_codes_lifecycle)
-        f_vecs = pool.submit(vt.write_version, emb, f"{path}/vectors")
+        f_codes = pool.submit(inheritable(_codes_lifecycle))
+        f_vecs = pool.submit(
+            inheritable(vt.write_version), emb, f"{path}/vectors"
+        )
         # erasure-request collect — request-sized, bounded control plane
         f_ids = pool.submit(
-            lambda: [
-                r[0]
-                for r in emb.filter(F.col("vec_id") % 7 == 0)
-                .select("vec_id")
-                .collect()
-            ]
+            inheritable(
+                lambda: [
+                    r[0]
+                    for r in emb.filter(F.col("vec_id") % 7 == 0)
+                    .select("vec_id")
+                    .collect()
+                ]
+            )
         )
         f_save.result()
         f_codes.result()

@@ -261,8 +261,10 @@ def multimodal_curation_funnel(
             video_df, "video", mm.video_fingerprint_table, "vfp", 4
         ),
     ]
+    from ..session import inheritable  # noqa: PLC0415
+
     with ThreadPoolExecutor(max_workers=len(builders)) as pool:
-        parts = list(pool.map(lambda b: b(), builders))
+        parts = list(pool.map(inheritable(lambda b: b()), builders))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -124,6 +124,22 @@ def get_spark(
     return spark
 
 
+def inheritable(fn):
+    """Wrap a callable for submission to a driver-side thread pool so
+    the CALLING thread's Spark job group / description / scheduler
+    pool propagate to the pool thread
+    (``pyspark.inheritable_thread_target``). Under pinned-thread mode
+    (the default since Spark 3.2) a plain pool thread runs its jobs
+    OUTSIDE the submitting query's job group — a streaming query's
+    ``stop()`` could not cancel the overlapped commit jobs and UI/pool
+    attribution was lost (ADVICE r12). Results were never affected;
+    this is cancellation/attribution hygiene for every §2.6 overlap
+    site (streaming gate commits, the forget/funnel leg pools)."""
+    from pyspark import inheritable_thread_target  # noqa: PLC0415
+
+    return inheritable_thread_target(fn)
+
+
 def release_persisted_rdds(spark: SparkSession) -> int:
     """Unpersist every RDD still pinned in block storage — the
     localCheckpoint blocks that iterative/multi-consumer operators

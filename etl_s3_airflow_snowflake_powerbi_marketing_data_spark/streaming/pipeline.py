@@ -910,15 +910,19 @@ def _run_streaming_hash_dedup(
         # this order.
         from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+        from ..session import inheritable  # noqa: PLC0415
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_dec = pool.submit(_commit_decisions)
+            f_dec = pool.submit(inheritable(_commit_decisions))
             f_surv = pool.submit(
-                lambda: hashed.join(
-                    decisions.filter(F.col("keep")).select("media_id"),
-                    "media_id",
+                inheritable(
+                    lambda: hashed.join(
+                        decisions.filter(F.col("keep")).select("media_id"),
+                        "media_id",
+                    )
+                    .select("media_id", hash_col)
+                    .localCheckpoint(eager=True)
                 )
-                .select("media_id", hash_col)
-                .localCheckpoint(eager=True)
             )
             f_dec.result()
             survivors = f_surv.result()
@@ -1031,9 +1035,11 @@ def run_streaming_semantic_dedup(
         # its own codes and flip keep decisions.
         from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+        from ..session import inheritable  # noqa: PLC0415
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_dec = pool.submit(_commit_decisions)
-            f_vec = pool.submit(_commit_vectors)
+            f_dec = pool.submit(inheritable(_commit_decisions))
+            f_vec = pool.submit(inheritable(_commit_vectors))
             f_dec.result()
             keepers = f_vec.result()
         versioned_merge(
@@ -1319,15 +1325,19 @@ def run_streaming_minhash_dedup(
         # flip keep decisions (the effectively-once contract).
         from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+        from ..session import inheritable  # noqa: PLC0415
+
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_dec = pool.submit(_commit_decisions)
+            f_dec = pool.submit(inheritable(_commit_decisions))
             f_surv = pool.submit(
-                lambda: sigs.join(
-                    decisions.filter(F.col("keep")).select("doc_id"),
-                    F.col("id") == F.col("doc_id"),
+                inheritable(
+                    lambda: sigs.join(
+                        decisions.filter(F.col("keep")).select("doc_id"),
+                        F.col("id") == F.col("doc_id"),
+                    )
+                    .select("doc_id", "signature")
+                    .localCheckpoint(eager=True)
                 )
-                .select("doc_id", "signature")
-                .localCheckpoint(eager=True)
             )
             f_dec.result()
             survivors = f_surv.result()

@@ -232,3 +232,25 @@ def test_grading_window_is_tool_generated_and_covers_diff():
         # no free-riding: overflow exists only because the window
         # genuinely cannot carry the whole affected set
         assert len(affected | set(win.get("extra", []))) > 50
+    if overflow and "plan_changed" in win:
+        # VERDICT r12 item 3: a query whose change was SPECIFIC to it
+        # must never rotate out of driver grading. The tool records the
+        # plan-identity diff (tools/plan_hash.py, base worktree vs
+        # current tree) in the artifact; no overflowed query may have a
+        # changed plan, be hand-attributed, or be new since the fanout
+        # map was built.
+        assert not set(overflow) & set(win["plan_changed"]), (
+            "overflowed query has a changed plan this round"
+        )
+        assert not set(overflow) & set(win.get("extra", []))
+        assert not set(overflow) & {q for q in registered if q not in fan}
+        # every overflow hit came through a widely-shared helper: the
+        # rule floor is >= max(10, |registry|/10) consuming queries per
+        # matched changed function
+        narrow_cut = max(10, len(registered) // 10)
+        for q in overflow:
+            hits = set(fan[q]) & funcs
+            assert hits, f"overflowed {q} has no matched changed function"
+            assert min(
+                sum(1 for used in fan.values() if f in used) for f in hits
+            ) >= narrow_cut, f"overflowed {q} was hit by a narrow change"

@@ -65,20 +65,58 @@ def registered_queries() -> list[str]:
     return list(entrymod.queries())
 
 
+def plan_changed_queries(rev: str, sf_dir: str) -> set[str]:
+    """Queries whose CANONICAL physical-plan hash differs between the
+    round base rev and the current tree (tools/plan_hash.py) — the
+    detector for changes function-level tracing cannot see (session
+    conf flips like a join-strategy preference). Builds the base rev
+    in a throwaway git worktree; a query present only in the current
+    tree counts as changed."""
+    import subprocess  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    def run_tree(cwd: str) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.join("tools", "plan_hash.py"), sf_dir],
+            cwd=cwd,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    now = run_tree(REPO)
+    wt = tempfile.mkdtemp(prefix="gen_window_base_")
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, rev],
+        cwd=REPO, check=True, capture_output=True,
+    )
+    try:
+        base = run_tree(wt)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO, check=True, capture_output=True,
+        )
+    return {q for q, h in now.items() if base.get(q) != h}
+
+
 def compute_window(
-    rev: str, extra: list[str]
+    rev: str, extra: list[str], plan_changed: set[str] | None = None
 ) -> dict:
     with open(fanout_map.MAP_PATH) as fh:
         fan = json.load(fh)
     funcs = fanout_map.changed_functions(rev)
     registered = registered_queries()
+    new_since_map = {q for q in registered if q not in fan}
+    traced_hits = {
+        q: sorted(set(used) & funcs)
+        for q, used in fan.items()
+        if any(f in funcs for f in used)
+    }
+    plan_changed = set(plan_changed or ())
     affected = sorted(
-        {
-            q
-            for q, used in fan.items()
-            if any(f in funcs for f in used)
-        }
-        | {q for q in registered if q not in fan}  # new since map build
+        set(traced_hits) | new_since_map | plan_changed
     )
     oracle_sql_changed = any(f.endswith(":oracle_sql") for f in funcs)
     unknown = [q for q in extra if q not in registered]
@@ -89,26 +127,64 @@ def compute_window(
     overflow: list[str] = []
     if len(core) > WINDOW_SIZE:
         # An optimization round's diff can touch more than 50 queries
-        # by construction. The window carries the STALEST affected
-        # queries; the overflow — the most recently driver-graded ones
-        # (freshest independent evidence) — is recorded in the audit
-        # artifact and MUST be graded via check_oracles on a vanilla
-        # session and documented in the round notes
-        # (tests/test_reference_shape.py asserts affected ⊆ window ∪
-        # overflow, so an undocumented slip still fails the suite).
-        # Hand-attributed --extra names never overflow.
+        # by construction. Overflow rule (VERDICT r12 item 3 — the r12
+        # stalest-kept rule could rotate heavily-changed queries OUT of
+        # driver grading): overflow only the LEAST diff-relevant
+        # affected queries, and NEVER one whose change was specific to
+        # it. Ineligible to overflow: --extra names (hand-attributed),
+        # queries NEW since the fanout map, queries whose canonical
+        # plan hash changed this round (plan_changed), and queries hit
+        # by a NARROW change (a changed function fanning out to few
+        # queries — that change targeted them). Eligible queries rank
+        # by how widely shared their most-specific matched helper is
+        # (largest min-breadth first: affected only via corpus-wide
+        # helpers), then by freshest driver grade, then name. Every
+        # overflow name is still graded by the full sf0.01 + vanilla
+        # check_oracles gates and documented in the round notes;
+        # tests/test_reference_shape.py asserts the invariants.
         n_over = len(core) - WINDOW_SIZE
-        freshest = sorted(
-            affected,
+        breadth = {
+            f: sum(1 for used in fan.values() if f in used)
+            for f in funcs
+        }
+        min_breadth = {
+            q: min(breadth[f] for f in hits)
+            for q, hits in traced_hits.items()
+        }
+        narrow_cut = max(10, len(registered) // 10)
+        eligible = [
+            q
+            for q in traced_hits
+            if q not in extra
+            and q not in plan_changed
+            and q not in new_since_map
+            and min_breadth[q] >= narrow_cut
+        ]
+        if len(eligible) < n_over:
+            raise SystemExit(
+                f"window overflow needs {n_over} low-relevance queries "
+                f"but only {len(eligible)} are eligible (affected only "
+                "via widely-shared helpers, plan unchanged) — the diff "
+                "is too broad for one graded window; split the round "
+                "or shrink the change set"
+            )
+        eligible.sort(
             key=lambda q: (
+                -min_breadth[q],
                 -(ledger.get(q, {}).get("last_graded_round") or -1),
                 q,
-            ),
+            )
         )
-        overflow = sorted(
-            [q for q in freshest if q not in extra][:n_over]
-        )
+        overflow = sorted(eligible[:n_over])
         core = [q for q in core if q not in overflow]
+    if len(core) > WINDOW_SIZE:
+        # ADVICE r12: --extra alone (plus ineligible affected) can
+        # exceed capacity; fail with guidance instead of a bare
+        # assert below.
+        raise SystemExit(
+            f"{len(core)} must-grade queries exceed the {WINDOW_SIZE}-"
+            "slot window even after overflow — split the round"
+        )
     canaries = []
     for name, _mod, _last in grade_ledger.stalest_canaries(
         ledger, len(ledger)
@@ -141,6 +217,11 @@ def compute_window(
         "extra": extra,
         "canaries": canaries,
         "overflow": overflow,
+        "plan_changed": sorted(plan_changed),
+        "overflow_rule": (
+            "widest-shared-helper-only; plan-changed / new / narrow-hit "
+            "/ extra queries never overflow (VERDICT r12 item 3)"
+        ),
         "oracle_sql_changed": oracle_sql_changed,
         "window": window,
     }
@@ -155,10 +236,11 @@ def write_entry_block(window: dict, rnd: int) -> None:
     names = "".join(f'    "{q}",\n' for q in window["window"])
     over = window.get("overflow", [])
     over_note = (
-        f" {len(over)} affected queries OVERFLOW the window (the most "
-        f"recently\n# driver-graded — see WINDOW_r{rnd:02d}.json "
-        f"'overflow'); they are graded via\n# check_oracles on a "
-        f"vanilla session and documented in the round notes.\n"
+        f" {len(over)} affected queries OVERFLOW the window (lowest "
+        f"diff-relevance:\n# affected only via widely-shared helpers, "
+        f"plans unchanged — see\n# WINDOW_r{rnd:02d}.json 'overflow'); "
+        f"they are graded via check_oracles on a\n# vanilla session "
+        f"and documented in the round notes.\n"
         if over
         else "\n"
     )
@@ -194,7 +276,16 @@ def main() -> None:
         if "--extra" in sys.argv
         else []
     )
-    window = compute_window(rev, [e for e in extra if e])
+    # Plan-identity diff (default ON; --no-plan-diff to skip): catches
+    # session-conf changes (join-strategy flips) the function tracer
+    # cannot attribute. Runs two plan builds (current tree + a base-rev
+    # worktree) at sf0.001 — minutes, once per round close.
+    plan_changed: set[str] = set()
+    if "--no-plan-diff" not in sys.argv:
+        plan_changed = plan_changed_queries(
+            rev, os.environ.get("GEN_WINDOW_SF_DIR", "/root/testdata/sf0.001")
+        )
+    window = compute_window(rev, [e for e in extra if e], plan_changed)
     window["round"] = rnd
     if window["oracle_sql_changed"] and not window["extra"]:
         print(

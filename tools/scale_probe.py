@@ -206,9 +206,12 @@ def recall_probe(spark, sf_dir: str) -> dict:
         # over the actual query count, next to the replicated shape
         # the r11 verdict flagged (LUT carried per (query, cell) row,
         # linear in n_probe).
-        m_sub = books.shape[0]
+        # ksub from the trained codebooks themselves (ADVICE r12: the
+        # 256 literal overstated the LUT 4x — the default index trains
+        # ksub=64 centroids per subspace, not 256).
+        m_sub, ksub = books.shape[0], books.shape[1]
         n_q = len(q_rows)
-        lut_row = 8 + m_sub * 256 * 8
+        lut_row = 8 + m_sub * ksub * 8
         ivf_pq_curve.append(
             {
                 "n_probe": p,
