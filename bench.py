@@ -171,7 +171,12 @@ def main() -> None:
     # stdout into a bounded window; the ~4 KB per-query dict overflows it
     # and truncates the JSON front, so BENCH_r05/r06 shipped with
     # "parsed": null (VERDICT r06 item 2). A final line with no large
-    # payload always fits the window intact and parses.
+    # payload always fits the window intact and parses. r13
+    # (VERDICT r12 item 1): the window is exactly 2000 chars (measured
+    # from BENCH_r12.json's saved tail) and the full queries map is
+    # ~6.3 KB — a tail-parsed per-query table is physically impossible,
+    # so the compact line instead NAMES the committed detail artifact
+    # (additive key; everything else unchanged).
     print(
         json.dumps(
             {
@@ -181,6 +186,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "max_query_sec": max(timings.values()) if timings else 0.0,
+                "queries_detail": f"BENCH_DETAIL_r{rnd:02d}.json",
             }
         )
     )

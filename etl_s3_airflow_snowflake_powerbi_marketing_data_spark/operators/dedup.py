@@ -763,11 +763,30 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # Frontier propagation (r13 — guide §2.3, shuffle fewer bytes):
+    # only labels that CHANGED last round can lower a neighbor this
+    # round, so the edge join probes the frontier, not the full label
+    # table. Per-round labels are IDENTICAL to the full-propagation
+    # form: labels never increase, and any neighbor whose label did
+    # not change last round had that value already folded into this
+    # node's label when it DID change (x_{t-1} <= y_{t-2} = y_{t-1}
+    # for every then-unchanged neighbor y; the pointer jumps only
+    # lower candidates further, so the inequality survives them) —
+    # dropping unchanged neighbors from the min leaves every round's
+    # result, the round count, and the fixpoint bit-identical while
+    # late rounds shuffle only the still-moving fraction of the graph
+    # (at 100 TB the frontier collapses orders of magnitude below |V|
+    # after the first rounds; the pointer jumps below still read full
+    # labels, which is a label-sized side, not an edge-scaled
+    # shuffle).
+    frontier = labels.select(
+        F.col("id").alias("__fid"), F.col("component").alias("__fc")
+    )
     for _ in range(max_iter):
         neigh = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(frontier, sym.dst == F.col("__fid"))
             .groupBy("src")
-            .agg(F.min("component").alias("__nc"))
+            .agg(F.min("__fc").alias("__nc"))
         )
         cand = labels.join(neigh, labels.id == neigh.src, "left").select(
             "id",
@@ -811,8 +830,16 @@ def connected_components(
             # per-job cost per round at bench scale)
             .localCheckpoint(eager=False)
         )
-        changed = proposed.filter(F.col("component") != F.col("__old")).count()
+        changed_rows = proposed.filter(
+            F.col("component") != F.col("__old")
+        )
+        changed = changed_rows.count()
         labels = proposed.select("id", "component")
+        # next round's frontier: exactly the rows that moved (reads the
+        # checkpointed `proposed` the count above just materialized)
+        frontier = changed_rows.select(
+            F.col("id").alias("__fid"), F.col("component").alias("__fc")
+        )
         if changed == 0:
             return labels
     raise RuntimeError(
