@@ -933,10 +933,13 @@ def q_multimodal_curation_funnel(
         multimodal.synthetic_near_dup_audio_table(spark, 16),
         [b"not audio", multimodal.encode_wav(100, 8000)[:16]],
     )
-    video_rows = multimodal.synthetic_near_dup_video_rows(12)
+    # r13: video synthesis distributed (executor-side mapInPandas —
+    # see synthetic_near_dup_video_table); only group 0's first row is
+    # generated driver-side (~0.2 s) for the truncated-garbage slice.
+    video_seed = multimodal._near_dup_video_group_rows(0)[0][2]
     video = with_garbage(
-        spark.createDataFrame(video_rows, multimodal.MEDIA_SCHEMA),
-        [b"not a video", video_rows[0][2][: len(video_rows[0][2]) // 5]],
+        multimodal.synthetic_near_dup_video_table(spark, 12),
+        [b"not a video", video_seed[: len(video_seed) // 5]],
     )
     # setup here = driver-side media fixture synthesis (the codec
     # encode loops); the funnel aggregate itself executes when the
@@ -2609,7 +2612,20 @@ def q_streaming_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src_dir, exist_ok=True)
 
-    rows = multimodal.synthetic_near_dup_video_rows(12)
+    # r13: the 36-row fixture is generated ON EXECUTORS (the pure-
+    # Python encode loop is ~2.5 s driver-serial, ~0.4 s distributed)
+    # and collected once — bounded (36 rows, ~1 MB) — because the
+    # staging below needs driver-side bytes for the mtime-ordered
+    # single-file batches. Still computed from scratch per invocation.
+    rows = sorted(
+        (
+            (r.media_id, r.media_type, bytes(r.payload), r.meta_source)
+            for r in multimodal.synthetic_near_dup_video_table(
+                spark, 12
+            ).collect()
+        ),
+        key=lambda r: r[0],
+    )
     now = _time.time()
     batches = [
         [r for r in rows if r[0] % 6 in (2, 4)],

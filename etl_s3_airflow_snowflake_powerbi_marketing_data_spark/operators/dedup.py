@@ -1090,7 +1090,22 @@ def _excise_covered(
     position anti-join → order-restoring re-agg) runs ONLY for
     documents with at least one flagged window; clean documents take a
     map-only pass-through branch. Output: (id_col, n_tokens,
-    n_removed, cleaned_text), whitespace-normalized in both branches."""
+    n_removed, cleaned_text), whitespace-normalized in both branches.
+
+    r13 (guide §1.2/§3.3 — truncate duplicated subtrees): ``flagged``
+    and ``dirty`` are consumed by multiple branches of the final plan
+    (dirty_ids feeds the dirty semi-join AND the clean anti-join;
+    ``dirty`` feeds the token posexplode AND the n_tokens projection),
+    and without a pin Catalyst inlines the WHOLE upstream — the
+    before-plan scanned the corpus parquet 11 times, re-running the
+    shingle explode + md5 + count subtree once per consumer. Both
+    frames are duplication-BOUNDED (flagged = windows that actually
+    repeat; dirty = contaminated docs only — the minority by design),
+    so pinning them is safe at 100 TB where pinning the token-grain
+    ``base``/``windows`` would not be (that recompute-over-materialize
+    choice stands, see the operator docstring). Lazy localCheckpoint:
+    materialized inside the query's own job, no extra action."""
+    flagged = flagged.localCheckpoint(eager=False)
     dirty_ids = flagged.select("id").distinct()
     covered = flagged.select(
         "id",

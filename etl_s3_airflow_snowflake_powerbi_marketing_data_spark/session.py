@@ -103,6 +103,23 @@ def get_spark(
         # runtimeFilter.semiJoinReduction.enabled — measured on this
         # build it deadlocks trivial actions (range(5).count() hangs).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Guide §3.1/§9: let the planner pick shuffled-hash join when
+        # its per-partition size conditions hold (sort-merge needs both
+        # sides sorted; SHJ skips the sorts and wins when one side is
+        # moderately small per partition — the gate decisions jobs
+        # carry 4-16 small SMJs each). Measured r13 in two alternating
+        # A/B windows: every SMJ-heavy query at-or-faster (video
+        # incremental 6.2->4.9, streaming semantic per-batch
+        # 8.5/7.6->6.7/6.0 W1, 4.8/4.5->4.5/4.1 W2), none slower; plans
+        # re-audited, oracles green. NOT a local-only win: the planner
+        # still requires the build side to fit per partition
+        # (canBuildLocalHashMap gates on stats), AQE skew-split stays
+        # on, and sort-merge remains available for big-big joins. Env
+        # knob restores the Spark default per deployment.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # The driver's testdata stores events.ts as TIMESTAMP(NANOS), which
         # Spark's parquet reader refuses; read as long and convert in
         # tables.load_table (sub-microsecond parts are zero, so lossless).

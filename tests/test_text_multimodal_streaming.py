@@ -1245,6 +1245,27 @@ def test_video_fingerprint_sampling_and_frame_counts():
     assert fp == want
 
 
+def test_video_table_distributed_matches_driver_rows(spark):
+    """r13: synthetic_near_dup_video_table generates its rows ON
+    EXECUTORS (mapInPandas over one group per partition) — every
+    field, payload bytes included, must equal the driver-side
+    generator row for row, or every committed video expected-parquet
+    oracle silently drifts."""
+    from etl_s3_airflow_snowflake_powerbi_marketing_data_spark.functions import (
+        multimodal as mm,
+    )
+
+    want = mm.synthetic_near_dup_video_rows(5)
+    got = sorted(
+        (
+            (r.media_id, r.media_type, bytes(r.payload), r.meta_source)
+            for r in mm.synthetic_near_dup_video_table(spark, 5).collect()
+        ),
+        key=lambda r: r[0],
+    )
+    assert got == sorted(want, key=lambda r: r[0])
+
+
 def test_video_corrupt_payloads_skip_contract(spark):
     """Truncations/byte-flips of an MJPEG stream must surface as
     NotImplementedError only (the Arrow skip contract), and
