@@ -2486,9 +2486,8 @@ def q_media_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair for both codec classes — equal fingerprints prove
     chunking/timescale/offset independence. Oracle: independent
     replica (tools/gen_expected.py:gen_mp4_frames)."""
-    tbl = spark.createDataFrame(
-        multimodal.synthetic_mp4_sample_rows(10), multimodal.MEDIA_SCHEMA
-    )
+    # r13: fixture generated on executors (synthetic_mp4_sample_table)
+    tbl = multimodal.synthetic_mp4_sample_table(spark, 10)
     return multimodal.mp4_sample_profile_table(tbl).orderBy("media_id")
 
 

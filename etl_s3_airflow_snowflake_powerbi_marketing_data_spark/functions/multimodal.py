@@ -3227,11 +3227,18 @@ def synthetic_mp4_sample_rows(
     through the pixel path (vfp = the committed _vfp_replica value);
     rows 3-4 must hash identically through
     :func:`mp4_content_fingerprint`. media_id = g·4 + row."""
-    rows = []
-    for g in range(groups):
-        frames = _near_dup_video_frames(g, 0)
-        opaque = [_opaque_sample(g, f) for f in range(3 + g % 4)]
-        rows += [
+    return [
+        row for g in range(groups) for row in _mp4_sample_group_rows(g)
+    ]
+
+
+def _mp4_sample_group_rows(g: int) -> list[tuple[int, str, bytes, str]]:
+    """One group's four MP4 fixture rows — factored from
+    :func:`synthetic_mp4_sample_rows` so the distributed table builder
+    computes byte-identical rows per group on the executors."""
+    frames = _near_dup_video_frames(g, 0)
+    opaque = [_opaque_sample(g, f) for f in range(3 + g % 4)]
+    return [
             (
                 g * 4 + 1,
                 "video/mp4",
@@ -3269,7 +3276,40 @@ def synthetic_mp4_sample_rows(
                 "fixture",
             ),
         ]
-    return rows
+
+
+def synthetic_mp4_sample_table(spark, groups: int = 10) -> DataFrame:
+    """DataFrame form of :func:`synthetic_mp4_sample_rows`, generated
+    ON EXECUTORS (one group per ``spark.range`` partition — the
+    synthetic_near_dup_video_table posture; same determinism/retry
+    and no-caching contract; byte-identity pytest-pinned)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for g in pdf["g"].tolist():
+                rows = _mp4_sample_group_rows(int(g))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(
+                            [r[0] for r in rows], dtype="int64"
+                        ),
+                        "media_type": pd.Series(
+                            [r[1] for r in rows], dtype="object"
+                        ),
+                        "payload": pd.Series(
+                            [r[2] for r in rows], dtype="object"
+                        ),
+                        "meta_source": pd.Series(
+                            [r[3] for r in rows], dtype="object"
+                        ),
+                    }
+                )
+
+    return (
+        spark.range(0, groups, 1, groups)
+        .selectExpr("id as g")
+        .mapInPandas(gen, MEDIA_SCHEMA)
+    )
 
 
 MP4_PROFILE_SCHEMA = T.StructType(

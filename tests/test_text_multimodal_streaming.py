@@ -1264,6 +1264,16 @@ def test_video_table_distributed_matches_driver_rows(spark):
         key=lambda r: r[0],
     )
     assert got == sorted(want, key=lambda r: r[0])
+    # same contract for the distributed MP4 sample fixture
+    want_mp4 = mm.synthetic_mp4_sample_rows(4)
+    got_mp4 = sorted(
+        (
+            (r.media_id, r.media_type, bytes(r.payload), r.meta_source)
+            for r in mm.synthetic_mp4_sample_table(spark, 4).collect()
+        ),
+        key=lambda r: r[0],
+    )
+    assert got_mp4 == sorted(want_mp4, key=lambda r: r[0])
 
 
 def test_video_corrupt_payloads_skip_contract(spark):
