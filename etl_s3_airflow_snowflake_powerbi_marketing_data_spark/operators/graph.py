@@ -303,12 +303,18 @@ def hits(
             .agg(F.sum("hub").alias("auth"))
             .select(F.col("dst").alias("node"), "auth")
         )
+        # lazy pin (r13 — one ACTION per round, the CC/minhash
+        # discipline): hub's eager checkpoint below is the round's
+        # single job and materializes auth's blocks on first read;
+        # the end-of-round scores join then reads the SAME pinned
+        # blocks instead of paying a second materialization job.
+        # Dataflow (hence every score) is unchanged.
         auth = _normalize(
             nodes.join(auth_raw, "node", "left").select(
                 "node", F.coalesce("auth", F.lit(0)).alias("auth")
             ),
             "auth",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         hub_raw = (
             e.join(auth.select(F.col("node").alias("dst"), "auth"), "dst")
             .groupBy("src")
